@@ -1,0 +1,333 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage (SURVEY.md §2.1–§2.7) expressed on the
+  * driver's TPC-H-ish testdata. Each query is the Spark-idiomatic form of a
+  * reference operator family:
+  *
+  *  - q01 multi-measure hash agg  — A1 (`bronze_to_silver.py:552-566`)
+  *  - q02 top-k                   — O3 (`trino_client.py:337-358`)
+  *  - q03 dim joins               — J1/J3 (`silver_to_gold.py:161-199,589-598`)
+  *  - q04 filter+derived measure  — P8/P20
+  *  - q05 conditional agg         — A5 (`trino_client.py:268`)
+  *  - q06 distinct count          — A2 (`silver_to_gold.py:575-586`)
+  *  - q07 latest-per-key window   — W1 (`product_tracker.py:286-294`)
+  *  - q08 deterministic dedupe    — A8/O5 (dropDuplicates w/ recency tie-break,
+  *                                  SURVEY §7.4 hard-part 3)
+  *  - q09 unionByName reconcile   — O4 (`bronze_to_silver.py:225-227`)
+  *  - q10 substring search        — Q3 (`trino_client.py:208-252`)
+  *  - q11 global stats            — Q4/A3 (`trino_client.py:258-289`)
+  *  - q12 pagination              — Q1/O2 (`trino_client.py:112-139`)
+  *  - q13 per-group stats         — Q5 (`trino_client.py:291-321`)
+  *  - q14 date kit                — P19 (`silver_to_gold.py:326-343`)
+  *  - q15 CASE-WHEN tiers         — P7 (`silver_to_gold.py:453-467`)
+  *  - q16 regexp extraction       — P10 (`bronze_to_silver.py:168-175`)
+  *  - q17 math transforms         — P13/P14/P15 (`feature_engineering.py:176-216`)
+  *  - q18 anti join               — (beyond reference: NOT EXISTS shape)
+  *  - q19 semi join               — (beyond reference: EXISTS shape)
+  *
+  * All joins against nation/region/supplier-sized dims are explicitly
+  * `broadcast(...)` — at 100 TB the fact side never shuffles for these.
+  */
+object Relational {
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef.sql(
+      "q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2)                                        AS sum_qty,
+        |  round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2)              AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4)                                        AS avg_qty,
+        |  round(avg(l_extendedprice), 4)                                   AS avg_price,
+        |  round(avg(l_discount), 4)                                        AS avg_disc,
+        |  count(*)                                                         AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    QueryDef.sql(
+      "q02_topk_customers",
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        |FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 50""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        .limit(50)
+    },
+
+    QueryDef.sql(
+      "q03_region_rollup",
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  round(sum(c_acctbal), 2) AS sum_bal, round(avg(c_acctbal), 4) AS avg_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          count(lit(1)).as("n_cust"),
+          round(sum("c_acctbal"), 2).as("sum_bal"),
+          round(avg("c_acctbal"), 4).as("avg_bal"))
+    },
+
+    QueryDef.sql(
+      "q04_revenue_filter",
+      """SELECT l_returnflag, round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE year(l_shipdate) = 1997 AND l_discount BETWEEN 0.02 AND 0.08
+        |  AND l_quantity < 24
+        |GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(year(col("l_shipdate")) === 1997 &&
+          col("l_discount").between(0.02, 0.08) && col("l_quantity") < 24)
+        .groupBy("l_returnflag")
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    QueryDef.sql(
+      "q05_priority_conditional",
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |  round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(col("o_totalprice") > 150000, 1L).otherwise(0L)).as("n_big"),
+          round(avg("o_totalprice"), 4).as("avg_price"))
+    },
+
+    QueryDef.sql(
+      "q06_distinct_customers",
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(countDistinct("o_custkey").as("n_cust"), count(lit(1)).as("n"))
+    },
+
+    QueryDef.sql(
+      "q07_latest_event_per_user",
+      """SELECT user_id, event_id, event_type, round(value, 2) AS value,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id
+        |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 2).as("value"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+    },
+
+    QueryDef.sql(
+      "q08_dedupe_latest",
+      """SELECT user_id, event_type, event_id,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id, event_type
+        |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin) { (s, d) =>
+      graft.operators.Dedup.latestPerKey(
+        Tables.events(s, d), Seq("user_id", "event_type"),
+        Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+    },
+
+    QueryDef.sql(
+      "q09_union_reconcile",
+      """SELECT src, nationkey, count(*) AS n, round(sum(acctbal), 2) AS sum_bal,
+        |  count(mktsegment) AS n_seg
+        |FROM (
+        |  SELECT s_name AS name, s_nationkey AS nationkey, s_acctbal AS acctbal,
+        |         'supplier' AS src, NULL AS mktsegment FROM supplier
+        |  UNION ALL
+        |  SELECT c_name, c_nationkey, c_acctbal, 'customer', c_mktsegment FROM customer
+        |) GROUP BY src, nationkey""".stripMargin) { (s, d) =>
+      val sup = Tables.supplier(s, d).select(
+        col("s_name").as("name"), col("s_nationkey").as("nationkey"),
+        col("s_acctbal").as("acctbal"), lit("supplier").as("src"))
+      val cus = Tables.customer(s, d).select(
+        col("c_name").as("name"), col("c_nationkey").as("nationkey"),
+        col("c_acctbal").as("acctbal"), lit("customer").as("src"),
+        col("c_mktsegment").as("mktsegment"))
+      sup.unionByName(cus, allowMissingColumns = true)
+        .groupBy("src", "nationkey")
+        .agg(count(lit(1)).as("n"), round(sum("acctbal"), 2).as("sum_bal"),
+          count(col("mktsegment")).as("n_seg"))
+    },
+
+    QueryDef.sql(
+      "q10_search_parts",
+      """SELECT p_partkey, p_name, p_brand, round(p_retailprice, 2) AS price
+        |FROM part
+        |WHERE lower(p_name) LIKE '%widget%' AND p_size >= 20
+        |ORDER BY p_retailprice DESC, p_partkey LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .filter(lower(col("p_name")).like("%widget%") && col("p_size") >= 20)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          round(col("p_retailprice"), 2).as("price"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+        .limit(20)
+    },
+
+    QueryDef.sql(
+      "q11_global_stats",
+      """SELECT count(*) AS n_customers, count(DISTINCT c_nationkey) AS n_nations,
+        |  round(sum(c_acctbal), 2) AS total_bal, round(avg(c_acctbal), 4) AS avg_bal,
+        |  CAST(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
+        |FROM customer""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).agg(
+        count(lit(1)).as("n_customers"),
+        countDistinct("c_nationkey").as("n_nations"),
+        round(sum("c_acctbal"), 2).as("total_bal"),
+        round(avg("c_acctbal"), 4).as("avg_bal"),
+        sum(when(col("c_acctbal") > 0, 1L).otherwise(0L)).as("n_positive"))
+    },
+
+    QueryDef.sql(
+      "q12_page2",
+      """SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) AS acctbal
+        |FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 20 OFFSET 20""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        .offset(20)
+        .limit(20)
+    },
+
+    QueryDef.sql(
+      "q13_event_type_stats",
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+        |  round(avg(value), 4) AS avg_value, round(max(value), 2) AS max_value,
+        |  round(min(value), 2) AS min_value, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          round(avg("value"), 4).as("avg_value"), round(max("value"), 2).as("max_value"),
+          round(min("value"), 2).as("min_value"), countDistinct("user_id").as("n_users"))
+    },
+
+    QueryDef.sql(
+      "q14_orders_by_quarter",
+      """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+        |  strftime(o_orderdate, '%Y-%m') AS ym_first, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY year(o_orderdate), quarter(o_orderdate), strftime(o_orderdate, '%Y-%m')""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym_first"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+    },
+
+    QueryDef.sql(
+      "q15_customer_tiers",
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+        |            WHEN c_acctbal < 2000 THEN 'low'
+        |            WHEN c_acctbal < 6000 THEN 'mid'
+        |            ELSE 'high' END AS tier,
+        |  count(*) AS n, round(min(c_acctbal), 2) AS min_bal,
+        |  round(max(c_acctbal), 2) AS max_bal
+        |FROM customer GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .withColumn("tier",
+          when(col("c_acctbal") < 0, "negative")
+            .when(col("c_acctbal") < 2000, "low")
+            .when(col("c_acctbal") < 6000, "mid")
+            .otherwise("high"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n"), round(min("c_acctbal"), 2).as("min_bal"),
+          round(max("c_acctbal"), 2).as("max_bal"))
+    },
+
+    QueryDef.sql(
+      "q16_props_extract",
+      """SELECT event_type,
+        |  round(avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)), 4) AS avg_k,
+        |  max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k,
+        |  min(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS min_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+      Tables.events(s, d)
+        .withColumn("k", k)
+        .groupBy("event_type")
+        .agg(round(avg("k"), 4).as("avg_k"), max("k").as("max_k"),
+          min("k").as("min_k"), count(lit(1)).as("n"))
+    },
+
+    QueryDef.sql(
+      "q17_math_transforms",
+      """SELECT l_linestatus,
+        |  round(sum(ln(1.0 + l_quantity)), 2) AS sum_log_qty,
+        |  round(avg(sqrt(l_extendedprice)), 4) AS avg_sqrt_price,
+        |  round(sum(least(l_extendedprice * l_discount, 1000.0)), 2) AS sum_capped_disc,
+        |  round(max(greatest(l_quantity, l_tax * 100.0)), 2) AS max_mixed
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .agg(
+          round(sum(log1p(col("l_quantity"))), 2).as("sum_log_qty"),
+          round(avg(sqrt(col("l_extendedprice"))), 4).as("avg_sqrt_price"),
+          round(sum(least(col("l_extendedprice") * col("l_discount"), lit(1000.0))), 2).as("sum_capped_disc"),
+          round(max(greatest(col("l_quantity"), col("l_tax") * 100.0)), 2).as("max_mixed"))
+    },
+
+    QueryDef.sql(
+      "q18_customers_no_orders",
+      """SELECT c_nationkey, count(*) AS n
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+        |GROUP BY c_nationkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(year(col("o_orderdate")) === 1995),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"))
+    },
+
+    QueryDef.sql(
+      "q19_active_customer_segments",
+      """SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(avg("c_acctbal"), 4).as("avg_bal"))
+    }
+  )
+}
