@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Hadoop's RawLocalFileSystem shells out to chmod for streaming
+  // state-store checkpoints; JDK 17's default posix_spawn helper is
+  // fragile in this container (fails with "Failed to exec spawn helper"),
+  // plain fork is reliable.
+  "-Djdk.lang.Process.launchMechanism=fork",
 )

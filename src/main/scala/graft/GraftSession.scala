@@ -37,4 +37,13 @@ object GraftSession {
       // rejects TIMESTAMP(NANOS) unless read as raw longs (converted to a
       // timestamp in Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Streaming state-store checkpoints: the default FileContext manager +
+      // checksum wrapper shell out (chmod/readlink) per commit via Hadoop's
+      // Shell, and process spawning from a large JVM is pathologically slow
+      // in this container. The FileSystem-based manager renames with pure
+      // java.io and the checksum layer is unnecessary on local disk.
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
 }

@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-window operator coverage (SURVEY.md §2.8 T2/T3 + §2.6 extensions),
+  * verified in batch mode — `window()` has identical bucketing semantics in
+  * batch and streaming, so the oracle checks the exact window assignment
+  * the hot path uses (the streaming-only parts — watermark, trigger,
+  * output mode, state — are covered by MemoryStream specs).
+  *
+  *  - q26 tumbling window agg  — T3 (`features_stream.py:91-121`)
+  *  - q27 sliding window agg   — T2 (`trending_stream.py:458-470`)
+  *  - q28 prev-window velocity — T7/W-ext (`kafka_profile_stream.py:111-185`,
+  *    done with `lag` instead of the reference's Redis round-trip)
+  */
+object Windows {
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef.sql(
+      "q26_tumbling_hourly",
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+        |               '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+        |  round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          round(avg("value"), 4).as("avg_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          col("event_type"), col("n"), col("sum_value"), col("avg_value"))
+    },
+
+    QueryDef.sql(
+      "q27_sliding_2h_1h",
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+        |               - to_hours(k), '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          col("event_type"), col("n"), col("sum_value"))
+    },
+
+    QueryDef.sql(
+      "q28_hourly_velocity",
+      """WITH hourly AS (
+        |  SELECT user_id,
+        |    strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+        |             '%Y-%m-%d %H:%M:%S') AS hour,
+        |    count(*) AS n, round(sum(value), 2) AS eng
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, hour, n, eng,
+        |  round(CASE WHEN lag(eng) OVER w IS NULL THEN 0.0
+        |             ELSE greatest(eng - lag(eng) OVER w, 0.0) END, 2) AS velocity
+        |FROM hourly WINDOW w AS (PARTITION BY user_id ORDER BY hour)""".stripMargin) { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("eng"))
+        .select(col("user_id"),
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n"), col("eng"))
+      val w = Window.partitionBy("user_id").orderBy("hour")
+      hourly
+        .withColumn("prev", lag(col("eng"), 1).over(w))
+        .withColumn("velocity",
+          round(when(col("prev").isNull, 0.0)
+            .otherwise(greatest(col("eng") - col("prev"), lit(0.0))), 2))
+        .drop("prev")
+    }
+  )
+}

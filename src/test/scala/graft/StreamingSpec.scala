@@ -1,0 +1,155 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming semantics (SURVEY.md §2.8) driven by MemoryStream:
+  * the windowed trending hot path (T1/T2/T5), watermark late-drop (T9),
+  * mapGroupsWithState prev-value velocity (T7), and the KV/top-k sink (K5).
+  */
+class StreamingSpec extends SparkSpec {
+  import sqlImplicits._
+
+  case class KafkaLike(value: String, timestamp: Timestamp)
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def videoJson(user: String, platform: String, likes: Long,
+      comments: Long, shares: Long, views: Long, id: String): String =
+    s"""{"event_id":"$id","event_time":"2024-01-01T00:00:00+00:00","platform":"$platform",
+       |"username":"$user","video_id":"v_$id","video_views":$views,"video_likes":$likes,
+       |"video_comments":$comments,"video_shares":$shares}""".stripMargin.replace("\n", "")
+
+  test("T2/T5 trending hot path: sliding windows, update mode, scored output") {
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[KafkaLike]
+    val result = TrendingStream.pipeline(source.toDF())
+    val q = result.writeStream.outputMode("update")
+      .format("memory").queryName("trending_out").start()
+    try {
+      source.addData(
+        KafkaLike(videoJson("kol_a", "tiktok", 900, 80, 20, 50000, "e1"), ts("2024-01-01 10:00:10")),
+        KafkaLike(videoJson("kol_a", "tiktok", 400, 50, 50, 20000, "e2"), ts("2024-01-01 10:00:40")),
+        KafkaLike(videoJson("kol_b", "youtube", 10, 1, 0, 500, "e3"), ts("2024-01-01 10:00:50")))
+      q.processAllAvailable()
+      val rows = spark.table("trending_out")
+      // 5-min window sliding by 1 min → each event lands in 5 windows
+      val aWindows = rows.filter($"username" === "kol_a").select("window_start").distinct().count()
+      assert(aWindows == 5, s"expected 5 sliding windows, got $aWindows")
+      val a = rows.filter($"username" === "kol_a" &&
+        $"window_start" === ts("2024-01-01 10:00:00")).head()
+      assert(a.getAs[Long]("event_count") == 2)
+      assert(a.getAs[Long]("total_engagement") == 900 + 80 + 20 + 400 + 50 + 50)
+      assert(a.getAs[Long]("total_views") == 70000)
+      val score = a.getAs[Double]("trending_score")
+      assert(score >= 0 && score <= 100)
+      val label = a.getAs[String]("trending_label")
+      assert(Seq("Viral", "Hot", "Warm", "Normal", "Cold").contains(label))
+    } finally q.stop()
+  }
+
+  test("T9 watermark drops events later than 5 minutes behind max event time") {
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[KafkaLike]
+    val result = TrendingStream.pipeline(source.toDF())
+    val q = result.writeStream.outputMode("update")
+      .format("memory").queryName("late_out").start()
+    try {
+      source.addData(KafkaLike(videoJson("kol_a", "tiktok", 100, 0, 0, 1000, "e1"),
+        ts("2024-01-01 10:30:00")))
+      q.processAllAvailable() // watermark → 10:25
+      val before = spark.table("late_out")
+        .filter($"window_start" <= ts("2024-01-01 09:50:00")).count()
+      source.addData(KafkaLike(videoJson("kol_a", "tiktok", 999, 0, 0, 9999, "late"),
+        ts("2024-01-01 09:50:00"))) // 40 min late, beyond watermark
+      q.processAllAvailable()
+      val after = spark.table("late_out")
+        .filter($"window_start" <= ts("2024-01-01 09:50:00")).count()
+      assert(before == 0 && after == 0, s"late event leaked: before=$before after=$after")
+    } finally q.stop()
+  }
+
+  test("T7 mapGroupsWithState velocity: first batch 0, second batch cur-prev") {
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[StatefulVelocity.KeyedMetric]
+    val out = StatefulVelocity.velocityStream(source.toDS(), stateTtlMs = None)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("vel_out").start()
+    try {
+      source.addData(StatefulVelocity.KeyedMetric("tiktok:kol_a", 1000.0, 1L))
+      q.processAllAvailable()
+      source.addData(StatefulVelocity.KeyedMetric("tiktok:kol_a", 1500.0, 2L))
+      q.processAllAvailable()
+      source.addData(StatefulVelocity.KeyedMetric("tiktok:kol_a", 1200.0, 3L)) // decline → 0
+      q.processAllAvailable()
+      val rows = spark.table("vel_out").as[StatefulVelocity.VelocityOut]
+        .collect().sortBy(_.metric)
+      assert(rows.length == 3)
+      val byMetric = rows.map(r => r.metric -> r).toMap
+      assert(byMetric(1000.0).velocity == 0.0) // first sighting: prev = cur
+      assert(byMetric(1500.0).velocity == 500.0)
+      assert(byMetric(1500.0).prev == 1000.0)
+      assert(byMetric(1200.0).velocity == 0.0) // max(0, declining)
+      assert(math.abs(byMetric(1200.0).momentum - (-0.2)) < 1e-9)
+    } finally q.stop()
+  }
+
+  test("T7 latest event per key wins within a micro-batch (ZADD overwrite)") {
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[StatefulVelocity.KeyedMetric]
+    val out = StatefulVelocity.velocityStream(source.toDS(), stateTtlMs = None)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("vel_lw").start()
+    try {
+      source.addData(
+        StatefulVelocity.KeyedMetric("k", 10.0, 1L),
+        StatefulVelocity.KeyedMetric("k", 30.0, 3L),
+        StatefulVelocity.KeyedMetric("k", 20.0, 2L))
+      q.processAllAvailable()
+      val r = spark.table("vel_lw").as[StatefulVelocity.VelocityOut].head()
+      assert(r.metric == 30.0, s"latest-by-event-time should win, got ${r.metric}")
+    } finally q.stop()
+  }
+
+  test("T3 CTR/CVR tumbling window with divide-by-zero guards") {
+    val df = Seq(
+      ("e1", ts("2024-01-01 10:01:00"), "kol_a", "c1", 1000L, 50L, 5L, 10.0),
+      ("e2", ts("2024-01-01 10:03:00"), "kol_a", "c1", 2000L, 150L, 10L, 20.0),
+      ("e3", ts("2024-01-01 10:02:00"), "kol_b", "c2", 0L, 0L, 0L, 0.0))
+      .toDF("event_id", "event_time", "kol_id", "campaign_id",
+        "impressions", "clicks", "conversions", "spend")
+    val got = FeaturesStream.ctrCvrAggregate(df).collect()
+      .map(r => r.getAs[String]("kol_id") -> r).toMap
+    val a = got("kol_a")
+    assert(a.getAs[Long]("impressions") == 3000L)
+    assert(a.getAs[Double]("ctr") == math.round(200.0 / 3000.0 * 1e6) / 1e6)
+    assert(a.getAs[Double]("cvr") == 0.075)
+    assert(a.getAs[Timestamp]("window_start") == ts("2024-01-01 10:00:00"))
+    assert(a.getAs[Timestamp]("window_end") == ts("2024-01-01 10:05:00"))
+    val b = got("kol_b")
+    assert(b.getAs[Double]("ctr") == 0.0 && b.getAs[Double]("cvr") == 0.0)
+  }
+
+  test("K5 foreachBatch KV sink: last-write-wins upsert + top-k ordering") {
+    implicit val ctx = spark.sqlContext
+    val kv = new Sinks.KeyValueTopK
+    val source = MemoryStream[KafkaLike]
+    val scoredStream = TrendingStream.pipeline(source.toDF())
+    val q = Sinks.trendingKvSink(scoredStream, kv,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)).start()
+    try {
+      source.addData(
+        KafkaLike(videoJson("kol_hot", "tiktok", 90000, 8000, 2000, 500000, "h1"), ts("2024-01-01 10:00:10")),
+        KafkaLike(videoJson("kol_mid", "tiktok", 900, 80, 20, 5000, "m1"), ts("2024-01-01 10:00:20")),
+        KafkaLike(videoJson("kol_low", "tiktok", 9, 1, 0, 50, "l1"), ts("2024-01-01 10:00:30")))
+      q.processAllAvailable()
+      val top = kv.topK("tiktok", 2)
+      assert(top.map(_._1) == Seq("tiktok:kol_hot", "tiktok:kol_mid"), s"got $top")
+      assert(kv.store.contains("trending:tiktok:kol_low"))
+      val hot = kv.store("trending:tiktok:kol_hot")
+      assert(hot("trending_label") == "Viral" || hot("trending_label") == "Hot")
+    } finally q.stop()
+  }
+}
