@@ -42,25 +42,16 @@ object Dedup {
       .groupBy("fp")
       .agg(min("id").as("rep_id"), count(lit(1)).as("n_copies"))
 
-  /** Normalization used by fingerprinting: lowercase, collapse whitespace,
-    * trim — then md5. Matches the SQL expression
-    * `md5(trim(regexp_replace(lower(x), '\s+', ' ')))` on any engine.
-    */
+  /** Normalization+md5 fingerprint (see [[graft.functions.TextFunctions]]). */
   def normFingerprint(text: Column): Column =
-    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+    graft.functions.TextFunctions.fingerprint(text)
 
-  /** Word tokens of a text column (whitespace split, empties removed). */
-  def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+  /** Word tokens (delegates to [[graft.functions.TextFunctions.tokens]]). */
+  def tokens(text: Column): Column = graft.functions.TextFunctions.tokens(text)
 
-  /** Distinct w-word shingles of a text column, as an array of strings. */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(toks) - w, lit(0))),
-        i => array_join(slice(toks, i + 1, lit(w)), " ")))
-  }
+  /** Distinct w-word shingles (see [[graft.functions.TextFunctions.shingles]]). */
+  def shingles(text: Column, w: Int = 3): Column =
+    graft.functions.TextFunctions.shingles(text, w)
 
   /** n-gram (word-shingle) Jaccard near-duplicate detection via an inverted
     * index, blocked by `blockCol` (e.g. source): explode distinct shingles,

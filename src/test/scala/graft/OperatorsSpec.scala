@@ -1,0 +1,119 @@
+package graft
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Operator-level behavior on planted data — the driver's documents table
+  * has no duplicates, so these specs synthesize known dups/neighbors and
+  * assert the operators find them (and nothing else).
+  */
+class OperatorsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog near the river bank today"
+  private val docANear = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+  private val docB = "completely different content about spark query engines and shuffle planning"
+
+  test("exactText dedup groups normalized duplicates") {
+    val df = Seq(
+      (1L, "Hello   World"), (2L, "hello world"), (3L, "HELLO WORLD  "),
+      (4L, "something else")).toDF("id", "text")
+    val groups = Dedup.exactText(df, "id", "text").collect()
+    assert(groups.length == 2)
+    val big = groups.find(_.getAs[Long]("n_copies") == 3L).get
+    assert(big.getAs[Long]("rep_id") == 1L)
+  }
+
+  test("ngramJaccardPairs: near-dup pair scores high, unrelated pair absent") {
+    val df = Seq((1L, docA, "s"), (2L, docANear, "s"), (3L, docB, "s"))
+      .toDF("doc_id", "text", "source")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", "source").collect()
+    val near = pairs.find(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(near.isDefined, "planted near-dup not found")
+    assert(near.get.getAs[Double]("jaccard") > 0.7)
+    assert(!pairs.exists(r => r.getAs[Long]("id_b") == 3L || r.getAs[Long]("id_a") == 3L),
+      "unrelated doc shares no 3-shingles but appeared as candidate")
+  }
+
+  test("minhashCandidates surfaces the planted near-dup pair") {
+    val df = Seq((1L, docA, "s"), (2L, docANear, "s"), (3L, docB, "s"))
+      .toDF("doc_id", "text", "source")
+    val cands = Dedup.minhashCandidates(df, "doc_id", "text").collect()
+    assert(cands.exists(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L),
+      s"minhash missed planted near-dup; got ${cands.mkString(",")}")
+  }
+
+  test("simhash: identical texts at hamming 0, near texts within 16") {
+    val df = Seq((1L, docA), (2L, docA), (3L, docANear)).toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"), Dedup.simhash(TextFunctions.tokens(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L), "identical text must give identical simhash")
+    val cands = Dedup.simhashCandidates(df, "doc_id", "text", maxHamming = 16).collect()
+    assert(cands.exists(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L &&
+      r.getAs[Int]("hamming") == 0))
+  }
+
+  test("bruteForceTopK finds the planted nearest neighbor first") {
+    val base = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val near = base.clone(); near(0) += 0.01f
+    val far = Array.tabulate(8)(i => if (i % 2 == 0) -1.0f else 1.0f)
+    val df = Seq((0L, base), (1L, near), (2L, far)).toDF("id", "embedding")
+    val top = Similarity.bruteForceTopK(df.filter($"id" === 0L), df, k = 2).collect()
+    assert(top.length == 2)
+    assert(top.find(_.getAs[Int]("rank") == 1).get.getAs[Long]("nid") == 1L)
+    assert(top.find(_.getAs[Int]("rank") == 1).get.getAs[Double]("cosine") > 0.999)
+  }
+
+  test("lshTopK: identical vector lands in the same bucket at rank 1") {
+    val vecs = (0L until 50L).map { i =>
+      val rng = new scala.util.Random(i)
+      i -> Array.fill(8)(rng.nextFloat() - 0.5f)
+    }
+    val planted = (100L, vecs.head._2.clone()) // exact copy of vec 0
+    val df = (vecs :+ planted).toDF("id", "embedding")
+    val got = Similarity.lshTopK(df.filter($"id" === 0L), df, k = 1).collect()
+    assert(got.length == 1 && got.head.getAs[Long]("nid") == 100L)
+    assert(math.abs(got.head.getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+
+  test("cosineNearDupPairs finds only the planted embedding dup") {
+    val rng = new scala.util.Random(7)
+    val vecs = (0L until 30L).map(i => i -> Array.fill(8)(rng.nextFloat() - 0.5f))
+    val planted = (100L, vecs.head._2.map(x => x * 1.001f)) // scaled copy → cos≈1
+    val df = (vecs :+ planted).toDF("id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(df, threshold = 0.98).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("id_a") == 0L && pairs.head.getAs[Long]("id_b") == 100L)
+  }
+
+  test("langId picks the language with most marker hits; und on none") {
+    val df = Seq(
+      (1L, "le chat est sur la table et le chien est la"),
+      (2L, "the cat is on the mat and the dog is here"),
+      (3L, "xyzzy plugh zork")).toDF("id", "text")
+    val got = df.select(col("id"), TextFunctions.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "fr" && got(2L) == "en" && got(3L) == "und")
+  }
+
+  test("multimodal: batched feature extraction preserves schema and shape") {
+    val docs = Tables.documents(spark, sf())
+    val media = Multimodal.fromDocuments(docs)
+    assert(media.schema("content").dataType == org.apache.spark.sql.types.BinaryType)
+    val feats = Multimodal.extractFeatures(media)
+    val row = feats.head()
+    assert(row.features.length == Multimodal.FeatureDim)
+    assert(math.abs(row.features.sum - 1.0f) < 1e-3, "histogram features must sum to 1")
+    val stats = Multimodal.featureStats(media).collect()
+    assert(stats.map(_.getAs[String]("kind")).toSet == Set("image", "audio", "video"))
+  }
+
+  test("multimodal: frame sampling emits one row per interval") {
+    val media = Seq((1L, "video", Array[Byte](1, 2, 3), (64, 64, 1000L, "stub")))
+      .toDF("media_id", "kind", "content", "meta")
+      .withColumn("meta", col("meta").cast("struct<width:int,height:int,duration_ms:bigint,codec:string>"))
+    val frames = Multimodal.sampleFrames(media, everyMs = 250L).collect()
+    assert(frames.map(_.getAs[Long]("frame_ms")).sorted.sameElements(Array(0L, 250L, 500L, 750L, 1000L)))
+  }
+}
