@@ -1,0 +1,118 @@
+package graft.etl
+
+import graft.functions.Scores
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bronze → Silver cleaning (SURVEY.md §3.2 step 2, `bronze_to_silver.py`).
+  *
+  * Per-source select/clean with the reference's null-hygiene discipline
+  * (`coalesce` defaults on nearly every column — §7.4 hard-part 2), K/M/B
+  * count parsing as native expressions, multi-source `unionByName` with
+  * schema reconciliation, deterministic dedupe by business key, then the
+  * multi-measure engagement aggregation (A1).
+  *
+  * Everything is narrow (projection/filter) until the final groupBy — on a
+  * cluster the only shuffles are the dedupe and the engagement rollup,
+  * both keyed on (kol_id, platform).
+  */
+object BronzeToSilver {
+
+  /** Clean one platform's profile events into the silver `kol_profiles`
+    * shape (`bronze_to_silver.py:146-241`): parse raw counts, derive
+    * username from profile_url when missing, default nulls, drop keyless
+    * rows, dedupe latest by (username, platform).
+    */
+  def cleanProfiles(profiles: DataFrame): DataFrame = {
+    val parsed = profiles
+      .withColumn("username",
+        lower(coalesce(
+          col("username"),
+          regexp_extract(col("profile_url"), "@([A-Za-z0-9_.]+)", 1))))
+      .filter(col("username").isNotNull && col("username") =!= "")
+      .withColumn("followers_count",
+        coalesce(col("followers_count"), Scores.parseCountString(col("followers_raw"))))
+      .withColumn("following_count",
+        coalesce(col("following_count"), Scores.parseCountString(col("following_raw"))))
+      .withColumn("likes_total", Scores.parseCountString(col("likes_raw")))
+      .withColumn("verified", coalesce(col("verified"), lit(false)))
+      .withColumn("bio", coalesce(col("bio"), lit("")))
+      .withColumn("bio_length", length(col("bio")))
+      .withColumn("has_profile_image",
+        col("avatar_url").isNotNull && col("avatar_url") =!= "")
+      .withColumn("processed_at", current_timestamp())
+    Dedup.latestPerKey(parsed, Seq("username", "platform"),
+      Seq(col("event_time").desc_nulls_last, col("event_id").desc))
+      .select("username", "platform", "nickname", "followers_count",
+        "following_count", "likes_total", "verified", "bio", "bio_length",
+        "has_profile_image", "event_time", "processed_at")
+  }
+
+  /** Clean video events into silver `kol_content`
+    * (`bronze_to_silver.py:262-347`): engagement measures with coalesce-0
+    * discipline, rate guarded by greatest(views,1), synthetic content id
+    * fallback, dedupe by (content_id, platform).
+    */
+  def cleanContent(videos: DataFrame): DataFrame = {
+    val cleaned = videos
+      .filter(col("username").isNotNull && col("username") =!= "")
+      .withColumn("content_id",
+        coalesce(col("video_id"), concat(lit("gen_"), monotonically_increasing_id())))
+      .withColumn("views", coalesce(col("video_views"), lit(0L)))
+      .withColumn("likes", coalesce(col("video_likes"), lit(0L)))
+      .withColumn("comments", coalesce(col("video_comments"), lit(0L)))
+      .withColumn("shares", coalesce(col("video_shares"), lit(0L)))
+      .withColumn("engagement_total", col("likes") + col("comments") + col("shares"))
+      .withColumn("engagement_rate",
+        round(col("engagement_total") / greatest(col("views"), lit(1L)) * 100.0, 4))
+      .withColumn("processed_at", current_timestamp())
+    Dedup.latestPerKey(cleaned, Seq("content_id", "platform"),
+      Seq(col("event_time").desc_nulls_last, col("event_id").desc))
+      .select("content_id", "platform", "username", "views", "likes",
+        "comments", "shares", "engagement_total", "engagement_rate",
+        "event_time", "processed_at")
+  }
+
+  /** O4: reconcile per-platform silver frames that may carry different
+    * column subsets (`unionByName(allowMissingColumns=true)`).
+    */
+  def reconcile(frames: Seq[DataFrame]): DataFrame =
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** A1/A6: per-KOL engagement rollup (`bronze_to_silver.py:552-580`):
+    * sums, counts, averages, extremes + post-agg derived measures.
+    */
+  def engagementMetrics(content: DataFrame): DataFrame =
+    content
+      .groupBy("platform", "username")
+      .agg(
+        sum("views").as("total_views"),
+        sum("likes").as("total_likes"),
+        sum("comments").as("total_comments"),
+        sum("shares").as("total_shares"),
+        count(lit(1)).as("content_count"),
+        avg("engagement_rate").as("avg_engagement_rate_raw"),
+        avg("views").as("avg_views_raw"),
+        max("views").as("max_views"),
+        min("views").as("min_views"),
+        first("processed_at").as("processed_at"))
+      .withColumn("avg_engagement_rate", round(col("avg_engagement_rate_raw"), 4))
+      .withColumn("avg_views_per_content", round(col("avg_views_raw"), 2))
+      .withColumn("total_engagement",
+        col("total_likes") + col("total_comments") + col("total_shares"))
+      .drop("avg_engagement_rate_raw", "avg_views_raw")
+
+  /** O5 idempotent refresh done deterministically: replace `platform`'s
+    * rows with `fresh`, keep everything else, dedupe by business key with
+    * a recency tie-break (SURVEY §7.4 hard-part 3 — the reference's
+    * filter-out-then-union keeps an arbitrary row on conflict).
+    */
+  def upsertPlatform(existing: DataFrame, fresh: DataFrame, platform: String,
+      keys: Seq[String], recency: String): DataFrame = {
+    val kept = existing.filter(col("platform") =!= platform)
+    Dedup.latestPerKey(
+      kept.unionByName(fresh, allowMissingColumns = true),
+      keys, Seq(col(recency).desc_nulls_last))
+  }
+}

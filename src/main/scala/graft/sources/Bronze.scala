@@ -1,0 +1,84 @@
+package graft.sources
+
+import graft.streaming.EventSchemas
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Bronze-layer sources (SURVEY.md §2.1 S4–S9).
+  *
+  * The reference lands scraped JSONL under
+  * `bronze/raw/{source}/dt={date}/` and reads it back either
+  * schema-inferred (`bronze_to_silver.py:107-119`) or with the canonical
+  * envelope schema (`load_bronze_data.py:22-28,85-87`). Date-partitioned
+  * directories give partition pruning for free; at 100 TB the `dt=` layout
+  * is what keeps any daily job from scanning the full history.
+  */
+object Bronze {
+
+  /** S4: schema-inferred JSONL read (bronze exploration path). */
+  def readJsonlInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** S5: envelope JSONL read with the explicit bronze schema — production
+    * path; never pays the inference scan.
+    */
+  def readEnvelope(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(EventSchemas.bronzeEnvelope).json(path)
+
+  /** S8: fallback-format read — try parquet, fall back to JSONL (the
+    * reference's try-Iceberg-then-parquet / try-parquet-then-json shape,
+    * `silver_to_gold.py:89-104`, `product_tracker.py:246-271`).
+    */
+  def readWithFallback(spark: SparkSession, parquetPath: String,
+      jsonFallbackPath: String, schema: Option[StructType] = None): DataFrame =
+    try spark.read.parquet(parquetPath)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        schema.fold(spark.read.json(jsonFallbackPath))(s =>
+          spark.read.schema(s).json(jsonFallbackPath))
+    }
+
+  /** Parse an envelope frame's JSON payload with a per-source schema and
+    * flatten (P4): one call per (source, schema) pair. The payload often
+    * repeats envelope fields (platform, username) — payload wins, envelope
+    * fills the gaps (the reference's precedence in
+    * `bronze_to_silver.py:196-210`).
+    */
+  def parsePayload(envelope: DataFrame, source: String, schema: StructType): DataFrame = {
+    val flat = envelope
+      .filter(col("source") === source)
+      .select(col("kol_id").as("env_kol_id"), col("platform").as("env_platform"),
+        col("ingest_ts"), from_json(col("payload"), schema).as("data"))
+      .select(col("env_kol_id"), col("env_platform"), col("ingest_ts"), col("data.*"))
+    val withPlatform =
+      if (flat.columns.contains("platform"))
+        flat.withColumn("platform", coalesce(col("platform"), col("env_platform")))
+      else flat.withColumn("platform", col("env_platform"))
+    val withUser =
+      if (withPlatform.columns.contains("username"))
+        withPlatform.withColumn("username", coalesce(col("username"), col("env_kol_id")))
+      else withPlatform.withColumn("username", col("env_kol_id"))
+    withUser.drop("env_kol_id", "env_platform")
+  }
+
+  /** K1/K2: parquet table writes, optionally `dt`-partitioned. Overwrite =
+    * full refresh (the reference's default); append for timeseries.
+    */
+  def writeParquet(df: DataFrame, path: String, mode: String = "overwrite",
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** K3 semantics without Iceberg: idempotent append into a
+    * `dt`-partitioned parquet table with per-partition dynamic overwrite —
+    * re-running a day replaces exactly that day.
+    */
+  def appendPartitioned(df: DataFrame, path: String): Unit =
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("dt")
+      .parquet(path)
+}

@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.Files
+import graft.etl.{BronzeToSilver, Serving, SilverToGold}
+import graft.sources.Bronze
+import graft.streaming.EventSchemas
+import org.apache.spark.sql.functions._
+
+/** End-to-end medallion pipeline on FIXTURES.md-shaped data: bronze
+  * envelope JSONL → silver cleaning → gold star schema → serving queries.
+  * Asserts the reference's own invariants (SURVEY.md §5): envelope fields
+  * present, no duplicates by business key, scores in [0,100], K/M/B
+  * parsing, coalesce-default null hygiene.
+  */
+class MedallionSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private lazy val bronzeDir: String = {
+    val dir = Files.createTempDirectory("bronze").toFile
+    val lines = Seq(
+      // two profile versions for kol_a (dedupe keeps latest), dirty counts
+      """{"kol_id":"kol_a","platform":"tiktok","source":"profiles","ingest_ts":"2025-01-02T00:00:00","payload":"{\"event_id\":\"p1\",\"event_time\":\"2025-01-01T10:00:00\",\"username\":\"kol_a\",\"nickname\":\"KOL A\",\"followers_raw\":\"852.3K\",\"following_raw\":\"1,024\",\"likes_raw\":\"33.6M\",\"verified\":true,\"bio\":\"hello\",\"avatar_url\":\"http://x/a.jpg\"}"}""",
+      """{"kol_id":"kol_a","platform":"tiktok","source":"profiles","ingest_ts":"2025-01-03T00:00:00","payload":"{\"event_id\":\"p2\",\"event_time\":\"2025-01-02T10:00:00\",\"username\":\"kol_a\",\"nickname\":\"KOL A\",\"followers_raw\":\"901.1K\",\"following_raw\":\"1,030\",\"likes_raw\":\"34.0M\",\"verified\":true,\"bio\":\"hello\",\"avatar_url\":\"http://x/a.jpg\"}"}""",
+      // username only via profile_url; null counts
+      """{"kol_id":"kol_b","platform":"youtube","source":"profiles","ingest_ts":"2025-01-02T00:00:00","payload":"{\"event_id\":\"p3\",\"event_time\":\"2025-01-01T11:00:00\",\"profile_url\":\"https://yt.example/@KOL_B\",\"followers_count\":52000,\"verified\":false}"}""",
+      // keyless profile → dropped
+      """{"kol_id":null,"platform":"tiktok","source":"profiles","ingest_ts":"2025-01-02T00:00:00","payload":"{\"event_id\":\"p4\",\"event_time\":\"2025-01-01T12:00:00\",\"bio\":\"orphan\"}"}""",
+      // videos: two for kol_a (one duplicated id), one for kol_b
+      """{"kol_id":"kol_a","platform":"tiktok","source":"videos","ingest_ts":"2025-01-02T00:00:00","payload":"{\"event_id\":\"v1\",\"event_time\":\"2025-01-01T10:05:00\",\"username\":\"kol_a\",\"video_id\":\"vid1\",\"video_views\":100000,\"video_likes\":9000,\"video_comments\":500,\"video_shares\":250}"}""",
+      """{"kol_id":"kol_a","platform":"tiktok","source":"videos","ingest_ts":"2025-01-02T00:00:00","payload":"{\"event_id\":\"v2\",\"event_time\":\"2025-01-01T10:06:00\",\"username\":\"kol_a\",\"video_id\":\"vid1\",\"video_views\":110000,\"video_likes\":9500,\"video_comments\":600,\"video_shares\":300}"}""",
+      """{"kol_id":"kol_a","platform":"tiktok","source":"videos","ingest_ts":"2025-01-02T00:00:00","payload":"{\"event_id\":\"v3\",\"event_time\":\"2025-01-01T10:07:00\",\"username\":\"kol_a\",\"video_id\":\"vid2\",\"video_views\":50000,\"video_likes\":2000,\"video_comments\":100,\"video_shares\":50}"}""",
+      """{"kol_id":"kol_b","platform":"youtube","source":"videos","ingest_ts":"2025-01-02T00:00:00","payload":"{\"event_id\":\"v4\",\"event_time\":\"2025-01-01T11:05:00\",\"username\":\"kol_b\",\"video_id\":\"vid9\",\"video_views\":2000000,\"video_likes\":150000,\"video_comments\":8000,\"video_shares\":4000}"}""")
+    Files.write(new java.io.File(dir, "part-0.jsonl").toPath,
+      lines.mkString("\n").getBytes)
+    dir.getAbsolutePath
+  }
+
+  private lazy val envelope = Bronze.readEnvelope(spark, bronzeDir).cache()
+  private lazy val profiles = BronzeToSilver.cleanProfiles(
+    Bronze.parsePayload(envelope, "profiles", EventSchemas.profile))
+  private lazy val content = BronzeToSilver.cleanContent(
+    Bronze.parsePayload(envelope, "videos", EventSchemas.video))
+
+  test("bronze envelope: canonical fields present and typed") {
+    assert(envelope.columns.toSet ==
+      Set("kol_id", "platform", "source", "payload", "ingest_ts"))
+    assert(envelope.count() == 8)
+  }
+
+  test("silver profiles: K/M/B parsing, URL-derived username, latest wins, keyless dropped") {
+    val rows = profiles.collect()
+    assert(rows.length == 2, s"expected 2 profiles, got ${rows.length}")
+    val a = rows.find(_.getAs[String]("username") == "kol_a").get
+    assert(a.getAs[Long]("followers_count") == 901100L) // latest event wins
+    assert(a.getAs[Long]("following_count") == 1030L)
+    assert(a.getAs[Long]("likes_total") == 34000000L)
+    assert(a.getAs[Boolean]("has_profile_image"))
+    val b = rows.find(_.getAs[String]("username") == "kol_b").get
+    assert(b.getAs[Long]("followers_count") == 52000L) // numeric preferred
+    assert(!b.getAs[Boolean]("verified")) // coalesce(false)
+  }
+
+  test("silver content: duplicate video_id deduped to latest, rates guarded") {
+    val rows = content.collect()
+    assert(rows.length == 3)
+    val vid1 = rows.find(_.getAs[String]("content_id") == "vid1").get
+    assert(vid1.getAs[Long]("views") == 110000L) // v2 won
+    assert(vid1.getAs[Long]("engagement_total") == 9500 + 600 + 300)
+    // no duplicates by business key (reference invariant)
+    assert(content.groupBy("content_id", "platform").count().filter($"count" > 1).count() == 0)
+  }
+
+  test("engagement metrics: multi-measure rollup with derived averages") {
+    val m = BronzeToSilver.engagementMetrics(content)
+      .filter($"username" === "kol_a").head()
+    assert(m.getAs[Long]("total_views") == 160000L)
+    assert(m.getAs[Long]("content_count") == 2L)
+    assert(m.getAs[Long]("total_engagement") == (9500 + 600 + 300) + (2000 + 100 + 50))
+    assert(m.getAs[Double]("avg_views_per_content") == 80000.0)
+  }
+
+  test("gold dim_kol: trust in [0,100], tiers, ratio; fact FKs resolve; KPI rollup") {
+    val dim = SilverToGold.dimKol(profiles, None, Some(BronzeToSilver.engagementMetrics(content)))
+    val rows = dim.collect()
+    rows.foreach { r =>
+      val t = r.getAs[Double]("trust_score")
+      assert(t >= 0 && t <= 100, s"trust $t out of range")
+    }
+    val a = rows.find(_.getAs[String]("username") == "kol_a").get
+    assert(a.getAs[String]("kol_tier") == "Macro") // 901k followers
+    val fact = SilverToGold.factKolPerformance(content)
+    assert(fact.filter($"platform_id" === 0).count() == 0, "unresolved platform FK")
+    assert(fact.filter($"content_id" === "vid9").head().getAs[String]("performance_tier") == "viral")
+    val kpi = SilverToGold.aggPlatformKpi(profiles, content).collect()
+    val tiktok = kpi.find(_.getAs[String]("platform") == "tiktok").get
+    assert(tiktok.getAs[Long]("kol_count") == 1L)
+    assert(tiktok.getAs[Double]("verified_ratio") == 1.0)
+  }
+
+  test("dim_time covers the observed span with full date kit") {
+    val dt = SilverToGold.dimTime(content, "event_time").collect()
+    assert(dt.length == 1)
+    val d = dt.head
+    assert(d.getAs[Int]("date_id") == 20250101)
+    assert(d.getAs[String]("quarter_label") == "Q1")
+    assert(d.getAs[String]("day_name") == "Wednesday")
+    assert(!d.getAs[Boolean]("is_weekend"))
+  }
+
+  test("serving: list/search/topK/faceted shapes honor whitelists and filters") {
+    val dim = SilverToGold.dimKol(profiles, None, None)
+    assert(Serving.listKols(dim, Some("tiktok"), "followers_count",
+      descending = true, limit = 10, offset = 0).count() == 1)
+    intercept[IllegalArgumentException] {
+      Serving.listKols(dim, None, "bio; DROP TABLE", descending = true, 10, 0)
+    }
+    assert(Serving.searchKols(dim, "KOL_").head().getAs[String]("username") == "kol_a")
+    assert(Serving.topK(dim, "followers_count", 1).head().getAs[String]("username") == "kol_a")
+    val faceted = Serving.facetedSearch(dim, q = None, platform = None,
+      minFollowers = Some(100000L), maxFollowers = None, verifiedOnly = true)
+    assert(faceted.collect().map(_.getAs[String]("username")).toSeq == Seq("kol_a"))
+    val stats = Serving.globalStats(dim).head()
+    assert(stats.getAs[Long]("total_kols") == 2L)
+    assert(stats.getAs[Long]("verified_count") == 1L)
+  }
+
+  test("O5 upsert: platform refresh is deterministic under key conflicts") {
+    val existing = Seq(
+      ("kol_a", "tiktok", 100L, "2025-01-01T00:00:00"),
+      ("kol_x", "youtube", 50L, "2025-01-01T00:00:00"))
+      .toDF("username", "platform", "followers_count", "event_time")
+    val fresh = Seq(("kol_a", "tiktok", 999L, "2025-01-02T00:00:00"))
+      .toDF("username", "platform", "followers_count", "event_time")
+    val merged = BronzeToSilver.upsertPlatform(existing, fresh, "tiktok",
+      Seq("username", "platform"), "event_time")
+    assert(merged.count() == 2)
+    assert(merged.filter($"username" === "kol_a").head().getAs[Long]("followers_count") == 999L)
+  }
+}
