@@ -95,15 +95,14 @@ object TextFunctions {
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "zh" -> Seq("的", "是", "和", "了", "在"))
 
-  /** Language-ID: argmax of marker-hit counts with fixed priority-order
-    * tie-break; no hits at all → "und" (undetermined).
+  /** Argmax over precomputed per-language hit counts (same priority-order
+    * tie-break as [[langId]]). Use with hit columns materialized once via
+    * explode+aggregate — referencing [[langId]]'s internal hits many times
+    * makes Catalyst re-split the text per reference.
     */
-  def langId(text: Column): Column = {
-    val hits = LangMarkers.map { case (lang, words) => lang -> wordHits(text, words) }
+  def langIdFromHits(hits: Seq[(String, Column)]): Column = {
     val total = hits.map(_._2).reduce(_ + _)
     val best = hits.zipWithIndex.foldLeft(lit("und")) { case (acc, ((lang, h), i)) =>
-      // lang wins if its count strictly exceeds every earlier list and is
-      // >= every later list (priority order resolves ties)
       val earlier = hits.take(i).map(_._2)
       val later = hits.drop(i + 1).map(_._2)
       val wins = (earlier.map(h > _) ++ later.map(h >= _)).foldLeft(lit(true))(_ && _)
@@ -111,4 +110,10 @@ object TextFunctions {
     }
     when(total === 0, "und").otherwise(best)
   }
+
+  /** Language-ID: argmax of marker-hit counts with fixed priority-order
+    * tie-break; no hits at all → "und" (undetermined).
+    */
+  def langId(text: Column): Column =
+    langIdFromHits(LangMarkers.map { case (lang, words) => lang -> wordHits(text, words) })
 }

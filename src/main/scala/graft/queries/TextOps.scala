@@ -111,8 +111,20 @@ object TextOps {
          |      ELSE 'und' END AS predicted
          |  FROM hits)
          |SELECT lang, predicted, count(*) AS n FROM pred GROUP BY lang, predicted""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
-        .select(col("lang"), TextFunctions.langId(col("text")).as("predicted"))
+      // hash/split each token once: explode → 5 conditional sums per doc,
+      // then argmax over the materialized hit columns (the scalar langId
+      // re-splits the text on every one of its ~35 internal references)
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode_outer(TextFunctions.tokens(col("text"))).as("t"))
+      val hitCols = TextFunctions.LangMarkers.map { case (lang, words) =>
+        lang -> sum(when(col("t").isInCollection(words), 1).otherwise(0)).as(s"h_$lang")
+      }
+      val hits = toks.groupBy("doc_id", "lang")
+        .agg(hitCols.head._2, hitCols.tail.map(_._2): _*)
+      hits
+        .withColumn("predicted", TextFunctions.langIdFromHits(
+          TextFunctions.LangMarkers.map { case (lang, _) => lang -> col(s"h_$lang") }))
         .groupBy("lang", "predicted")
         .agg(count(lit(1)).as("n"))
     },
