@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   private def modules: Seq[QueryDef] =
-    Relational.all ++ Scoring.all ++ Windows.all ++ TextOps.all ++ VectorOps.all
+    Relational.all ++ Scoring.all ++ Windows.all ++ TextOps.all ++
+      VectorOps.all ++ ServingOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

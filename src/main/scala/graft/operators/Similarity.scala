@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.VectorFunctions
+import graft.functions.VectorFunctions  // HOF forms kept for generic arrays
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -27,7 +27,7 @@ object Similarity {
     val c = corpus.select(col("id").as("nid"), col("embedding").as("ne"))
     val scored = broadcast(q).crossJoin(c)
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cosine", VectorFunctions.cosine(col("qe"), col("ne")))
+      .withColumn("cosine", graft.plans.VectorExpressions.cosineNative(col("qe"), col("ne")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -45,7 +45,7 @@ object Similarity {
       VectorFunctions.lshBucket(col("embedding"), nPlanes).as("bucket"))
     val scored = broadcast(q).join(c, Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cosine", VectorFunctions.cosine(col("qe"), col("ne")))
+      .withColumn("cosine", graft.plans.VectorExpressions.cosineNative(col("qe"), col("ne")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -62,7 +62,7 @@ object Similarity {
     val a = b.as("a")
     val c = b.as("b")
     a.join(c, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cosine", VectorFunctions.cosine(col("a.embedding"), col("b.embedding")))
+      .withColumn("cosine", graft.plans.VectorExpressions.cosineNative(col("a.embedding"), col("b.embedding")))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }

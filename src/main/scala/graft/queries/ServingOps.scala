@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Remaining serving/analytics shapes (SURVEY.md §2.10 Q2/Q7, §2.5 A10).
+  *
+  *  - q41 distribution stats — A10 (`feature_engineering.py:401-419`
+  *    describe/quantile thresholds): exact interpolated percentiles
+  *    (Spark `percentile` ≡ DuckDB `quantile_cont`), stddev, extremes.
+  *  - q42 point lookup — Q2 (`trino_client.py:147-206`).
+  *  - q43 per-key feed — Q7 (`trino_client.py:370-397`).
+  */
+object ServingOps {
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef.sql(
+      "q41_price_distribution",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.90), 4) AS p90,
+        |  round(stddev_samp(l_extendedprice), 2) AS sd,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.50)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.90)"), 4).as("p90"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd"),
+          count(lit(1)).as("n"))
+    },
+
+    QueryDef.sql(
+      "q42_point_lookup",
+      """SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS acctbal,
+        |  c_mktsegment
+        |FROM customer WHERE c_custkey = 42 LIMIT 1""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_custkey") === 42)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          round(col("c_acctbal"), 2).as("acctbal"), col("c_mktsegment"))
+        .limit(1)
+    },
+
+    QueryDef.sql(
+      "q43_user_feed",
+      """SELECT event_id, event_type, round(value, 2) AS value,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+        |FROM events WHERE user_id = 7
+        |ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("user_id") === 7)
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .limit(20)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 2).as("value"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+    }
+  )
+}

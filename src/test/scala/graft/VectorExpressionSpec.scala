@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.plans.VectorExpressions
+import org.apache.spark.sql.functions._
+
+/** The codegen'd FloatVectorCosine/Dot must agree bitwise with the
+  * higher-order-function forms (same double accumulation order) on the
+  * real embeddings table, and handle nulls/length-mismatch/zero vectors.
+  */
+class VectorExpressionSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("native cosine == HOF cosine bitwise on real embeddings") {
+    val emb = Tables.embeddings(spark, sf()).limit(200)
+    val a = emb.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+    val pairs = a.crossJoin(b).filter(col("ida") < col("idb")).limit(5000)
+    val diff = pairs.select(
+      (VectorExpressions.cosineNative(col("ea"), col("eb")) -
+        VectorFunctions.cosine(col("ea"), col("eb"))).as("d"),
+      (VectorExpressions.dotNative(col("ea"), col("eb")) -
+        VectorFunctions.dot(col("ea"), col("eb"))).as("dd"))
+      .agg(max(abs(col("d"))).as("md"), max(abs(col("dd"))).as("mdd"))
+      .head()
+    assert(diff.getDouble(0) == 0.0, s"cosine drift ${diff.getDouble(0)}")
+    assert(diff.getDouble(1) == 0.0, s"dot drift ${diff.getDouble(1)}")
+  }
+
+  test("native cosine edge cases: zero vector, length mismatch, null") {
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f), Array(1.0f, 2.0f)), // zero norm → 0.0
+      (2L, Array(1.0f, 2.0f), Array(1.0f, 2.0f))) // self → 1.0
+      .toDF("id", "a", "b")
+    val got = df.select(col("id"), VectorExpressions.cosineNative(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.0)
+    assert(math.abs(got(2L) - 1.0) < 1e-15)
+
+    val mismatch = Seq((Array(1.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(VectorExpressions.cosineNative(col("a"), col("b")).as("c"))
+      .head()
+    assert(mismatch.isNullAt(0), "length mismatch must be null")
+
+    val withNull = Seq((Some(Array(1.0f)), Option.empty[Array[Float]])).toDF("a", "b")
+      .select(VectorExpressions.cosineNative(col("a"), col("b")).as("c"))
+      .head()
+    assert(withNull.isNullAt(0), "null input must be null")
+  }
+
+  test("native cosine participates in whole-stage codegen") {
+    val emb = Tables.embeddings(spark, sf()).limit(10)
+    val exec = emb.select(VectorExpressions.cosineNative(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan
+    val hasCodegenStage = exec.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(hasCodegenStage, s"expected a WholeStageCodegen stage in:\n$exec")
+  }
+}
