@@ -81,4 +81,21 @@ object Bronze {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("dt")
       .parquet(path)
+
+  /** K8: DDL built from a StructType (`StructType.toDDL`), executed via
+    * `spark.sql` — the reference's CREATE TABLE IF NOT EXISTS flow
+    * (`kafka_to_bronze_tiktok.py:180-220` builds Iceberg DDL from the
+    * topic schema the same way; here the table is parquet-backed).
+    */
+  def createTableDdl(name: String, schema: StructType, location: String,
+      partitionCols: Seq[String] = Nil): String = {
+    val partClause =
+      if (partitionCols.nonEmpty) s" PARTITIONED BY (${partitionCols.mkString(", ")})" else ""
+    s"CREATE TABLE IF NOT EXISTS $name (${schema.toDDL}) USING parquet" +
+      partClause + s" LOCATION '$location'"
+  }
+
+  def registerTable(spark: SparkSession, name: String, schema: StructType,
+      location: String, partitionCols: Seq[String] = Nil): Unit =
+    spark.sql(createTableDdl(name, schema, location, partitionCols))
 }
