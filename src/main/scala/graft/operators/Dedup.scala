@@ -53,6 +53,13 @@ object Dedup {
   def shingles(text: Column, w: Int = 3): Column =
     graft.functions.TextFunctions.shingles(text, w)
 
+  // NOTE (measured, sf0.1): hashing shingles without materializing the
+  // "a b c" strings — element_at inside a transform lambda, or arrays_zip
+  // of shifted slices — is 3× SLOWER than slice+array_join string
+  // shingles: lambda-bound references defeat common-subexpression
+  // elimination and the struct-array zip costs more than the join. The
+  // postings below therefore carry string shingles.
+
   /** n-gram (word-shingle) Jaccard near-duplicate detection via an inverted
     * index, blocked by `blockCol` (e.g. source): explode distinct shingles,
     * self-join postings within a block (a shingle only joins to itself, so
@@ -89,7 +96,9 @@ object Dedup {
   /** MinHash signature of a shingle array: `perms` independent hash
     * permutations h_i(s) = xxhash64(s, seed=i), signature = min over the
     * array per permutation. Array-typed column of longs, computed without
-    * leaving codegen'd builtins.
+    * leaving codegen'd builtins. (True per-permutation seeds: the
+    * `functions.xxhash64` varargs form hashes extra args under the default
+    * seed instead of seeding — see GraftSqlBridge.xxhash64Seeded.)
     *
     * NOTE: as a nested higher-order expression this re-evaluates
     * `shinglesCol` once per permutation when Catalyst collapses
@@ -97,9 +106,9 @@ object Dedup {
     * go through [[minhashSignatures]] (hash-once explode+aggregate).
     */
   def minhashSignature(shinglesCol: Column, perms: Int): Column =
-    transform(
-      sequence(lit(0), lit(perms - 1)),
-      seed => array_min(transform(shinglesCol, sh => xxhash64(sh, seed))))
+    array((0 until perms).map(seed =>
+      array_min(transform(shinglesCol,
+        sh => org.apache.spark.sql.GraftSqlBridge.xxhash64Seeded(sh, seed)))): _*)
 
   /** Bulk MinHash: (id, sig) with each shingle hashed exactly `perms`
     * times. Explode → per-permutation min aggregation: partial (map-side)
@@ -107,14 +116,36 @@ object Dedup {
     * correct shape at 100 TB, and ~50× faster locally than the nested
     * higher-order expression, which Catalyst re-inlines per permutation.
     */
+  /** Bulk signatures, default path: `perms` codegen'd `min(xxhash64_seeded)`
+    * aggregates over hashed-shingle postings. Measured faster than the
+    * single-buffer [[graft.plans.MinHashAggregate]] (see
+    * [[minhashSignaturesViaAgg]]) because declarative mins stay inside
+    * whole-stage codegen while a TypedImperativeAggregate forces
+    * ObjectHashAggregate with interpreted per-row eval — 3× at sf0.1.
+    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       perms: Int, shingleW: Int = 3): DataFrame = {
     val postings = df.select(col(idCol).as("id"),
       explode(shingles(col(textCol), shingleW)).as("sh"))
-    val mins = (0 until perms).map(i => min(xxhash64(col("sh"), lit(i))).as(s"m$i"))
+    val mins = (0 until perms).map(i =>
+      min(org.apache.spark.sql.GraftSqlBridge.xxhash64Seeded(col("sh"), i)).as(s"m$i"))
     postings.groupBy("id")
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until perms).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Single-buffer [[graft.plans.MinHashAggregate]] variant — identical
+    * signatures, one Array[Long] buffer instead of perms slots. Useful
+    * when perms is large enough that per-slot buffer bookkeeping and plan
+    * width dominate; at perms ≤ 32 the codegen'd [[minhashSignatures]]
+    * wins.
+    */
+  def minhashSignaturesViaAgg(df: DataFrame, idCol: String, textCol: String,
+      perms: Int, shingleW: Int = 3): DataFrame = {
+    val postings = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleW)).as("sh"))
+    postings.groupBy("id")
+      .agg(graft.plans.MinHashAgg.minhashAgg(col("sh"), perms).as("sig"))
   }
 
   /** MinHash-LSH candidate pairs: band the signature (`bands` bands of

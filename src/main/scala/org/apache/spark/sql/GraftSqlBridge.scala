@@ -11,4 +11,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** xxhash64 with an explicit seed. `functions.xxhash64(c, lit(seed))` is
+    * NOT seeded — it hashes both arguments under the default seed 42; the
+    * seed is a constructor parameter of the XxHash64 expression only.
+    */
+  def xxhash64Seeded(c: Column, seed: Long): Column =
+    column(new catalyst.expressions.XxHash64(
+      Seq(expression(c)), seed))
 }

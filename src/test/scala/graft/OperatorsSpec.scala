@@ -37,9 +37,13 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("minhashCandidates surfaces the planted near-dup pair") {
+    // 8 bands × 2 rows: the planted pair has shingle-Jaccard ≈0.85, so
+    // P(miss) = (1 − J²)⁸ ≈ 4e-5 — deterministic hashes, but the band
+    // layout must not make the assertion a coin flip (4×4 misses ~6%)
     val df = Seq((1L, docA, "s"), (2L, docANear, "s"), (3L, docB, "s"))
       .toDF("doc_id", "text", "source")
-    val cands = Dedup.minhashCandidates(df, "doc_id", "text").collect()
+    val cands = Dedup.minhashCandidates(df, "doc_id", "text",
+      bands = 8, rowsPerBand = 2).collect()
     assert(cands.exists(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L),
       s"minhash missed planted near-dup; got ${cands.mkString(",")}")
   }
