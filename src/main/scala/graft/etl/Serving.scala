@@ -92,11 +92,16 @@ object Serving {
       .limit(limit)
   }
 
-  /** Q9: label-bucket statistics over a scored frame. */
+  /** Q9: label-bucket statistics over a scored frame. The average is left
+    * unrounded (`avg_score_raw`) — scores are usually pre-rounded 2dp
+    * values whose bucket average can terminate exactly one digit past any
+    * rounding scale, so the caller picks the cross-engine-safe rounding
+    * (see TextFunctions.round4hu).
+    */
   def labelBucketStats(scored: DataFrame, labelCol: String, scoreCol: String): DataFrame =
     scored.groupBy(labelCol)
       .agg(count(lit(1)).as("n"),
         round(min(scoreCol), 2).as("min_score"),
         round(max(scoreCol), 2).as("max_score"),
-        round(avg(scoreCol), 4).as("avg_score"))
+        avg(scoreCol).as("avg_score_raw"))
 }

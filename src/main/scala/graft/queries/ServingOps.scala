@@ -49,6 +49,45 @@ object ServingOps {
     },
 
     QueryDef.sql(
+      "q44_label_buckets",
+      """WITH per_user AS (
+        |  SELECT user_id, count(*) AS n, sum(value) AS eng FROM events GROUP BY user_id),
+        |vel AS (
+        |  SELECT user_id, eng / 5.0 * (1.0 + 0.1 * ln(1.0 + n)) AS v FROM per_user),
+        |scored AS (
+        |  SELECT user_id,
+        |    round(100.0 / (1.0 + exp(-0.8 * (
+        |      0.5 * (v / greatest(100.0, 1.0)) +
+        |      0.3 * (v / greatest(avg(v) OVER (), 1.0)) +
+        |      0.2 * 1.0 - 2.0))), 2) AS score
+        |  FROM vel),
+        |labeled AS (
+        |  SELECT score,
+        |    CASE WHEN score >= 80 THEN 'Viral' WHEN score >= 60 THEN 'Hot'
+        |         WHEN score >= 40 THEN 'Warm' WHEN score >= 25 THEN 'Normal'
+        |         ELSE 'Cold' END AS trending_label
+        |  FROM scored)
+        |SELECT trending_label, count(*) AS n,
+        |  round(min(score), 2) AS min_score, round(max(score), 2) AS max_score,
+        |  floor(avg(score) * 10000.0 + 0.5) / 10000.0 AS avg_score
+        |FROM labeled GROUP BY trending_label""".stripMargin) { (s, d) =>
+      import graft.functions.{Scores, TextFunctions}
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("value").as("eng"))
+        .withColumn("v", Scores.velocity(col("n"), col("eng")))
+      val globalAvg = perUser.agg(avg("v").as("global_avg_v"))
+      val scored = perUser.crossJoin(broadcast(globalAvg))
+        .withColumn("score",
+          round(Scores.trendingScore(col("v"), lit(100.0), col("global_avg_v"), lit(0.0)), 2))
+        .withColumn("trending_label", Scores.trendingLabel(col("score")))
+      // Q9 shape via the serving layer, with cross-engine-safe rounding
+      graft.etl.Serving.labelBucketStats(scored, "trending_label", "score")
+        .withColumn("avg_score", TextFunctions.round4hu(col("avg_score_raw")))
+        .drop("avg_score_raw")
+    },
+
+    QueryDef.sql(
       "q43_user_feed",
       """SELECT event_id, event_type, round(value, 2) AS value,
         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s

@@ -82,6 +82,30 @@ object Bronze {
       .partitionBy("dt")
       .parquet(path)
 
+  /** [[parsePayload]] with a quarantine split: rows whose payload fails
+    * `from_json` (null struct) go to a dead-letter frame carrying the raw
+    * envelope, instead of surviving as default-valued shells. Returns
+    * (good, quarantined).
+    */
+  def parsePayloadWithQuarantine(envelope: DataFrame, source: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    // PERMISSIVE from_json yields a struct of nulls for corrupt input (not
+    // a null struct) — corruption is only observable via the dedicated
+    // corrupt-record column
+    val probe = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+    val tagged = envelope
+      .filter(col("source") === source)
+      .withColumn("__data", from_json(col("payload"), probe,
+        Map("columnNameOfCorruptRecord" -> "_corrupt_record")))
+    val bad = tagged.filter(col("__data._corrupt_record").isNotNull)
+      .select(col("kol_id"), col("platform"), col("source"), col("payload"), col("ingest_ts"))
+    val good = parsePayload(
+      tagged.filter(col("__data._corrupt_record").isNull).drop("__data"), source, schema)
+    (good, bad)
+  }
+
   /** K8: DDL built from a StructType (`StructType.toDDL`), executed via
     * `spark.sql` — the reference's CREATE TABLE IF NOT EXISTS flow
     * (`kafka_to_bronze_tiktok.py:180-220` builds Iceberg DDL from the

@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.{Similarity, Skew}
+import graft.sources.Bronze
+import graft.streaming.EventSchemas
+import org.apache.spark.sql.functions._
+
+/** Skew-salting equivalence, IVF ANN behavior, and the bronze quarantine
+  * split.
+  */
+class SkewAndIvfSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("saltedAggregate equals plain aggregate on a hot-keyed frame") {
+    val rng = new scala.util.Random(3)
+    // 90% of rows on one hot key
+    val rows = Seq.tabulate(5000) { i =>
+      val k = if (rng.nextDouble() < 0.9) "hot" else s"k${rng.nextInt(50)}"
+      (k, rng.nextInt(100).toDouble)
+    }
+    val df = rows.toDF("k", "v")
+    val plain = df.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = Skew.saltedAggregate(df, Seq("k"), salts = 8)(
+      partial = Seq(sum("v").as("ps"), count(lit(1)).as("pn")),
+      finalAgg = Seq(sum("ps").as("s"), sum("pn").as("n")))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("saltedJoin equals plain join") {
+    val skewed = (1 to 2000).map(i => (if (i % 10 != 0) "hot" else s"k$i", i)).toDF("k", "v")
+    val build = Seq(("hot", "H"), ("k10", "A"), ("k20", "B")).toDF("k", "name")
+    val plain = skewed.join(build, Seq("k")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val salted = Skew.saltedJoin(skewed, build, "k", salts = 4).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(salted == plain && plain.nonEmpty)
+  }
+
+  test("keyHistogram surfaces the hot key first") {
+    val df = (1 to 500).map(i => (if (i <= 400) "hot" else s"k$i", i)).toDF("k", "v")
+    val top = Skew.keyHistogram(df, Seq("k"), topN = 1).head()
+    assert(top.getString(0) == "hot" && top.getLong(1) == 400L)
+  }
+
+  test("ivfTopK finds the planted identical vector at rank 1") {
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 300L).map(i => i -> Array.fill(16)(rng.nextFloat() - 0.5f))
+    val planted = (999L, vecs.head._2.clone())
+    val df = (vecs :+ planted).toDF("id", "embedding")
+    val got = Similarity.ivfTopK(df.filter($"id" === 0L), df, k = 3,
+      nCentroids = 8, nProbe = 3).collect()
+    assert(got.nonEmpty)
+    val r1 = got.find(_.getAs[Int]("rank") == 1).get
+    assert(r1.getAs[Long]("nid") == 999L, s"expected planted twin first, got ${r1}")
+    assert(math.abs(r1.getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+
+  test("ivf recall beats sign-bit LSH on clustered data") {
+    // 4 gaussian-ish clusters → IVF cells align with clusters
+    val rng = new scala.util.Random(5)
+    val centers = Array.fill(4)(Array.fill(16)(rng.nextFloat() * 2 - 1))
+    val vecs = (0L until 400L).map { i =>
+      val c = centers((i % 4).toInt)
+      i -> c.map(x => x + (rng.nextFloat() - 0.5f) * 0.2f)
+    }
+    val df = vecs.toDF("id", "embedding").cache()
+    val queries = df.filter($"id" < 20)
+    val exact = Similarity.bruteForceTopK(queries, df, 10).select("qid", "nid")
+    val ivf = Similarity.ivfTopK(queries, df, 10, nCentroids = 12, nProbe = 3).select("qid", "nid")
+    val lsh = Similarity.lshTopK(queries, df, 10, nPlanes = 4).select("qid", "nid")
+    val total = exact.count().toDouble
+    val ivfRecall = exact.intersect(ivf).count() / total
+    val lshRecall = exact.intersect(lsh).count() / total
+    assert(ivfRecall >= lshRecall,
+      s"ivf recall $ivfRecall < lsh recall $lshRecall on clustered data")
+    assert(ivfRecall > 0.5, s"ivf recall $ivfRecall unexpectedly low")
+  }
+
+  test("bronze quarantine: malformed payloads split out, not defaulted") {
+    val dir = java.nio.file.Files.createTempDirectory("bronzeq").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "d.jsonl").toPath,
+      Seq(
+        """{"kol_id":"a","platform":"tiktok","source":"profiles","ingest_ts":"t1","payload":"{\"event_id\":\"p1\",\"username\":\"a\"}"}""",
+        """{"kol_id":"bad","platform":"tiktok","source":"profiles","ingest_ts":"t2","payload":"NOT JSON"}""")
+        .mkString("\n").getBytes)
+    val env = Bronze.readEnvelope(spark, dir.getAbsolutePath)
+    val (good, bad) = Bronze.parsePayloadWithQuarantine(env, "profiles", EventSchemas.profile)
+    assert(good.count() == 1 && good.head().getAs[String]("username") == "a")
+    val q = bad.collect()
+    assert(q.length == 1 && q.head.getAs[String]("kol_id") == "bad")
+    assert(q.head.getAs[String]("payload") == "NOT JSON") // raw preserved for replay
+  }
+}
