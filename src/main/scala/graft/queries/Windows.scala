@@ -49,6 +49,47 @@ object Windows {
     },
 
     QueryDef.sql(
+      "q45_sessionization",
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, value
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, t, value,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |              OR date_diff('second', lag(t) OVER w, t) > 1800 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM ordered WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |sessions AS (
+        |  SELECT user_id, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events,
+        |  floor((count(*) / CAST(max(sid) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+        |    AS avg_events_per_session,
+        |  round(sum(value), 2) AS total_value
+        |FROM sessions GROUP BY user_id""".stripMargin) { (s, d) =>
+      // gaps-and-islands sessionization (30-min inactivity): the batch twin
+      // of streaming session_window, W-series beyond the reference
+      val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val flagged = Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byTime))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum("new_session").over(
+          byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      flagged.groupBy("user_id")
+        .agg(max("sid").cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"),
+          graft.functions.TextFunctions.round4hu(
+            count(lit(1)) / max("sid").cast("double")).as("avg_events_per_session"),
+          round(sum("value"), 2).as("total_value"))
+    },
+
+    QueryDef.sql(
       "q28_hourly_velocity",
       """WITH hourly AS (
         |  SELECT user_id,

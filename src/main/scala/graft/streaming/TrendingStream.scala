@@ -94,6 +94,32 @@ object TrendingStream {
   def pipeline(raw: DataFrame): DataFrame =
     scored(windowedAggregate(withEngagement(parseKafka(raw, EventSchemas.video))))
 
+  /** Session-window engagement aggregation (beyond the reference, which
+    * has no session windows — SURVEY §2.8 T9): one row per burst of
+    * activity per key, session closing after `gap` of inactivity. Batch
+    * twin: the gaps-and-islands q45.
+    */
+  def sessionAggregate(events: DataFrame, timeCol: String = "kafka_ts",
+      gap: String = "30 minutes", watermark: String = WatermarkDelay): DataFrame =
+    events
+      .withWatermark(timeCol, watermark)
+      .groupBy(session_window(col(timeCol), gap), col("username"), col("platform"))
+      .agg(count(lit(1)).as("event_count"),
+        sum("engagement").as("total_engagement"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("username"), col("platform"), col("event_count"), col("total_engagement"))
+
+  /** Watermark-bounded streaming dedupe by event id (the reference relies
+    * on batch dropDuplicates only; streaming exactly-once per event id
+    * needs state bounded by the watermark or it grows forever).
+    */
+  def dedupedEvents(events: DataFrame, timeCol: String = "kafka_ts",
+      watermark: String = WatermarkDelay): DataFrame =
+    events
+      .withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Streaming source (S1): subscribe to a topic with earliest/latest
     * offsets, lossy-broker tolerance, optional per-trigger rate limit (S2).
     */
