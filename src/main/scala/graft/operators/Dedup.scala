@@ -125,10 +125,15 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       perms: Int, shingleW: Int = 3): DataFrame = {
-    val postings = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleW)).as("sh"))
+    // two-level hashing: the O(len) string hash happens once per posting
+    // (materialized by the projection under the aggregate); the perms
+    // permutations then hash that single long (O(1) each) — an equally
+    // valid MinHash family at a fraction of the hashing cost
+    val postings = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleW)).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("h"))
     val mins = (0 until perms).map(i =>
-      min(org.apache.spark.sql.GraftSqlBridge.xxhash64Seeded(col("sh"), i)).as(s"m$i"))
+      min(org.apache.spark.sql.GraftSqlBridge.xxhash64Seeded(col("h"), i)).as(s"m$i"))
     postings.groupBy("id")
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until perms).map(i => col(s"m$i")): _*).as("sig"))
@@ -142,10 +147,11 @@ object Dedup {
     */
   def minhashSignaturesViaAgg(df: DataFrame, idCol: String, textCol: String,
       perms: Int, shingleW: Int = 3): DataFrame = {
-    val postings = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleW)).as("sh"))
+    val postings = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleW)).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("h"))
     postings.groupBy("id")
-      .agg(graft.plans.MinHashAgg.minhashAgg(col("sh"), perms).as("sig"))
+      .agg(graft.plans.MinHashAgg.minhashAgg(col("h"), perms).as("sig"))
   }
 
   /** MinHash-LSH candidate pairs: band the signature (`bands` bands of
