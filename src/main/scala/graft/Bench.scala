@@ -1,14 +1,37 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 object Bench {
+
+  /** Full-evaluation action: hash every column of every row into one
+    * aggregate. Unlike `count()` — which lets Catalyst prune every computed
+    * column (a projection-only query degenerates to a parquet row count) —
+    * this forces each query's actual work to run while collecting only one
+    * row to the driver.
+    */
+  private def forceEval(df: DataFrame): Unit = {
+    val h = xxhash64(df.columns.map(c => col(c).cast("string")): _*)
+    df.select(h.as("h")).agg(sum("h"), count(lit(1))).collect()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup pass: JVM/JIT + codegen caches, so round-over-round
+    // per-query numbers don't depend on which query drew the warmup slot
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try forceEval(fn(spark, sfDir)) catch {
+        case e: Throwable => System.err.println(s"[bench] warmup $name FAILED: ${e.getMessage}")
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try forceEval(fn(spark, sfDir)) catch {
         case e: Throwable =>
           // a swallowed failure shows up as a suspiciously fast "result" —
           // make it loud, while keeping the one-line JSON contract on stdout

@@ -14,13 +14,18 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
-  /** Distinct w-word shingles as an array of strings. */
+  /** Distinct w-word shingles as an array of strings. Empty/whitespace-only
+    * text yields an empty array — NOT a single "" shingle, which would make
+    * every empty document a jaccard-1.0 near-dup of every other and put
+    * them all in one pathological LSH bucket.
+    */
   def shingles(text: Column, w: Int = 3): Column = {
     val toks = tokens(text)
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(toks) - w, lit(0))),
-        i => array_join(slice(toks, i + 1, lit(w)), " ")))
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(
+          sequence(lit(0), greatest(size(toks) - w, lit(0))),
+          i => array_join(slice(toks, i + 1, lit(w)), " "))))
   }
 
   /** Canonical text normalization: lowercase, collapse whitespace, trim. */

@@ -38,22 +38,46 @@ object VectorFunctions {
       }),
       lit(0.0), (acc, x) => acc + x))
 
-  /** Sign bit of a deterministic random hyperplane `plane` applied to the
-    * vector: weights w(plane, i) derived from xxhash64 — reproducible
-    * without any RNG state, so every executor computes identical planes.
+  /** Deterministic random-hyperplane weights, derived ONCE at plan-build
+    * time (not per row — the per-row xxhash64-of-string-concat form cost
+    * dim×nPlanes hashes per row inside interpreted lambdas). Weights are
+    * integer-valued (uniform in [-500, 500]), so they are exactly
+    * representable in float/double on any engine — the projection's sign
+    * is scale-free, so integer weights lose nothing, and an external
+    * oracle (DuckDB) can embed the same literals and reproduce buckets
+    * bit-for-bit. Seeded from xxhash64 of "plane_index" (the same
+    * deterministic no-RNG-state construction as before).
     */
-  def hyperplaneBit(vec: Column, plane: Int): Column = {
-    val proj = aggregate(
-      zip_with(
-        vec,
-        transform(sequence(lit(0), size(vec) - 1),
-          i => (xxhash64(concat_ws("_", lit(plane), i)) % 1000L).cast("double") / 1000.0 - 0.5),
-        (x, w) => x.cast("double") * w),
-      lit(0.0), (acc, x) => acc + x)
-    when(proj >= 0, 1).otherwise(0)
-  }
+  def hyperplaneWeights(plane: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim) { i =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"${plane}_$i"),
+        org.apache.spark.sql.types.StringType, 42L)
+      (java.lang.Math.floorMod(h, 1001L) - 500L).toFloat
+    }
 
-  /** Random-hyperplane LSH bucket id from `nPlanes` sign bits. */
-  def lshBucket(vec: Column, nPlanes: Int): Column =
-    (0 until nPlanes).map(p => hyperplaneBit(vec, p) * (1 << p)).reduce(_ + _)
+  /** Sign bit of hyperplane `plane` applied to an `array<float>` vector of
+    * known width `dim`: a single codegen'd fused dot against a literal
+    * weight array.
+    */
+  def hyperplaneBit(vec: Column, plane: Int, dim: Int): Column =
+    when(graft.plans.VectorExpressions.dotNative(
+      vec, lit(hyperplaneWeights(plane, dim))) >= 0, 1).otherwise(0)
+
+  /** Random-hyperplane LSH bucket id from `nPlanes` sign bits. `dim` is the
+    * (fixed, known) embedding width — literal planes are built for it at
+    * plan time.
+    */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column =
+    (0 until nPlanes).map(p => hyperplaneBit(vec, p, dim) * (1 << p)).reduce(_ + _)
+
+  /** DuckDB twin of [[lshBucket]] over a DOUBLE[] expression `v`: the same
+    * literal weights interpolated into SQL. Kept next to the Spark form so
+    * the two can never drift.
+    */
+  def lshBucketSql(v: String, nPlanes: Int, dim: Int): String =
+    (0 until nPlanes).map { p =>
+      val ws = hyperplaneWeights(p, dim).map(w => w.toInt.toString).mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product($v, $ws) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 }

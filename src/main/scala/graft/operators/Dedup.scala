@@ -93,9 +93,62 @@ object Dedup {
       .select("block", "id_a", "id_b", "n_a", "n_b", "n_shared", "jaccard")
   }
 
-  /** MinHash signature of a shingle array: `perms` independent hash
-    * permutations h_i(s) = xxhash64(s, seed=i), signature = min over the
-    * array per permutation. Array-typed column of longs, computed without
+  /** Two-level MinHash permutation family: `firstLevel` hashes the shingle
+    * string to a long ONCE per posting (the O(len) work), `permute(h, i)`
+    * derives the i-th permutation from that long (O(1) each), `bandBucket`
+    * folds a band's signature slice into a bucket key. Signatures from
+    * different families are NOT interchangeable.
+    */
+  sealed trait MinHashFamily {
+    def firstLevel(sh: Column): Column
+    def permute(h: Column, i: Int): Column
+    def bandBucket(slice: Column): Column
+  }
+
+  /** Production default: xxhash64 everywhere — one fused codegen'd hash,
+    * long bucket keys (8 bytes on the shuffle).
+    */
+  case object XxHashFamily extends MinHashFamily {
+    def firstLevel(sh: Column): Column = xxhash64(sh)
+    def permute(h: Column, i: Int): Column =
+      org.apache.spark.sql.GraftSqlBridge.xxhash64Seeded(h, i)
+    def bandBucket(slice: Column): Column = xxhash64(array_join(slice, ","))
+  }
+
+  /** ANSI-SQL-portable family, for queries hash-verified against an
+    * external engine (DuckDB has no xxhash64): first level
+    * H(s) = int(md5(s)[0:8], 16) — 32 bits; permutations
+    * h_i(H) = (Aᵢ·H + Bᵢ) mod (2⁶¹−1), classic universal hashing with
+    * Aᵢ < 2³⁰ so Aᵢ·H < 2⁶² never overflows a signed 64-bit int — every
+    * step is exact BIGINT arithmetic on any engine. Band buckets are the
+    * joined slice string (no re-hash, so the oracle groups identically).
+    * Slower than [[XxHashFamily]] (md5 + hex decode per posting) — use it
+    * where cross-engine verifiability matters more than peak throughput.
+    */
+  case object PortableHashFamily extends MinHashFamily {
+    val P: Long = (1L << 61) - 1
+    private def seeded(tag: String, i: Int): Long =
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"${tag}_$i"),
+        org.apache.spark.sql.types.StringType, 42L)
+    def aCoef(i: Int): Long = java.lang.Math.floorMod(seeded("a", i), (1L << 30) - 1) + 1
+    def bCoef(i: Int): Long = java.lang.Math.floorMod(seeded("b", i), P)
+    def firstLevel(sh: Column): Column =
+      conv(substring(md5(sh), 1, 8), 16, 10).cast("long")
+    def permute(h: Column, i: Int): Column =
+      (lit(aCoef(i)) * h + lit(bCoef(i))) % lit(P)
+    def bandBucket(slice: Column): Column = array_join(slice, ",")
+    // --- DuckDB twins, kept adjacent so the two can never drift ---
+    def firstLevelSql(e: String): String =
+      s"CAST(concat('0x', substring(md5($e), 1, 8)) AS BIGINT)"
+    def permuteSql(e: String, i: Int): String =
+      s"((${aCoef(i)}::BIGINT * $e + ${bCoef(i)}::BIGINT) % ${P}::BIGINT)"
+  }
+
+  /** MinHash signature of a shingle array — the SAME two-level family as
+    * [[minhashSignatures]] (h_i(s) = xxhash64_seeded(xxhash64(s), i)), so
+    * scalar and bulk signatures are interchangeable (e.g. scalar signatures
+    * can be banded against [[minhashCandidates]] output). Computed without
     * leaving codegen'd builtins. (True per-permutation seeds: the
     * `functions.xxhash64` varargs form hashes extra args under the default
     * seed instead of seeding — see GraftSqlBridge.xxhash64Seeded.)
@@ -108,7 +161,7 @@ object Dedup {
   def minhashSignature(shinglesCol: Column, perms: Int): Column =
     array((0 until perms).map(seed =>
       array_min(transform(shinglesCol,
-        sh => org.apache.spark.sql.GraftSqlBridge.xxhash64Seeded(sh, seed)))): _*)
+        sh => org.apache.spark.sql.GraftSqlBridge.xxhash64Seeded(xxhash64(sh), seed)))): _*)
 
   /** Bulk MinHash: (id, sig) with each shingle hashed exactly `perms`
     * times. Explode → per-permutation min aggregation: partial (map-side)
@@ -124,16 +177,16 @@ object Dedup {
     * ObjectHashAggregate with interpreted per-row eval — 3× at sf0.1.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      perms: Int, shingleW: Int = 3): DataFrame = {
+      perms: Int, shingleW: Int = 3,
+      family: MinHashFamily = XxHashFamily): DataFrame = {
     // two-level hashing: the O(len) string hash happens once per posting
     // (materialized by the projection under the aggregate); the perms
-    // permutations then hash that single long (O(1) each) — an equally
-    // valid MinHash family at a fraction of the hashing cost
+    // permutations then transform that single long (O(1) each) — an
+    // equally valid MinHash family at a fraction of the hashing cost
     val postings = df
       .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleW)).as("sh"))
-      .select(col("id"), xxhash64(col("sh")).as("h"))
-    val mins = (0 until perms).map(i =>
-      min(org.apache.spark.sql.GraftSqlBridge.xxhash64Seeded(col("h"), i)).as(s"m$i"))
+      .select(col("id"), family.firstLevel(col("sh")).as("h"))
+    val mins = (0 until perms).map(i => min(family.permute(col("h"), i)).as(s"m$i"))
     postings.groupBy("id")
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until perms).map(i => col(s"m$i")): _*).as("sig"))
@@ -160,8 +213,9 @@ object Dedup {
     * join, no cross product. Returns (id_a, id_b, n_bands_shared).
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, rowsPerBand: Int = 4, shingleW: Int = 3): DataFrame = {
-    val bucketed = bandBuckets(df, idCol, textCol, bands, rowsPerBand, shingleW)
+      bands: Int = 4, rowsPerBand: Int = 4, shingleW: Int = 3,
+      family: MinHashFamily = XxHashFamily): DataFrame = {
+    val bucketed = bandBuckets(df, idCol, textCol, bands, rowsPerBand, shingleW, family)
     val a = bucketed.as("a")
     val b = bucketed.as("b")
     a.join(b,
@@ -176,11 +230,12 @@ object Dedup {
     * build time (stays in whole-stage codegen).
     */
   private def bandBuckets(df: DataFrame, idCol: String, textCol: String,
-      bands: Int, rowsPerBand: Int, shingleW: Int): DataFrame = {
-    val sig = minhashSignatures(df, idCol, textCol, bands * rowsPerBand, shingleW)
+      bands: Int, rowsPerBand: Int, shingleW: Int,
+      family: MinHashFamily = XxHashFamily): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, bands * rowsPerBand, shingleW, family)
     sig.select(col("id"),
       posexplode(array((0 until bands).map(b =>
-        xxhash64(array_join(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), ","))): _*)))
+        family.bandBucket(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
   }
@@ -191,13 +246,14 @@ object Dedup {
     * pairs implied by the band (sum over buckets of C(size,2)).
     */
   def minhashBandStats(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, rowsPerBand: Int = 4, shingleW: Int = 3): DataFrame = {
-    val bucketed = bandBuckets(df, idCol, textCol, bands, rowsPerBand, shingleW)
+      bands: Int = 4, rowsPerBand: Int = 4, shingleW: Int = 3,
+      family: MinHashFamily = XxHashFamily): DataFrame = {
+    val bucketed = bandBuckets(df, idCol, textCol, bands, rowsPerBand, shingleW, family)
     bucketed.groupBy("band", "bucket").agg(count(lit(1)).as("sz"))
       .groupBy("band")
       .agg(count(lit(1)).as("n_buckets"),
         max("sz").as("max_bucket"),
-        round(avg("sz"), 4).as("avg_bucket"),
+        graft.functions.TextFunctions.round4hu(avg("sz")).as("avg_bucket"),
         sum(col("sz") * (col("sz") - 1) / 2).cast("long").as("n_cand_pairs"))
   }
 
@@ -221,33 +277,77 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Bulk SimHash: (id, sig) hashing each token once via explode +
-    * 64 conditional-sum aggregations (map-side combinable) — same
+    * `nBits` conditional-sum aggregations (map-side combinable) — same
     * hash-once rationale as [[minhashSignatures]].
     */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = df
-      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map(i =>
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashFromHashed(
+      df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+        .select(col("id"), xxhash64(col("t")).as("h")),
+      nBits = 64)
+
+  /** 32-bit SimHash over [[PortableHashFamily]]'s first-level hash — the
+    * external-oracle-verifiable variant (md5-derived token hashes, so an
+    * ANSI-SQL engine reproduces signatures exactly).
+    */
+  def simhashSignatures32Portable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashFromHashed(
+      df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+        .select(col("id"), PortableHashFamily.firstLevel(col("t")).as("h")),
+      nBits = 32)
+
+  /** Fold per-token hashes into a SimHash: per bit position sum ±1 across
+    * tokens, keep the sign. `hashed`: (id, h) one row per token occurrence.
+    */
+  private def simhashFromHashed(hashed: DataFrame, nBits: Int): DataFrame = {
+    val bitSums = (0 until nBits).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
         .as(s"b$i"))
     hashed.groupBy("id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"),
-        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        (0 until nBits).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
   }
 
-  /** SimHash near-dup candidates: block on 16-bit chunks (two docs within
-    * hamming distance 3 of each other share at least one of 4 chunks), then
-    * verify the full distance. Returns (id_a, id_b, hamming).
+  /** SimHash near-dup candidates via pigeonhole chunk blocking: split the
+    * 64-bit signature into `nChunks` equal-width chunks, bucket on each,
+    * verify the full hamming distance within a bucket, keep pairs with
+    * `hamming <= verifyThreshold`. Returns (id_a, id_b, hamming).
+    *
+    * RECALL CONTRACT: the candidate set is complete only for pairs with
+    * hamming distance ≤ `nChunks - 1` (pigeonhole: fewer differing bits
+    * than chunks forces at least one identical chunk). Pairs with more
+    * differing bits spread across all chunks can be missed even when they
+    * pass `verifyThreshold` — that is the standard SimHash recall/cost
+    * trade: an exact guarantee at threshold t needs t+1 chunks, and chunk
+    * width 64/(t+1) bits shrinks bucket cardinality exponentially (bigger
+    * buckets → more verify pairs). Pick `nChunks = verifyThreshold + 1`
+    * for completeness, or keep the default 4 chunks (complete to
+    * distance 3) when throughput matters more than tail recall.
     */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 8): DataFrame = {
-    val sigs = simhashSignatures(df, idCol, textCol)
+      verifyThreshold: Int = 8, nChunks: Int = 4): DataFrame =
+    simhashCandidatesFromSigs(simhashSignatures(df, idCol, textCol),
+      sigBits = 64, verifyThreshold, nChunks)
+
+  /** [[simhashCandidates]] over the 32-bit portable signatures — same
+    * blocking/verify shape, oracle-reproducible. Recall contract: complete
+    * to hamming ≤ nChunks − 1 (see [[simhashCandidates]]).
+    */
+  def simhashCandidatesPortable(df: DataFrame, idCol: String, textCol: String,
+      verifyThreshold: Int = 8, nChunks: Int = 4): DataFrame =
+    simhashCandidatesFromSigs(simhashSignatures32Portable(df, idCol, textCol),
+      sigBits = 32, verifyThreshold, nChunks)
+
+  private def simhashCandidatesFromSigs(sigs: DataFrame, sigBits: Int,
+      verifyThreshold: Int, nChunks: Int): DataFrame = {
+    require(sigBits % nChunks == 0, s"nChunks must divide $sigBits, got $nChunks")
+    val width = sigBits / nChunks
+    val mask = if (width == 64) -1L else (1L << width) - 1L
     val chunked = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      posexplode(array((0 until nChunks).map(c =>
+        shiftright(col("sig"), c * width).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
     val a = chunked.as("a")
@@ -258,6 +358,6 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming64(col("a.sig"), col("b.sig")).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= verifyThreshold)
   }
 }

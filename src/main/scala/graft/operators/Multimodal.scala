@@ -87,7 +87,10 @@ object Multimodal {
       .select(col("media_id"), col("frame_ms"), col("content"))
 
   /** Adapt the documents table into a media frame (text bytes as payload)
-    * so the pipeline is exercisable in this container.
+    * so the pipeline is exercisable in this container. Non-ASCII
+    * codepoints are replaced with '?' so the payload's byte sequence is
+    * expressible per-character in ANSI SQL — that makes the q40 rollup
+    * oracle-checkable in DuckDB instead of rows-only.
     */
   def fromDocuments(docs: DataFrame): DataFrame =
     docs.select(
@@ -95,14 +98,16 @@ object Multimodal {
       when(col("doc_id") % 3 === 0, "image")
         .when(col("doc_id") % 3 === 1, "audio")
         .otherwise("video").as("kind"),
-      col("text").cast("binary").as("content"),
+      regexp_replace(col("text"), "[^\\x20-\\x7e]", "?").cast("binary").as("content"),
       struct(
         lit(64).as("width"), lit(64).as("height"),
         (col("n_chars") * 10).cast("long").as("duration_ms"),
         lit("stub").as("codec")).as("meta"))
 
-  /** Rollup of extracted features per modality — the rows-only query
-    * surface (q40): proves schema, batching and feature shape end-to-end.
+  /** Rollup of extracted features per modality — the q40 query surface:
+    * proves schema, batching and feature shape end-to-end, hash-compared
+    * against a DuckDB oracle that recomputes the stub's byte histogram
+    * per character (binary half-up rounding for cross-engine parity).
     */
   def featureStats(media: DataFrame): DataFrame = {
     val feats = extractFeatures(media)
@@ -111,8 +116,9 @@ object Multimodal {
       .groupBy("kind")
       .agg(count(lit(1)).as("n"),
         sum("n_bytes").as("total_bytes"),
-        round(avg("f0"), 4).as("avg_f0"),
-        round(avg(aggregate(col("features"), lit(0.0), (a, x) => a + x.cast("double"))), 4)
+        graft.functions.TextFunctions.round4hu(avg("f0")).as("avg_f0"),
+        graft.functions.TextFunctions.round4hu(
+          avg(aggregate(col("features"), lit(0.0), (a, x) => a + x.cast("double"))))
           .as("avg_feature_sum"))
   }
 }

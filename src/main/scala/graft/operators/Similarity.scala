@@ -1,21 +1,29 @@
 package graft.operators
 
-import graft.functions.VectorFunctions  // HOF forms kept for generic arrays
-import org.apache.spark.sql.DataFrame
+import graft.functions.VectorFunctions
+import graft.plans.VectorExpressions
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Two tiers, per the training-data-pipeline charter:
+  * Three tiers, per the training-data-pipeline charter:
   *  - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small) query
   *    set against the corpus; one pass, no shuffle of the corpus, ranked
   *    with a per-query window. The correctness baseline.
   *  - [[lshTopK]] — random-hyperplane LSH: bucket both sides on sign-bit
   *    signatures and only score within a bucket. The scale path — at 100 TB
   *    the bucket join shuffles ids+buckets, never the full pairwise product.
-  *    Planes are derived from xxhash64, so signatures are deterministic
-  *    across executors with no RNG state or broadcast models.
+  *    Planes are literal weight arrays built once at plan time
+  *    ([[VectorFunctions.hyperplaneWeights]]): deterministic across
+  *    executors with no RNG state, no broadcast model, and no per-row hash
+  *    derivation.
+  *  - [[ivfTopK]] — IVF coarse quantizer. The centroid set IS the model (a
+  *    few hundred vectors): it is collected to the driver once and baked
+  *    into the plan as literals, so cell assignment is a per-row argmin
+  *    with NO join, NO window, NO shuffle of the corpus — the corpus moves
+  *    exactly once, on the (cell) candidates join.
   */
 object Similarity {
 
@@ -27,7 +35,7 @@ object Similarity {
     val c = corpus.select(col("id").as("nid"), col("embedding").as("ne"))
     val scored = broadcast(q).crossJoin(c)
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cosine", graft.plans.VectorExpressions.cosineNative(col("qe"), col("ne")))
+      .withColumn("cosine", VectorExpressions.cosineNative(col("qe"), col("ne")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -37,15 +45,17 @@ object Similarity {
 
   /** Approximate top-k: only candidates sharing the query's LSH bucket are
     * scored. Recall is tunable via nPlanes (fewer planes → bigger buckets).
+    * `dim` is the embedding width (planes are plan-time literals).
     */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 4): DataFrame = {
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nPlanes: Int = 4, dim: Int = 64): DataFrame = {
     val q = queries.select(col("id").as("qid"), col("embedding").as("qe"),
-      VectorFunctions.lshBucket(col("embedding"), nPlanes).as("bucket"))
+      VectorFunctions.lshBucket(col("embedding"), nPlanes, dim).as("bucket"))
     val c = corpus.select(col("id").as("nid"), col("embedding").as("ne"),
-      VectorFunctions.lshBucket(col("embedding"), nPlanes).as("bucket"))
+      VectorFunctions.lshBucket(col("embedding"), nPlanes, dim).as("bucket"))
     val scored = broadcast(q).join(c, Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cosine", graft.plans.VectorExpressions.cosineNative(col("qe"), col("ne")))
+      .withColumn("cosine", VectorExpressions.cosineNative(col("qe"), col("ne")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -53,37 +63,47 @@ object Similarity {
       .select("qid", "bucket", "nid", "cosine", "rank")
   }
 
+  /** One struct per centroid, ranking by squared-l2-equivalent distance:
+    * argmin_c ‖x−c‖² = argmin_c (‖c‖² − 2·x·c), so per centroid we emit
+    * struct(‖c‖² − 2·x·c AS d, cid) — one fused codegen'd dot per centroid,
+    * ties broken by smaller cid via struct ordering.
+    */
+  private def centroidRanks(cents: Seq[(Long, Array[Float])], vec: Column): Column =
+    array(cents.map { case (cid, ce) =>
+      val normSq = ce.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+      struct(
+        (lit(normSq) - lit(2.0) * VectorExpressions.dotNative(vec, lit(ce))).as("d"),
+        lit(cid).as("cid"))
+    }: _*)
+
   /** IVF-style ANN: a coarse quantizer of `nCentroids` deterministically
     * sampled vectors partitions the corpus into cells; queries probe the
-    * `nProbe` nearest cells and only score candidates there. The centroid
-    * set is collected to the driver (it is the model — a few hundred
-    * vectors) and broadcast back; corpus assignment is one argmin pass.
-    * Better recall than sign-bit LSH when the data is clustered, same
-    * shuffle shape: candidates join on cell id, never a cross product.
+    * `nProbe` nearest cells and only score candidates there. Better recall
+    * than sign-bit LSH when the data is clustered; the corpus is shuffled
+    * exactly once (on the candidates join key) — assignment is a pure
+    * per-row argmin over plan-time literal centroids.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = corpus
+    // the model: nCentroids deterministically pseudo-randomly sampled
+    // vectors, collected once to the driver and baked into the plan
+    val cents: Seq[(Long, Array[Float])] = corpus
       .select(col("id"), col("embedding"))
-      .orderBy(xxhash64(col("id")).asc) // deterministic pseudo-random sample
+      .orderBy(xxhash64(col("id")).asc)
       .limit(nCentroids)
-      .select(col("id").as("cid"), col("embedding").as("ce"))
-    val assignW = Window.partitionBy("id").orderBy(col("dist").asc, col("cid").asc)
-    val assigned = corpus.crossJoin(broadcast(cents))
-      .withColumn("dist", VectorFunctions.l2Distance(col("embedding"), col("ce")))
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
-      .select(col("id").as("nid"), col("embedding").as("ne"), col("cid").as("cell"))
-    val probeW = Window.partitionBy("qid").orderBy(col("dist").asc, col("cid").asc)
-    val probes = queries.select(col("id").as("qid"), col("embedding").as("qe"))
-      .crossJoin(broadcast(cents))
-      .withColumn("dist", VectorFunctions.l2Distance(col("qe"), col("ce")))
-      .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") <= nProbe)
-      .select(col("qid"), col("qe"), col("cid").as("cell"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq
+    val assigned = corpus.select(
+      col("id").as("nid"), col("embedding").as("ne"),
+      array_min(centroidRanks(cents, col("embedding"))).getField("cid").as("cell"))
+    val probes = queries
+      .select(col("id").as("qid"), col("embedding").as("qe"),
+        explode(slice(array_sort(centroidRanks(cents, col("embedding"))), 1, nProbe)).as("pc"))
+      .select(col("qid"), col("qe"), col("pc.cid").as("cell"))
     val scored = broadcast(probes).join(assigned, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cosine", graft.plans.VectorExpressions.cosineNative(col("qe"), col("ne")))
+      .withColumn("cosine", VectorExpressions.cosineNative(col("qe"), col("ne")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -94,13 +114,14 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs above a threshold, LSH-blocked:
     * the dedup formulation of similarity search (pairs, not top-k).
     */
-  def cosineNearDupPairs(df: DataFrame, threshold: Double, nPlanes: Int = 4): DataFrame = {
+  def cosineNearDupPairs(df: DataFrame, threshold: Double,
+      nPlanes: Int = 4, dim: Int = 64): DataFrame = {
     val b = df.select(col("id"), col("embedding"),
-      VectorFunctions.lshBucket(col("embedding"), nPlanes).as("bucket"))
+      VectorFunctions.lshBucket(col("embedding"), nPlanes, dim).as("bucket"))
     val a = b.as("a")
     val c = b.as("b")
     a.join(c, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cosine", graft.plans.VectorExpressions.cosineNative(col("a.embedding"), col("b.embedding")))
+      .withColumn("cosine", VectorExpressions.cosineNative(col("a.embedding"), col("b.embedding")))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }

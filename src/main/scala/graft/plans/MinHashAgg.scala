@@ -20,9 +20,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * shrink. The charter's §7.3 "possible future custom" sketch aggregate,
   * realized.
   *
-  * Hash identity: `XxHash64Function.hash(UTF8String, StringType, seed)` is
-  * exactly what the `xxhash64(col, lit(seed))` expression computes, so
-  * signatures are interchangeable with [[graft.operators.Dedup]]'s.
+  * Hash identity: the child MUST be the pre-hashed long column
+  * (`xxhash64(shingle)`), matching the first level of
+  * [[graft.operators.Dedup.minhashSignatures]]'s two-level family; the
+  * aggregate applies the second-level permutation
+  * `XxHash64Function.hash(h, LongType, seed = i)` — exactly what
+  * `GraftSqlBridge.xxhash64Seeded(col, i)` computes — so signatures are
+  * interchangeable with Dedup's. Feeding raw shingle STRINGS here would
+  * produce a different (incompatible) family.
   */
 case class MinHashAggregate(
     child: Expression,
@@ -82,10 +87,11 @@ case class MinHashAggregate(
 
 object MinHashAgg {
   /** Aggregate column: MinHash signature (array<long> of length `perms`)
-    * over a string (shingle) column.
+    * over the PRE-HASHED long column (`xxhash64` of the shingle string) —
+    * see the class scaladoc for the two-level family contract.
     */
-  def minhashAgg(shingle: Column, perms: Int): Column =
+  def minhashAgg(hashedShingle: Column, perms: Int): Column =
     GraftSqlBridge.column(
-      MinHashAggregate(GraftSqlBridge.expression(shingle), perms)
+      MinHashAggregate(GraftSqlBridge.expression(hashedShingle), perms)
         .toAggregateExpression())
 }

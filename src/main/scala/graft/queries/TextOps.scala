@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   *  - q33 quality scores with label buckets
   *  - q34 language-ID heuristic vs the labeled lang column
   *  - q35 n-gram (3-shingle) Jaccard near-dup candidates via inverted index
-  *  - q37 MinHash-LSH band statistics (rows-only: xxhash64 has no DuckDB twin)
-  *  - q38 SimHash hamming-candidate stats (rows-only, same reason)
+  *  - q37 MinHash-LSH band statistics (portable hash family — full oracle)
+  *  - q38 SimHash hamming-candidate stats (portable family — full oracle)
   */
 object TextOps {
 
@@ -135,8 +135,9 @@ object TextOps {
          |  SELECT doc_id, source, $T AS tk FROM documents),
          |sh AS (
          |  SELECT doc_id, source,
-         |    list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
-         |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS shingles
+         |    CASE WHEN len(tk) = 0 THEN []
+         |         ELSE list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
+         |           i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS shingles
          |  FROM toks),
          |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
          |postings AS (SELECT doc_id, source, unnest(shingles) AS shingle FROM sh),
@@ -176,17 +177,96 @@ object TextOps {
           coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"))
     },
 
-    QueryDef.rowsOnly("q37_minhash_band_stats") { (s, d) =>
-      Dedup.minhashBandStats(Tables.documents(s, d), "doc_id", "text")
+    // q37/q38 run the PortableHashFamily (md5-derived, exact BIGINT
+    // permutations) so DuckDB reproduces signatures bit-for-bit — full
+    // hash-verification of the LSH machinery; the xxhash64 production
+    // family is pinned by planted-duplicate specs (OperatorsSpec).
+    QueryDef.sql("q37_minhash_band_stats", q37Sql) { (s, d) =>
+      Dedup.minhashBandStats(Tables.documents(s, d), "doc_id", "text",
+        family = Dedup.PortableHashFamily)
     },
 
-    QueryDef.rowsOnly("q38_simhash_candidates") { (s, d) =>
-      val cands = Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text", maxHamming = 16)
-      // per-bucket stats stay non-empty even when no near-dups exist
+    QueryDef.sql("q38_simhash_candidates", q38Sql) { (s, d) =>
+      val cands = Dedup.simhashCandidatesPortable(
+        Tables.documents(s, d), "doc_id", "text", verifyThreshold = 16)
+      // per-source stats stay non-empty even when no near-dups exist
       Tables.documents(s, d).groupBy("source").agg(count(lit(1)).as("n_docs"))
         .crossJoin(broadcast(cands.agg(
           count(lit(1)).as("n_candidate_pairs"),
-          coalesce(min("hamming"), lit(-1L)).as("min_hamming"))))
+          coalesce(min("hamming"), lit(-1)).cast("long").as("min_hamming"))))
     }
   )
+
+  /** DuckDB twin of the shingle construction (matches
+    * TextFunctions.shingles incl. the empty-text → empty-array rule).
+    */
+  // a def, not a val: referenced during `val all`'s initializer, which runs
+  // before any val declared below `all` would be assigned
+  private def ShinglesSql: String =
+    """CASE WHEN len(tk) = 0 THEN []
+      |     ELSE list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
+      |       i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END""".stripMargin
+
+  /** q37 oracle: the full MinHash-LSH band-stat computation in ANSI SQL —
+    * same shingles, same md5-based first-level hash, same (A·H+B) mod P
+    * permutations (constants interpolated from PortableHashFamily so the
+    * two sides can never drift), same concat-string band buckets.
+    */
+  private def q37Sql: String = {
+    val F = Dedup.PortableHashFamily
+    val (perms, bands, rpb) = (16, 4, 4)
+    val mins = (0 until perms)
+      .map(i => s"min(${F.permuteSql("h", i)}) AS m$i").mkString(",\n  ")
+    val bandRows = (0 until bands).map { b =>
+      val cols = (b * rpb until (b + 1) * rpb).map(i => s"m$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, $T AS tk FROM documents),
+       |sh AS (SELECT doc_id, $ShinglesSql AS shingles FROM toks),
+       |postings AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |hh AS (SELECT doc_id, ${F.firstLevelSql("s")} AS h FROM postings),
+       |sig AS (SELECT doc_id,
+       |  $mins
+       |  FROM hh GROUP BY doc_id),
+       |bnd AS ($bandRows),
+       |bs AS (SELECT band, bucket, count(*) AS sz FROM bnd GROUP BY band, bucket)
+       |SELECT band, count(*) AS n_buckets, max(sz) AS max_bucket,
+       |  floor(avg(sz) * 10000.0 + 0.5) / 10000.0 AS avg_bucket,
+       |  CAST(sum(sz * (sz - 1) / 2) AS BIGINT) AS n_cand_pairs
+       |FROM bs GROUP BY band""".stripMargin
+  }
+
+  /** q38 oracle: 32-bit portable SimHash (md5-derived token hashes, ±1 bit
+    * sums, 8-bit chunk blocking, full-hamming verify ≤ 16) in ANSI SQL.
+    */
+  private def q38Sql: String = {
+    val F = Dedup.PortableHashFamily
+    val bitSums = (0 until 32)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n  ")
+    val sigTerms = (0 until 32)
+      .map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i}::BIGINT ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest($T) AS t FROM documents),
+       |hh AS (SELECT doc_id, ${F.firstLevelSql("t")} AS h FROM tok),
+       |bits AS (SELECT doc_id,
+       |  $bitSums
+       |  FROM hh GROUP BY doc_id),
+       |sg AS (SELECT doc_id, $sigTerms AS sig FROM bits),
+       |chunked AS (
+       |  SELECT doc_id, sig, c AS chunk, (sig >> (c * 8)) & 255 AS chunk_val
+       |  FROM sg, (SELECT unnest([0, 1, 2, 3]) AS c) chunks),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    bit_count(xor(a.sig, b.sig)) AS hamming
+       |  FROM chunked a JOIN chunked b
+       |    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id),
+       |agg AS (
+       |  SELECT count(*) AS n_candidate_pairs,
+       |    CAST(coalesce(min(hamming), -1) AS BIGINT) AS min_hamming
+       |  FROM cand WHERE hamming <= 16)
+       |SELECT d.source, count(*) AS n_docs, a.n_candidate_pairs, a.min_hamming
+       |FROM documents d CROSS JOIN agg a
+       |GROUP BY d.source, a.n_candidate_pairs, a.min_hamming""".stripMargin
+  }
 }

@@ -1,19 +1,57 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.VectorFunctions
 import graft.operators.Similarity
 import graft.functions.TextFunctions.round4hu
 import org.apache.spark.sql.functions._
 
-/** Embedding similarity-search coverage on the `embeddings` table.
+/** Embedding similarity-search coverage on the `embeddings` table
+  * (array<float>, dim 64).
   *
   *  - q36 brute-force cosine top-k ANN baseline — exact DuckDB oracle via
   *    `list_cosine_similarity` over DOUBLE[] (same left-to-right double
-  *    accumulation as VectorFunctions.cosine, so rank order matches).
-  *  - q39 LSH-bucketed ANN (rows-only: the hyperplane construction uses
-  *    xxhash64, which DuckDB can't reproduce) + bucket occupancy stats.
+  *    accumulation as the codegen'd cosine, so rank order matches).
+  *  - q39 LSH-bucketed ANN — exact oracle: the hyperplanes are plan-time
+  *    literal INTEGER weight arrays ([[VectorFunctions.hyperplaneWeights]]),
+  *    so the very same literals are interpolated into the DuckDB SQL and
+  *    buckets reproduce bit-for-bit (`list_dot_product` sign).
+  *  - q40 multimodal feature rollup — exact oracle: the payload is
+  *    ASCII-sanitized text bytes, so DuckDB recomputes the stub's byte
+  *    histogram per character (float division parity via CAST AS FLOAT).
   */
 object VectorOps {
+
+  private val Dim = 64
+
+  /** q40 DuckDB twin of Multimodal.decodeStub's byte histogram: per-doc
+    * f_j = float(count of bytes ≡ j mod 8) / float(max(n,1)).
+    */
+  private def q40Sql: String = {
+    val fCols = (0 until 8).map { j =>
+      s"CAST(len(list_filter(bm, b -> b = $j)) AS FLOAT) / CAST(greatest(n_bytes, 1) AS FLOAT) AS f$j"
+    }.mkString(",\n         |    ")
+    val fSum = (0 until 8).map(j => s"CAST(f$j AS DOUBLE)").mkString(" + ")
+    s"""WITH media AS (
+       |  SELECT doc_id AS media_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       |    regexp_replace(text, '[^\\x20-\\x7e]', '?', 'g') AS s
+       |  FROM documents),
+       |feats AS (
+       |  SELECT media_id, kind, strlen(s) AS n_bytes,
+       |    list_transform(range(1, CAST(strlen(s) AS INTEGER) + 1),
+       |      i -> unicode(s[i:i]) % 8) AS bm
+       |  FROM media),
+       |hist AS (
+       |  SELECT media_id, kind, n_bytes,
+       |    $fCols
+       |  FROM feats)
+       |SELECT kind, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       |  floor(avg(f0) * 10000.0 + 0.5) / 10000.0 AS avg_f0,
+       |  floor(avg($fSum) * 10000.0 + 0.5) / 10000.0 AS avg_feature_sum
+       |FROM hist GROUP BY kind""".stripMargin
+  }
 
   val all: Seq[QueryDef] = Seq(
 
@@ -36,14 +74,29 @@ object VectorOps {
         .select(col("qid"), col("nid"), round4hu(col("cosine")).as("cosine"), col("rank"))
     },
 
-    QueryDef.rowsOnly("q39_lsh_ann") { (s, d) =>
+    QueryDef.sql(
+      "q39_lsh_ann",
+      s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+         |           FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings),
+         |qb AS (SELECT qid, qe, ${VectorFunctions.lshBucketSql("qe", 4, Dim)} AS bucket FROM q),
+         |cb AS (SELECT nid, ne, ${VectorFunctions.lshBucketSql("ne", 4, Dim)} AS bucket FROM c),
+         |scored AS (
+         |  SELECT qid, qb.bucket AS bucket, nid, list_cosine_similarity(qe, ne) AS cos
+         |  FROM qb JOIN cb ON qb.bucket = cb.bucket WHERE qid <> nid),
+         |ranked AS (
+         |  SELECT qid, bucket, nid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM scored)
+         |SELECT qid, bucket, nid, floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine, rank
+         |FROM ranked WHERE rank <= 3""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding"))
-      Similarity.lshTopK(emb.filter(col("id") < 10), emb, k = 3, nPlanes = 4)
+      Similarity.lshTopK(emb.filter(col("id") < 10), emb, k = 3, nPlanes = 4, dim = Dim)
         .select(col("qid"), col("bucket"), col("nid"),
           round4hu(col("cosine")).as("cosine"), col("rank"))
     },
 
-    QueryDef.rowsOnly("q40_multimodal_features") { (s, d) =>
+    QueryDef.sql("q40_multimodal_features", q40Sql) { (s, d) =>
       graft.operators.Multimodal.featureStats(
         graft.operators.Multimodal.fromDocuments(Tables.documents(s, d)))
     }

@@ -43,12 +43,14 @@ object StatefulVelocity {
       else GroupStateTimeout.NoTimeout
     input
       .groupByKey(_.key)
-      .mapGroupsWithState[PrevState, VelocityOut](timeoutConf) {
+      .flatMapGroupsWithState[PrevState, VelocityOut](OutputMode.Update, timeoutConf) {
         (key: String, rows: Iterator[KeyedMetric], state: GroupState[PrevState]) =>
           if (state.hasTimedOut) {
-            val last = state.getOption.map(_.metric).getOrElse(0.0)
+            // TTL expiry evicts state and emits NOTHING — the reference's
+            // Redis TTL expiry is silent too; a synthetic row here would
+            // refresh last-write-wins sinks with stale data every idle hour
             state.remove()
-            VelocityOut(key, last, last, 0.0, 0.0)
+            Iterator.empty
           } else {
             // latest event in the batch wins (ZADD-overwrite semantics, K5)
             val cur = rows.maxBy(_.eventTimeMs).metric
@@ -57,7 +59,7 @@ object StatefulVelocity {
             val momentum = if (prev > 0) (cur - prev) / prev else 0.0
             state.update(PrevState(cur))
             stateTtlMs.foreach(state.setTimeoutDuration)
-            VelocityOut(key, cur, prev, velocity, momentum)
+            Iterator.single(VelocityOut(key, cur, prev, velocity, momentum))
           }
       }
   }

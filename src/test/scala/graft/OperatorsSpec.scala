@@ -53,7 +53,7 @@ class OperatorsSpec extends SparkSpec {
     val sigs = df.select(col("doc_id"), Dedup.simhash(TextFunctions.tokens(col("text"))).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs(1L) == sigs(2L), "identical text must give identical simhash")
-    val cands = Dedup.simhashCandidates(df, "doc_id", "text", maxHamming = 16).collect()
+    val cands = Dedup.simhashCandidates(df, "doc_id", "text", verifyThreshold = 16).collect()
     assert(cands.exists(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L &&
       r.getAs[Int]("hamming") == 0))
   }
@@ -76,7 +76,7 @@ class OperatorsSpec extends SparkSpec {
     }
     val planted = (100L, vecs.head._2.clone()) // exact copy of vec 0
     val df = (vecs :+ planted).toDF("id", "embedding")
-    val got = Similarity.lshTopK(df.filter($"id" === 0L), df, k = 1).collect()
+    val got = Similarity.lshTopK(df.filter($"id" === 0L), df, k = 1, dim = 8).collect()
     assert(got.length == 1 && got.head.getAs[Long]("nid") == 100L)
     assert(math.abs(got.head.getAs[Double]("cosine") - 1.0) < 1e-9)
   }
@@ -86,7 +86,7 @@ class OperatorsSpec extends SparkSpec {
     val vecs = (0L until 30L).map(i => i -> Array.fill(8)(rng.nextFloat() - 0.5f))
     val planted = (100L, vecs.head._2.map(x => x * 1.001f)) // scaled copy → cos≈1
     val df = (vecs :+ planted).toDF("id", "embedding")
-    val pairs = Similarity.cosineNearDupPairs(df, threshold = 0.98).collect()
+    val pairs = Similarity.cosineNearDupPairs(df, threshold = 0.98, dim = 8).collect()
     assert(pairs.length == 1)
     assert(pairs.head.getAs[Long]("id_a") == 0L && pairs.head.getAs[Long]("id_b") == 100L)
   }

@@ -69,14 +69,41 @@ class SkewAndIvfSpec extends SparkSpec {
     val df = vecs.toDF("id", "embedding").cache()
     val queries = df.filter($"id" < 20)
     val exact = Similarity.bruteForceTopK(queries, df, 10).select("qid", "nid")
-    val ivf = Similarity.ivfTopK(queries, df, 10, nCentroids = 12, nProbe = 3).select("qid", "nid")
-    val lsh = Similarity.lshTopK(queries, df, 10, nPlanes = 4).select("qid", "nid")
+    val ivf = Similarity.ivfTopK(queries, df, 10, nCentroids = 12, nProbe = 4).select("qid", "nid")
+    val lsh = Similarity.lshTopK(queries, df, 10, nPlanes = 4, dim = 16).select("qid", "nid")
     val total = exact.count().toDouble
     val ivfRecall = exact.intersect(ivf).count() / total
     val lshRecall = exact.intersect(lsh).count() / total
-    assert(ivfRecall >= lshRecall,
-      s"ivf recall $ivfRecall < lsh recall $lshRecall on clustered data")
-    assert(ivfRecall > 0.5, s"ivf recall $ivfRecall unexpectedly low")
+    // both are approximate — allow LSH a hair of seed luck, but IVF must be
+    // in the same class AND high in absolute terms on clustered data
+    assert(ivfRecall >= lshRecall - 0.02,
+      s"ivf recall $ivfRecall well below lsh recall $lshRecall on clustered data")
+    assert(ivfRecall > 0.85, s"ivf recall $ivfRecall unexpectedly low")
+  }
+
+  test("ivfTopK plan: assignment is a pure projection — one window, no assignment shuffle") {
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 300L).map(i => i -> Array.fill(16)(rng.nextFloat() - 0.5f))
+    val df = vecs.toDF("id", "embedding")
+    val plan = Similarity.ivfTopK(df.filter($"id" === 0L), df, k = 3,
+      nCentroids = 8, nProbe = 3).queryExecution.optimizedPlan.toString()
+    // exactly one Window operator (the final per-query top-k rank) — the old
+    // plan had a second one ranking a crossJoin-blown-up corpus (a 16x full
+    // shuffle). "Window [" matches the operator node only (not
+    // windowspecdefinition / WindowGroupLimit).
+    val windows = "Window \\[".r.findAllIn(plan).length
+    assert(windows == 1, s"expected 1 window (final rank), got $windows:\n$plan")
+    assert(!plan.contains("Join Cross"), s"corpus crossJoin survived:\n$plan")
+  }
+
+  test("lshBucket plan: literal planes, no per-row hash derivation") {
+    val rng = new scala.util.Random(2)
+    val df = (0L until 50L).map(i => i -> Array.fill(16)(rng.nextFloat() - 0.5f))
+      .toDF("id", "embedding")
+    val plan = df.select(graft.functions.VectorFunctions.lshBucket(col("embedding"), 4, 16))
+      .queryExecution.optimizedPlan.toString()
+    assert(!plan.contains("xxhash64"), s"per-row hash derivation survived:\n$plan")
+    assert(plan.contains("float_vector_dot"), s"expected codegen'd literal dot:\n$plan")
   }
 
   test("bronze quarantine: malformed payloads split out, not defaulted") {
