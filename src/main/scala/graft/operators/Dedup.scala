@@ -67,17 +67,34 @@ object Dedup {
     * count shared shingles per candidate pair, then Jaccard =
     * |A∩B| / (|A|+|B|−|A∩B|).
     *
-    * Returns one row per candidate pair (≥1 shared shingle):
+    * `maxShingleDf` caps the posting-list length per (block, shingle): a
+    * shingle occurring in n docs emits C(n,2) join rows, so one boilerplate
+    * header shared by a million docs at 100 TB would emit ~5·10¹¹ pairs on
+    * its own. Shingles above the cap are dropped from the index (standard
+    * document-frequency pruning — they carry no near-dup signal anyway);
+    * denominators keep the full shingle counts, so Jaccard for surviving
+    * pairs only ever underestimates. Pairs whose EVERY shared shingle is
+    * hot disappear — the accepted trade for a bounded join.
+    *
+    * Returns one row per candidate pair (≥1 shared sub-cap shingle):
     * (block, id_a, id_b, n_a, n_b, n_shared, jaccard), id_a < id_b.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCol: String, w: Int = 3): DataFrame = {
+      blockCol: String, w: Int = 3, maxShingleDf: Long = 1000): DataFrame = {
     val base = df.select(col(blockCol).as("block"), col(idCol).as("id"),
       shingles(col(textCol), w).as("sh"))
     val sizes = base.select(col("block"), col("id"), size(col("sh")).as("n_sh"))
     val postings = base.select(col("block"), col("id"), explode(col("sh")).as("shingle"))
-    val a = postings.as("a")
-    val b = postings.as("b")
+    // document-frequency prune: the rare-shingle set is keyed exactly like
+    // the pair join below, so the planner reuses the (block, shingle)
+    // exchange; the aggregate is partial (map-side) counts of short keys
+    val rare = postings.groupBy("block", "shingle")
+      .agg(count(lit(1)).as("df_"))
+      .filter(col("df_") <= maxShingleDf)
+      .select("block", "shingle")
+    val kept = postings.join(rare, Seq("block", "shingle"))
+    val a = kept.as("a")
+    val b = kept.as("b")
     val shared = a.join(b,
         col("a.block") === col("b.block") &&
         col("a.shingle") === col("b.shingle") &&
@@ -211,13 +228,27 @@ object Dedup {
     * `rows` rows), bucket by (band, hash(band-slice)), and emit pairs that
     * share ≥1 bucket. Shuffle key is the band-bucket hash — postings-list
     * join, no cross product. Returns (id_a, id_b, n_bands_shared).
+    *
+    * `maxBucketSize` drops degenerate buckets (a bucket of n docs implies
+    * C(n,2) pairs — the bucket-skew failure [[minhashBandStats]] exists to
+    * observe): near-exact-duplicate boilerplate clusters at 100 TB can put
+    * millions of docs in one band bucket. Docs in a dropped bucket can
+    * still pair through their other bands.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 4, shingleW: Int = 3,
-      family: MinHashFamily = XxHashFamily): DataFrame = {
+      family: MinHashFamily = XxHashFamily,
+      maxBucketSize: Long = 100000): DataFrame = {
     val bucketed = bandBuckets(df, idCol, textCol, bands, rowsPerBand, shingleW, family)
-    val a = bucketed.as("a")
-    val b = bucketed.as("b")
+    // same (band, bucket) key as the pair join → exchange reuse; partial
+    // counts keep the aggregate map-side combinable
+    val small = bucketed.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("sz_"))
+      .filter(col("sz_") <= maxBucketSize)
+      .select("band", "bucket")
+    val kept = bucketed.join(small, Seq("band", "bucket"))
+    val a = kept.as("a")
+    val b = kept.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))

@@ -141,9 +141,13 @@ object TextOps {
          |  FROM toks),
          |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
          |postings AS (SELECT doc_id, source, unnest(shingles) AS shingle FROM sh),
+         |rare AS (
+         |  SELECT source, shingle FROM postings
+         |  GROUP BY source, shingle HAVING count(*) <= 1000),
+         |kept AS (SELECT p.* FROM postings p JOIN rare r USING (source, shingle)),
          |pairs AS (
          |  SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-         |  FROM postings a JOIN postings b
+         |  FROM kept a JOIN kept b
          |    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY a.source, a.doc_id, b.doc_id),
          |jac AS (

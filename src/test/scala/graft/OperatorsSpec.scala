@@ -36,6 +36,43 @@ class OperatorsSpec extends SparkSpec {
       "unrelated doc shares no 3-shingles but appeared as candidate")
   }
 
+  test("ngramJaccardPairs df cap bounds hot-shingle pair blowup") {
+    // 40 docs share ONLY one boilerplate shingle; 2 docs are real near-dups
+    val boiler = (1L to 40L).map(i =>
+      (i, s"standard legal disclaimer text u$i v$i w$i x$i y$i z$i", "s"))
+    val dups = Seq((100L, docA, "s"), (101L, docANear, "s"))
+    val df = (boiler ++ dups).toDF("doc_id", "text", "source")
+    // "standard legal disclaimer" (df=40) > cap=10 → dropped from the index:
+    // boilerplate-only pairs vanish, the planted near-dup pair survives
+    val capped = Dedup.ngramJaccardPairs(df, "doc_id", "text", "source",
+      maxShingleDf = 10).collect()
+    assert(capped.exists(r => r.getAs[Long]("id_a") == 100L && r.getAs[Long]("id_b") == 101L),
+      "planted near-dup lost under df cap")
+    assert(!capped.exists(r => r.getAs[Long]("id_a") <= 40L && r.getAs[Long]("id_b") <= 40L),
+      s"boilerplate-only pairs should be pruned, got ${capped.length} pairs")
+    // sanity: without the cap the boilerplate shingle emits C(40,2) pairs
+    val uncapped = Dedup.ngramJaccardPairs(df, "doc_id", "text", "source").count()
+    assert(uncapped >= 780L, s"expected >= C(40,2) uncapped pairs, got $uncapped")
+  }
+
+  test("minhashCandidates bucket cap drops degenerate buckets only") {
+    // 30 EXACT copies → identical signatures → one bucket per band of size
+    // 30 (C(30,2)=435 pairs per band); cap 20 kills them, the distinctive
+    // near-dup pair (different bucket) survives
+    val copies = (1L to 30L).map(i => (i, docB, "s"))
+    val dups = Seq((100L, docA, "s"), (101L, docANear, "s"))
+    val df = (copies ++ dups).toDF("doc_id", "text", "source")
+    val capped = Dedup.minhashCandidates(df, "doc_id", "text",
+      bands = 8, rowsPerBand = 2, maxBucketSize = 20).collect()
+    assert(capped.exists(r => r.getAs[Long]("id_a") == 100L && r.getAs[Long]("id_b") == 101L),
+      "planted near-dup lost under bucket cap")
+    assert(!capped.exists(r => r.getAs[Long]("id_a") <= 30L && r.getAs[Long]("id_b") <= 30L),
+      "exact-copy megabucket should be dropped by the cap")
+    val uncapped = Dedup.minhashCandidates(df, "doc_id", "text",
+      bands = 8, rowsPerBand = 2).count()
+    assert(uncapped >= 435L, s"expected the megabucket pairs without cap, got $uncapped")
+  }
+
   test("minhashCandidates surfaces the planted near-dup pair") {
     // 8 bands × 2 rows: the planted pair has shingle-Jaccard ≈0.85, so
     // P(miss) = (1 − J²)⁸ ≈ 4e-5 — deterministic hashes, but the band
