@@ -2,7 +2,7 @@ package graft.etl
 
 import graft.functions.Scores
 import graft.operators.Dedup
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Bronze → Silver cleaning (SURVEY.md §3.2 step 2, `bronze_to_silver.py`).
@@ -72,6 +72,75 @@ object BronzeToSilver {
       .select("content_id", "platform", "username", "views", "likes",
         "comments", "shares", "engagement_total", "engagement_rate",
         "event_time", "processed_at")
+  }
+
+  /** Parse the twitter_human_bots envelope payload into its nested struct
+    * (the reference reads the same paths off a schema-inferred frame,
+    * `bronze_to_silver.py:385`): keeps `payload` as one struct column so
+    * [[trustFeaturesSilver]] can use the reference's `payload.profile.*`
+    * access pattern (P3).
+    */
+  def parseTwitterTrust(envelope: DataFrame): DataFrame =
+    envelope
+      .filter(col("source") === "twitter_human_bots")
+      .select(col("kol_id"),
+        from_json(col("payload"), graft.streaming.EventSchemas.twitterTrust).as("payload"))
+
+  /** Silver `kol_trust_features` (`bronze_to_silver.py:360-466`) — the
+    * labeled trust-training table, incl. the dirty-string-timestamp hard
+    * part (SURVEY §7.4 #2, `:438-456`):
+    *
+    *  - `account_age_days`: `to_date(created_at, "yyyy-MM-dd HH:mm:ss")` +
+    *    `datediff(asOf, _)`; a NULL created_at → 0, but a malformed non-null
+    *    string parses to null and survives as a NULL age (the reference's
+    *    exact when/otherwise reach) — the gold bridge coalesces it later.
+    *    `try_to_date` keeps that null-on-malformed contract under ANSI mode
+    *    (the reference runs ANSI-off Spark 3 where `to_date` is lenient).
+    *  - `posts_per_day = round(post_count/age, 2)` only when age > 0; a
+    *    null or negative age (clock skew) falls to 0.0.
+    *  - every other column carries the reference's coalesce defaults, incl.
+    *    the `default_profile_image == true → false` inversion for
+    *    has_profile_image (null → true there, matching `:399-400`).
+    *
+    * `asOf` defaults to `current_date()` like the reference; oracle-checked
+    * queries pin it for determinism. Pure narrow projection — scan-speed at
+    * any scale.
+    */
+  def trustFeaturesSilver(twitter: DataFrame, asOf: Column = current_date()): DataFrame = {
+    def p(f: String): Column = col("payload.profile." + f)
+    twitter
+      .select(
+        col("kol_id"),
+        lit("twitter").as("platform"),
+        p("screen_name").as("username"),
+        when(p("default_profile_image") === true, false).otherwise(true).as("has_profile_image"),
+        when(p("description").isNotNull && length(p("description")) > 0, true)
+          .otherwise(false).as("has_bio"),
+        coalesce(length(p("description")), lit(0)).as("bio_length"),
+        coalesce(p("has_url"), lit(false)).as("has_url"),
+        coalesce(p("verified"), lit(false)).as("verified"),
+        coalesce(p("followers_count"), lit(0L)).as("followers_count"),
+        coalesce(p("friends_count"), lit(0L)).as("following_count"),
+        coalesce(p("statuses_count"), lit(0L)).as("post_count"),
+        coalesce(p("favourites_count"), lit(0L)).as("favorites_count"),
+        coalesce(col("payload.derived_features.followers_friends_ratio"), lit(0.0))
+          .as("followers_following_ratio"),
+        p("created_at").as("account_created_at"),
+        coalesce(p("default_profile"), lit(false)).as("default_profile"),
+        coalesce(p("default_profile_image"), lit(false)).as("default_profile_image"),
+        coalesce(col("payload.trust_label.is_bot"), lit(0)).as("is_untrustworthy"),
+        coalesce(col("payload.trust_label.is_human"), lit(0)).as("is_trustworthy"),
+        coalesce(col("payload.trust_label.account_type"), lit("unknown")).as("account_type"),
+        lit("twitter_human_bots").as("source"),
+        current_timestamp().as("processed_at"))
+      .withColumn("account_age_days",
+        when(col("account_created_at").isNotNull,
+          datediff(asOf, try_to_date(col("account_created_at"), "yyyy-MM-dd HH:mm:ss")))
+          .otherwise(lit(0)))
+      .withColumn("posts_per_day",
+        when(col("account_age_days") > 0,
+          round(col("post_count") / col("account_age_days"), 2))
+          .otherwise(lit(0.0)))
   }
 
   /** O4: reconcile per-platform silver frames that may carry different

@@ -1,7 +1,7 @@
 package graft.etl
 
 import graft.functions.Scores
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Silver → Gold star schema (SURVEY.md §3.2 step 3, `silver_to_gold.py`).
@@ -134,6 +134,37 @@ object SilverToGold {
       .select("content_id", "username", "platform_id", "content_type_id",
         "date_id", "views", "likes", "comments", "shares",
         "engagement_total", "engagement_rate", "performance_tier")
+
+  /** ml_trust_training (`silver_to_gold.py:486-548`): the gold ML training
+    * table off silver kol_trust_features — keep only labeled rows
+    * (account_type ∈ human/bot), coalesce numerics (this is where a
+    * malformed-timestamp NULL account_age_days becomes 0), convert boolean
+    * flags to 0/1 ints, label = is_untrustworthy. Output feeds
+    * [[FeatureEngineering.trustFeatures]] directly. Narrow projection +
+    * filter — no shuffle.
+    */
+  def mlTrustTraining(trust: DataFrame): DataFrame = {
+    def flag(c: String): Column = when(col(c) === true, 1).otherwise(0).as(c)
+    trust
+      .filter(col("account_type").isin("human", "bot"))
+      .select(
+        col("kol_id"),
+        coalesce(col("followers_count"), lit(0L)).as("followers_count"),
+        coalesce(col("following_count"), lit(0L)).as("following_count"),
+        coalesce(col("post_count"), lit(0L)).as("post_count"),
+        coalesce(col("favorites_count"), lit(0L)).as("favorites_count"),
+        coalesce(col("followers_following_ratio"), lit(0.0)).as("followers_following_ratio"),
+        coalesce(col("posts_per_day"), lit(0.0)).as("posts_per_day"),
+        coalesce(col("account_age_days"), lit(0)).as("account_age_days"),
+        coalesce(col("bio_length"), lit(0)).as("bio_length"),
+        flag("has_profile_image"), flag("has_bio"), flag("has_url"),
+        flag("verified"), flag("default_profile"), flag("default_profile_image"),
+        coalesce(col("is_untrustworthy"), lit(0)).as("is_untrustworthy"),
+        when(col("is_untrustworthy") === 1, 1).otherwise(0).as("label"),
+        col("platform").as("_platform"),
+        col("source").as("_source"),
+        current_timestamp().as("_processed_at"))
+  }
 
   /** agg_platform_kpi (`silver_to_gold.py:570-614`): per-platform rollup
     * with distinct KOL counts, verified share (A5) and post-agg derived

@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.Tables
+import graft.etl.{BronzeToSilver, SilverToGold}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Medallion-pipeline coverage not expressible over the generic tables in
+  * Relational/Scoring:
+  *
+  *  - q46 silver kol_trust_features (`bronze_to_silver.py:360-466`) — the
+  *    dirty-string-timestamp parse (SURVEY §7.4 #2) with null / malformed /
+  *    future-date variants, exercised through the real
+  *    [[BronzeToSilver.trustFeaturesSilver]] transform on a deterministic
+  *    bronze stand-in built from the customer table.
+  *  - q47 gold ml_trust_training (`silver_to_gold.py:486-548`) — the full
+  *    bronze → silver → gold chain incl. the labeled-rows filter and
+  *    bool→int flag conversion.
+  *
+  * Determinism notes: `asOf` is pinned (the reference uses current_date);
+  * stand-in account ages are divisors of 100 so `round(posts/age, 2)` is
+  * exact at 2dp on both engines (QueryDef rounding rule); malformed
+  * timestamps parse to NULL ages in silver (matching the reference's
+  * when-reach) and coalesce to 0 in gold.
+  */
+object MedallionOps {
+
+  private val asOf = "2026-01-01"
+
+  /** Deterministic bronze twitter_human_bots stand-in from `customer`:
+    * kol_id + nested payload struct shaped like
+    * `EventSchemas.twitterTrust`. Variants: null / malformed / future
+    * created_at, null booleans, null counts, unlabeled rows.
+    */
+  private def bronzeStandIn(s: SparkSession, d: String): DataFrame = {
+    val ck = col("c_custkey")
+    val asOfD = to_date(lit(asOf))
+    val age = element_at(
+      array(Seq(1, 2, 4, 5, 10, 20, 25, 50, 100).map(lit(_)): _*),
+      (ck % 9).cast("int") + 1)
+    val nullB = lit(null).cast("boolean")
+    val createdStr = when(ck % 7 === 0, lit(null).cast("string"))
+      .when(ck % 7 === 1, lit("not a timestamp"))
+      .when(ck % 7 === 2, concat(date_format(date_add(asOfD, 40), "yyyy-MM-dd"), lit(" 07:30:00")))
+      .otherwise(concat(date_format(date_sub(asOfD, age), "yyyy-MM-dd"), lit(" 07:30:00")))
+    val profile = struct(
+      concat(lit("u"), ck.cast("string")).as("screen_name"),
+      when(ck % 5 === 0, lit(null).cast("string")).when(ck % 5 === 1, lit(""))
+        .otherwise(expr("repeat('x', CAST(c_custkey % 250 AS INT))")).as("description"),
+      when(ck % 13 === 0, nullB).otherwise(ck % 2 === 0).as("default_profile"),
+      when(ck % 3 === 0, nullB).when(ck % 3 === 1, lit(true)).otherwise(lit(false))
+        .as("default_profile_image"),
+      when(ck % 11 === 0, nullB).otherwise(ck % 2 === 1).as("has_url"),
+      when(ck % 19 === 0, nullB).otherwise(ck % 4 === 0).as("verified"),
+      when(ck % 23 === 0, lit(null).cast("long")).otherwise((ck * 7) % 100000).as("followers_count"),
+      ((ck * 3) % 50000).as("friends_count"),
+      ((ck * 11) % 5000).as("statuses_count"),
+      ((ck * 13) % 20000).as("favourites_count"),
+      createdStr.as("created_at"))
+    val derived = struct(
+      when(ck % 29 === 0, lit(null).cast("double")).otherwise((ck % 1000) / 8.0)
+        .as("followers_friends_ratio"))
+    val label = struct(
+      when(ck % 17 === 0, lit(null).cast("int")).otherwise((ck % 10 < 3).cast("int")).as("is_bot"),
+      when(ck % 17 === 0, lit(null).cast("int")).otherwise((ck % 10 >= 3).cast("int")).as("is_human"),
+      when(ck % 17 === 0, lit(null).cast("string"))
+        .otherwise(when(ck % 10 < 3, "bot").otherwise("human")).as("account_type"))
+    Tables.customer(s, d).select(
+      concat(lit("kol_"), ck.cast("string")).as("kol_id"),
+      struct(profile.as("profile"), derived.as("derived_features"), label.as("trust_label"))
+        .as("payload"))
+  }
+
+  /** The same stand-in + silver derivation in DuckDB SQL. */
+  private val standInSql =
+    s"""base AS (
+       |  SELECT c_custkey AS ck,
+       |    CASE WHEN c_custkey % 7 = 0 THEN NULL
+       |         WHEN c_custkey % 7 = 1 THEN 'not a timestamp'
+       |         WHEN c_custkey % 7 = 2 THEN strftime(DATE '$asOf' + 40, '%Y-%m-%d') || ' 07:30:00'
+       |         ELSE strftime(DATE '$asOf' - CAST(list_extract([1,2,4,5,10,20,25,50,100],
+       |              CAST(c_custkey % 9 AS INTEGER) + 1) AS INTEGER), '%Y-%m-%d') || ' 07:30:00'
+       |    END AS created_at,
+       |    CASE WHEN c_custkey % 5 = 0 THEN NULL WHEN c_custkey % 5 = 1 THEN ''
+       |         ELSE repeat('x', CAST(c_custkey % 250 AS INTEGER)) END AS description,
+       |    CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_custkey % 2 = 0 END AS r_default_profile,
+       |    CASE WHEN c_custkey % 3 = 0 THEN NULL WHEN c_custkey % 3 = 1 THEN true ELSE false
+       |    END AS r_default_profile_image,
+       |    CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_custkey % 2 = 1 END AS r_has_url,
+       |    CASE WHEN c_custkey % 19 = 0 THEN NULL ELSE c_custkey % 4 = 0 END AS r_verified,
+       |    CASE WHEN c_custkey % 23 = 0 THEN NULL ELSE (c_custkey * 7) % 100000 END AS r_followers,
+       |    (c_custkey * 3) % 50000 AS r_friends,
+       |    (c_custkey * 11) % 5000 AS r_statuses,
+       |    (c_custkey * 13) % 20000 AS r_favourites,
+       |    CASE WHEN c_custkey % 29 = 0 THEN NULL ELSE (c_custkey % 1000) / 8.0 END AS r_ratio,
+       |    CASE WHEN c_custkey % 17 = 0 THEN NULL
+       |         ELSE CAST(c_custkey % 10 < 3 AS INTEGER) END AS r_is_bot,
+       |    CASE WHEN c_custkey % 17 = 0 THEN NULL
+       |         ELSE CAST(c_custkey % 10 >= 3 AS INTEGER) END AS r_is_human,
+       |    CASE WHEN c_custkey % 17 = 0 THEN NULL
+       |         WHEN c_custkey % 10 < 3 THEN 'bot' ELSE 'human' END AS r_account_type
+       |  FROM customer),
+       |silver AS (
+       |  SELECT 'kol_' || CAST(ck AS VARCHAR) AS kol_id, 'twitter' AS platform,
+       |    'u' || CAST(ck AS VARCHAR) AS username,
+       |    CASE WHEN r_default_profile_image = true THEN false ELSE true END AS has_profile_image,
+       |    CASE WHEN description IS NOT NULL AND len(description) > 0 THEN true ELSE false
+       |    END AS has_bio,
+       |    CAST(coalesce(len(description), 0) AS INTEGER) AS bio_length,
+       |    coalesce(r_has_url, false) AS has_url,
+       |    coalesce(r_verified, false) AS verified,
+       |    coalesce(r_followers, 0) AS followers_count,
+       |    coalesce(r_friends, 0) AS following_count,
+       |    coalesce(r_statuses, 0) AS post_count,
+       |    coalesce(r_favourites, 0) AS favorites_count,
+       |    coalesce(r_ratio, 0.0) AS followers_following_ratio,
+       |    created_at AS account_created_at,
+       |    coalesce(r_default_profile, false) AS default_profile,
+       |    coalesce(r_default_profile_image, false) AS default_profile_image,
+       |    CAST(coalesce(r_is_bot, 0) AS INTEGER) AS is_untrustworthy,
+       |    CAST(coalesce(r_is_human, 0) AS INTEGER) AS is_trustworthy,
+       |    coalesce(r_account_type, 'unknown') AS account_type,
+       |    'twitter_human_bots' AS source,
+       |    CASE WHEN created_at IS NOT NULL
+       |         THEN CAST(date_diff('day',
+       |              CAST(try_strptime(created_at, '%Y-%m-%d %H:%M:%S') AS DATE),
+       |              DATE '$asOf') AS INTEGER)
+       |         ELSE 0 END AS account_age_days
+       |  FROM base),
+       |silver2 AS (
+       |  SELECT *, CASE WHEN account_age_days > 0
+       |    THEN round(CAST(post_count AS DOUBLE) / account_age_days, 2)
+       |    ELSE 0.0 END AS posts_per_day
+       |  FROM silver)""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef.sql(
+      "q46_trust_silver",
+      s"""WITH $standInSql
+         |SELECT kol_id, platform, username, has_profile_image, has_bio, bio_length,
+         |       has_url, verified, followers_count, following_count, post_count,
+         |       favorites_count, followers_following_ratio, account_created_at,
+         |       default_profile, default_profile_image, is_untrustworthy,
+         |       is_trustworthy, account_type, source, account_age_days, posts_per_day
+         |FROM silver2""".stripMargin) { (s, d) =>
+      BronzeToSilver.trustFeaturesSilver(bronzeStandIn(s, d), asOf = to_date(lit(asOf)))
+        .drop("processed_at")
+    },
+
+    QueryDef.sql(
+      "q47_ml_trust_training",
+      s"""WITH $standInSql
+         |SELECT kol_id, followers_count, following_count, post_count, favorites_count,
+         |       followers_following_ratio, posts_per_day,
+         |       CAST(coalesce(account_age_days, 0) AS INTEGER) AS account_age_days,
+         |       bio_length,
+         |       CAST(has_profile_image AS INTEGER) AS has_profile_image,
+         |       CAST(has_bio AS INTEGER) AS has_bio,
+         |       CAST(has_url AS INTEGER) AS has_url,
+         |       CAST(verified AS INTEGER) AS verified,
+         |       CAST(default_profile AS INTEGER) AS default_profile,
+         |       CAST(default_profile_image AS INTEGER) AS default_profile_image,
+         |       is_untrustworthy,
+         |       CASE WHEN is_untrustworthy = 1 THEN 1 ELSE 0 END AS label,
+         |       platform AS _platform, source AS _source
+         |FROM silver2
+         |WHERE account_type IN ('human', 'bot')""".stripMargin) { (s, d) =>
+      SilverToGold.mlTrustTraining(
+        BronzeToSilver.trustFeaturesSilver(bronzeStandIn(s, d), asOf = to_date(lit(asOf))))
+        .drop("_processed_at")
+    }
+  )
+}

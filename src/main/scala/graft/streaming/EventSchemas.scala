@@ -111,4 +111,29 @@ object EventSchemas {
     StructField("source", StringType),
     StructField("payload", StringType),
     StructField("ingest_ts", StringType)))
+
+  /** twitter_human_bots bronze payload — the labeled trust-training source
+    * (`batch/etl/bronze_to_silver.py:385-427` reads these paths off the
+    * inferred envelope): nested profile / derived_features / trust_label
+    * structs. Timestamps are dirty strings parsed downstream.
+    */
+  val twitterTrust: StructType = StructType(Seq(
+    StructField("profile", StructType(Seq(
+      StructField("screen_name", StringType),
+      StructField("description", StringType),
+      StructField("default_profile", BooleanType),
+      StructField("default_profile_image", BooleanType),
+      StructField("has_url", BooleanType),
+      StructField("verified", BooleanType),
+      StructField("followers_count", LongType),
+      StructField("friends_count", LongType),
+      StructField("statuses_count", LongType),
+      StructField("favourites_count", LongType),
+      StructField("created_at", StringType)))),
+    StructField("derived_features", StructType(Seq(
+      StructField("followers_friends_ratio", DoubleType)))),
+    StructField("trust_label", StructType(Seq(
+      StructField("is_bot", IntegerType),
+      StructField("is_human", IntegerType),
+      StructField("account_type", StringType))))))
 }

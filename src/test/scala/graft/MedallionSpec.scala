@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.Files
-import graft.etl.{BronzeToSilver, Serving, SilverToGold}
+import graft.etl.{BronzeToSilver, FeatureEngineering, Serving, SilverToGold}
 import graft.sources.Bronze
 import graft.streaming.EventSchemas
 import org.apache.spark.sql.functions._
@@ -135,5 +135,53 @@ class MedallionSpec extends SparkSpec {
       Seq("username", "platform"), "event_time")
     assert(merged.count() == 2)
     assert(merged.filter($"username" === "kol_a").head().getAs[Long]("followers_count") == 999L)
+  }
+
+  test("trust features e2e: dirty timestamps through silver, gold training, 29 features") {
+    // created_at 100 days before asOf; fully labeled bot
+    val pj1 = """{"profile":{"screen_name":"bot_king","description":"crypto influencer","default_profile":false,"default_profile_image":false,"has_url":true,"verified":true,"followers_count":50000,"friends_count":100,"statuses_count":250,"favourites_count":10,"created_at":"2025-09-23 07:30:00"},"derived_features":{"followers_friends_ratio":500.0},"trust_label":{"is_bot":1,"is_human":0,"account_type":"bot"}}"""
+    // malformed created_at, no description, default profile image, unlabeled
+    val pj2 = """{"profile":{"screen_name":"mystery","default_profile_image":true,"statuses_count":10,"created_at":"around 2019 i think"},"derived_features":{},"trust_label":{}}"""
+    // missing created_at, empty-string bio, labeled human
+    val pj3 = """{"profile":{"screen_name":"fresh","description":"","followers_count":10,"friends_count":20,"statuses_count":5},"trust_label":{"is_bot":0,"is_human":1,"account_type":"human"}}"""
+    val env = Seq(
+      ("tw_1", "twitter", "twitter_human_bots", pj1, "2026-01-01T00:00:00"),
+      ("tw_2", "twitter", "twitter_human_bots", pj2, "2026-01-01T00:00:00"),
+      ("tw_3", "twitter", "twitter_human_bots", pj3, "2026-01-01T00:00:00"),
+      ("kol_a", "tiktok", "profiles", "{}", "2026-01-01T00:00:00"))
+      .toDF("kol_id", "platform", "source", "payload", "ingest_ts")
+
+    val silver = BronzeToSilver.trustFeaturesSilver(
+      BronzeToSilver.parseTwitterTrust(env), asOf = to_date(lit("2026-01-01")))
+    val rows = silver.collect()
+    assert(rows.length == 3) // non-twitter sources excluded
+    val r1 = rows.find(_.getAs[String]("kol_id") == "tw_1").get
+    assert(r1.getAs[Int]("account_age_days") == 100)
+    assert(r1.getAs[Double]("posts_per_day") == 2.5)
+    assert(r1.getAs[Boolean]("has_profile_image"))
+    assert(r1.getAs[Boolean]("has_bio") && r1.getAs[Int]("bio_length") == 17)
+    val r2 = rows.find(_.getAs[String]("kol_id") == "tw_2").get
+    assert(r2.isNullAt(r2.fieldIndex("account_age_days")),
+      "malformed timestamp must survive as NULL age in silver (reference reach)")
+    assert(r2.getAs[Double]("posts_per_day") == 0.0)
+    assert(!r2.getAs[Boolean]("has_profile_image")) // default image inverts
+    assert(r2.getAs[String]("account_type") == "unknown")
+    val r3 = rows.find(_.getAs[String]("kol_id") == "tw_3").get
+    assert(r3.getAs[Int]("account_age_days") == 0) // null created_at → 0
+    assert(!r3.getAs[Boolean]("has_bio") && r3.getAs[Int]("bio_length") == 0)
+
+    val gold = SilverToGold.mlTrustTraining(silver)
+    val goldRows = gold.collect()
+    assert(goldRows.map(_.getAs[String]("kol_id")).toSet == Set("tw_1", "tw_3"),
+      "unlabeled rows must not reach training")
+    val g1 = goldRows.find(_.getAs[String]("kol_id") == "tw_1").get
+    assert(g1.getAs[Int]("label") == 1 && g1.getAs[Int]("verified") == 1)
+    assert(goldRows.find(_.getAs[String]("kol_id") == "tw_3").get.getAs[Int]("label") == 0)
+
+    val feats = FeatureEngineering.trustFeatures(gold)
+    assert(FeatureEngineering.featureColumns.forall(feats.columns.contains))
+    val f1 = feats.filter($"kol_id" === "tw_1").head()
+    assert(math.abs(f1.getAs[Double]("log_followers") - math.log1p(50000)) < 1e-12)
+    assert(f1.getAs[Int]("followers_tier") == 2)
   }
 }
