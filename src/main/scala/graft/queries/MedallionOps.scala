@@ -169,6 +169,75 @@ object MedallionOps {
       SilverToGold.mlTrustTraining(
         BronzeToSilver.trustFeaturesSilver(bronzeStandIn(s, d), asOf = to_date(lit(asOf))))
         .drop("_processed_at")
+    },
+
+    QueryDef.sql(
+      "q48_hot_path_scores",
+      """WITH base AS (SELECT c_custkey AS ck FROM customer WHERE c_custkey % 31 <> 0),
+        |parsed AS (
+        |  SELECT 'u' || CAST(ck AS VARCHAR) AS kol_id, 'tiktok' AS platform,
+        |    CASE CAST(ck % 3 AS INTEGER)
+        |      WHEN 0 THEN (ck * 7) % 100000
+        |      WHEN 1 THEN CAST(trunc(CAST(
+        |             CAST(ck % 90 AS VARCHAR) || '.' || CAST(ck % 10 AS VARCHAR)
+        |           AS DOUBLE) * 1000) AS BIGINT)
+        |      ELSE 0 END AS followers_count,
+        |    CAST(pow(2, CAST(ck % 8 AS INTEGER)) AS BIGINT) AS following_count,
+        |    ck % 4 = 0 AS verified
+        |  FROM base),
+        |scored AS (
+        |  SELECT kol_id, platform,
+        |    greatest(least(round(
+        |      (CASE WHEN verified THEN 20.0 ELSE 0.0 END) + 10.0 + 20.0 +
+        |      least(greatest(followers_count, 0) / greatest(following_count, 1)
+        |            / 10.0 * 20.0, 20.0) + 20.0
+        |    , 1), 100.0), 0.0) AS trust_score
+        |  FROM parsed)
+        |SELECT kol_id, platform, trust_score,
+        |  CASE WHEN trust_score >= 80 THEN 'low' WHEN trust_score >= 60 THEN 'moderate'
+        |       WHEN trust_score >= 40 THEN 'elevated' ELSE 'high' END AS trust_label,
+        |  round(greatest(trust_score / 100.0, 1 - trust_score / 100.0), 4) AS trust_confidence,
+        |  CAST(NULL AS DOUBLE) AS success_score, 'Unknown' AS success_label,
+        |  0.0 AS success_confidence,
+        |  CAST(NULL AS DOUBLE) AS trending_score, 'Unknown' AS trending_label,
+        |  0.0 AS trending_growth,
+        |  CAST(0 AS INTEGER) AS latency_ms,
+        |  'local-heuristic-v1' AS model_version_trust,
+        |  'unknown' AS model_version_success
+        |FROM scored""".stripMargin) { (s, d) =>
+      // U3 batch replay: kafka-shaped JSON values built from customer →
+      // parse (numeric-else-raw) → mapPartitions enrichment with the
+      // deterministic local scorer → flattened 15-col record sans the
+      // wall-clock timestamp. following_count is a power of two so the
+      // ratio component is dyadic — 1dp rounding is exact on both engines.
+      import graft.streaming.HotPathScoring
+      val ck = col("c_custkey")
+      val v3 = (ck % 3).cast("int")
+      val pow2 = pow(lit(2.0), (ck % 8).cast("double")).cast("long")
+      val payload = struct(
+        lit("tiktok").as("platform"),
+        when(ck % 31 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("u"), ck.cast("string"))).as("username"),
+        when(v3 === 0, (ck * 7) % 100000).otherwise(lit(null).cast("long"))
+          .as("followers_count"),
+        when(v3 === 1, concat((ck % 90).cast("string"), lit("."),
+          (ck % 10).cast("string"), lit("K")))
+          .otherwise(lit(null).cast("string")).as("followers_raw"),
+        when(v3 === 1, lit(null).cast("long")).otherwise(pow2).as("following_count"),
+        when(v3 === 1, pow2.cast("string")).otherwise(lit(null).cast("string"))
+          .as("following_raw"),
+        when(ck % 2 === 0, (ck * 11) % 5000).otherwise(lit(null).cast("long"))
+          .as("post_count"),
+        ((ck * 13) % 20000).as("favorites_count"),
+        when(ck % 4 === 0, true).otherwise(lit(null).cast("boolean")).as("verified"),
+        when(ck % 6 === 0, lit(null).cast("string")).otherwise(lit("b")).as("bio"))
+      val kafkaShaped = Tables.customer(s, d).select(
+        to_json(payload).as("value"),
+        lit("2026-01-01 00:00:00").cast("timestamp").as("timestamp"))
+      HotPathScoring.flatten(HotPathScoring.enrich(
+        HotPathScoring.parseProfileEvents(kafkaShaped),
+        () => HotPathScoring.LocalHeuristicScorer))
+        .drop("timestamp")
     }
   )
 }

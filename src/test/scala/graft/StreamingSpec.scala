@@ -152,4 +152,38 @@ class StreamingSpec extends SparkSpec {
       assert(hot("trending_label") == "Viral" || hot("trending_label") == "Hot")
     } finally q.stop()
   }
+
+  test("U3 hot-path scoring: numeric-else-raw parse, partition scorer, dual sink") {
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[KafkaLike]
+    val topic = new HotPathScoring.TopicBuffer
+    val cache = new HotPathScoring.ScoreCache
+    val q = HotPathScoring.pipeline(source.toDF(),
+      () => HotPathScoring.LocalHeuristicScorer, topic, cache,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)).start()
+    try {
+      source.addData(
+        // numeric counts, verified: 20+10+20+min(50000/100/10*20,20)+20 = 90
+        KafkaLike("""{"username":"kol_a","platform":"tiktok","followers_count":50000,"following_count":100,"verified":true,"bio":"hi"}""", ts("2024-01-01 10:00:10")),
+        // raw scraper strings only: 1.5K → 1500, "8" → 8; unverified → 70
+        KafkaLike("""{"username":"kol_b","platform":"tiktok","followers_raw":"1.5K","following_raw":"8"}""", ts("2024-01-01 10:00:20")),
+        // zero-signal account → 50 → elevated
+        KafkaLike("""{"username":"kol_c","platform":"tiktok","followers_count":0,"following_count":1}""", ts("2024-01-01 10:00:30")),
+        // keyless → dropped by the parse filter
+        KafkaLike("""{"platform":"tiktok","followers_count":99}""", ts("2024-01-01 10:00:40")))
+      q.processAllAvailable()
+      assert(topic.records.size == 3, s"expected 3 topic records, got ${topic.records.size}")
+      val a = cache.store("kol:score:kol_a")
+      assert(a("trust_score") == "90.0" && a("trust_label") == "low")
+      val b = cache.store("kol:score:kol_b")
+      assert(b("trust_score") == "70.0" && b("trust_label") == "moderate")
+      val c = cache.store("kol:score:kol_c")
+      assert(c("trust_score") == "50.0" && c("trust_label") == "elevated")
+      assert(c("success_score") == "null") // un-deployed APIs stay null, row survives
+      val rec = topic.records.toArray(Array.empty[(String, String)])
+        .find(_._1 == "kol_a").get
+      assert(rec._2.contains("\"model_version_trust\":\"local-heuristic-v1\""))
+      assert(rec._2.contains("\"trust_score\":90.0"))
+    } finally q.stop()
+  }
 }
