@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.etl.{BronzeToSilver, SilverToGold}
+import graft.etl.{BronzeToSilver, ProductTracker, SilverToGold}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -238,6 +238,76 @@ object MedallionOps {
         HotPathScoring.parseProfileEvents(kafkaShaped),
         () => HotPathScoring.LocalHeuristicScorer))
         .drop("timestamp")
+    },
+
+    QueryDef.sql(
+      "q49_product_sold_deltas",
+      s"""WITH $productScrapesSql
+         |SELECT product_id, event_id, scraped_at, sold_count,
+         |  coalesce(sold_count - lag(sold_count) OVER
+         |    (PARTITION BY product_id ORDER BY scraped_at, event_id), 0) AS sold_delta,
+         |  seller_id, username
+         |FROM scrapes""".stripMargin) { (s, d) =>
+      ProductTracker.rebuildDeltas(productScrapes(s, d),
+        orderCols = Seq(col("scraped_at"), col("event_id")))
+        .select("product_id", "event_id", "scraped_at", "sold_count",
+          "sold_delta", "seller_id", "username")
+    },
+
+    QueryDef.sql(
+      "q50_product_latest_sold",
+      s"""WITH $productScrapesSql,
+         |deltas AS (
+         |  SELECT *, coalesce(sold_count - lag(sold_count) OVER
+         |    (PARTITION BY product_id ORDER BY scraped_at, event_id), 0) AS sold_delta
+         |  FROM scrapes),
+         |ranked AS (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY product_id ORDER BY scraped_at DESC, event_id DESC) AS rn
+         |  FROM deltas)
+         |SELECT product_id, event_id, scraped_at, sold_count, sold_delta,
+         |       seller_id, username
+         |FROM ranked WHERE rn = 1""".stripMargin) { (s, d) =>
+      val ts = ProductTracker.rebuildDeltas(productScrapes(s, d),
+        orderCols = Seq(col("scraped_at"), col("event_id")))
+      ProductTracker.latestSoldView(ts,
+        orderCols = Seq(col("scraped_at").desc, col("event_id").desc))
+        .select("product_id", "event_id", "scraped_at", "sold_count",
+          "sold_delta", "seller_id", "username")
     }
   )
+
+  /** Product-scrape stand-in: purchase events become product sold scrapes
+    * through the real wire format — a JSON payload in the product topic
+    * shape parsed with `EventSchemas.product` (P4), exercising the schema
+    * the reference lands from its product scraper
+    * (`kafka_to_bronze_tiktok.py:85-111`). scraped_at is a
+    * second-truncated string; (scraped_at, event_id) is the total order.
+    */
+  private def productScrapes(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("event_type") === "purchase")
+    val payload = to_json(struct(
+      concat(lit("p"), (col("user_id") % 50).cast("string")).as("product_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("event_time"),
+      (col("value") * 10).cast("long").as("sold_count"),
+      concat(lit("s"), (col("user_id") % 7).cast("string")).as("seller_id"),
+      concat(lit("u"), col("user_id").cast("string")).as("username")))
+    ev.select(col("event_id"),
+        from_json(payload, graft.streaming.EventSchemas.product).as("data"))
+      .select(col("data.product_id").as("product_id"), col("event_id"),
+        col("data.event_time").as("scraped_at"),
+        col("data.sold_count").as("sold_count"),
+        col("data.seller_id").as("seller_id"),
+        col("data.username").as("username"))
+  }
+
+  private def productScrapesSql =
+    """scrapes AS (
+      |  SELECT 'p' || CAST(user_id % 50 AS VARCHAR) AS product_id,
+      |         event_id,
+      |         strftime(ts, '%Y-%m-%d %H:%M:%S') AS scraped_at,
+      |         CAST(trunc(value * 10) AS BIGINT) AS sold_count,
+      |         's' || CAST(user_id % 7 AS VARCHAR) AS seller_id,
+      |         'u' || CAST(user_id AS VARCHAR) AS username
+      |  FROM events WHERE event_type = 'purchase')""".stripMargin
 }

@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.Files
-import graft.etl.{BronzeToSilver, FeatureEngineering, Serving, SilverToGold}
+import graft.etl.{BronzeToSilver, FeatureEngineering, ProductTracker, Serving, SilverToGold}
 import graft.sources.Bronze
 import graft.streaming.EventSchemas
 import org.apache.spark.sql.functions._
@@ -183,5 +183,41 @@ class MedallionSpec extends SparkSpec {
     val f1 = feats.filter($"kol_id" === "tw_1").head()
     assert(math.abs(f1.getAs[Double]("log_followers") - math.log1p(50000)) < 1e-12)
     assert(f1.getAs[Int]("followers_tier") == 2)
+  }
+
+  test("product tracker: incremental deltas equal batch rebuild; latest view") {
+    def batch(rows: (String, String, Long)*) =
+      rows.toSeq.map { case (p, t, c) => (p, t, c, "s1", "u1") }
+        .toDF("product_id", "scraped_at", "sold_count", "seller_id", "username")
+    val b1 = batch(("p1", "2025-01-01 00:00:00", 100L), ("p2", "2025-01-01 00:00:00", 50L))
+    val b2 = batch(("p1", "2025-01-02 00:00:00", 130L), ("p3", "2025-01-02 00:00:00", 10L))
+    val b3 = batch(("p1", "2025-01-03 00:00:00", 130L), ("p2", "2025-01-03 00:00:00", 75L))
+
+    // the reference's incremental run loop: delta vs last known history
+    val t1 = ProductTracker.withSoldDelta(b1, None)
+    val t2 = ProductTracker.withSoldDelta(b2, Some(t1))
+    val t3 = ProductTracker.withSoldDelta(b3, Some(t1.unionByName(t2)))
+    val incremental = t1.unionByName(t2).unionByName(t3)
+    // batch replay over the full series must agree row-for-row
+    val rebuilt = ProductTracker.rebuildDeltas(b1.unionByName(b2).unionByName(b3))
+      .select(incremental.columns.map(col): _*)
+    val key = Seq("product_id", "scraped_at")
+    assert(incremental.orderBy(key.map(col): _*).collect().toSeq ==
+      rebuilt.orderBy(key.map(col): _*).collect().toSeq)
+
+    val deltas = incremental.collect()
+      .map(r => (r.getAs[String]("product_id"), r.getAs[String]("scraped_at")) ->
+        r.getAs[Long]("sold_delta")).toMap
+    assert(deltas(("p1", "2025-01-01 00:00:00")) == 0L) // first run
+    assert(deltas(("p1", "2025-01-02 00:00:00")) == 30L)
+    assert(deltas(("p1", "2025-01-03 00:00:00")) == 0L) // unchanged count
+    assert(deltas(("p2", "2025-01-03 00:00:00")) == 25L)
+    assert(deltas(("p3", "2025-01-02 00:00:00")) == 0L) // first-seen mid-series
+
+    val latest = ProductTracker.latestSoldView(incremental)
+    assert(latest.count() == 3)
+    assert(latest.filter($"product_id" === "p1").head().getAs[Long]("sold_count") == 130L)
+    assert(latest.filter($"product_id" === "p2").head().getAs[String]("scraped_at")
+      == "2025-01-03 00:00:00")
   }
 }
