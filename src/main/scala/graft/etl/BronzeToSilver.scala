@@ -74,6 +74,79 @@ object BronzeToSilver {
         "event_time", "processed_at")
   }
 
+  /** Clean comment events (`kafka_to_bronze_tiktok.py:74-83` wire shape)
+    * into silver `kol_comments`: keyed rows only, trimmed text, exact
+    * duplicates collapsed per (platform, video_id, username, text) keeping
+    * the latest observation, derived comment_length.
+    */
+  def cleanComments(comments: DataFrame): DataFrame = {
+    val cleaned = comments
+      .filter(col("video_id").isNotNull && col("username").isNotNull)
+      .withColumn("comment_text", trim(coalesce(col("comment_text"), lit(""))))
+      .filter(col("comment_text") =!= "")
+      .withColumn("comment_length", length(col("comment_text")))
+      .withColumn("processed_at", current_timestamp())
+    Dedup.latestPerKey(cleaned,
+      Seq("platform", "video_id", "username", "comment_text"),
+      Seq(col("event_time").desc_nulls_last, col("event_id").desc))
+      .select("platform", "video_id", "video_url", "username", "comment_text",
+        "comment_length", "event_time", "processed_at")
+  }
+
+  /** Clean discovery events (`kafka_to_bronze_tiktok.py:113-133` wire
+    * shape) into silver `kol_discovery`: the latest discovery round wins
+    * per (username, platform); count/score/niche coalesce defaults.
+    */
+  def cleanDiscovery(discovery: DataFrame): DataFrame = {
+    val cleaned = discovery
+      .filter(col("username").isNotNull && col("username") =!= "")
+      .withColumn("followers", coalesce(col("followers"), lit(0L)))
+      .withColumn("following", coalesce(col("following"), lit(0L)))
+      .withColumn("likes_total", coalesce(col("likes_total"), lit(0L)))
+      .withColumn("verified", coalesce(col("verified"), lit(false)))
+      .withColumn("discovery_score", coalesce(col("discovery_score"), lit(0.0)))
+      .withColumn("discovery_round", coalesce(col("discovery_round"), lit(0L)))
+      .withColumn("predicted_niche", coalesce(col("predicted_niche"), lit("unknown")))
+      .withColumn("processed_at", current_timestamp())
+    Dedup.latestPerKey(cleaned, Seq("username", "platform"),
+      Seq(col("discovery_round").desc, col("event_time").desc_nulls_last,
+        col("event_id").desc))
+      .select("username", "platform", "nickname", "followers", "following",
+        "likes_total", "verified", "discovered_from", "discovery_score",
+        "predicted_niche", "discovery_round", "event_time", "processed_at")
+  }
+
+  /** Clean product events (`kafka_to_bronze_tiktok.py:85-111` wire shape)
+    * into silver `kol_products`: sold_count with the U1 raw-string
+    * fallback, engagement measures with coalesce-0 discipline and the
+    * guarded rate, price/currency defaults, latest per (product_id,
+    * platform).
+    */
+  def cleanProducts(products: DataFrame): DataFrame = {
+    val cleaned = products
+      .filter(col("product_id").isNotNull && col("product_id") =!= "")
+      .withColumn("sold_count",
+        coalesce(col("sold_count"), Scores.parseCountString(col("sold_count_raw"))))
+      .withColumn("price", coalesce(col("price"), lit(0.0)))
+      .withColumn("currency", coalesce(col("currency"), lit("USD")))
+      .withColumn("views", coalesce(col("video_views"), lit(0L)))
+      .withColumn("likes", coalesce(col("video_likes"), lit(0L)))
+      .withColumn("comments", coalesce(col("video_comments"), lit(0L)))
+      .withColumn("shares", coalesce(col("video_shares"), lit(0L)))
+      .withColumn("engagement_total",
+        coalesce(col("engagement_total"), col("likes") + col("comments") + col("shares")))
+      .withColumn("engagement_rate",
+        coalesce(col("engagement_rate"),
+          round(col("engagement_total") / greatest(col("views"), lit(1L)) * 100.0, 4)))
+      .withColumn("processed_at", current_timestamp())
+    Dedup.latestPerKey(cleaned, Seq("product_id", "platform"),
+      Seq(col("event_time").desc_nulls_last, col("event_id").desc))
+      .select("product_id", "platform", "username", "product_title", "seller_id",
+        "price", "currency", "keyword", "sold_count", "views", "likes",
+        "comments", "shares", "engagement_total", "engagement_rate",
+        "event_time", "processed_at")
+  }
+
   /** Parse the twitter_human_bots envelope payload into its nested struct
     * (the reference reads the same paths off a schema-inferred frame,
     * `bronze_to_silver.py:385`): keeps `payload` as one struct column so

@@ -274,6 +274,133 @@ object MedallionOps {
         orderCols = Seq(col("scraped_at").desc, col("event_id").desc))
         .select("product_id", "event_id", "scraped_at", "sold_count",
           "sold_delta", "seller_id", "username")
+    },
+
+    QueryDef.sql(
+      "q51_product_silver",
+      """WITH raw AS (
+        |  SELECT o_orderkey AS ok,
+        |    'pr' || CAST(o_orderkey % 200 AS VARCHAR) AS product_id,
+        |    'tiktok' AS platform,
+        |    'e' || CAST(o_orderkey AS VARCHAR) AS event_id,
+        |    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS event_time,
+        |    'u' || CAST(o_orderkey % 97 AS VARCHAR) AS username,
+        |    'title ' || CAST(o_orderkey % 50 AS VARCHAR) AS product_title,
+        |    's' || CAST(o_orderkey % 7 AS VARCHAR) AS seller_id,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |         ELSE (o_orderkey % 10000) / 4.0 END AS price_n,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE 'VND' END AS currency_n,
+        |    'k' || CAST(o_orderkey % 5 AS VARCHAR) AS keyword,
+        |    CAST(pow(2, CAST(o_orderkey % 6 AS INTEGER)) * 100 AS BIGINT) AS views,
+        |    (o_orderkey * 7) % 1000 AS likes,
+        |    (o_orderkey * 3) % 500 AS comments,
+        |    (o_orderkey * 2) % 300 AS shares,
+        |    CASE WHEN o_orderkey % 17 = 0 THEN 999 ELSE NULL END AS eng_total_n
+        |  FROM orders),
+        |cleaned AS (
+        |  SELECT product_id, platform, username, product_title, seller_id,
+        |    coalesce(price_n, 0.0) AS price,
+        |    coalesce(currency_n, 'USD') AS currency,
+        |    keyword,
+        |    CASE WHEN ok % 3 = 0 THEN (ok * 3) % 10000
+        |         WHEN ok % 3 = 1 THEN CAST(trunc(CAST(
+        |             CAST(ok % 90 AS VARCHAR) || '.' || CAST(ok % 10 AS VARCHAR)
+        |           AS DOUBLE) * 1000) AS BIGINT)
+        |         ELSE 0 END AS sold_count,
+        |    views, likes, comments, shares,
+        |    coalesce(eng_total_n, likes + comments + shares) AS engagement_total,
+        |    round(CAST(coalesce(eng_total_n, likes + comments + shares) AS DOUBLE)
+        |          / greatest(views, 1) * 100.0, 4) AS engagement_rate,
+        |    event_time, event_id
+        |  FROM raw),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY product_id, platform
+        |    ORDER BY event_time DESC, event_id DESC) AS rn
+        |  FROM cleaned)
+        |SELECT product_id, platform, username, product_title, seller_id, price,
+        |       currency, keyword, sold_count, views, likes, comments, shares,
+        |       engagement_total, engagement_rate, event_time
+        |FROM ranked WHERE rn = 1""".stripMargin) { (s, d) =>
+      // silver product cleaning through the real wire format: payload JSON →
+      // EventSchemas.product → cleanProducts (U1 sold_count fallback, guarded
+      // rate with power-of-two view counts so 4dp rounding is exact, latest
+      // per (product_id, platform))
+      val ok = col("o_orderkey")
+      val payload = to_json(struct(
+        lit("tiktok").as("platform"),
+        concat(lit("e"), ok.cast("string")).as("event_id"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("event_time"),
+        concat(lit("u"), (ok % 97).cast("string")).as("username"),
+        concat(lit("pr"), (ok % 200).cast("string")).as("product_id"),
+        concat(lit("title "), (ok % 50).cast("string")).as("product_title"),
+        concat(lit("s"), (ok % 7).cast("string")).as("seller_id"),
+        when(ok % 13 === 0, lit(null).cast("double"))
+          .otherwise((ok % 10000) / 4.0).as("price"),
+        when(ok % 11 === 0, lit(null).cast("string")).otherwise(lit("VND")).as("currency"),
+        concat(lit("k"), (ok % 5).cast("string")).as("keyword"),
+        when(ok % 3 === 0, (ok * 3) % 10000).otherwise(lit(null).cast("long"))
+          .as("sold_count"),
+        when(ok % 3 === 1, concat((ok % 90).cast("string"), lit("."),
+          (ok % 10).cast("string"), lit("K")))
+          .otherwise(lit(null).cast("string")).as("sold_count_raw"),
+        (pow(lit(2.0), (ok % 6).cast("double")) * 100).cast("long").as("video_views"),
+        ((ok * 7) % 1000).as("video_likes"),
+        ((ok * 3) % 500).as("video_comments"),
+        ((ok * 2) % 300).as("video_shares"),
+        when(ok % 17 === 0, lit(999L)).otherwise(lit(null).cast("long"))
+          .as("engagement_total")))
+      val products = Tables.orders(s, d)
+        .select(from_json(payload, graft.streaming.EventSchemas.product).as("data"))
+        .select("data.*")
+      BronzeToSilver.cleanProducts(products).drop("processed_at")
+    },
+
+    QueryDef.sql(
+      "q52_comment_silver",
+      """WITH raw AS (
+        |  SELECT 'tiktok' AS platform,
+        |    'v' || CAST(o_orderkey % 300 AS VARCHAR) AS video_id,
+        |    'https://t/v' || CAST(o_orderkey % 300 AS VARCHAR) AS video_url,
+        |    CASE WHEN o_orderkey % 43 = 0 THEN NULL
+        |         ELSE 'u' || CAST(o_orderkey % 97 AS VARCHAR) END AS username,
+        |    CASE WHEN o_orderkey % 41 = 0 THEN NULL
+        |         ELSE '  ' || o_orderpriority || ' says u' ||
+        |              CAST(o_orderkey % 97 AS VARCHAR) || '  ' END AS comment_text,
+        |    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS event_time,
+        |    'e' || CAST(o_orderkey AS VARCHAR) AS event_id
+        |  FROM orders),
+        |cleaned AS (
+        |  SELECT platform, video_id, video_url, username,
+        |    trim(coalesce(comment_text, '')) AS comment_text,
+        |    event_time, event_id
+        |  FROM raw
+        |  WHERE username IS NOT NULL AND trim(coalesce(comment_text, '')) <> ''),
+        |ranked AS (
+        |  SELECT *, CAST(len(comment_text) AS INTEGER) AS comment_length,
+        |    row_number() OVER (PARTITION BY platform, video_id, username, comment_text
+        |      ORDER BY event_time DESC, event_id DESC) AS rn
+        |  FROM cleaned)
+        |SELECT platform, video_id, video_url, username, comment_text,
+        |       comment_length, event_time
+        |FROM ranked WHERE rn = 1""".stripMargin) { (s, d) =>
+      // silver comment cleaning over the comment wire shape; o_comment is
+      // the dirty-text stand-in
+      val ok = col("o_orderkey")
+      val payload = to_json(struct(
+        lit("tiktok").as("platform"),
+        concat(lit("e"), ok.cast("string")).as("event_id"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("event_time"),
+        concat(lit("v"), (ok % 300).cast("string")).as("video_id"),
+        concat(lit("https://t/v"), (ok % 300).cast("string")).as("video_url"),
+        when(ok % 43 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("u"), (ok % 97).cast("string"))).as("username"),
+        when(ok % 41 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("  "), col("o_orderpriority"), lit(" says u"),
+            (ok % 97).cast("string"), lit("  "))).as("comment_text")))
+      val comments = Tables.orders(s, d)
+        .select(from_json(payload, graft.streaming.EventSchemas.comment).as("data"))
+        .select("data.*")
+      BronzeToSilver.cleanComments(comments).drop("processed_at")
     }
   )
 

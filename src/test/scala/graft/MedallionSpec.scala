@@ -220,4 +220,53 @@ class MedallionSpec extends SparkSpec {
     assert(latest.filter($"product_id" === "p2").head().getAs[String]("scraped_at")
       == "2025-01-03 00:00:00")
   }
+
+  test("silver discovery: latest round wins, defaults coalesced, keyless dropped") {
+    val lines = Seq(
+      """{"event_id":"e1","event_time":"2025-01-01T00:00:00","platform":"tiktok","username":"kol_x","discovered_from":"seed","discovery_score":0.8,"discovery_round":1,"followers":100}""",
+      """{"event_id":"e2","event_time":"2025-01-02T00:00:00","platform":"tiktok","username":"kol_x","discovered_from":"kol_a","discovery_round":2}""",
+      """{"event_id":"e3","event_time":"2025-01-01T00:00:00","platform":"tiktok"}""")
+    val df = lines.toDF("json")
+      .select(from_json($"json", EventSchemas.discovery).as("d")).select("d.*")
+    val out = BronzeToSilver.cleanDiscovery(df)
+    assert(out.count() == 1) // keyless dropped, rounds collapsed
+    val x = out.head()
+    assert(x.getAs[Long]("discovery_round") == 2L) // latest round wins
+    assert(x.getAs[String]("discovered_from") == "kol_a")
+    assert(x.getAs[Long]("followers") == 0L) // absent in winning round → 0
+    assert(x.getAs[Double]("discovery_score") == 0.0)
+    assert(x.getAs[String]("predicted_niche") == "unknown")
+    assert(!x.getAs[Boolean]("verified"))
+  }
+
+  test("silver comments and products: trim/dedupe/U1-fallback discipline") {
+    val comments = Seq(
+      """{"event_id":"c1","event_time":"2025-01-01T00:00:00","platform":"tiktok","video_id":"v1","username":"u1","comment_text":"  nice video  "}""",
+      """{"event_id":"c2","event_time":"2025-01-02T00:00:00","platform":"tiktok","video_id":"v1","username":"u1","comment_text":"nice video"}""",
+      """{"event_id":"c3","event_time":"2025-01-01T00:00:00","platform":"tiktok","video_id":"v1","username":"u2","comment_text":"   "}""",
+      """{"event_id":"c4","event_time":"2025-01-01T00:00:00","platform":"tiktok","video_id":"v2","username":"u3","comment_text":"ok"}""")
+      .toDF("json").select(from_json($"json", EventSchemas.comment).as("d")).select("d.*")
+    val cleanedC = BronzeToSilver.cleanComments(comments)
+    assert(cleanedC.count() == 2) // trimmed dup collapsed, blank dropped
+    val c = cleanedC.filter($"video_id" === "v1").head()
+    assert(c.getAs[String]("comment_text") == "nice video")
+    assert(c.getAs[Int]("comment_length") == 10)
+    assert(c.getAs[String]("event_time") == "2025-01-02T00:00:00") // latest kept
+
+    val products = Seq(
+      """{"event_id":"p1","event_time":"2025-01-01T00:00:00","platform":"tiktok","username":"u1","product_id":"pr1","sold_count_raw":"1.5K","video_views":200,"video_likes":30,"video_comments":10,"video_shares":10}""",
+      """{"event_id":"p2","event_time":"2025-01-02T00:00:00","platform":"tiktok","username":"u1","product_id":"pr1","sold_count":2000,"video_views":400,"video_likes":40,"video_comments":20,"video_shares":20,"price":9.99,"currency":"VND"}""",
+      """{"event_id":"p3","event_time":"2025-01-01T00:00:00","platform":"tiktok","username":"u2"}""")
+      .toDF("json").select(from_json($"json", EventSchemas.product).as("d")).select("d.*")
+    val cleanedP = BronzeToSilver.cleanProducts(products)
+    assert(cleanedP.count() == 1) // keyless dropped, latest per product wins
+    val p = cleanedP.head()
+    assert(p.getAs[Long]("sold_count") == 2000L)
+    assert(p.getAs[Double]("price") == 9.99 && p.getAs[String]("currency") == "VND")
+    assert(p.getAs[Long]("engagement_total") == 80L)
+    assert(p.getAs[Double]("engagement_rate") == 20.0) // 80/400*100
+    // the raw-count fallback path on the superseded row still parses
+    val withRaw = BronzeToSilver.cleanProducts(products.filter($"event_id" === "p1")).head()
+    assert(withRaw.getAs[Long]("sold_count") == 1500L)
+  }
 }
