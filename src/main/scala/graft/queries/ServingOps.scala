@@ -100,6 +100,51 @@ object ServingOps {
         .select(col("event_id"), col("event_type"),
           round(col("value"), 2).as("value"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+    },
+
+    QueryDef.sql(
+      "q53_topk_whitelisted",
+      s"""WITH $dimStandInSql
+         |SELECT username, platform, followers_count, following_count, verified
+         |FROM dim ORDER BY followers_count DESC, username ASC LIMIT 25""".stripMargin) { (s, d) =>
+      // Q6 through the serving layer: whitelisted metric, total order
+      graft.etl.Serving.topK(dimStandIn(s, d), "followers_count", 25)
+    },
+
+    QueryDef.sql(
+      "q54_faceted_search",
+      s"""WITH $dimStandInSql
+         |SELECT username, platform, followers_count, following_count, verified
+         |FROM dim
+         |WHERE username LIKE '%u1%' AND platform = 'tiktok'
+         |  AND followers_count >= 10000 AND followers_count <= 500000
+         |  AND verified = true
+         |ORDER BY followers_count DESC, username ASC LIMIT 30""".stripMargin) { (s, d) =>
+      // Q8 through the serving layer: dynamically assembled facet predicates
+      graft.etl.Serving.facetedSearch(dimStandIn(s, d),
+        q = Some("u1"), platform = Some("tiktok"),
+        minFollowers = Some(10000L), maxFollowers = Some(500000L),
+        verifiedOnly = true, limit = 30)
     }
   )
+
+  /** dim_kol stand-in from customer for the serving-layer oracles. */
+  private def dimStandIn(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.customer(s, d).select(
+      concat(lit("u"), col("c_custkey").cast("string")).as("username"),
+      element_at(array(lit("tiktok"), lit("youtube"), lit("instagram")),
+        (col("c_custkey") % 3).cast("int") + 1).as("platform"),
+      greatest((col("c_acctbal") * 100.0).cast("long"), lit(0L)).as("followers_count"),
+      ((col("c_custkey") % 500) + 1).as("following_count"),
+      (col("c_custkey") % 4 === 0).as("verified"))
+
+  private def dimStandInSql =
+    """dim AS (
+      |  SELECT 'u' || CAST(c_custkey AS VARCHAR) AS username,
+      |    list_extract(['tiktok','youtube','instagram'],
+      |      CAST(c_custkey % 3 AS INTEGER) + 1) AS platform,
+      |    greatest(CAST(trunc(c_acctbal * 100.0) AS BIGINT), 0) AS followers_count,
+      |    (c_custkey % 500) + 1 AS following_count,
+      |    c_custkey % 4 = 0 AS verified
+      |  FROM customer)""".stripMargin
 }

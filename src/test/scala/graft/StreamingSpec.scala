@@ -186,4 +186,27 @@ class StreamingSpec extends SparkSpec {
       assert(rec._2.contains("\"trust_score\":90.0"))
     } finally q.stop()
   }
+
+  test("T10 multi-query app: concurrent streams, awaitAnyTermination") {
+    implicit val ctx = spark.sqlContext
+    spark.streams.resetTerminated()
+    val s1 = MemoryStream[KafkaLike]
+    val s2 = MemoryStream[KafkaLike]
+    val q1 = TrendingStream.pipeline(s1.toDF()).writeStream.outputMode("update")
+      .format("memory").queryName("t10_a").start()
+    val q2 = TrendingStream.pipeline(s2.toDF()).writeStream.outputMode("update")
+      .format("memory").queryName("t10_b").start()
+    try {
+      s1.addData(KafkaLike(videoJson("kol_a", "tiktok", 90, 8, 2, 5000, "x1"), ts("2024-01-01 10:00:10")))
+      s2.addData(KafkaLike(videoJson("kol_b", "youtube", 10, 1, 0, 500, "x2"), ts("2024-01-01 10:00:20")))
+      q1.processAllAvailable()
+      q2.processAllAvailable()
+      assert(spark.table("t10_a").count() > 0 && spark.table("t10_b").count() > 0)
+      val active = spark.streams.active.map(_.id).toSet
+      assert(active.contains(q1.id) && active.contains(q2.id))
+      q1.stop() // one query ends; the app-level wait observes it, q2 survives
+      assert(spark.streams.awaitAnyTermination(30000L))
+      assert(!q1.isActive && q2.isActive)
+    } finally { q1.stop(); q2.stop() }
+  }
 }
