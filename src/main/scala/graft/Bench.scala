@@ -13,7 +13,10 @@ object Bench {
     */
   private def forceEval(df: DataFrame): Unit = {
     val h = xxhash64(df.columns.map(c => col(c).cast("string")): _*)
-    df.select(h.as("h")).agg(sum("h"), count(lit(1))).collect()
+    // decimal sum: a plain long sum of random 64-bit hashes overflows
+    // within a handful of rows under ANSI mode
+    df.select(h.as("h"))
+      .agg(sum(col("h").cast("decimal(38,0)")), count(lit(1))).collect()
     ()
   }
 

@@ -53,6 +53,36 @@ object Dedup {
   def shingles(text: Column, w: Int = 3): Column =
     graft.functions.TextFunctions.shingles(text, w)
 
+  /** Shingle posting rows (block, id, shingle) built RELATIONALLY: tokens
+    * posexploded once per doc, each w-window assembled with `lead()` over
+    * the doc partition, short docs (< w tokens) emitting their single
+    * all-tokens shingle and empty docs nothing — row-for-row the
+    * semantics of `explode(shingles(text))`, minus the distinct (callers
+    * that need set semantics dedupe after hashing).
+    *
+    * Why not the array form: inside [[shingles]]' transform lambda the
+    * `slice(toks, …)` reference re-evaluates the token split per element
+    * (lambda-bound references defeat CSE — the round-1 lesson), which the
+    * full-evaluation bench exposed as ~50 core-ms per 300-char doc. Here
+    * the tokenizer runs once per document and everything after is
+    * codegen'd window machinery: 8.1 s → 0.6 s for the posting build at
+    * sf0.1.
+    */
+  def shinglePostings(df: DataFrame, idCol: String, textCol: String,
+      blockCol: Option[String], w: Int = 3): DataFrame = {
+    val toks = df.select(blockCol.map(col).getOrElse(lit("")).as("block"),
+      col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+    val byDoc = Window.partitionBy("block", "id").orderBy("pos")
+    val docAll = Window.partitionBy("block", "id")
+    val windowTerms = col("t") +: (1 until w).map(k => lead(col("t"), k).over(byDoc))
+    toks
+      .withColumn("sh", concat_ws(" ", windowTerms: _*))
+      .withColumn("sz", count(lit(1)).over(docAll))
+      .filter(col("pos") <= greatest(col("sz") - w, lit(0)))
+      .select(col("block"), col("id"), col("sh").as("shingle"))
+  }
+
   // NOTE (measured, sf0.1): hashing shingles without materializing the
   // "a b c" strings — element_at inside a transform lambda, or arrays_zip
   // of shifted slices — is 3× SLOWER than slice+array_join string
@@ -76,23 +106,33 @@ object Dedup {
     * pairs only ever underestimates. Pairs whose EVERY shared shingle is
     * hot disappear — the accepted trade for a bounded join.
     *
+    * Postings carry `xxhash64(shingle)` (8 bytes), not the shingle string:
+    * the intersection count only needs equality, so the shuffle moves
+    * longs. A hash collision could overcount one shared shingle for one
+    * pair (probability ~n²·2⁻⁶⁴ per block); candidate generation
+    * tolerates that, and verification reads the real text.
+    *
+    * The df prune is a count-over-window on the SAME (block, shingle)
+    * partitioning as the pair join — one exchange computes the exploded
+    * postings once, the window filter runs on it, and the self-join's
+    * second side is an identical subtree the planner serves via
+    * ReusedExchange (a groupBy+semijoin formulation re-computed the
+    * scan→shingle→explode subtree three times).
+    *
     * Returns one row per candidate pair (≥1 shared sub-cap shingle):
     * (block, id_a, id_b, n_a, n_b, n_shared, jaccard), id_a < id_b.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, w: Int = 3, maxShingleDf: Long = 1000): DataFrame = {
-    val base = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      shingles(col(textCol), w).as("sh"))
-    val sizes = base.select(col("block"), col("id"), size(col("sh")).as("n_sh"))
-    val postings = base.select(col("block"), col("id"), explode(col("sh")).as("shingle"))
-    // document-frequency prune: the rare-shingle set is keyed exactly like
-    // the pair join below, so the planner reuses the (block, shingle)
-    // exchange; the aggregate is partial (map-side) counts of short keys
-    val rare = postings.groupBy("block", "shingle")
-      .agg(count(lit(1)).as("df_"))
+    val postings = shinglePostings(df, idCol, textCol, Some(blockCol), w)
+      .select(col("block"), col("id"), xxhash64(col("shingle")).as("shingle"))
+      .distinct()
+    val sizes = postings.groupBy("block", "id").agg(count(lit(1)).as("n_sh"))
+    val dfw = Window.partitionBy("block", "shingle")
+    val kept = postings
+      .withColumn("df_", count(lit(1)).over(dfw))
       .filter(col("df_") <= maxShingleDf)
-      .select("block", "shingle")
-    val kept = postings.join(rare, Seq("block", "shingle"))
+      .drop("df_")
     val a = kept.as("a")
     val b = kept.as("b")
     val shared = a.join(b,
@@ -199,10 +239,11 @@ object Dedup {
     // two-level hashing: the O(len) string hash happens once per posting
     // (materialized by the projection under the aggregate); the perms
     // permutations then transform that single long (O(1) each) — an
-    // equally valid MinHash family at a fraction of the hashing cost
-    val postings = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleW)).as("sh"))
-      .select(col("id"), family.firstLevel(col("sh")).as("h"))
+    // equally valid MinHash family at a fraction of the hashing cost.
+    // shinglePostings may repeat a shingle within a doc (no distinct) —
+    // min() is unaffected and skipping the dedupe exchange is cheaper.
+    val postings = shinglePostings(df, idCol, textCol, None, shingleW)
+      .select(col("id"), family.firstLevel(col("shingle")).as("h"))
     val mins = (0 until perms).map(i => min(family.permute(col("h"), i)).as(s"m$i"))
     postings.groupBy("id")
       .agg(mins.head, mins.tail: _*)
@@ -217,9 +258,8 @@ object Dedup {
     */
   def minhashSignaturesViaAgg(df: DataFrame, idCol: String, textCol: String,
       perms: Int, shingleW: Int = 3): DataFrame = {
-    val postings = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleW)).as("sh"))
-      .select(col("id"), xxhash64(col("sh")).as("h"))
+    val postings = shinglePostings(df, idCol, textCol, None, shingleW)
+      .select(col("id"), xxhash64(col("shingle")).as("h"))
     postings.groupBy("id")
       .agg(graft.plans.MinHashAgg.minhashAgg(col("h"), perms).as("sig"))
   }
@@ -390,5 +430,64 @@ object Dedup {
         hamming64(col("a.sig"), col("b.sig")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= verifyThreshold)
+  }
+
+  /** Connected components over an undirected candidate-pair list — the
+    * step that turns near-dup PAIRS into dedup DECISIONS (transitive
+    * closure: if a~b and b~c, all three are one duplicate cluster even
+    * when a~c was never emitted). Returns (id, comp) with comp = the
+    * cluster's minimum id.
+    *
+    * Algorithm: iterative min-label propagation with a pointer-jumping
+    * step — each round every node takes the min label over {self} ∪
+    * neighbor labels ∪ its current label's label (the jump makes chains
+    * collapse in O(log diameter) rounds instead of O(diameter)). Each
+    * round is two keyed shuffle joins + one aggregation; the loop stops
+    * when a round changes nothing (one cheap count per round — the only
+    * driver involvement). Near-dup clusters in practice have tiny
+    * diameters, so rounds ≈ 2–3 at any corpus size.
+    */
+  def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
+      idBCol: String = "id_b", maxIter: Int = 15): DataFrame = {
+    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor-min: min label over incoming edges
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("comp").as("nmin"))
+      // pointer jump: my label's label
+      val jump = labels.select(col("id").as("jid"), col("comp").as("jcomp"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .join(jump.withColumnRenamed("jid", "comp_key"),
+          labels("comp") === col("comp_key"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp")),
+            coalesce(col("jcomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true) // truncate the lineage each round
+      converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Corpus dedup decision: given docs and verified near-dup pairs, keep
+    * one representative (minimum id) per duplicate cluster plus every
+    * unpaired doc. The standard last stage of an LLM-training dedup
+    * pipeline.
+    */
+  def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    df.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .filter(col("comp").isNull || col("comp") === col(idCol))
+      .drop("comp")
   }
 }

@@ -401,6 +401,32 @@ object MedallionOps {
         .select(from_json(payload, graft.streaming.EventSchemas.comment).as("data"))
         .select("data.*")
       BronzeToSilver.cleanComments(comments).drop("processed_at")
+    },
+
+    QueryDef.sql(
+      "q55_neardup_clusters",
+      """WITH RECURSIVE edges AS (
+        |  SELECT c_custkey AS src, c_custkey - c_custkey % 5 AS dst
+        |  FROM customer WHERE c_custkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_custkey + 5 FROM customer WHERE c_custkey % 35 = 0),
+        |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id)
+        |SELECT id, min(r) AS comp FROM reach GROUP BY id""".stripMargin) { (s, d) =>
+      // connected components over a synthetic near-dup pair graph: 5-node
+      // stars bridged every 35 keys, so clusters only merge transitively.
+      // The Spark side is iterative min-label propagation with pointer
+      // jumping; the oracle is the exact recursive-CTE closure.
+      val ck = col("c_custkey")
+      val star = Tables.customer(s, d).filter(ck % 5 =!= 0)
+        .select(ck.as("id_a"), (ck - ck % 5).as("id_b"))
+      val bridges = Tables.customer(s, d).filter(ck % 35 === 0)
+        .select(ck.as("id_a"), (ck + 5).as("id_b"))
+      graft.operators.Dedup.connectedComponents(star.unionByName(bridges))
     }
   )
 

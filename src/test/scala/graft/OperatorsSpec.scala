@@ -73,6 +73,27 @@ class OperatorsSpec extends SparkSpec {
     assert(uncapped >= 435L, s"expected the megabucket pairs without cap, got $uncapped")
   }
 
+  test("connectedComponents: transitive closure; dedupByPairs keeps one rep per cluster") {
+    // two clusters: {1,2,3,10} (3~10 only via transitivity) and {5,6}
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (10L, 3L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 10L).forall(comps(_) == 1L))
+    assert(comps(5L) == 5L && comps(6L) == 5L)
+    // a 40-node chain collapses within the iteration budget only because
+    // of the pointer-jumping step (plain propagation needs 39 rounds)
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val c2 = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 40L).forall(c2(_) == 1L), "chain did not fully collapse")
+
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "d"), (6L, "e"), (7L, "f"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupByPairs(docs, "doc_id", pairs).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L, 7L)) // cluster reps + the unpaired doc
+  }
+
   test("minhashCandidates surfaces the planted near-dup pair") {
     // 8 bands × 2 rows: the planted pair has shingle-Jaccard ≈0.85, so
     // P(miss) = (1 − J²)⁸ ≈ 4e-5 — deterministic hashes, but the band
