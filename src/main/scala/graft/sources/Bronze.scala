@@ -106,6 +106,21 @@ object Bronze {
     (good, bad)
   }
 
+  /** Bucketed table write — the 100 TB co-location tool: two tables
+    * bucketed AND sorted the same way on the join key sort-merge-join with
+    * zero exchange and zero sort (BucketingSpec asserts the plan). The
+    * reference has no analogue (its joins shuffle every run); at scale,
+    * bucketing the silver tables on (kol/platform or doc id) converts
+    * every recurring gold-build join into a local merge.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      bucketCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** K8: DDL built from a StructType (`StructType.toDDL`), executed via
     * `spark.sql` — the reference's CREATE TABLE IF NOT EXISTS flow
     * (`kafka_to_bronze_tiktok.py:180-220` builds Iceberg DDL from the
