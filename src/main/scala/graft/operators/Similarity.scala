@@ -76,24 +76,70 @@ object Similarity {
         lit(cid).as("cid"))
     }: _*)
 
-  /** IVF-style ANN: a coarse quantizer of `nCentroids` deterministically
-    * sampled vectors partitions the corpus into cells; queries probe the
-    * `nProbe` nearest cells and only score candidates there. Better recall
-    * than sign-bit LSH when the data is clustered; the corpus is shuffled
-    * exactly once (on the candidates join key) — assignment is a pure
-    * per-row argmin over plan-time literal centroids.
+  /** Deterministic coarse-quantizer init: `nCentroids` pseudo-randomly
+    * sampled corpus vectors (hash-ordered — no RNG state), collected once
+    * to the driver. The model is driver-sized by definition.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    // the model: nCentroids deterministically pseudo-randomly sampled
-    // vectors, collected once to the driver and baked into the plan
-    val cents: Seq[(Long, Array[Float])] = corpus
+  def sampleCentroids(corpus: DataFrame, nCentroids: Int): Seq[(Long, Array[Float])] =
+    corpus
       .select(col("id"), col("embedding"))
       .orderBy(xxhash64(col("id")).asc)
       .limit(nCentroids)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .toSeq
+
+  /** Lloyd refinement of the coarse quantizer: each round assigns every
+    * vector to its nearest centroid (pure-projection literal argmin — no
+    * shuffle) and recomputes per-cell means with ONE aggregation keyed on
+    * (cell, dim-position); only k·dim averages come back to the driver per
+    * round. Empty cells keep their previous centroid. The k-means
+    * objective (within-cluster sum of squares) is non-increasing per
+    * round — the spec asserts exactly that invariant.
+    */
+  def kmeansRefine(corpus: DataFrame, init: Seq[(Long, Array[Float])],
+      iters: Int): Seq[(Long, Array[Float])] = {
+    var cs = init
+    for (_ <- 0 until iters) {
+      val means = corpus
+        .select(col("embedding"),
+          array_min(centroidRanks(cs, col("embedding"))).getField("cid").as("cell"))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(avg("x").as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+        }
+      cs = cs.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    cs
+  }
+
+  /** Mean squared distance to the assigned centroid — the k-means
+    * objective, for convergence checks and quantizer quality monitoring.
+    */
+  def quantizerMse(corpus: DataFrame, cents: Seq[(Long, Array[Float])]): Double =
+    corpus
+      .select(array_min(centroidRanks(cents, col("embedding"))).getField("d").as("d"),
+        VectorExpressions.dotNative(col("embedding"), col("embedding")).as("xx"))
+      // centroidRanks.d = ‖c‖² − 2·x·c, so true ‖x−c‖² = d + ‖x‖²
+      .agg(avg(col("d") + col("xx")))
+      .head().getDouble(0)
+
+  /** IVF-style ANN: a coarse quantizer of `nCentroids` deterministically
+    * sampled vectors (optionally Lloyd-refined with `refineIters` rounds)
+    * partitions the corpus into cells; queries probe the `nProbe` nearest
+    * cells and only score candidates there. Better recall than sign-bit
+    * LSH when the data is clustered; the corpus is shuffled exactly once
+    * (on the candidates join key) — assignment is a pure per-row argmin
+    * over plan-time literal centroids.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, refineIters: Int = 0): DataFrame = {
+    val cents0 = sampleCentroids(corpus, nCentroids)
+    val cents = if (refineIters > 0) kmeansRefine(corpus, cents0, refineIters) else cents0
     val assigned = corpus.select(
       col("id").as("nid"), col("embedding").as("ne"),
       array_min(centroidRanks(cents, col("embedding"))).getField("cid").as("cell"))

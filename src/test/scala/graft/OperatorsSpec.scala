@@ -73,6 +73,23 @@ class OperatorsSpec extends SparkSpec {
     assert(uncapped >= 435L, s"expected the megabucket pairs without cap, got $uncapped")
   }
 
+  test("e2e dedup: LSH candidates → jaccard verify → cluster → keep reps") {
+    // {1,2,3} are a transitive near-dup chain; {10,11} exact copies; 20 unique
+    val docs = Seq(
+      (1L, docA, "s"), (2L, docANear, "s"), (3L, docA + " extra trailing words", "s"),
+      (10L, docB, "s"), (11L, docB, "s"), (20L, "a totally unrelated short note", "s"))
+      .toDF("doc_id", "text", "source")
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+      bands = 8, rowsPerBand = 2).select("id_a", "id_b")
+    // verify candidates with true jaccard, keep >= 0.5
+    val verified = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source")
+      .filter($"jaccard" >= 0.5).select("id_a", "id_b")
+      .intersect(cands)
+    val kept = Dedup.dedupByPairs(docs, "doc_id", verified)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 20L), s"got $kept")
+  }
+
   test("connectedComponents: transitive closure; dedupByPairs keeps one rep per cluster") {
     // two clusters: {1,2,3,10} (3~10 only via transitivity) and {5,6}
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (10L, 3L)).toDF("id_a", "id_b")

@@ -81,6 +81,32 @@ class SkewAndIvfSpec extends SparkSpec {
     assert(ivfRecall > 0.85, s"ivf recall $ivfRecall unexpectedly low")
   }
 
+  test("kmeansRefine: Lloyd rounds never increase the quantizer MSE") {
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(4)(Array.fill(16)(rng.nextFloat() * 2 - 1))
+    val vecs = (0L until 400L).map { i =>
+      val c = centers((i % 4).toInt)
+      i -> c.map(x => x + (rng.nextFloat() - 0.5f) * 0.3f)
+    }
+    val df = vecs.toDF("id", "embedding").cache()
+    val init = Similarity.sampleCentroids(df, 6)
+    val mse0 = Similarity.quantizerMse(df, init)
+    val r1 = Similarity.kmeansRefine(df, init, 1)
+    val mse1 = Similarity.quantizerMse(df, r1)
+    val r3 = Similarity.kmeansRefine(df, init, 3)
+    val mse3 = Similarity.quantizerMse(df, r3)
+    assert(mse1 <= mse0 + 1e-9, s"one Lloyd round increased MSE: $mse0 -> $mse1")
+    assert(mse3 <= mse1 + 1e-9, s"more rounds increased MSE: $mse1 -> $mse3")
+    assert(mse3 < mse0 * 0.9, s"refinement barely moved: $mse0 -> $mse3")
+    // the refined quantizer still serves ANN correctly end to end
+    val queries = df.filter($"id" < 10)
+    val exact = Similarity.bruteForceTopK(queries, df, 5).select("qid", "nid")
+    val ivf = Similarity.ivfTopK(queries, df, 5, nCentroids = 6, nProbe = 3,
+      refineIters = 2).select("qid", "nid")
+    val recall = exact.intersect(ivf).count() / exact.count().toDouble
+    assert(recall > 0.8, s"refined-quantizer recall $recall")
+  }
+
   test("ivfTopK plan: assignment is a pure projection — one window, no assignment shuffle") {
     val rng = new scala.util.Random(11)
     val vecs = (0L until 300L).map(i => i -> Array.fill(16)(rng.nextFloat() - 0.5f))
