@@ -49,6 +49,40 @@ class RecoverySpec extends SparkSpec {
     assert(recovered.get.velocity == 600.0)
   }
 
+  test("T6+ state survives restart under RocksDB state store (100 TB backend)") {
+    // HDFS-backed state is executor-heap-bound; RocksDB is the production
+    // store for large keyed state. Same recovery contract must hold.
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val checkpoint = Files.createTempDirectory("ckpt-rocks").toString
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[StatefulVelocity.VelocityOut]()
+      val source = MemoryStream[StatefulVelocity.KeyedMetric]
+      def run(): Unit = {
+        val q = StatefulVelocity.velocityStream(source.toDS(), stateTtlMs = None)
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", checkpoint)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[StatefulVelocity.VelocityOut], _: Long) =>
+            batch.collect().foreach(results.add)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(60000)
+      }
+      source.addData(StatefulVelocity.KeyedMetric("k1", 500.0, 1L))
+      run()
+      source.addData(StatefulVelocity.KeyedMetric("k1", 900.0, 2L))
+      run()
+      val recovered = results.toArray(Array.empty[StatefulVelocity.VelocityOut])
+        .find(_.metric == 900.0)
+      assert(recovered.isDefined && recovered.get.prev == 500.0,
+        s"RocksDB state not recovered: $results")
+      assert(recovered.get.velocity == 400.0)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("K8 DDL registration: StructType -> CREATE TABLE -> queryable") {
     val loc = Files.createTempDirectory("tbl").toString
     val df = Seq(("kol_a", "tiktok", "videos", "{}", "2025-01-01")).toDF(
