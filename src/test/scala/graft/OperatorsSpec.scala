@@ -73,6 +73,22 @@ class OperatorsSpec extends SparkSpec {
     assert(uncapped >= 435L, s"expected the megabucket pairs without cap, got $uncapped")
   }
 
+  test("approximate sketches: HLL distinct and approx percentile within bounds") {
+    // SURVEY §7.2.6 — the 100 TB substitutes for exact distinct/percentile.
+    // Sketch estimates differ per engine, so these are bound-checked
+    // against the exact answers rather than oracle-hashed.
+    val ev = Tables.events(spark, sf())
+    val exact = ev.agg(countDistinct("user_id")).head().getLong(0)
+    val approx = ev.agg(approx_count_distinct("user_id", 0.02)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"HLL estimate $approx too far from exact $exact")
+    val pApprox = ev.agg(expr("percentile_approx(value, 0.5, 1000)")).head().getDouble(0)
+    val pExact = ev.agg(expr("percentile(value, 0.5)")).head().getDouble(0)
+    val spread = ev.agg(expr("max(value) - min(value)")).head().getDouble(0)
+    assert(math.abs(pApprox - pExact) <= spread * 0.02,
+      s"approx median $pApprox vs exact $pExact (spread $spread)")
+  }
+
   test("e2e dedup: LSH candidates → jaccard verify → cluster → keep reps") {
     // {1,2,3} are a transitive near-dup chain; {10,11} exact copies; 20 unique
     val docs = Seq(
