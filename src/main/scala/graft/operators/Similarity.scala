@@ -89,6 +89,19 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .toSeq
 
+  /** [[sampleCentroids]] with an md5-based pseudo-random order — same
+    * determinism, but reproducible by any engine with md5 (the q56 IVF
+    * oracle recomputes the identical centroid set in SQL).
+    */
+  def sampleCentroidsPortable(corpus: DataFrame, nCentroids: Int): Seq[(Long, Array[Float])] =
+    corpus
+      .select(col("id"), col("embedding"))
+      .orderBy(md5(col("id").cast("string")).asc, col("id").asc)
+      .limit(nCentroids)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq
+
   /** Lloyd refinement of the coarse quantizer: each round assigns every
     * vector to its nearest centroid (pure-projection literal argmin — no
     * shuffle) and recomputes per-cell means with ONE aggregation keyed on
@@ -137,8 +150,9 @@ object Similarity {
     * over plan-time literal centroids.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4, refineIters: Int = 0): DataFrame = {
-    val cents0 = sampleCentroids(corpus, nCentroids)
+      nCentroids: Int = 16, nProbe: Int = 4, refineIters: Int = 0,
+      centroids: Option[Seq[(Long, Array[Float])]] = None): DataFrame = {
+    val cents0 = centroids.getOrElse(sampleCentroids(corpus, nCentroids))
     val cents = if (refineIters > 0) kmeansRefine(corpus, cents0, refineIters) else cents0
     val assigned = corpus.select(
       col("id").as("nid"), col("embedding").as("ne"),

@@ -99,6 +99,51 @@ object VectorOps {
     QueryDef.sql("q40_multimodal_features", q40Sql) { (s, d) =>
       graft.operators.Multimodal.featureStats(
         graft.operators.Multimodal.fromDocuments(Tables.documents(s, d)))
+    },
+
+    QueryDef.sql(
+      "q56_ivf_ann",
+      """WITH c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+        |          FROM embeddings
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 12),
+        |assign AS (
+        |  SELECT nid, ne, cid,
+        |    list_dot_product(ce, ce) - 2 * list_dot_product(ne, ce) AS dist
+        |  FROM c CROSS JOIN cents),
+        |cells AS (
+        |  SELECT nid, ne, cid AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY nid ORDER BY dist, cid) AS rn
+        |    FROM assign) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |      FROM embeddings WHERE vec_id < 10),
+        |qassign AS (
+        |  SELECT qid, qe, cid,
+        |    list_dot_product(ce, ce) - 2 * list_dot_product(qe, ce) AS dist
+        |  FROM q CROSS JOIN cents),
+        |probes AS (
+        |  SELECT qid, qe, cid AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+        |    FROM qassign) WHERE rn <= 3),
+        |scored AS (
+        |  SELECT qid, probes.cell AS cell, nid, list_cosine_similarity(qe, ne) AS cos
+        |  FROM probes JOIN cells ON probes.cell = cells.cell WHERE qid <> nid),
+        |ranked AS (
+        |  SELECT qid, cell, nid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        |  FROM scored)
+        |SELECT qid, cell, nid, floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine, rank
+        |FROM ranked WHERE rank <= 3""".stripMargin) { (s, d) =>
+      // full-oracle IVF: md5-sampled centroids are recomputable by any
+      // engine; cell assignment is ‖c‖²−2·x·c argmin (the same expansion
+      // baked into centroidRanks, so literal norms and plan-time dot
+      // products reproduce bit-for-bit against DuckDB's DOUBLE[] ops)
+      val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding"))
+      val cents = Similarity.sampleCentroidsPortable(emb, 12)
+      Similarity.ivfTopK(emb.filter(col("id") < 10), emb, k = 3,
+        nProbe = 3, centroids = Some(cents))
+        .select(col("qid"), col("cell"), col("nid"),
+          round4hu(col("cosine")).as("cosine"), col("rank"))
     }
   )
 }
