@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Everything keys on a hash of the record id, never an RNG: assignments
+  * are reproducible across engines, reruns, cluster sizes, and
+  * repartitioning (Spark's `sample`/`randomSplit` are none of those —
+  * seed + partition layout dependent). The bucket function is the
+  * md5-prefix form any engine can recompute, so splits and mixes are
+  * oracle-checkable.
+  */
+object Sampling {
+
+  /** Engine-portable deterministic bucket in [0, buckets): first 8 md5
+    * hex chars of the id as a long.
+    */
+  def hashBucket(id: Column, buckets: Int = 100): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Reproducible train/val/test assignment by id hash. */
+  def splitLabel(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = hashBucket(id, 100)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Deterministic source mixing toward target weights: every source's
+    * keep-fraction is scaled so the binding (most over-weighted relative
+    * to its volume) source keeps 100% and the kept mix matches `weights`
+    * in expectation. Membership is the id hash against a per-source
+    * threshold — one tiny count aggregate, then a narrow filter pass, no
+    * sampling shuffle. All sources in `weights` must be present.
+    */
+  def mixBySource(df: DataFrame, sourceCol: String, idCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    val inScope = df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+    val counts = inScope.groupBy(sourceCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(weights.keySet.subsetOf(counts.keySet),
+      s"missing sources: ${weights.keySet -- counts.keySet}")
+    val c = weights.map { case (s, w) => counts(s) / w }.min
+    val thresholds = weights.map { case (s, w) =>
+      s -> math.floor(c * w / counts(s) * 1000000).toLong
+    }
+    val thrCol = weights.keys.foldLeft(lit(-1L)) { (acc, s) =>
+      when(col(sourceCol) === s, lit(thresholds(s))).otherwise(acc)
+    }
+    inScope.filter(hashBucket(col(idCol), 1000000) < thrCol)
+  }
+}

@@ -427,6 +427,51 @@ object MedallionOps {
       val bridges = Tables.customer(s, d).filter(ck % 35 === 0)
         .select(ck.as("id_a"), (ck + 5).as("id_b"))
       graft.operators.Dedup.connectedComponents(star.unionByName(bridges))
+    },
+
+    QueryDef.sql(
+      "q57_train_split",
+      """WITH b AS (
+        |  SELECT source,
+        |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 100 AS bkt
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test'
+        |  END AS split,
+        |  count(*) AS n
+        |FROM b GROUP BY source, split""".stripMargin) { (s, d) =>
+      // reproducible train/val/test membership by id hash — no RNG, no
+      // partition-layout dependence, recomputable by any engine with md5
+      Tables.documents(s, d)
+        .groupBy(col("source"),
+          graft.operators.Sampling.splitLabel(col("doc_id")).as("split"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    QueryDef.sql(
+      "q58_source_mix",
+      """WITH weights(source, wt) AS (VALUES
+        |    ('src0', CAST(0.6 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+        |    ('src2', CAST(0.1 AS DOUBLE))),
+        |counts AS (
+        |  SELECT d.source, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents d JOIN weights USING (source) GROUP BY d.source),
+        |cmin AS (SELECT min(n / wt) AS c FROM counts JOIN weights USING (source)),
+        |thr AS (
+        |  SELECT w.source, CAST(floor(c * wt / n * 1000000) AS BIGINT) AS t
+        |  FROM weights w JOIN counts USING (source) CROSS JOIN cmin),
+        |kept AS (
+        |  SELECT d.source FROM documents d JOIN thr ON d.source = thr.source
+        |  WHERE CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |          % 1000000 < thr.t)
+        |SELECT source, count(*) AS n_kept FROM kept GROUP BY source""".stripMargin) { (s, d) =>
+      // deterministic mixing toward a 0.6/0.3/0.1 target over three
+      // sources; thresholds derive from the same double arithmetic on
+      // both engines, membership from the md5 bucket
+      graft.operators.Sampling.mixBySource(Tables.documents(s, d),
+        "source", "doc_id", Map("src0" -> 0.6, "src1" -> 0.3, "src2" -> 0.1))
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
     }
   )
 

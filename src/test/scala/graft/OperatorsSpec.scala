@@ -73,6 +73,28 @@ class OperatorsSpec extends SparkSpec {
     assert(uncapped >= 435L, s"expected the megabucket pairs without cap, got $uncapped")
   }
 
+  test("hash sampling: stable splits, expected proportions, weighted mix") {
+    import graft.operators.Sampling
+    val ids = (1L to 10000L).map(i => (i, s"src${i % 4}")).toDF("id", "source")
+    val labeled = ids.withColumn("split", Sampling.splitLabel($"id")).cache()
+    val bySplit = labeled.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(bySplit("train") - 8000L) < 300, s"train ${bySplit("train")}")
+    assert(math.abs(bySplit("val") - 1000L) < 150 && math.abs(bySplit("test") - 1000L) < 150)
+    // determinism: identical assignment on recompute
+    assert(labeled.select("id", "split").except(
+      ids.withColumn("split", Sampling.splitLabel($"id")).select("id", "split")).isEmpty)
+
+    val mixed = Sampling.mixBySource(ids, "source", "id",
+      Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
+    val kept = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // src0 binds (keeps ~100%); others keep ~half → mix ≈ 2:1:1
+    assert(kept("src0") > 2300)
+    assert(math.abs(kept("src1") - kept("src0") / 2.0) < 200, s"got $kept")
+    assert(math.abs(kept("src2") - kept("src0") / 2.0) < 200, s"got $kept")
+  }
+
   test("approximate sketches: HLL distinct and approx percentile within bounds") {
     // SURVEY §7.2.6 — the 100 TB substitutes for exact distinct/percentile.
     // Sketch estimates differ per engine, so these are bound-checked
