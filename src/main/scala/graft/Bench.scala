@@ -33,6 +33,10 @@ object Bench {
       }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // collect OUTSIDE the timed window: on a large heap a major GC pause
+      // otherwise lands mid-query on whichever one draws the short straw,
+      // spiking a random per-query number 3-4x run-over-run
+      System.gc()
       val t0 = System.nanoTime()
       try forceEval(fn(spark, sfDir)) catch {
         case e: Throwable =>

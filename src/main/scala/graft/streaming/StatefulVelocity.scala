@@ -64,6 +64,51 @@ object StatefulVelocity {
       }
   }
 
+  /** [[velocityStream]] on Spark 4's `transformWithState` — the modern
+    * arbitrary-state API. Differences that matter at scale:
+    *
+    *  - TTL is a per-value property of the state ([[TTLConfig]]), enforced
+    *    silently by the state store — exactly the reference's Redis-TTL
+    *    semantics, with no ProcessingTimeTimeout machinery, no continuous
+    *    no-data micro-batches, and no synthetic expiry rows.
+    *  - requires the RocksDB state-store provider (the large-state
+    *    backend; see RecoverySpec's RocksDB test).
+    */
+  class VelocityProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, KeyedMetric, VelocityOut] {
+    @transient private var prev: org.apache.spark.sql.streaming.ValueState[Double] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      prev = getHandle.getValueState[Double]("prev",
+        org.apache.spark.sql.Encoders.scalaDouble,
+        if (ttl == null) org.apache.spark.sql.streaming.TTLConfig.NONE
+        else org.apache.spark.sql.streaming.TTLConfig(ttl))
+    override def handleInputRows(key: String, rows: Iterator[KeyedMetric],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[VelocityOut] = {
+      val cur = rows.maxBy(_.eventTimeMs).metric
+      val p = if (prev.exists()) prev.get() else cur
+      prev.update(cur)
+      Iterator.single(VelocityOut(key, cur, p,
+        math.max(0.0, cur - p), if (p > 0) (cur - p) / p else 0.0))
+    }
+  }
+
+  def velocityStreamTws(input: Dataset[KeyedMetric],
+      ttl: Option[java.time.Duration] = Some(java.time.Duration.ofMillis(StateTtlMs)))
+      : Dataset[VelocityOut] = {
+    import input.sparkSession.implicits._
+    // TTL'd state requires ProcessingTime mode; unlike the old
+    // ProcessingTimeTimeout, it does NOT schedule continuous no-data
+    // batches — bounded drives terminate normally
+    val timeMode =
+      if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    input
+      .groupByKey(_.key)
+      .transformWithState(new VelocityProcessor(ttl.orNull), timeMode, OutputMode.Update())
+  }
+
   /** Batch twin of [[velocityStream]] over an ordered history — same
     * velocity definition via `lag`, used by the oracle-checked q28.
     */

@@ -83,6 +83,38 @@ class RecoverySpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("T7 on transformWithState: native-TTL value state, recovery, RocksDB") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val checkpoint = Files.createTempDirectory("ckpt-tws").toString
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[StatefulVelocity.VelocityOut]()
+      val source = MemoryStream[StatefulVelocity.KeyedMetric]
+      def run(): Unit = {
+        val q = StatefulVelocity.velocityStreamTws(source.toDS())
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", checkpoint)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[StatefulVelocity.VelocityOut], _: Long) =>
+            batch.collect().foreach(results.add)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(60000)
+      }
+      source.addData(StatefulVelocity.KeyedMetric("k1", 100.0, 1L))
+      run() // first sighting: prev = cur → velocity 0
+      source.addData(StatefulVelocity.KeyedMetric("k1", 250.0, 2L))
+      run() // restarted query object: ValueState must survive
+      val out = results.toArray(Array.empty[StatefulVelocity.VelocityOut])
+      assert(out.exists(r => r.metric == 100.0 && r.velocity == 0.0), s"got $out")
+      val second = out.find(_.metric == 250.0)
+      assert(second.isDefined && second.get.prev == 100.0 && second.get.velocity == 150.0,
+        s"TWS state not recovered: $out")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("K8 DDL registration: StructType -> CREATE TABLE -> queryable") {
     val loc = Files.createTempDirectory("tbl").toString
     val df = Seq(("kol_a", "tiktok", "videos", "{}", "2025-01-01")).toDF(
