@@ -67,9 +67,17 @@ object VectorFunctions {
   /** Random-hyperplane LSH bucket id from `nPlanes` sign bits. `dim` is the
     * (fixed, known) embedding width — literal planes are built for it at
     * plan time.
+    *
+    * Fails fast on a width mismatch: without the guard, the literal-weight
+    * dot is NULL for every row, every sign bit silently falls to 0, and
+    * all rows share bucket 0 — turning the "LSH" join into a full cross
+    * product with no error anywhere.
     */
-  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column =
-    (0 until nPlanes).map(p => hyperplaneBit(vec, p, dim) * (1 << p)).reduce(_ + _)
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
+    val bucket = (0 until nPlanes).map(p => hyperplaneBit(vec, p, dim) * (1 << p)).reduce(_ + _)
+    when(assert_true(size(vec) === dim,
+      lit(s"lshBucket: embedding width must be $dim")).isNull, bucket)
+  }
 
   /** DuckDB twin of [[lshBucket]] over a DOUBLE[] expression `v`: the same
     * literal weights interpolated into SQL. Kept next to the Spark form so

@@ -454,6 +454,13 @@ object Dedup {
       .distinct()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
+    val sc = pairs.sparkSession.sparkContext
+    // Dataset.unpersist does not free localCheckpoint blocks (they are not
+    // cache-manager entries) — track the RDD ids each eager checkpoint
+    // creates and unpersist the previous round's explicitly, otherwise up
+    // to maxIter node-sized label sets pin executor storage until driver
+    // GC happens to trigger the ContextCleaner.
+    var prevCkptIds: Set[Int] = Set.empty
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -463,6 +470,7 @@ object Dedup {
         .groupBy(col("dst").as("id")).agg(min("comp").as("nmin"))
       // pointer jump: my label's label
       val jump = labels.select(col("id").as("jid"), col("comp").as("jcomp"))
+      val beforeIds = sc.getPersistentRDDs.keySet.toSet
       val next = labels
         .join(neighborMin, Seq("id"), "left")
         .join(jump.withColumnRenamed("jid", "comp_key"),
@@ -471,12 +479,16 @@ object Dedup {
           least(col("comp"), coalesce(col("nmin"), col("comp")),
             coalesce(col("jcomp"), col("comp"))).as("comp"))
         .localCheckpoint(true) // truncate the lineage each round
+      val addedIds = sc.getPersistentRDDs.keySet.toSet -- beforeIds
       converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
         .filter(col("comp") =!= col("prev")).isEmpty
+      prevCkptIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      prevCkptIds = addedIds
       labels = next
       iter += 1
     }
-    labels
+    labels // the final round's checkpoint backs the result; freed by the
+           // ContextCleaner once the caller drops it
   }
 
   /** Corpus dedup decision: given docs and verified near-dup pairs, keep

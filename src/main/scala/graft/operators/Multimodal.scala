@@ -98,7 +98,11 @@ object Multimodal {
       when(col("doc_id") % 3 === 0, "image")
         .when(col("doc_id") % 3 === 1, "audio")
         .otherwise("video").as("kind"),
-      regexp_replace(col("text"), "[^\\x20-\\x7e]", "?").cast("binary").as("content"),
+      // coalesce BEFORE the regex: a NULL text must become an empty
+      // payload (zero features), not a NULL row the oracle would average
+      // differently
+      regexp_replace(coalesce(col("text"), lit("")), "[^\\x20-\\x7e]", "?")
+        .cast("binary").as("content"),
       struct(
         lit(64).as("width"), lit(64).as("height"),
         (col("n_chars") * 10).cast("long").as("duration_ms"),

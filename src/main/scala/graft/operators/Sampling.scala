@@ -37,6 +37,10 @@ object Sampling {
     */
   def mixBySource(df: DataFrame, sourceCol: String, idCol: String,
       weights: Map[String, Double]): DataFrame = {
+    // a zero weight would silently discard its source (threshold 0) and an
+    // all-zero map would keep nothing (floor(NaN) → 0) — fail fast instead
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"weights must all be positive, got $weights")
     val inScope = df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
     val counts = inScope.groupBy(sourceCol).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

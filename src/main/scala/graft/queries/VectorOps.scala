@@ -36,7 +36,7 @@ object VectorOps {
        |  SELECT doc_id AS media_id,
        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-       |    regexp_replace(text, '[^\\x20-\\x7e]', '?', 'g') AS s
+       |    regexp_replace(coalesce(text, ''), '[^\\x20-\\x7e]', '?', 'g') AS s
        |  FROM documents),
        |feats AS (
        |  SELECT media_id, kind, strlen(s) AS n_bytes,

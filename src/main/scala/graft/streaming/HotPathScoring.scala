@@ -122,6 +122,9 @@ object HotPathScoring {
           .as("favorites_count"),
         coalesce(col("data.verified"), lit(false)).as("verified"),
         col("data.bio"),
+        // carried but unused downstream — the reference's parse keeps
+        // signature as its own column too (`:261`) and its scorer also
+        // only reads bio; kept for record-shape parity
         col("data.signature"),
         col("kafka_timestamp"))
       .filter(col("kol_id").isNotNull)

@@ -32,25 +32,29 @@ class BucketingSpec extends SparkSpec {
 
     // at test scale the sides fit the broadcast threshold, which would
     // bypass bucketing entirely; at 100 TB neither side broadcasts
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val joined = spark.table("b_profiles").join(spark.table("b_metrics"), "username")
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(plan.contains("SortMergeJoin"), s"expected SMJ, plan:\n$plan")
-    assert(plan.contains("Bucketed: true"), s"scan must use buckets, plan:\n$plan")
-    assert(!plan.contains("Exchange hashpartitioning"),
-      s"bucketed join must not shuffle, plan:\n$plan")
-    // a per-bucket Sort remains (Spark only trusts file sort order with
-    // one file per bucket); it is partition-local — the network exchange,
-    // which is what costs at 100 TB, is gone
-    assert(joined.count() == 2000)
+    try {
+      val joined = spark.table("b_profiles").join(spark.table("b_metrics"), "username")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ, plan:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan must use buckets, plan:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle, plan:\n$plan")
+      // a per-bucket Sort remains (Spark only trusts file sort order with
+      // one file per bucket); it is partition-local — the network exchange,
+      // which is what costs at 100 TB, is gone
+      assert(joined.count() == 2000)
 
-    // same key, unbucketed: both sides shuffle — the cost bucketing removes
-    val unbucketed = profiles.join(metrics, "username")
-    assert(unbucketed.queryExecution.executedPlan.toString
-      .contains("Exchange hashpartitioning"))
-
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
-    spark.sql("DROP TABLE IF EXISTS b_profiles")
-    spark.sql("DROP TABLE IF EXISTS b_metrics")
+      // same key, unbucketed: both sides shuffle — the cost bucketing removes
+      val unbucketed = profiles.join(metrics, "username")
+      assert(unbucketed.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+    } finally {
+      // a failed assert must not leave the shared session broadcast-less
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_profiles")
+      spark.sql("DROP TABLE IF EXISTS b_metrics")
+    }
   }
 }
