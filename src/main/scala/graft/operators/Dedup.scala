@@ -296,6 +296,52 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands_shared"))
   }
 
+  /** The persisted LSH index of a corpus: (id, band, bucket) rows, the
+    * thing a day-over-day dedup pipeline stores (bucketed/partitioned by
+    * (band, bucket)) so tomorrow's batch never re-signs the full history.
+    * Same family/banding parameters MUST be used for index and probes.
+    */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 4, shingleW: Int = 3,
+      family: MinHashFamily = XxHashFamily): DataFrame =
+    bandBuckets(df, idCol, textCol, bands, rowsPerBand, shingleW, family)
+
+  /** Incremental MinHash-LSH: candidates for a NEW batch against an
+    * existing [[minhashIndex]] plus within the batch itself — the
+    * steady-state shape at 100 TB (the history is touched only through
+    * the (band, bucket)-keyed index join; nothing is re-signed).
+    *
+    * Returns the same (id_a, id_b, n_bands_shared) contract as
+    * [[minhashCandidates]], restricted to pairs involving ≥1 new doc —
+    * the spec pins exactly that equivalence. `maxBucketSize` counts
+    * old+new members, like the full run would.
+    */
+  def minhashCandidatesIncremental(newDocs: DataFrame, idCol: String,
+      textCol: String, existingIndex: DataFrame,
+      bands: Int = 4, rowsPerBand: Int = 4, shingleW: Int = 3,
+      family: MinHashFamily = XxHashFamily,
+      maxBucketSize: Long = 100000): DataFrame = {
+    val newB = bandBuckets(newDocs, idCol, textCol, bands, rowsPerBand, shingleW, family)
+    val all = existingIndex.select("id", "band", "bucket")
+      .withColumn("is_new", lit(false))
+      .unionByName(newB.withColumn("is_new", lit(true)))
+    val small = all.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("sz_"))
+      .filter(col("sz_") <= maxBucketSize)
+      .select("band", "bucket")
+    val kept = all.join(small, Seq("band", "bucket"))
+    val keptNew = kept.filter(col("is_new"))
+    // old–new pairs emit once from the old side regardless of id order;
+    // new–new pairs once via the id-order guard
+    kept.as("a").join(keptNew.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") =!= col("b.id") &&
+        (!col("a.is_new") || col("a.id") < col("b.id")))
+      .groupBy(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .agg(count(lit(1)).as("n_bands_shared"))
+  }
+
   /** (id, band, bucket) rows: each doc's LSH band buckets. Band count and
     * row-per-band are static, so the band slice/hash is unrolled at plan
     * build time (stays in whole-stage codegen).

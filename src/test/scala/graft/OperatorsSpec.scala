@@ -149,6 +149,30 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(1L, 5L, 7L)) // cluster reps + the unpaired doc
   }
 
+  test("incremental LSH candidates equal the full run restricted to new docs") {
+    val old = Seq((1L, docA, "s"), (10L, docB, "s"),
+      (20L, "another unique document entirely about databases", "s"))
+      .toDF("doc_id", "text", "source")
+    val fresh = Seq((2L, docANear, "s"), (11L, docB, "s"),
+      (30L, "fresh unrelated content about gardening tools", "s"))
+      .toDF("doc_id", "text", "source")
+    def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("n_bands_shared"))).toSet
+    val idx = Dedup.minhashIndex(old, "doc_id", "text", bands = 8, rowsPerBand = 2)
+    val inc = toSet(Dedup.minhashCandidatesIncremental(fresh, "doc_id", "text",
+      idx, bands = 8, rowsPerBand = 2))
+    val full = toSet(Dedup.minhashCandidates(old.unionByName(fresh),
+      "doc_id", "text", bands = 8, rowsPerBand = 2))
+    val newIds = Set(2L, 11L, 30L)
+    assert(inc == full.filter(t => newIds(t._1) || newIds(t._2)),
+      s"incremental $inc != restricted full $full")
+    assert(inc.exists(t => t._1 == 10L && t._2 == 11L),
+      "exact copy of a historical doc not found against the index")
+    assert(inc.exists(t => t._1 == 1L && t._2 == 2L),
+      "near-dup of a historical doc not found against the index")
+  }
+
   test("minhashCandidates surfaces the planted near-dup pair") {
     // 8 bands × 2 rows: the planted pair has shingle-Jaccard ≈0.85, so
     // P(miss) = (1 − J²)⁸ ≈ 4e-5 — deterministic hashes, but the band
