@@ -9,6 +9,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Conventions that keep Spark and DuckDB hash-identical:
   *  - every computed double is `round(_, n)` with the same n on both sides
   *    (sums of money → 2dp, averages/scores/ratios → 4dp);
+  *  - floating AVERAGES never use `round(_, 4)` — an avg can land exactly
+  *    on the .xxxx5 grid (sum/24 did at sf0.1) where Spark's
+  *    decimal-string HALF_UP and DuckDB's binary-double rounding part
+  *    ways; use `TextFunctions.round4hu` and
+  *    `floor(x * 10000.0 + 0.5) / 10000.0` instead (identical IEEE ops on
+  *    both engines, no tie ambiguity). Reference score formulas keep
+  *    `round` — there HALF_UP is the published semantic;
   *  - every aggregate/computed column carries the same alias on both sides;
   *  - integer sums are BIGINT on both sides (DuckDB sums to HUGEINT, so
   *    the oracle casts);

@@ -43,9 +43,9 @@ object Relational {
         |  round(sum(l_extendedprice), 2)                                   AS sum_base_price,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2)              AS sum_disc_price,
         |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-        |  round(avg(l_quantity), 4)                                        AS avg_qty,
-        |  round(avg(l_extendedprice), 4)                                   AS avg_price,
-        |  round(avg(l_discount), 4)                                        AS avg_disc,
+        |  floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0                 AS avg_qty,
+        |  floor(avg(l_extendedprice) * 10000.0 + 0.5) / 10000.0            AS avg_price,
+        |  floor(avg(l_discount) * 10000.0 + 0.5) / 10000.0                 AS avg_disc,
         |  count(*)                                                         AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
@@ -55,9 +55,9 @@ object Relational {
           round(sum("l_extendedprice"), 2).as("sum_base_price"),
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_extendedprice"), 4).as("avg_price"),
-          round(avg("l_discount"), 4).as("avg_disc"),
+          graft.functions.TextFunctions.round4hu(avg("l_quantity")).as("avg_qty"),
+          graft.functions.TextFunctions.round4hu(avg("l_extendedprice")).as("avg_price"),
+          graft.functions.TextFunctions.round4hu(avg("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
     },
 
@@ -74,7 +74,7 @@ object Relational {
     QueryDef.sql(
       "q03_region_rollup",
       """SELECT r_name, n_name, count(*) AS n_cust,
-        |  round(sum(c_acctbal), 2) AS sum_bal, round(avg(c_acctbal), 4) AS avg_bal
+        |  round(sum(c_acctbal), 2) AS sum_bal, floor(avg(c_acctbal) * 10000.0 + 0.5) / 10000.0 AS avg_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -86,7 +86,7 @@ object Relational {
         .agg(
           count(lit(1)).as("n_cust"),
           round(sum("c_acctbal"), 2).as("sum_bal"),
-          round(avg("c_acctbal"), 4).as("avg_bal"))
+          graft.functions.TextFunctions.round4hu(avg("c_acctbal")).as("avg_bal"))
     },
 
     QueryDef.sql(
@@ -109,14 +109,14 @@ object Relational {
       "q05_priority_conditional",
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
-        |  round(avg(o_totalprice), 4) AS avg_price
+        |  floor(avg(o_totalprice) * 10000.0 + 0.5) / 10000.0 AS avg_price
         |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
       Tables.orders(s, d)
         .groupBy("o_orderpriority")
         .agg(
           count(lit(1)).as("n_orders"),
           sum(when(col("o_totalprice") > 150000, 1L).otherwise(0L)).as("n_big"),
-          round(avg("o_totalprice"), 4).as("avg_price"))
+          graft.functions.TextFunctions.round4hu(avg("o_totalprice")).as("avg_price"))
     },
 
     QueryDef.sql(
@@ -200,14 +200,14 @@ object Relational {
     QueryDef.sql(
       "q11_global_stats",
       """SELECT count(*) AS n_customers, count(DISTINCT c_nationkey) AS n_nations,
-        |  round(sum(c_acctbal), 2) AS total_bal, round(avg(c_acctbal), 4) AS avg_bal,
+        |  round(sum(c_acctbal), 2) AS total_bal, floor(avg(c_acctbal) * 10000.0 + 0.5) / 10000.0 AS avg_bal,
         |  CAST(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
         |FROM customer""".stripMargin) { (s, d) =>
       Tables.customer(s, d).agg(
         count(lit(1)).as("n_customers"),
         countDistinct("c_nationkey").as("n_nations"),
         round(sum("c_acctbal"), 2).as("total_bal"),
-        round(avg("c_acctbal"), 4).as("avg_bal"),
+        graft.functions.TextFunctions.round4hu(avg("c_acctbal")).as("avg_bal"),
         sum(when(col("c_acctbal") > 0, 1L).otherwise(0L)).as("n_positive"))
     },
 
@@ -320,14 +320,14 @@ object Relational {
 
     QueryDef.sql(
       "q19_active_customer_segments",
-      """SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+      """SELECT c_mktsegment, count(*) AS n, floor(avg(c_acctbal) * 10000.0 + 0.5) / 10000.0 AS avg_bal
         |FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_mktsegment""".stripMargin) { (s, d) =>
       Tables.customer(s, d)
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
         .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n"), round(avg("c_acctbal"), 4).as("avg_bal"))
+        .agg(count(lit(1)).as("n"), graft.functions.TextFunctions.round4hu(avg("c_acctbal")).as("avg_bal"))
     }
   )
 }

@@ -233,9 +233,9 @@ object Scoring {
         |      0.1 + 0.9 * least(ln(1.0 + value / 100.0) / ln(101.0), 1.0) END AS eng_w
         |  FROM events, mx)
         |SELECT event_type, count(*) AS n,
-        |  round(sum(decay_w * value), 4) AS decayed_value,
-        |  round(avg(decay_w), 4) AS avg_decay,
-        |  round(avg(eng_w), 4) AS avg_eng_weight
+        |  floor(sum(decay_w * value) * 10000.0 + 0.5) / 10000.0 AS decayed_value,
+        |  floor(avg(decay_w) * 10000.0 + 0.5) / 10000.0 AS avg_decay,
+        |  floor(avg(eng_w) * 10000.0 + 0.5) / 10000.0 AS avg_eng_weight
         |FROM w GROUP BY event_type""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
       val mx = ev.agg(max("ts").as("max_ts"))
@@ -246,9 +246,9 @@ object Scoring {
         .withColumn("eng_w", Scores.engagementWeight(col("value"), lit(100.0)))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          round(sum(col("decay_w") * col("value")), 4).as("decayed_value"),
-          round(avg("decay_w"), 4).as("avg_decay"),
-          round(avg("eng_w"), 4).as("avg_eng_weight"))
+          graft.functions.TextFunctions.round4hu(sum(col("decay_w") * col("value"))).as("decayed_value"),
+          graft.functions.TextFunctions.round4hu(avg("decay_w")).as("avg_decay"),
+          graft.functions.TextFunctions.round4hu(avg("eng_w")).as("avg_eng_weight"))
     }
   )
 }

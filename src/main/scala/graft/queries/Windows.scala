@@ -24,12 +24,12 @@ object Windows {
       """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
         |               '%Y-%m-%d %H:%M:%S') AS wstart,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
-        |  round(avg(value), 4) AS avg_value
+        |  floor(avg(value) * 10000.0 + 0.5) / 10000.0 AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
-          round(avg("value"), 4).as("avg_value"))
+          graft.functions.TextFunctions.round4hu(avg("value")).as("avg_value"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
           col("event_type"), col("n"), col("sum_value"), col("avg_value"))
     },
