@@ -19,4 +19,13 @@ object GraftSqlBridge {
   def xxhash64Seeded(c: Column, seed: Long): Column =
     column(new catalyst.expressions.XxHash64(
       Seq(expression(c)), seed))
+
+  /** Register a SQL function on a LIVE session (sessionState is
+    * `private[sql]`) — the same registration [[graft.plans.GraftExtensions]]
+    * injects at session build for `spark.sql.extensions` deployments.
+    */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

@@ -48,6 +48,29 @@ class VectorExpressionSpec extends SparkSpec {
     assert(withNull.isNullAt(0), "null input must be null")
   }
 
+  test("SQL surface: cosine_f/dot_f/minhash_agg registered via extensions") {
+    graft.plans.GraftExtensions.register(spark)
+    import sqlImplicits._
+    Seq((1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("id", "a", "b").createOrReplaceTempView("vecs_sql")
+    val rows = spark.sql(
+      "SELECT id, cosine_f(a, b) AS c, dot_f(a, b) AS d FROM vecs_sql ORDER BY id")
+      .collect()
+    assert(rows(0).getDouble(1) == 1.0 && rows(0).getDouble(2) == 1.0)
+    assert(rows(1).getDouble(1) == 0.0 && rows(1).getDouble(2) == 0.0)
+    // aggregate path: SQL minhash_agg equals the column API
+    Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDF("id", "h")
+      .createOrReplaceTempView("hashed_sql")
+    val viaSql = spark.sql(
+      "SELECT id, minhash_agg(h, 4) AS sig FROM hashed_sql GROUP BY id ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val viaApi = spark.table("hashed_sql").groupBy("id")
+      .agg(graft.plans.MinHashAgg.minhashAgg($"h", 4).as("sig"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(viaSql.toSeq == viaApi.toSeq)
+  }
+
   test("native cosine participates in whole-stage codegen") {
     val emb = Tables.embeddings(spark, sf()).limit(10)
     val exec = emb.select(VectorExpressions.cosineNative(col("embedding"), col("embedding")))
