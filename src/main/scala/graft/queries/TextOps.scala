@@ -198,6 +198,29 @@ object TextOps {
         .crossJoin(broadcast(cands.agg(
           count(lit(1)).as("n_candidate_pairs"),
           coalesce(min("hamming"), lit(-1)).cast("long").as("min_hamming"))))
+    },
+
+    QueryDef.sql(
+      "q59_tfidf_top_terms",
+      s"""WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |toks AS (SELECT doc_id, unnest($T) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+         |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |scored AS (
+         |  SELECT doc_id, tf.token, tf.tf, dfreq.df,
+         |    floor(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) * 10000.0 + 0.5)
+         |      / 10000.0 AS score
+         |  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n),
+         |ranked AS (
+         |  SELECT doc_id, token, tf, df, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+         |  FROM scored)
+         |SELECT doc_id AS id, token, tf, df, score, rank
+         |FROM ranked WHERE rank <= 3 AND doc_id < 100""".stripMargin) { (s, d) =>
+      // ranking on the 4dp-rounded score (then token) keeps the order
+      // reproducible across libm implementations
+      graft.operators.TfIdf.topTerms(Tables.documents(s, d), "doc_id", "text", 3)
+        .filter(col("id") < 100)
     }
   )
 
