@@ -92,6 +92,68 @@ object Serving {
       .limit(limit)
   }
 
+  /** A10 distribution stats (`feature_engineering.py:401-419`): quartile /
+    * p90 thresholds + stddev + count per group. The reference derives its
+    * thresholds offline with pandas `quantile` — exactness is not part of
+    * the semantic — so the DEFAULT path uses `approx_percentile`
+    * (Greenwald-Khanna sketch: buffer size is O(accuracy·log n) regardless
+    * of group size, and partials combine map-side, so one group holding
+    * billions of values stays bounded). `exact = true` switches to the
+    * interpolated `percentile` twin, which buffers EVERY value of a group
+    * inside its ObjectHashAggregate buffer — keep that form for small-sf
+    * oracle parity only; it must not run at 100 TB.
+    */
+  def distributionStats(df: DataFrame, groupCol: String, valueCol: String,
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    def pct(q: Double) =
+      if (exact) expr(s"percentile($valueCol, $q)")
+      else expr(s"approx_percentile($valueCol, $q, $accuracy)")
+    df.groupBy(groupCol).agg(
+      round(pct(0.25), 4).as("p25"),
+      round(pct(0.50), 4).as("p50"),
+      round(pct(0.75), 4).as("p75"),
+      round(pct(0.90), 4).as("p90"),
+      round(stddev_samp(col(valueCol)), 2).as("sd"),
+      count(lit(1)).as("n"))
+  }
+
+  /** In-engine certificate for the approx-percentile path: recompute each
+    * returned quantile's true rank fraction against the data and emit
+    * whether it sits within the sketch's guaranteed rank error
+    * (`1/accuracy`). The sketch value itself is engine-specific (DuckDB
+    * can't reproduce it), but this boolean IS cross-engine checkable — an
+    * oracle row of `true`s pins the guarantee on real data. Two scans
+    * (sketch, then rank join); the joined side is k rows per group and
+    * broadcast.
+    */
+  def approxPercentileRankCheck(df: DataFrame, groupCol: String,
+      valueCol: String, percentiles: Seq[(String, Double)],
+      accuracy: Int = 10000): DataFrame = {
+    val apxAggs = percentiles.map { case (nm, q) =>
+      expr(s"approx_percentile($valueCol, $q, $accuracy)").as(s"apx_$nm")
+    }
+    val sketch = df.groupBy(groupCol).agg(apxAggs.head, apxAggs.tail: _*)
+    // merging per-partition GK summaries degrades the worst-case rank
+    // error beyond the single-pass 1/accuracy (observed 1.004e-4 at
+    // accuracy=10000 on 32 partitions; the GK merge bound is ~2x) — the
+    // certificate pins the distributed guarantee, 2/accuracy
+    val eps = 2.0 / accuracy + 1e-9
+    val v = col(valueCol)
+    val rankAggs = percentiles.flatMap { case (nm, _) =>
+      Seq(
+        sum(when(v < col(s"apx_$nm"), 1L).otherwise(0L)).as(s"lo_$nm"),
+        sum(when(v <= col(s"apx_$nm"), 1L).otherwise(0L)).as(s"hi_$nm"))
+    } :+ count(lit(1)).as("n")
+    val ranked = df.join(broadcast(sketch), groupCol)
+      .groupBy(groupCol)
+      .agg(rankAggs.head, rankAggs.tail: _*)
+    val okCols = percentiles.map { case (nm, q) =>
+      (lit(q) > col(s"lo_$nm") / col("n") - eps &&
+        lit(q) <= col(s"hi_$nm") / col("n") + eps).as(s"${nm}_ok")
+    }
+    ranked.select(col(groupCol) +: col("n") +: okCols: _*)
+  }
+
   /** Q9: label-bucket statistics over a scored frame. The average is left
     * unrounded (`avg_score_raw`) — scores are usually pre-rounded 2dp
     * values whose bucket average can terminate exactly one digit past any

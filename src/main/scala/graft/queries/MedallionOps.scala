@@ -27,6 +27,30 @@ object MedallionOps {
 
   private val asOf = "2026-01-01"
 
+  /** Materialize a synthetic wire-format fixture to parquet once per
+    * (sf dir, name) and read it back. q51/q52 exercise the real Kafka wire
+    * path (payload JSON string → from_json → clean); building that payload
+    * with a per-row to_json over 150k orders costs ~5s, and paying it
+    * inside the timed query hid regressions in the cleaning operators
+    * themselves (VERDICT r3 #3). The build is idempotent (_SUCCESS marker)
+    * so the bench's untimed warmup pass absorbs it and the timed pass
+    * measures read → parse → clean only. Determinism: the fixture derives
+    * from `orders` and both cleaners dedupe on a total order
+    * (event_time desc, event_id desc with unique event_id), so results
+    * are independent of parquet row layout.
+    */
+  private def wireFixture(s: SparkSession, d: String, name: String)
+      (build: => DataFrame): DataFrame = {
+    val dir = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_wire_fixtures/" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_"), name)
+    this.synchronized {
+      if (!new java.io.File(dir, "_SUCCESS").exists())
+        build.write.mode("overwrite").parquet(dir.getPath)
+    }
+    s.read.parquet(dir.getPath)
+  }
+
   /** Deterministic bronze twitter_human_bots stand-in from `customer`:
     * kol_id + nested payload struct shaped like
     * `EventSchemas.twitterTrust`. Variants: null / malformed / future
@@ -349,8 +373,12 @@ object MedallionOps {
         ((ok * 2) % 300).as("video_shares"),
         when(ok % 17 === 0, lit(999L)).otherwise(lit(null).cast("long"))
           .as("engagement_total")))
-      val products = Tables.orders(s, d)
-        .select(from_json(payload, graft.streaming.EventSchemas.product).as("data"))
+      // fixture materialized once, untimed; the measured operator is
+      // read → from_json → cleanProducts
+      val wire = wireFixture(s, d, "product_wire")(
+        Tables.orders(s, d).select(payload.as("payload")))
+      val products = wire
+        .select(from_json(col("payload"), graft.streaming.EventSchemas.product).as("data"))
         .select("data.*")
       BronzeToSilver.cleanProducts(products).drop("processed_at")
     },
@@ -397,8 +425,12 @@ object MedallionOps {
         when(ok % 41 === 0, lit(null).cast("string"))
           .otherwise(concat(lit("  "), col("o_orderpriority"), lit(" says u"),
             (ok % 97).cast("string"), lit("  "))).as("comment_text")))
-      val comments = Tables.orders(s, d)
-        .select(from_json(payload, graft.streaming.EventSchemas.comment).as("data"))
+      // fixture materialized once, untimed; the measured operator is
+      // read → from_json → cleanComments
+      val wire = wireFixture(s, d, "comment_wire")(
+        Tables.orders(s, d).select(payload.as("payload")))
+      val comments = wire
+        .select(from_json(col("payload"), graft.streaming.EventSchemas.comment).as("data"))
         .select("data.*")
       BronzeToSilver.cleanComments(comments).drop("processed_at")
     },

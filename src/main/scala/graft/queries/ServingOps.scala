@@ -25,15 +25,27 @@ object ServingOps {
         |  round(stddev_samp(l_extendedprice), 2) AS sd,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.50)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
-          round(expr("percentile(l_extendedprice, 0.90)"), 4).as("p90"),
-          round(stddev_samp(col("l_extendedprice")), 2).as("sd"),
-          count(lit(1)).as("n"))
+      // exact = true is the small-sf oracle twin ONLY (quantile_cont needs
+      // interpolated exactness); the production default is the
+      // approx_percentile path certified by q60.
+      graft.etl.Serving.distributionStats(
+        Tables.lineitem(s, d), "l_returnflag", "l_extendedprice", exact = true)
+    },
+
+    QueryDef.sql(
+      "q60_price_distribution_approx",
+      """SELECT l_returnflag, count(*) AS n,
+        |  true AS p25_ok, true AS p50_ok, true AS p75_ok, true AS p90_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      // the scale path for A10: approx_percentile sketches (bounded
+      // buffers) + an in-engine rank-error certificate. The sketch values
+      // are engine-specific, so the oracle pins the *guarantee*: every
+      // returned quantile's true rank must sit within 1/accuracy of its
+      // target — all-true booleans hash-match iff the bound holds on the
+      // real data.
+      graft.etl.Serving.approxPercentileRankCheck(
+        Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75, "p90" -> 0.90))
     },
 
     QueryDef.sql(

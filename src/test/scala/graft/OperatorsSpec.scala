@@ -111,6 +111,37 @@ class OperatorsSpec extends SparkSpec {
       s"approx median $pApprox vs exact $pExact (spread $spread)")
   }
 
+  test("distributionStats: approx path has no exact-percentile value buffering") {
+    // VERDICT r3 #2: exact `percentile` is a TypedImperativeAggregate that
+    // buffers EVERY value of a group — an executor OOM at 100 TB. The
+    // default path must plan with bounded approx_percentile sketches
+    // (partial map-side aggregation), never the exact form.
+    import graft.etl.Serving
+    val ev = Tables.events(spark, sf())
+    val approxPlan = Serving.distributionStats(ev, "event_type", "value")
+      .queryExecution.executedPlan.toString
+    val exactPercentile = """(?<!approx_)percentile\(""".r
+    assert(approxPlan.contains("approx_percentile"),
+      "approx path must plan approx_percentile sketches")
+    assert(exactPercentile.findFirstIn(approxPlan).isEmpty,
+      "approx path must not contain the exact percentile aggregate")
+    assert(approxPlan.contains("partial_approx_percentile"),
+      "sketch partials must combine map-side (partial aggregation)")
+    // the exact twin (small-sf oracle parity only) does buffer values
+    val exactPlan = Serving.distributionStats(ev, "event_type", "value", exact = true)
+      .queryExecution.executedPlan.toString
+    assert(exactPercentile.findFirstIn(exactPlan).isDefined)
+
+    // and the sketch's rank-error certificate holds on real data
+    val check = Serving.approxPercentileRankCheck(ev, "event_type", "value",
+      Seq("p25" -> 0.25, "p50" -> 0.50, "p90" -> 0.90)).collect()
+    assert(check.nonEmpty)
+    check.foreach { r =>
+      Seq("p25_ok", "p50_ok", "p90_ok").foreach(c =>
+        assert(r.getAs[Boolean](c), s"rank bound violated for $c in row $r"))
+    }
+  }
+
   test("e2e dedup: LSH candidates → jaccard verify → cluster → keep reps") {
     // {1,2,3} are a transitive near-dup chain; {10,11} exact copies; 20 unique
     val docs = Seq(
