@@ -39,13 +39,36 @@ object Sampling {
       weights: Map[String, Double]): DataFrame = {
     // a zero weight would silently discard its source (threshold 0) and an
     // all-zero map would keep nothing (floor(NaN) → 0) — fail fast instead
-    require(weights.nonEmpty && weights.values.forall(_ > 0),
-      s"weights must all be positive, got $weights")
+    requirePositive(weights)
     val inScope = df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
     val counts = inScope.groupBy(sourceCol).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    mixWithCounts(inScope, sourceCol, idCol, weights, counts)
+  }
+
+  /** Precomputed-counts overload: pipelines that already track per-source
+    * volumes (catalog stats, a prior aggregation) pass them here and skip
+    * the counting scan — the counting variant reads a 100 TB input twice
+    * (once to count, once to filter); this one reads it once.
+    */
+  def mixBySource(df: DataFrame, sourceCol: String, idCol: String,
+      weights: Map[String, Double], counts: Map[String, Long]): DataFrame = {
+    requirePositive(weights)
+    val inScope = df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+    mixWithCounts(inScope, sourceCol, idCol, weights, counts)
+  }
+
+  private def requirePositive(weights: Map[String, Double]): Unit =
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"weights must all be positive, got $weights")
+
+  private def mixWithCounts(inScope: DataFrame, sourceCol: String,
+      idCol: String, weights: Map[String, Double],
+      counts: Map[String, Long]): DataFrame = {
     require(weights.keySet.subsetOf(counts.keySet),
       s"missing sources: ${weights.keySet -- counts.keySet}")
+    require(weights.keySet.forall(counts(_) > 0),
+      s"zero-count sources: ${weights.keySet.filter(counts(_) == 0)}")
     val c = weights.map { case (s, w) => counts(s) / w }.min
     val thresholds = weights.map { case (s, w) =>
       s -> math.floor(c * w / counts(s) * 1000000).toLong

@@ -125,21 +125,14 @@ object TrendingStream {
     */
   def kafkaSource(spark: SparkSession, bootstrap: String, topic: String,
       startingOffsets: String = "latest",
-      maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
-    val r = spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-      .option("failOnDataLoss", "false")
-    maxOffsetsPerTrigger.fold(r)(n => r.option("maxOffsetsPerTrigger", n.toString)).load()
-  }
+      maxOffsetsPerTrigger: Option[Long] = None): DataFrame =
+    spark.readStream.format("kafka")
+      .options(KafkaIO.sourceOptions(bootstrap, topic, startingOffsets, maxOffsetsPerTrigger))
+      .load()
 
   /** Bounded batch read of the same topic (S3) — batch-replay mode T11. */
   def kafkaBatchSource(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
     spark.read.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .option("endingOffsets", "latest")
+      .options(KafkaIO.batchSourceOptions(bootstrap, topic))
       .load()
 }

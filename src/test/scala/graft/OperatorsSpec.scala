@@ -93,6 +93,21 @@ class OperatorsSpec extends SparkSpec {
     assert(kept("src0") > 2300)
     assert(math.abs(kept("src1") - kept("src0") / 2.0) < 200, s"got $kept")
     assert(math.abs(kept("src2") - kept("src0") / 2.0) < 200, s"got $kept")
+
+    // precomputed-counts overload: same selection without the counting
+    // scan (the counting variant reads the input twice at 100 TB)
+    val trueCounts = ids.filter($"source".isin("src0", "src1", "src2"))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mixedPre = Sampling.mixBySource(ids, "source", "id",
+      Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25), trueCounts)
+    assert(mixedPre.select("id").except(mixed.select("id")).isEmpty &&
+      mixed.select("id").except(mixedPre.select("id")).isEmpty,
+      "precomputed-counts overload must select the identical rows")
+    intercept[IllegalArgumentException] {
+      Sampling.mixBySource(ids, "source", "id",
+        Map("src0" -> 0.5, "src9" -> 0.5), trueCounts)
+    }
   }
 
   test("approximate sketches: HLL distinct and approx percentile within bounds") {

@@ -187,6 +187,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E2E latency: ingest -> trending pipeline -> KV sink beats the reference's 30s bound") {
+    // The reference reports 30s streaming latency, dominated by its 30s
+    // trigger interval (README.md:53, trigger at trending_stream.py /
+    // `Trigger: 30 seconds`). This measures OUR compute latency on the
+    // same pipeline shape — ingest wall-clock to the rows being readable
+    // in the KV sink — with the trigger interval taken out (0ms trigger),
+    // i.e. the floor a production deployment adds its trigger to. Written
+    // to /tmp/graft_e2e_latency_ms.txt for PERF_NOTES.
+    implicit val ctx = spark.sqlContext
+    val kv = new Sinks.KeyValueTopK
+    val source = MemoryStream[KafkaLike]
+    val q = Sinks.trendingKvSink(TrendingStream.pipeline(source.toDF()), kv,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)).start()
+    try {
+      // warm the query graph first (codegen + state-store open dominate
+      // batch 0; production latency is the steady state, not JIT)
+      source.addData(KafkaLike(videoJson("kol_w", "tiktok", 1, 0, 0, 10, "w1"), ts("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      val t0 = System.nanoTime()
+      source.addData(
+        KafkaLike(videoJson("kol_a", "tiktok", 900, 80, 20, 50000, "e1"), ts("2024-01-01 10:00:10")),
+        KafkaLike(videoJson("kol_b", "tiktok", 400, 50, 50, 20000, "e2"), ts("2024-01-01 10:00:40")))
+      q.processAllAvailable()
+      val visible = kv.store.contains("trending:tiktok:kol_a") &&
+        kv.store.contains("trending:tiktok:kol_b")
+      val latencyMs = (System.nanoTime() - t0) / 1e6
+      assert(visible, "scored rows not visible in KV sink after processAllAvailable")
+      assert(latencyMs < 30000.0,
+        f"steady-state ingest->sink latency $latencyMs%.0f ms should beat the reference's 30s E2E")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/tmp/graft_e2e_latency_ms.txt"), f"$latencyMs%.0f")
+      info(f"steady-state ingest->KV latency: $latencyMs%.0f ms (reference E2E: 30s trigger-bound)")
+    } finally q.stop()
+  }
+
   test("T10 multi-query app: concurrent streams, awaitAnyTermination") {
     implicit val ctx = spark.sqlContext
     spark.streams.resetTerminated()
