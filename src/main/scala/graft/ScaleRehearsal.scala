@@ -1,0 +1,122 @@
+package graft
+
+import graft.operators.{Dedup, Skew}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Adversarial scale rehearsal for the dedup/ANN caps (VERDICT r3 #4):
+  * generates a synthetic corpus with PLANTED pathologies — an
+  * exact-copy megabucket, a hot boilerplate shingle, a near-dup chain,
+  * and a skewed join key — at multiple sizes, runs the capped operators,
+  * and prints one JSON line per scale with wall-clock + output
+  * cardinalities. The claim under test: pair counts stay bounded
+  * (~linear in corpus size, never C(n,2)) and runtime scales ~linearly,
+  * because every blowup vector is capped (df cap, bucket caps) and every
+  * pair join is keyed. This is the closest a local[32] container gets to
+  * rehearsing the 100 TB posture.
+  *
+  * Run: SPARK_GRAFT_CPUS=32 java -cp "target/scala-2.13/classes:SPARK_JARS"
+  *      graft.ScaleRehearsal [nDocs ...]    (default: 5000 50000 150000)
+  * where SPARK_JARS globs every jar under /opt/spark/jars.
+  */
+object ScaleRehearsal {
+
+  /** Deterministic corpus of `n` docs (~62 tokens each) with planted
+    * adversaries, disjoint by id residue:
+    *  - id % 100 == 1 → near-dup of id-1 (same 60-token base + 2 unique
+    *    salt tokens; jaccard ≈ 0.9) — the signal the pipeline must find
+    *  - id % 50 == 2 → exact copy of one boilerplate doc (2% of corpus:
+    *    identical minhash AND simhash signatures → the megabucket)
+    *  - id % 20 == 3 → 13-token shared boilerplate prefix + unique tail
+    *    (5% of corpus: hot shingles with df ≈ n/20)
+    *  - everything else: unique pseudo-random tokens from a 30k vocab
+    */
+  def corpus(spark: SparkSession, n: Long): DataFrame = {
+    val fam = when(pmod(col("id"), lit(100)) === 1, col("id") - 1).otherwise(col("id"))
+    spark.range(n).select(col("id"), fam.as("fam"))
+      .withColumn("base", expr(
+        "transform(sequence(0, 59), j -> concat('w', pmod(xxhash64(concat(cast(fam AS string), '_', cast(j AS string))), 30000)))"))
+      .withColumn("salt", expr(
+        "transform(sequence(0, 1), j -> concat('s', cast(id AS string), '_', cast(j AS string)))"))
+      .select(col("id"),
+        when(pmod(col("id"), lit(50)) === 2,
+          lit("exact copy boilerplate body repeated verbatim across the corpus many times over and over"))
+        .when(pmod(col("id"), lit(20)) === 3,
+          concat(lit("standard legal disclaimer all rights reserved no warranty of any kind applies "),
+            array_join(col("base"), " ")))
+        .when(pmod(col("id"), lit(100)) === 1,
+          array_join(concat(col("base"), col("salt")), " "))
+        .otherwise(array_join(col("base"), " ")).as("text"),
+        lit("s").as("source"))
+  }
+
+  private def timed(body: => Long): (Double, Long) = {
+    System.gc()
+    val t0 = System.nanoTime()
+    val rows = body
+    ((System.nanoTime() - t0) / 1e9, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scales = if (args.nonEmpty) args.toSeq.map(_.toLong)
+    else Seq(5000L, 50000L, 150000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val out = scales.map { n =>
+      val docs = corpus(spark, n).cache()
+      docs.count() // materialize outside every timed window
+
+      // hot-shingle adversary: df cap prunes the boilerplate postings
+      val (tJac, nJac) = timed {
+        Dedup.ngramJaccardPairs(docs, "id", "text", "source", maxShingleDf = 200)
+          .filter(col("jaccard") >= 0.8).count()
+      }
+      // megabucket adversary: band-bucket cap drops the exact-copy cluster
+      val (tMh, nMh) = timed {
+        Dedup.minhashCandidates(docs, "id", "text",
+          bands = 8, rowsPerBand = 2, maxBucketSize = 200).count()
+      }
+      // identical-signature megabucket through the simhash chunk cap
+      val (tSh, nSh) = timed {
+        Dedup.simhashCandidates(docs, "id", "text", maxBucketSize = 200).count()
+      }
+      // candidates → clusters (pointer-jumping label propagation)
+      val (tCc, nCc) = timed {
+        Dedup.connectedComponents(
+          Dedup.minhashCandidates(docs, "id", "text",
+            bands = 8, rowsPerBand = 2, maxBucketSize = 200)).count()
+      }
+      // skewed join: 30% of probe rows on one key, 1000-key build side
+      val probe = spark.range(n).select(
+        when(pmod(col("id"), lit(10)) < 3, 0L).otherwise(pmod(col("id"), lit(1000))).as("k"),
+        col("id").as("v")).cache()
+      probe.count()
+      val build = spark.range(1000).select(col("id").as("k"),
+        concat(lit("dim"), col("id")).as("payload")).cache()
+      build.count()
+      val (tSalted, nSalted) = timed {
+        Skew.saltedJoin(probe, build, "k", salts = 32).count()
+      }
+      probe.unpersist(); docs.unpersist(); build.unpersist()
+
+      (n, Map(
+        "ngram_jaccard" -> (tJac, nJac),
+        "minhash_lsh" -> (tMh, nMh),
+        "simhash" -> (tSh, nSh),
+        "cluster" -> (tCc, nCc),
+        "salted_join" -> (tSalted, nSalted)))
+    }
+
+    val json = out.map { case (n, ops) =>
+      val fields = ops.toSeq.sortBy(_._1).map { case (k, (t, r)) =>
+        f"""\"$k\":{\"sec\":$t%.2f,\"rows\":$r}"""
+      }.mkString(",")
+      s"""{"n_docs":$n,$fields}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"scale_rehearsal","scales":$json}""")
+    spark.stop()
+  }
+}

@@ -442,23 +442,30 @@ object Dedup {
     * buckets → more verify pairs). Pick `nChunks = verifyThreshold + 1`
     * for completeness, or keep the default 4 chunks (complete to
     * distance 3) when throughput matters more than tail recall.
+    *
+    * `maxBucketSize` drops degenerate chunk buckets (identical-signature
+    * clusters imply C(n,2) verify pairs — the same megabucket failure
+    * capped in [[minhashCandidates]]); docs in a dropped bucket can still
+    * pair through their other chunks.
     */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      verifyThreshold: Int = 8, nChunks: Int = 4): DataFrame =
+      verifyThreshold: Int = 8, nChunks: Int = 4,
+      maxBucketSize: Long = 100000): DataFrame =
     simhashCandidatesFromSigs(simhashSignatures(df, idCol, textCol),
-      sigBits = 64, verifyThreshold, nChunks)
+      sigBits = 64, verifyThreshold, nChunks, maxBucketSize)
 
   /** [[simhashCandidates]] over the 32-bit portable signatures — same
     * blocking/verify shape, oracle-reproducible. Recall contract: complete
     * to hamming ≤ nChunks − 1 (see [[simhashCandidates]]).
     */
   def simhashCandidatesPortable(df: DataFrame, idCol: String, textCol: String,
-      verifyThreshold: Int = 8, nChunks: Int = 4): DataFrame =
+      verifyThreshold: Int = 8, nChunks: Int = 4,
+      maxBucketSize: Long = 100000): DataFrame =
     simhashCandidatesFromSigs(simhashSignatures32Portable(df, idCol, textCol),
-      sigBits = 32, verifyThreshold, nChunks)
+      sigBits = 32, verifyThreshold, nChunks, maxBucketSize)
 
   private def simhashCandidatesFromSigs(sigs: DataFrame, sigBits: Int,
-      verifyThreshold: Int, nChunks: Int): DataFrame = {
+      verifyThreshold: Int, nChunks: Int, maxBucketSize: Long): DataFrame = {
     require(sigBits % nChunks == 0, s"nChunks must divide $sigBits, got $nChunks")
     val width = sigBits / nChunks
     val mask = if (width == 64) -1L else (1L << width) - 1L
@@ -467,8 +474,18 @@ object Dedup {
         shiftright(col("sig"), c * width).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
-    val a = chunked.as("a")
-    val b = chunked.as("b")
+    // same megabucket hazard as minhashCandidates: a cluster of identical
+    // signatures (exact-copy boilerplate) puts n docs in ONE chunk bucket
+    // → C(n,2) verify pairs per chunk. Same fix: keyed like the pair join
+    // (exchange reuse), drop degenerate buckets; members can still pair
+    // through their other chunks unless identical in all of them.
+    val small = chunked.groupBy("chunk", "chunk_val")
+      .agg(count(lit(1)).as("sz_"))
+      .filter(col("sz_") <= maxBucketSize)
+      .select("chunk", "chunk_val")
+    val kept = chunked.join(small, Seq("chunk", "chunk_val"))
+    val a = kept.as("a")
+    val b = kept.as("b")
     a.join(b,
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
         col("a.id") < col("b.id"))

@@ -73,6 +73,22 @@ class OperatorsSpec extends SparkSpec {
     assert(uncapped >= 435L, s"expected the megabucket pairs without cap, got $uncapped")
   }
 
+  test("simhashCandidates bucket cap drops identical-signature megabuckets only") {
+    // 30 exact copies → identical 64-bit signatures → every chunk bucket
+    // holds all 30 (C(30,2) verify pairs PER CHUNK); cap 20 kills them,
+    // the distinctive near-dup pair (its own buckets) survives
+    val copies = (1L to 30L).map(i => (i, docB, "s"))
+    val dups = Seq((100L, docA, "s"), (101L, docANear, "s"))
+    val df = (copies ++ dups).toDF("doc_id", "text", "source")
+    val capped = Dedup.simhashCandidates(df, "doc_id", "text", maxBucketSize = 20).collect()
+    assert(capped.exists(r => r.getAs[Long]("id_a") == 100L && r.getAs[Long]("id_b") == 101L),
+      "planted near-dup lost under chunk-bucket cap")
+    assert(!capped.exists(r => r.getAs[Long]("id_a") <= 30L && r.getAs[Long]("id_b") <= 30L),
+      "identical-signature megabucket should be dropped by the cap")
+    val uncapped = Dedup.simhashCandidates(df, "doc_id", "text").count()
+    assert(uncapped >= 435L, s"expected the megabucket pairs without cap, got $uncapped")
+  }
+
   test("hash sampling: stable splits, expected proportions, weighted mix") {
     import graft.operators.Sampling
     val ids = (1L to 10000L).map(i => (i, s"src${i % 4}")).toDF("id", "source")
