@@ -16,8 +16,15 @@ import org.apache.spark.sql.functions._
   * rehearsing the 100 TB posture.
   *
   * Run: SPARK_GRAFT_CPUS=32 java -cp "target/scala-2.13/classes:SPARK_JARS"
-  *      graft.ScaleRehearsal [nDocs ...]    (default: 5000 50000 150000)
+  *      graft.ScaleRehearsal [nDocs ...]    (default: 15000 50000 150000)
   * where SPARK_JARS globs every jar under /opt/spark/jars.
+  *
+  * Rung comparability (VERDICT r6 #3): every rung must sit in the SAME
+  * cap regime, or the pair counts aren't comparable across scales. The
+  * binding constraint is the exact-copy megabucket (n/50 docs) vs the
+  * bucket caps (200): n must exceed 10,000 so the megabucket is dropped
+  * at EVERY rung (the hot shingle, df ≈ n/20 vs df cap 200, then binds
+  * a fortiori). Hence the 15k floor — enforced below.
   */
 object ScaleRehearsal {
 
@@ -59,7 +66,11 @@ object ScaleRehearsal {
 
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args.toSeq.map(_.toLong)
-    else Seq(5000L, 50000L, 150000L)
+    else Seq(15000L, 50000L, 150000L)
+    require(scales.forall(_ > 10000L),
+      "rungs below 10k docs keep the exact-copy megabucket (n/50 <= cap " +
+        "200) while larger rungs drop it — incomparable cap regimes; " +
+        s"got ${scales.mkString(",")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -143,7 +143,7 @@ object Serving {
       Seq(
         sum(when(v < col(s"apx_$nm"), 1L).otherwise(0L)).as(s"lo_$nm"),
         sum(when(v <= col(s"apx_$nm"), 1L).otherwise(0L)).as(s"hi_$nm"))
-    } :+ count(lit(1)).as("n")
+    } :+ count(v).as("n")
     val ranked = df.join(broadcast(sketch), groupCol)
       .groupBy(groupCol)
       .agg(rankAggs.head, rankAggs.tail: _*)

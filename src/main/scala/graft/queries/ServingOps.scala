@@ -40,9 +40,10 @@ object ServingOps {
       // the scale path for A10: approx_percentile sketches (bounded
       // buffers) + an in-engine rank-error certificate. The sketch values
       // are engine-specific, so the oracle pins the *guarantee*: every
-      // returned quantile's true rank must sit within 1/accuracy of its
-      // target — all-true booleans hash-match iff the bound holds on the
-      // real data.
+      // returned quantile's true rank must sit within 2/accuracy of its
+      // target (the distributed GK-merge bound — see
+      // Serving.approxPercentileRankCheck) — all-true booleans hash-match
+      // iff the bound holds on the real data.
       graft.etl.Serving.approxPercentileRankCheck(
         Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
         Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75, "p90" -> 0.90))

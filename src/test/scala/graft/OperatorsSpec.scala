@@ -173,6 +173,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("approxPercentileRankCheck: nullable column — n counts only non-null values") {
+    // VERDICT r6 #1: approx_percentile ignores nulls and the lo/hi rank
+    // sums count a null comparison as 0, so `n` must be the NON-NULL row
+    // count. With count(*) as n, 100 values + 300 nulls deflates the p50
+    // rank fraction to hi/n = 50/400 = 0.125 and the certificate emits a
+    // false negative (0.5 > 0.125 + eps). The fixed n=100 certifies.
+    import graft.etl.Serving
+    val rows = (1 to 100).map(i => ("g", Some(i.toDouble))) ++
+      (1 to 300).map(_ => ("g", Option.empty[Double]))
+    val df = rows.toDF("grp", "v")
+    val out = Serving.approxPercentileRankCheck(df, "grp", "v",
+      Seq("p25" -> 0.25, "p50" -> 0.50, "p90" -> 0.90)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") == 100L,
+      s"n must count only non-null values, got ${r.getAs[Long]("n")}")
+    Seq("p25_ok", "p50_ok", "p90_ok").foreach(c =>
+      assert(r.getAs[Boolean](c), s"rank bound wrongly violated for $c in $r"))
+    // pin that the OLD (count(*)) arithmetic would have misjudged here:
+    // hi_p50 = 50 over 400 total rows fails the q <= hi/n + eps test
+    val dilutedN = 400.0
+    val hiP50 = df.filter($"v" <= 50.0).count().toDouble
+    assert(!(0.5 <= hiP50 / dilutedN + 2.0 / 10000 + 1e-9),
+      "test premise: diluted-n arithmetic must produce a false verdict")
+  }
+
   test("e2e dedup: LSH candidates → jaccard verify → cluster → keep reps") {
     // {1,2,3} are a transitive near-dup chain; {10,11} exact copies; 20 unique
     val docs = Seq(

@@ -34,7 +34,10 @@ class RecoverySpec extends SparkSpec {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(60000)
+      // stop() even if awaitTermination times out: a still-running
+      // incarnation superseded by the next run() NPEs during planning
+      // once its session state is torn down (SparkPlan.session == null)
+      try q.awaitTermination(60000) finally q.stop()
     }
 
     source.addData(StatefulVelocity.KeyedMetric("k1", 1000.0, 1L))
@@ -68,7 +71,7 @@ class RecoverySpec extends SparkSpec {
           }
           .trigger(Trigger.AvailableNow())
           .start()
-        q.awaitTermination(60000)
+        try q.awaitTermination(60000) finally q.stop()
       }
       source.addData(StatefulVelocity.KeyedMetric("k1", 500.0, 1L))
       run()
@@ -91,7 +94,7 @@ class RecoverySpec extends SparkSpec {
       val checkpoint = Files.createTempDirectory("ckpt-tws").toString
       val results = new java.util.concurrent.ConcurrentLinkedQueue[StatefulVelocity.VelocityOut]()
       val source = MemoryStream[StatefulVelocity.KeyedMetric]
-      def run(): Unit = {
+      def run(expect: StatefulVelocity.VelocityOut => Boolean): Unit = {
         val q = StatefulVelocity.velocityStreamTws(source.toDS())
           .writeStream.outputMode("update")
           .option("checkpointLocation", checkpoint)
@@ -100,12 +103,24 @@ class RecoverySpec extends SparkSpec {
           }
           .trigger(Trigger.AvailableNow())
           .start()
-        q.awaitTermination(60000)
+        // TTL'd TWS state runs in TimeMode.ProcessingTime, which keeps
+        // scheduling no-data batches — AvailableNow never self-terminates,
+        // so poll for the expected output instead of a blind 60s wait,
+        // give the batch commit a short grace, then ALWAYS stop: a
+        // still-running incarnation superseded by the next run() NPEs
+        // during planning once its session state is torn down
+        try {
+          val deadline = System.nanoTime() + 60L * 1000000000L
+          while (!results.toArray(Array.empty[StatefulVelocity.VelocityOut])
+              .exists(expect) && System.nanoTime() < deadline)
+            Thread.sleep(100)
+          q.awaitTermination(2000)
+        } finally q.stop()
       }
       source.addData(StatefulVelocity.KeyedMetric("k1", 100.0, 1L))
-      run() // first sighting: prev = cur → velocity 0
+      run(_.metric == 100.0) // first sighting: prev = cur → velocity 0
       source.addData(StatefulVelocity.KeyedMetric("k1", 250.0, 2L))
-      run() // restarted query object: ValueState must survive
+      run(_.metric == 250.0) // restarted query object: ValueState must survive
       val out = results.toArray(Array.empty[StatefulVelocity.VelocityOut])
       assert(out.exists(r => r.metric == 100.0 && r.velocity == 0.0), s"got $out")
       val second = out.find(_.metric == 250.0)

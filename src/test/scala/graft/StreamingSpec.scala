@@ -193,8 +193,11 @@ class StreamingSpec extends SparkSpec {
     // `Trigger: 30 seconds`). This measures OUR compute latency on the
     // same pipeline shape — ingest wall-clock to the rows being readable
     // in the KV sink — with the trigger interval taken out (0ms trigger),
-    // i.e. the floor a production deployment adds its trigger to. Written
-    // to /tmp/graft_e2e_latency_ms.txt for PERF_NOTES.
+    // i.e. the floor a production deployment adds its trigger to. The
+    // measurement is recorded (env-gated path or a per-run temp file —
+    // never a fixed path two runs could race on) and the wall-clock bound
+    // is only ASSERTED under GRAFT_BENCH_ASSERT=1: timing on a loaded CI
+    // box is not a correctness property.
     implicit val ctx = spark.sqlContext
     val kv = new Sinks.KeyValueTopK
     val source = MemoryStream[KafkaLike]
@@ -214,11 +217,14 @@ class StreamingSpec extends SparkSpec {
         kv.store.contains("trending:tiktok:kol_b")
       val latencyMs = (System.nanoTime() - t0) / 1e6
       assert(visible, "scored rows not visible in KV sink after processAllAvailable")
-      assert(latencyMs < 30000.0,
-        f"steady-state ingest->sink latency $latencyMs%.0f ms should beat the reference's 30s E2E")
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("/tmp/graft_e2e_latency_ms.txt"), f"$latencyMs%.0f")
-      info(f"steady-state ingest->KV latency: $latencyMs%.0f ms (reference E2E: 30s trigger-bound)")
+      if (sys.env.contains("GRAFT_BENCH_ASSERT"))
+        assert(latencyMs < 30000.0,
+          f"steady-state ingest->sink latency $latencyMs%.0f ms should beat the reference's 30s E2E")
+      val out = sys.env.get("GRAFT_E2E_LATENCY_OUT")
+        .map(java.nio.file.Paths.get(_))
+        .getOrElse(java.nio.file.Files.createTempFile("graft_e2e_latency_ms_", ".txt"))
+      java.nio.file.Files.writeString(out, f"$latencyMs%.0f")
+      info(f"steady-state ingest->KV latency: $latencyMs%.0f ms (reference E2E: 30s trigger-bound) -> $out")
     } finally q.stop()
   }
 
