@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions._
   *  - q35 n-gram (3-shingle) Jaccard near-dup candidates via inverted index
   *  - q37 MinHash-LSH band statistics (portable hash family — full oracle)
   *  - q38 SimHash hamming-candidate stats (portable family — full oracle)
+  *  - q61 vocab-driven subword piece counts (greedy longest-prefix over
+  *    the checked-in vocab; recursive-CTE oracle — full hash check)
   */
 object TextOps {
 
@@ -221,6 +223,21 @@ object TextOps {
       // reproducible across libm implementations
       graft.operators.TfIdf.topTerms(Tables.documents(s, d), "doc_id", "text", 3)
         .filter(col("id") < 100)
+    },
+
+    QueryDef.sql("q61_subword_pieces", q61Sql) { (s, d) =>
+      // project the piece count ONCE (the codegen'd SubwordPieceCount
+      // static call), then aggregate the materialized column — referencing
+      // the expression from all three aggregates would re-tokenize the
+      // text per reference
+      Tables.documents(s, d)
+        .select(col("lang"),
+          graft.plans.SubwordExpression.subwordPieces(col("text")).as("pieces"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("pieces").cast("long").as("total_pieces"),
+          max("pieces").cast("long").as("max_pieces"),
+          TextFunctions.round4hu(avg(col("pieces").cast("double"))).as("avg_pieces"))
     }
   )
 
@@ -261,6 +278,44 @@ object TextOps {
        |  floor(avg(sz) * 10000.0 + 0.5) / 10000.0 AS avg_bucket,
        |  CAST(sum(sz * (sz - 1) / 2) AS BIGINT) AS n_cand_pairs
        |FROM bs GROUP BY band""".stripMargin
+  }
+
+  /** q61 oracle: the SAME greedy longest-prefix segmentation as
+    * [[graft.functions.SubwordBpe.countPieces]] as a recursive CTE — each
+    * step strips the longest `starts_with` vocab match from the word's
+    * remainder (1-char fallback) and bumps the piece count. The vocab is
+    * interpolated from the checked-in resource so the two sides can never
+    * drift. Recursion runs over DISTINCT words (the corpus vocabulary),
+    * not occurrences, then joins counts back — the same trick that makes
+    * the operator cheap at scale.
+    */
+  private def q61Sql: String = {
+    val lowerToks =
+      "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+    s"""WITH RECURSIVE vocab(p) AS (VALUES ${graft.functions.SubwordBpe.vocabValuesSql}),
+       |words AS (
+       |  SELECT doc_id, unnest($lowerToks) AS w FROM documents),
+       |wd AS (SELECT DISTINCT w FROM words),
+       |seg AS (
+       |  SELECT w, w AS rest, 0 AS cnt FROM wd
+       |  UNION ALL
+       |  SELECT w,
+       |    substr(rest, 1 + coalesce(len((SELECT p FROM vocab
+       |      WHERE starts_with(rest, p) ORDER BY len(p) DESC, p LIMIT 1)), 1)),
+       |    cnt + 1
+       |  FROM seg WHERE len(rest) > 0),
+       |pc AS (SELECT w, cnt AS pieces FROM seg WHERE len(rest) = 0),
+       |perdoc AS (
+       |  SELECT words.doc_id, CAST(sum(pc.pieces) AS BIGINT) AS pieces
+       |  FROM words JOIN pc USING (w) GROUP BY words.doc_id),
+       |base AS (
+       |  SELECT d.doc_id, d.lang, coalesce(p.pieces, 0) AS pieces
+       |  FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(pieces) AS BIGINT) AS total_pieces,
+       |  CAST(max(pieces) AS BIGINT) AS max_pieces,
+       |  floor(avg(CAST(pieces AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_pieces
+       |FROM base GROUP BY lang""".stripMargin
   }
 
   /** q38 oracle: 32-bit portable SimHash (md5-derived token hashes, ±1 bit
