@@ -15,6 +15,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
   *  - `minhash_agg(hashed_long, perms)` — all-permutation MinHash in one
   *    aggregation buffer ([[MinHashAggregate]]; the child must be the
   *    pre-hashed shingle long, see its scaladoc).
+  *  - `subword_piece_count(text)` — greedy longest-prefix subword pieces
+  *    over the checked-in vocab ([[SubwordPieceCount]], q61).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -40,7 +42,8 @@ object GraftExtensions {
     "dot_f" -> ((args: Seq[Expression]) => FloatVectorDot(args(0), args(1))),
     "minhash_agg" -> ((args: Seq[Expression]) =>
       MinHashAggregate(args(0), intArg(args(1), "minhash_agg perms"))
-        .toAggregateExpression()))
+        .toAggregateExpression()),
+    "subword_piece_count" -> ((args: Seq[Expression]) => SubwordPieceCount(args(0))))
 
   /** Same registrations on an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -69,6 +69,9 @@ class VectorExpressionSpec extends SparkSpec {
       .agg(graft.plans.MinHashAgg.minhashAgg($"h", 4).as("sig"))
       .orderBy("id").collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
     assert(viaSql.toSeq == viaApi.toSeq)
+    // scalar subword tokenizer reachable from SQL too
+    val sw = spark.sql("SELECT subword_piece_count('the table') AS n").head()
+    assert(sw.getLong(0) == 4L) // the=1 + ta|b|le=3
   }
 
   test("native cosine participates in whole-stage codegen") {
