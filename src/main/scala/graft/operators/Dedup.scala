@@ -183,13 +183,11 @@ object Dedup {
     * where cross-engine verifiability matters more than peak throughput.
     */
   case object PortableHashFamily extends MinHashFamily {
-    val P: Long = (1L << 61) - 1
-    private def seeded(tag: String, i: Int): Long =
-      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-        org.apache.spark.unsafe.types.UTF8String.fromString(s"${tag}_$i"),
-        org.apache.spark.sql.types.StringType, 42L)
-    def aCoef(i: Int): Long = java.lang.Math.floorMod(seeded("a", i), (1L << 30) - 1) + 1
-    def bCoef(i: Int): Long = java.lang.Math.floorMod(seeded("b", i), P)
+    val P: Long = graft.plans.SigOps.MersenneP
+    // coefficients live in SigOps so the relational family and the native
+    // one-pass kernel (graft.plans.MinHashSig) can never drift
+    def aCoef(i: Int): Long = graft.plans.SigOps.aCoef(i)
+    def bCoef(i: Int): Long = graft.plans.SigOps.bCoef(i)
     def firstLevel(sh: Column): Column =
       conv(substring(md5(sh), 1, 8), 16, 10).cast("long")
     def permute(h: Column, i: Int): Column =
@@ -220,20 +218,41 @@ object Dedup {
       array_min(transform(shinglesCol,
         sh => org.apache.spark.sql.GraftSqlBridge.xxhash64Seeded(xxhash64(sh), seed)))): _*)
 
-  /** Bulk MinHash: (id, sig) with each shingle hashed exactly `perms`
-    * times. Explode → per-permutation min aggregation: partial (map-side)
-    * mins mean the shuffle carries only `perms` longs per doc — the
-    * correct shape at 100 TB, and ~50× faster locally than the nested
-    * higher-order expression, which Catalyst re-inlines per permutation.
+  /** Bulk MinHash: (id, sig), default path — the native one-pass
+    * [[graft.plans.MinHashSig]] kernel: tokenize → shingle → hash → fold
+    * per DOCUMENT inside a single codegen'd projection. No posting rows,
+    * no aggregation, NO SHUFFLE — signatures scale embarrassingly-parallel
+    * with the scan, and the only exchange in an LSH job is the
+    * (band, bucket) candidate join itself. Identical signatures to
+    * [[minhashSignaturesViaPostings]] (spec-pinned, both families);
+    * measured 4× faster at sf0.1 (PERF_NOTES r7).
     */
-  /** Bulk signatures, default path: `perms` codegen'd `min(xxhash64_seeded)`
-    * aggregates over hashed-shingle postings. Measured faster than the
-    * single-buffer [[graft.plans.MinHashAggregate]] (see
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      perms: Int, shingleW: Int = 3,
+      family: MinHashFamily = XxHashFamily): DataFrame =
+    // token-less docs are excluded by a cheap TEXT predicate (`\S` ⇔ at
+    // least one token under the `\s+` tokenizer) instead of
+    // `sig.isNotNull`: a deterministic filter on the sig alias gets
+    // predicate-pushed below the projection, and Filter + Project would
+    // then each evaluate the kernel — WholeStageCodegen does not CSE
+    // across operators. With the text predicate the signature is computed
+    // exactly once per row.
+    df.filter(col(textCol).isNotNull && col(textCol).rlike("\\S"))
+      .select(col(idCol).as("id"),
+        graft.plans.SignatureExpressions.minhashSig(col(textCol), perms,
+          shingleW, portable = family == PortableHashFamily).as("sig"))
+
+  /** Bulk signatures via explode+aggregate: `perms` codegen'd
+    * `min(permute(hash))` aggregates over hashed-shingle postings — the
+    * relational formulation (partial mins keep the shuffle at `perms`
+    * longs per doc). Kept as the parity twin for [[minhashSignatures]]
+    * and for callers that already HAVE posting rows. Measured faster than
+    * the single-buffer [[graft.plans.MinHashAggregate]] (see
     * [[minhashSignaturesViaAgg]]) because declarative mins stay inside
     * whole-stage codegen while a TypedImperativeAggregate forces
     * ObjectHashAggregate with interpreted per-row eval — 3× at sf0.1.
     */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+  def minhashSignaturesViaPostings(df: DataFrame, idCol: String, textCol: String,
       perms: Int, shingleW: Int = 3,
       family: MinHashFamily = XxHashFamily): DataFrame = {
     // two-level hashing: the O(len) string hash happens once per posting
@@ -393,25 +412,45 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Bulk SimHash: (id, sig) hashing each token once via explode +
-    * `nBits` conditional-sum aggregations (map-side combinable) — same
-    * hash-once rationale as [[minhashSignatures]].
+  /** Bulk SimHash: (id, sig), default path — the native one-pass
+    * [[graft.plans.SimHashSig]] kernel (tokenize → hash → bit-fold per
+    * document, single codegen'd projection, no explode/agg/shuffle).
+    * Identical signatures to [[simhashSignaturesViaPostings]]
+    * (spec-pinned).
     */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    simhashFromHashed(
-      df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
-        .select(col("id"), xxhash64(col("t")).as("h")),
-      nBits = 64)
+    // text predicate instead of sig.isNotNull — see minhashSignatures
+    df.filter(col(textCol).isNotNull && col(textCol).rlike("\\S"))
+      .select(col(idCol).as("id"),
+        graft.plans.SignatureExpressions.simhashSig(col(textCol)).as("sig"))
 
   /** 32-bit SimHash over [[PortableHashFamily]]'s first-level hash — the
     * external-oracle-verifiable variant (md5-derived token hashes, so an
-    * ANSI-SQL engine reproduces signatures exactly).
+    * ANSI-SQL engine reproduces signatures exactly). Native one-pass
+    * kernel, like [[simhashSignatures]].
     */
   def simhashSignatures32Portable(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    simhashFromHashed(
-      df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
-        .select(col("id"), PortableHashFamily.firstLevel(col("t")).as("h")),
-      nBits = 32)
+    df.filter(col(textCol).isNotNull && col(textCol).rlike("\\S"))
+      .select(col(idCol).as("id"),
+        graft.plans.SignatureExpressions.simhashSig(col(textCol),
+          portable = true).as("sig"))
+
+  /** SimHash via explode + `nBits` conditional-sum aggregations (map-side
+    * combinable) — the relational parity twin of [[simhashSignatures]]
+    * (same hash-once rationale as [[minhashSignaturesViaPostings]]).
+    */
+  def simhashSignaturesViaPostings(df: DataFrame, idCol: String, textCol: String,
+      portable: Boolean = false): DataFrame =
+    if (portable)
+      simhashFromHashed(
+        df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+          .select(col("id"), PortableHashFamily.firstLevel(col("t")).as("h")),
+        nBits = 32)
+    else
+      simhashFromHashed(
+        df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+          .select(col("id"), xxhash64(col("t")).as("h")),
+        nBits = 64)
 
   /** Fold per-token hashes into a SimHash: per bit position sum ±1 across
     * tokens, keep the sign. `hashed`: (id, h) one row per token occurrence.

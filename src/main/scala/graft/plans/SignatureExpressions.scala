@@ -1,0 +1,298 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass document-signature kernels: tokenize → hash → fold, all inside
+  * a single codegen'd projection.
+  *
+  * The explode+aggregate signature builders in [[graft.operators.Dedup]]
+  * exist because nested higher-order expressions re-evaluate their inputs
+  * (lambda-bound references defeat common-subexpression elimination — the
+  * round-1 lesson recorded in PERF_NOTES). But explode+agg pays a
+  * different tax: one posting ROW per token occurrence, `perms`/`nBits`
+  * aggregation buffer slots, and a hash-partial-agg pipeline per doc.
+  * A signature is a pure per-document function — the right physical shape
+  * is a map-side projection: no posting rows, no aggregation, NO SHUFFLE.
+  * At 100 TB that difference is structural: signatures computed this way
+  * scale embarrassingly-parallel with the scan, and the only exchange in
+  * an LSH dedup job is the (band, bucket) candidate join itself.
+  *
+  * Hash-family parity (spec-pinned by `SignatureParitySpec`):
+  *  - portable: token/shingle → first 8 md5 hex chars as unsigned 32-bit
+  *    (`conv(substring(md5(s),1,8),16,10)`), permuted `(aᵢ·h+bᵢ) mod 2⁶¹−1`
+  *    — byte-for-byte [[graft.operators.Dedup.PortableHashFamily]], so
+  *    DuckDB oracles keep reproducing signatures exactly.
+  *  - xxhash64: `xxhash64(s)` seed 42, permuted `xxhash64_seeded(h, i)` —
+  *    byte-for-byte [[graft.operators.Dedup.XxHashFamily]].
+  * Tokenization matches `TextFunctions.tokens` (split `\s+`, drop empty);
+  * shingling matches `Dedup.shinglePostings` (w-token windows, short docs
+  * emit their single all-token shingle, empty docs emit nothing → the
+  * expression returns NULL so callers can filter, matching the
+  * explode-path behavior of dropping token-less docs).
+  *
+  * Reference anchor: the dedup stage this accelerates is the same
+  * MinHash/SimHash family surveyed for the reference's content pipeline
+  * (SURVEY.md §2 LLM-data operators); no counterpart exists in the
+  * reference itself — it is the 100 TB scale path.
+  */
+object SigOps {
+
+  val MersenneP: Long = (1L << 61) - 1
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** Whitespace tokens, empty dropped — `TextFunctions.tokens` parity
+    * (Spark's `split(text, "\\s+")` keeps a leading "" for text starting
+    * with whitespace; the length filter drops it in both paths).
+    */
+  def tokensOf(text: UTF8String): Array[String] =
+    ws.split(text.toString, -1).filter(_.nonEmpty)
+
+  /** First 8 md5 hex chars as an unsigned 32-bit value — exactly
+    * `conv(substring(md5(s),1,8),16,10)` (the portable first-level hash).
+    */
+  def md5First4(bytes: Array[Byte]): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val h = d.digest(bytes)
+    ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+  }
+
+  def xx64(s: UTF8String): Long = XxHash64Function.hash(s, StringType, 42L)
+
+  private def seeded(tag: String, i: Int): Long =
+    XxHash64Function.hash(UTF8String.fromString(s"${tag}_$i"), StringType, 42L)
+
+  /** Portable-family permutation coefficients — the same derivation as
+    * `Dedup.PortableHashFamily.aCoef/bCoef` (which delegate here so the
+    * two can never drift).
+    */
+  def aCoef(i: Int): Long = java.lang.Math.floorMod(seeded("a", i), (1L << 30) - 1) + 1
+  def bCoef(i: Int): Long = java.lang.Math.floorMod(seeded("b", i), MersenneP)
+
+  private val coefCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  private def coefs(perms: Int): (Array[Long], Array[Long]) =
+    coefCache.computeIfAbsent(perms,
+      p => (Array.tabulate(p)(aCoef), Array.tabulate(p)(bCoef)))
+
+  /** Shingle strings fed to the hash — w-token windows over the token
+    * array, short docs collapse to one all-token shingle (parity with
+    * `shinglePostings`: `pos <= greatest(n − w, 0)`). Duplicates retained;
+    * min() downstream is duplicate-insensitive.
+    */
+  private def eachShingle(toks: Array[String], w: Int)(f: String => Unit): Unit = {
+    val n = toks.length
+    val last = math.max(n - w, 0)
+    val sb = new java.lang.StringBuilder
+    var pos = 0
+    while (pos <= last) {
+      sb.setLength(0)
+      val end = math.min(pos + w, n)
+      var k = pos
+      while (k < end) {
+        if (k > pos) sb.append(' ')
+        sb.append(toks(k))
+        k += 1
+      }
+      f(sb.toString)
+      pos += 1
+    }
+  }
+
+  /** MinHash signature, portable family. Null iff the text has no tokens. */
+  def minhashPortable(text: UTF8String, w: Int, perms: Int): ArrayData = {
+    val toks = tokensOf(text)
+    if (toks.length == 0) return null
+    val (as, bs) = coefs(perms)
+    val mins = Array.fill(perms)(Long.MaxValue)
+    eachShingle(toks, w) { sh =>
+      // aᵢ < 2³⁰ and h < 2³² keep aᵢ·h < 2⁶² — exact signed-64 arithmetic,
+      // same bound the SQL twin relies on
+      val h = md5First4(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var i = 0
+      while (i < perms) {
+        val v = (as(i) * h + bs(i)) % MersenneP
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** MinHash signature, xxhash64 family. Null iff the text has no tokens. */
+  def minhashXx(text: UTF8String, w: Int, perms: Int): ArrayData = {
+    val toks = tokensOf(text)
+    if (toks.length == 0) return null
+    val mins = Array.fill(perms)(Long.MaxValue)
+    eachShingle(toks, w) { sh =>
+      val h = xx64(UTF8String.fromString(sh))
+      var i = 0
+      while (i < perms) {
+        val v = XxHash64Function.hash(h, LongType, i.toLong)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 32-bit SimHash, portable family (per token OCCURRENCE, like the
+    * explode path). Null iff the text has no tokens.
+    */
+  def simhashPortable32(text: UTF8String): java.lang.Long = {
+    val toks = tokensOf(text)
+    val n = toks.length
+    if (n == 0) return null
+    val counts = new Array[Int](32)
+    var t = 0
+    while (t < n) {
+      val h = md5First4(toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var i = 0
+      while (i < 32) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 32) {
+      if (counts(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  /** 64-bit SimHash, xxhash64 family. Null iff the text has no tokens. */
+  def simhashXx64(text: UTF8String): java.lang.Long = {
+    val toks = tokensOf(text)
+    val n = toks.length
+    if (n == 0) return null
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < n) {
+      val h = xx64(UTF8String.fromString(toks(t)))
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+}
+
+/** MinHash signature of a text column in one codegen'd pass —
+  * `array<long>` of length `perms`, NULL when the text has no tokens
+  * (parity with the explode path, which drops token-less docs).
+  */
+case class MinHashSig(child: Expression, perms: Int, shingleW: Int,
+    portable: Boolean) extends UnaryExpression {
+
+  require(perms > 0, s"perms must be positive, got $perms")
+  require(shingleW > 0, s"shingleW must be positive, got $shingleW")
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String =
+    if (portable) "minhash_sig_portable" else "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got $other")
+  }
+
+  private def fn: String = if (portable) "minhashPortable" else "minhashXx"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[UTF8String]
+    if (portable) SigOps.minhashPortable(t, shingleW, perms)
+    else SigOps.minhashXx(t, shingleW, perms)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.SigOps.$fn($c, $shingleW, $perms);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** SimHash signature of a text column in one codegen'd pass — a single
+  * long (32 significant bits for the portable family, 64 for xxhash64),
+  * NULL when the text has no tokens.
+  */
+case class SimHashSig(child: Expression, portable: Boolean)
+  extends UnaryExpression {
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String =
+    if (portable) "simhash_sig_portable32" else "simhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got $other")
+  }
+
+  private def fn: String = if (portable) "simhashPortable32" else "simhashXx64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    if (portable) SigOps.simhashPortable32(input.asInstanceOf[UTF8String])
+    else SigOps.simhashXx64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val sig = ctx.freshName("sig")
+      s"""
+      java.lang.Long $sig = graft.plans.SigOps.$fn($c);
+      if ($sig == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $sig.longValue(); }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}
+
+object SignatureExpressions {
+
+  /** MinHash signature column over a text column (NULL for token-less
+    * text — filter before banding).
+    */
+  def minhashSig(text: Column, perms: Int, shingleW: Int = 3,
+      portable: Boolean = false): Column =
+    GraftSqlBridge.column(
+      MinHashSig(GraftSqlBridge.expression(text), perms, shingleW, portable))
+
+  /** SimHash signature column over a text column (NULL for token-less
+    * text).
+    */
+  def simhashSig(text: Column, portable: Boolean = false): Column =
+    GraftSqlBridge.column(SimHashSig(GraftSqlBridge.expression(text), portable))
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The native one-pass signature kernels (graft.plans.MinHashSig /
+  * SimHashSig) must produce EXACTLY the signatures of the explode+agg
+  * posting paths, on real documents and on the tokenization edge cases
+  * (empty text, whitespace-only, leading whitespace, short docs below the
+  * shingle width, null text). Token-less docs are dropped by both paths
+  * (explode emits no rows; the expression returns null and is filtered).
+  */
+class SignatureParitySpec extends SparkSpec {
+
+  private def docs: DataFrame = Tables.documents(spark, sf())
+
+  private def edges: DataFrame = {
+    import sqlImplicits._
+    Seq(
+      (1L, "one"),
+      (2L, "two tokens"),
+      (3L, "exactly three word tokens here no wait six"),
+      (4L, ""),
+      (5L, "   "),
+      (6L, "  leading whitespace token"),
+      (7L, null.asInstanceOf[String]),
+      (8L, "repeat repeat repeat repeat")
+    ).toDF("doc_id", "text")
+  }
+
+  private def assertSameSigs(native: DataFrame, posting: DataFrame): Unit = {
+    val n = native.withColumnRenamed("sig", "sig_n")
+    val p = posting.withColumnRenamed("sig", "sig_p")
+    val joined = n.join(p, Seq("id"), "full_outer")
+      .select(col("id"), col("sig_n"), col("sig_p"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2),
+        s"doc ${r.get(0)} present on one side only: ${r.get(1)} vs ${r.get(2)}")
+      assert(r.get(1) == r.get(2), s"signature mismatch for doc ${r.get(0)}")
+    }
+  }
+
+  test("minhash native == postings, xxhash64 family (documents + edges)") {
+    for (df <- Seq(docs, edges)) {
+      assertSameSigs(
+        Dedup.minhashSignatures(df, "doc_id", "text", perms = 16),
+        Dedup.minhashSignaturesViaPostings(df, "doc_id", "text", perms = 16))
+    }
+  }
+
+  test("minhash native == postings, portable family (documents + edges)") {
+    for (df <- Seq(docs, edges)) {
+      assertSameSigs(
+        Dedup.minhashSignatures(df, "doc_id", "text", perms = 16,
+          family = Dedup.PortableHashFamily),
+        Dedup.minhashSignaturesViaPostings(df, "doc_id", "text", perms = 16,
+          family = Dedup.PortableHashFamily))
+    }
+  }
+
+  test("simhash native == postings, 64-bit xxhash64 family") {
+    for (df <- Seq(docs, edges)) {
+      assertSameSigs(
+        Dedup.simhashSignatures(df, "doc_id", "text"),
+        Dedup.simhashSignaturesViaPostings(df, "doc_id", "text"))
+    }
+  }
+
+  test("simhash native == postings, 32-bit portable family") {
+    for (df <- Seq(docs, edges)) {
+      assertSameSigs(
+        Dedup.simhashSignatures32Portable(df, "doc_id", "text"),
+        Dedup.simhashSignaturesViaPostings(df, "doc_id", "text", portable = true))
+    }
+  }
+
+  test("token-less docs are dropped, token-ful docs kept (native)") {
+    val ids = Dedup.minhashSignatures(edges, "doc_id", "text", perms = 4)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 6L, 8L))
+    val sids = Dedup.simhashSignatures(edges, "doc_id", "text")
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(sids.toSeq == Seq(1L, 2L, 3L, 6L, 8L))
+  }
+
+  test("native signature stays inside whole-stage codegen, computed once") {
+    val plan = Dedup.minhashSignatures(docs, "doc_id", "text", perms = 16)
+      .queryExecution.executedPlan.toString
+    // `*(n)` prefixes are WholeStageCodegen stage markers
+    assert(plan.contains("*(1) Project"), plan.take(2000))
+    // the kernel must appear exactly once (a sig-alias filter would get
+    // pushed below the projection and evaluate it a second time)
+    assert(plan.split("minhash_sig", -1).length - 1 == 1, plan.take(2000))
+  }
+}
