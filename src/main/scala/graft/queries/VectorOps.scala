@@ -144,6 +144,45 @@ object VectorOps {
         nProbe = 3, centroids = Some(cents))
         .select(col("qid"), col("cell"), col("nid"),
           round4hu(col("cosine")).as("cosine"), col("rank"))
+    },
+
+    // q62: embedding-cosine near-duplicate detection (the DEDUP
+    // formulation of similarity — pairs above a threshold, not top-k),
+    // LSH-blocked via the same plan-time-literal hyperplanes as q39 so
+    // DuckDB reproduces buckets bit-for-bit. The testdata embeddings are
+    // near-random (max pair cosine ≈ 0.6), so like q38 the query reports
+    // the observability row a dedup operator needs either way: candidate
+    // volume, pairs over the threshold, max cosine — per label so the
+    // result is never empty and the blocking stats stay visible.
+    QueryDef.sql(
+      "q62_embedding_neardup",
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label
+         |           FROM embeddings),
+         |b AS (SELECT id, v, ${VectorFunctions.lshBucketSql("v", 4, Dim)} AS bucket FROM e),
+         |pairs AS (
+         |  SELECT list_cosine_similarity(a.v, b2.v) AS c
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id),
+         |stats AS (
+         |  SELECT count(*) AS n_candidate_pairs,
+         |    CAST(sum(CASE WHEN c >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_05,
+         |    floor(max(c) * 10000.0 + 0.5) / 10000.0 AS max_cosine
+         |  FROM pairs)
+         |SELECT label, count(*) AS n_vecs,
+         |  s.n_candidate_pairs, s.n_neardup_05, s.max_cosine
+         |FROM e CROSS JOIN stats s
+         |GROUP BY label, s.n_candidate_pairs, s.n_neardup_05, s.max_cosine""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding"), col("label"))
+      // threshold −1 keeps every in-bucket candidate so the stats row can
+      // report candidate volume alongside the ≥0.5 near-dup count
+      val pairs = Similarity.cosineNearDupPairs(
+        emb.select("id", "embedding"), threshold = -1.0, nPlanes = 4, dim = Dim)
+      val stats = pairs.agg(
+        count(lit(1)).as("n_candidate_pairs"),
+        sum(when(col("cosine") >= 0.5, 1L).otherwise(0L)).as("n_neardup_05"),
+        round4hu(max("cosine")).as("max_cosine"))
+      emb.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+        .crossJoin(broadcast(stats))
     }
   )
 }
