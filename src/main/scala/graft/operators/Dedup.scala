@@ -239,8 +239,9 @@ object Dedup {
     // exactly once per row.
     df.filter(col(textCol).isNotNull && col(textCol).rlike("\\S"))
       .select(col(idCol).as("id"),
-        graft.plans.SignatureExpressions.minhashSig(col(textCol), perms,
-          shingleW, portable = family == PortableHashFamily).as("sig"))
+        org.apache.spark.sql.GraftSqlBridge.knownNotNull(
+          graft.plans.SignatureExpressions.minhashSig(col(textCol), perms,
+            shingleW, portable = family == PortableHashFamily)).as("sig"))
 
   /** Bulk signatures via explode+aggregate: `perms` codegen'd
     * `min(permute(hash))` aggregates over hashed-shingle postings — the
@@ -298,7 +299,16 @@ object Dedup {
       bands: Int = 4, rowsPerBand: Int = 4, shingleW: Int = 3,
       family: MinHashFamily = XxHashFamily,
       maxBucketSize: Long = 100000): DataFrame = {
+    // materialize the buckets through ONE exchange on the join key: the
+    // bucket-size filter and both self-join sides are three plan branches
+    // over the same subtree, and without an exchange boundary each branch
+    // would re-run the scan + signature kernel (ReuseExchange/AQE stage
+    // reuse dedupes identical exchanges, not identical projections). The
+    // exchange carries (id, sig, band, bucket) — a few dozen bytes per
+    // doc — and is exactly the partitioning the count and the pair join
+    // need, so no further shuffle follows.
     val bucketed = bandBuckets(df, idCol, textCol, bands, rowsPerBand, shingleW, family)
+      .repartition(col("band"), col("bucket"))
     // same (band, bucket) key as the pair join → exchange reuse; partial
     // counts keep the aggregate map-side combinable
     val small = bucketed.groupBy("band", "bucket")
@@ -341,9 +351,12 @@ object Dedup {
       family: MinHashFamily = XxHashFamily,
       maxBucketSize: Long = 100000): DataFrame = {
     val newB = bandBuckets(newDocs, idCol, textCol, bands, rowsPerBand, shingleW, family)
+    // one exchange shared by the bucket-size count and both join sides —
+    // see minhashCandidates
     val all = existingIndex.select("id", "band", "bucket")
       .withColumn("is_new", lit(false))
       .unionByName(newB.withColumn("is_new", lit(true)))
+      .repartition(col("band"), col("bucket"))
     val small = all.groupBy("band", "bucket")
       .agg(count(lit(1)).as("sz_"))
       .filter(col("sz_") <= maxBucketSize)
@@ -422,7 +435,8 @@ object Dedup {
     // text predicate instead of sig.isNotNull — see minhashSignatures
     df.filter(col(textCol).isNotNull && col(textCol).rlike("\\S"))
       .select(col(idCol).as("id"),
-        graft.plans.SignatureExpressions.simhashSig(col(textCol)).as("sig"))
+        org.apache.spark.sql.GraftSqlBridge.knownNotNull(
+          graft.plans.SignatureExpressions.simhashSig(col(textCol))).as("sig"))
 
   /** 32-bit SimHash over [[PortableHashFamily]]'s first-level hash — the
     * external-oracle-verifiable variant (md5-derived token hashes, so an
@@ -432,8 +446,9 @@ object Dedup {
   def simhashSignatures32Portable(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.filter(col(textCol).isNotNull && col(textCol).rlike("\\S"))
       .select(col(idCol).as("id"),
-        graft.plans.SignatureExpressions.simhashSig(col(textCol),
-          portable = true).as("sig"))
+        org.apache.spark.sql.GraftSqlBridge.knownNotNull(
+          graft.plans.SignatureExpressions.simhashSig(col(textCol),
+            portable = true)).as("sig"))
 
   /** SimHash via explode + `nBits` conditional-sum aggregations (map-side
     * combinable) — the relational parity twin of [[simhashSignatures]]
@@ -508,11 +523,14 @@ object Dedup {
     require(sigBits % nChunks == 0, s"nChunks must divide $sigBits, got $nChunks")
     val width = sigBits / nChunks
     val mask = if (width == 64) -1L else (1L << width) - 1L
+    // one exchange on the chunk-bucket key, shared by the bucket-size
+    // count and both self-join sides — see minhashCandidates
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until nChunks).map(c =>
         shiftright(col("sig"), c * width).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
+      .repartition(col("chunk"), col("chunk_val"))
     // same megabucket hazard as minhashCandidates: a cluster of identical
     // signatures (exact-copy boilerplate) puts n docs in ONE chunk bucket
     // → C(n,2) verify pairs per chunk. Same fix: keyed like the pair join

@@ -176,8 +176,12 @@ object Similarity {
     */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,
       nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    // one exchange on the bucket key shared by both self-join sides (the
+    // two sides are identical subtrees; without the exchange each would
+    // re-run the scan + hyperplane projection)
     val b = df.select(col("id"), col("embedding"),
       VectorFunctions.lshBucket(col("embedding"), nPlanes, dim).as("bucket"))
+      .repartition(col("bucket"))
     val a = b.as("a")
     val c = b.as("b")
     a.join(c, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

@@ -34,9 +34,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    byte-for-byte [[graft.operators.Dedup.XxHashFamily]].
   * Tokenization matches `TextFunctions.tokens` (split `\s+`, drop empty);
   * shingling matches `Dedup.shinglePostings` (w-token windows, short docs
-  * emit their single all-token shingle, empty docs emit nothing → the
-  * expression returns NULL so callers can filter, matching the
-  * explode-path behavior of dropping token-less docs).
+  * emit their single all-token shingle, empty docs emit nothing). The
+  * kernels are TOTAL (token-less text → identity signature) so the
+  * expressions can be null-intolerant; the bulk builders in Dedup exclude
+  * token-less docs with a cheap `\S` text predicate, matching the
+  * explode-path behavior of dropping them.
   *
   * Reference anchor: the dedup stage this accelerates is the same
   * MinHash/SimHash family surveyed for the reference's content pipeline
@@ -96,6 +98,7 @@ object SigOps {
     */
   private def eachShingle(toks: Array[String], w: Int)(f: String => Unit): Unit = {
     val n = toks.length
+    if (n == 0) return
     val last = math.max(n - w, 0)
     val sb = new java.lang.StringBuilder
     var pos = 0
@@ -113,10 +116,14 @@ object SigOps {
     }
   }
 
-  /** MinHash signature, portable family. Null iff the text has no tokens. */
+  /** MinHash signature, portable family. Token-less text folds zero
+    * shingles and returns the identity signature (all Long.MaxValue) —
+    * the kernels are TOTAL functions so the expressions can be
+    * null-intolerant (see [[MinHashSig]]); bulk builders exclude
+    * token-less docs with a `\S` predicate instead.
+    */
   def minhashPortable(text: UTF8String, w: Int, perms: Int): ArrayData = {
     val toks = tokensOf(text)
-    if (toks.length == 0) return null
     val (as, bs) = coefs(perms)
     val mins = Array.fill(perms)(Long.MaxValue)
     eachShingle(toks, w) { sh =>
@@ -133,10 +140,9 @@ object SigOps {
     new GenericArrayData(mins)
   }
 
-  /** MinHash signature, xxhash64 family. Null iff the text has no tokens. */
+  /** MinHash signature, xxhash64 family. Total — see [[minhashPortable]]. */
   def minhashXx(text: UTF8String, w: Int, perms: Int): ArrayData = {
     val toks = tokensOf(text)
-    if (toks.length == 0) return null
     val mins = Array.fill(perms)(Long.MaxValue)
     eachShingle(toks, w) { sh =>
       val h = xx64(UTF8String.fromString(sh))
@@ -151,12 +157,11 @@ object SigOps {
   }
 
   /** 32-bit SimHash, portable family (per token OCCURRENCE, like the
-    * explode path). Null iff the text has no tokens.
+    * explode path). Total: token-less text yields signature 0.
     */
-  def simhashPortable32(text: UTF8String): java.lang.Long = {
+  def simhashPortable32(text: UTF8String): Long = {
     val toks = tokensOf(text)
     val n = toks.length
-    if (n == 0) return null
     val counts = new Array[Int](32)
     var t = 0
     while (t < n) {
@@ -174,14 +179,13 @@ object SigOps {
       if (counts(i) > 0) sig |= (1L << i)
       i += 1
     }
-    java.lang.Long.valueOf(sig)
+    sig
   }
 
-  /** 64-bit SimHash, xxhash64 family. Null iff the text has no tokens. */
-  def simhashXx64(text: UTF8String): java.lang.Long = {
+  /** 64-bit SimHash, xxhash64 family. Total: token-less text yields 0. */
+  def simhashXx64(text: UTF8String): Long = {
     val toks = tokensOf(text)
     val n = toks.length
-    if (n == 0) return null
     val counts = new Array[Int](64)
     var t = 0
     while (t < n) {
@@ -199,13 +203,18 @@ object SigOps {
       if (counts(i) > 0) sig |= (1L << i)
       i += 1
     }
-    java.lang.Long.valueOf(sig)
+    sig
   }
 }
 
 /** MinHash signature of a text column in one codegen'd pass —
-  * `array<long>` of length `perms`, NULL when the text has no tokens
-  * (parity with the explode path, which drops token-less docs).
+  * `array<long>` of length `perms`. TOTAL and null-intolerant: null text
+  * → null, token-less text → the identity signature (all Long.MaxValue).
+  * Null-intolerance matters for plan quality: join keys derived from the
+  * signature make `InferFiltersFromConstraints` emit `isnotnull(sig)`,
+  * and on a null-intolerant expression the optimizer simplifies that to
+  * `isnotnull(text)` instead of pushing a SECOND kernel evaluation into
+  * the filter below the projection.
   */
 case class MinHashSig(child: Expression, perms: Int, shingleW: Int,
     portable: Boolean) extends UnaryExpression {
@@ -213,7 +222,7 @@ case class MinHashSig(child: Expression, perms: Int, shingleW: Int,
   require(perms > 0, s"perms must be positive, got $perms")
   require(shingleW > 0, s"shingleW must be positive, got $shingleW")
 
-  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String =
     if (portable) "minhash_sig_portable" else "minhash_sig"
@@ -233,23 +242,21 @@ case class MinHashSig(child: Expression, perms: Int, shingleW: Int,
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.plans.SigOps.$fn($c, $shingleW, $perms);
-      if (${ev.value} == null) { ${ev.isNull} = true; }
-    """)
+    defineCodeGen(ctx, ev, c => s"graft.plans.SigOps.$fn($c, $shingleW, $perms)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
 
 /** SimHash signature of a text column in one codegen'd pass — a single
-  * long (32 significant bits for the portable family, 64 for xxhash64),
-  * NULL when the text has no tokens.
+  * long (32 significant bits for the portable family, 64 for xxhash64).
+  * TOTAL and null-intolerant (token-less text → 0) — see [[MinHashSig]]
+  * for why that shape matters to the optimizer.
   */
 case class SimHashSig(child: Expression, portable: Boolean)
   extends UnaryExpression {
 
-  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
   override def prettyName: String =
     if (portable) "simhash_sig_portable32" else "simhash_sig"
@@ -267,14 +274,7 @@ case class SimHashSig(child: Expression, portable: Boolean)
     else SigOps.simhashXx64(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val sig = ctx.freshName("sig")
-      s"""
-      java.lang.Long $sig = graft.plans.SigOps.$fn($c);
-      if ($sig == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = $sig.longValue(); }
-      """
-    })
+    defineCodeGen(ctx, ev, c => s"graft.plans.SigOps.$fn($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHashSig =
     copy(child = newChild)
@@ -282,17 +282,16 @@ case class SimHashSig(child: Expression, portable: Boolean)
 
 object SignatureExpressions {
 
-  /** MinHash signature column over a text column (NULL for token-less
-    * text — filter before banding).
+  /** MinHash signature column over a text column (token-less text → the
+    * all-MaxValue identity signature — exclude such docs with a `\S`
+    * predicate before banding).
     */
   def minhashSig(text: Column, perms: Int, shingleW: Int = 3,
       portable: Boolean = false): Column =
     GraftSqlBridge.column(
       MinHashSig(GraftSqlBridge.expression(text), perms, shingleW, portable))
 
-  /** SimHash signature column over a text column (NULL for token-less
-    * text).
-    */
+  /** SimHash signature column over a text column (token-less text → 0). */
   def simhashSig(text: Column, portable: Boolean = false): Column =
     GraftSqlBridge.column(SimHashSig(GraftSqlBridge.expression(text), portable))
 }

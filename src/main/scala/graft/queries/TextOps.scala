@@ -193,8 +193,15 @@ object TextOps {
     },
 
     QueryDef.sql("q38_simhash_candidates", q38Sql) { (s, d) =>
+      // maxBucketSize=500 BINDS on this data (the synthetic docs share
+      // vocabulary, so simhash chunk values cluster: at sf0.1 one 8-bit
+      // chunk bucket holds ~27% of all docs — ~900k of the 2.8M uncapped
+      // pairs from a single bucket). Exercising the cap here puts the
+      // documented megabucket mitigation itself under cross-engine hash
+      // verification, not just under specs.
       val cands = Dedup.simhashCandidatesPortable(
-        Tables.documents(s, d), "doc_id", "text", verifyThreshold = 16)
+        Tables.documents(s, d), "doc_id", "text", verifyThreshold = 16,
+        maxBucketSize = 500)
       // per-source stats stay non-empty even when no near-dups exist
       Tables.documents(s, d).groupBy("source").agg(count(lit(1)).as("n_docs"))
         .crossJoin(broadcast(cands.agg(
@@ -338,10 +345,14 @@ object TextOps {
        |chunked AS (
        |  SELECT doc_id, sig, c AS chunk, (sig >> (c * 8)) & 255 AS chunk_val
        |  FROM sg, (SELECT unnest([0, 1, 2, 3]) AS c) chunks),
+       |small AS (
+       |  SELECT chunk, chunk_val FROM chunked
+       |  GROUP BY chunk, chunk_val HAVING count(*) <= 500),
+       |kept AS (SELECT c.* FROM chunked c JOIN small USING (chunk, chunk_val)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |    bit_count(xor(a.sig, b.sig)) AS hamming
-       |  FROM chunked a JOIN chunked b
+       |  FROM kept a JOIN kept b
        |    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id),
        |agg AS (
        |  SELECT count(*) AS n_candidate_pairs,

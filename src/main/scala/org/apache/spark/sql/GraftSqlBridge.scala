@@ -20,6 +20,16 @@ object GraftSqlBridge {
     column(new catalyst.expressions.XxHash64(
       Seq(expression(c)), seed))
 
+  /** Assert non-nullability the caller has already established (e.g. by a
+    * preceding filter): a no-op at runtime, but it makes every derived
+    * expression non-nullable, so `InferFiltersFromConstraints` stops
+    * synthesizing `isnotnull(<expensive expr>)` predicates that would
+    * re-evaluate the expression below the projection. Only wrap values
+    * that genuinely cannot be null — the optimizer takes this on trust.
+    */
+  def knownNotNull(c: Column): Column =
+    column(catalyst.expressions.KnownNotNull(expression(c)))
+
   /** Register a SQL function on a LIVE session (sessionState is
     * `private[sql]`) — the same registration [[graft.plans.GraftExtensions]]
     * injects at session build for `spark.sql.extensions` deployments.
