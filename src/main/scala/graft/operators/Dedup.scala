@@ -299,23 +299,21 @@ object Dedup {
       bands: Int = 4, rowsPerBand: Int = 4, shingleW: Int = 3,
       family: MinHashFamily = XxHashFamily,
       maxBucketSize: Long = 100000): DataFrame = {
-    // materialize the buckets through ONE exchange on the join key: the
-    // bucket-size filter and both self-join sides are three plan branches
-    // over the same subtree, and without an exchange boundary each branch
-    // would re-run the scan + signature kernel (ReuseExchange/AQE stage
-    // reuse dedupes identical exchanges, not identical projections). The
-    // exchange carries (id, sig, band, bucket) — a few dozen bytes per
-    // doc — and is exactly the partitioning the count and the pair join
-    // need, so no further shuffle follows.
+    // materialize the buckets through ONE exchange on the join key, and
+    // apply the bucket-size cap as a count-over-window ON that
+    // partitioning (the ngramJaccardPairs pattern): a groupBy+semijoin
+    // formulation is a separate plan branch whose pruned projection
+    // canonicalizes differently, so AQE cannot serve it from the same
+    // stage and the scan + signature kernel would run again. The window
+    // adds no exchange, and the self-join's two sides are identical
+    // subtrees served via ReusedExchange.
     val bucketed = bandBuckets(df, idCol, textCol, bands, rowsPerBand, shingleW, family)
       .repartition(col("band"), col("bucket"))
-    // same (band, bucket) key as the pair join → exchange reuse; partial
-    // counts keep the aggregate map-side combinable
-    val small = bucketed.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("sz_"))
+    val szw = Window.partitionBy("band", "bucket")
+    val kept = bucketed
+      .withColumn("sz_", count(lit(1)).over(szw))
       .filter(col("sz_") <= maxBucketSize)
-      .select("band", "bucket")
-    val kept = bucketed.join(small, Seq("band", "bucket"))
+      .drop("sz_")
     val a = kept.as("a")
     val b = kept.as("b")
     a.join(b,
@@ -351,17 +349,16 @@ object Dedup {
       family: MinHashFamily = XxHashFamily,
       maxBucketSize: Long = 100000): DataFrame = {
     val newB = bandBuckets(newDocs, idCol, textCol, bands, rowsPerBand, shingleW, family)
-    // one exchange shared by the bucket-size count and both join sides —
-    // see minhashCandidates
+    // one exchange + count-over-window cap — see minhashCandidates
     val all = existingIndex.select("id", "band", "bucket")
       .withColumn("is_new", lit(false))
       .unionByName(newB.withColumn("is_new", lit(true)))
       .repartition(col("band"), col("bucket"))
-    val small = all.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("sz_"))
+    val szw = Window.partitionBy("band", "bucket")
+    val kept = all
+      .withColumn("sz_", count(lit(1)).over(szw))
       .filter(col("sz_") <= maxBucketSize)
-      .select("band", "bucket")
-    val kept = all.join(small, Seq("band", "bucket"))
+      .drop("sz_")
     val keptNew = kept.filter(col("is_new"))
     // old–new pairs emit once from the old side regardless of id order;
     // new–new pairs once via the id-order guard
@@ -523,24 +520,23 @@ object Dedup {
     require(sigBits % nChunks == 0, s"nChunks must divide $sigBits, got $nChunks")
     val width = sigBits / nChunks
     val mask = if (width == 64) -1L else (1L << width) - 1L
-    // one exchange on the chunk-bucket key, shared by the bucket-size
-    // count and both self-join sides — see minhashCandidates
+    // one exchange on the chunk-bucket key + count-over-window cap — see
+    // minhashCandidates. Same megabucket hazard: a cluster of identical
+    // signatures (exact-copy boilerplate) puts n docs in ONE chunk bucket
+    // → C(n,2) verify pairs per chunk; drop degenerate buckets — members
+    // can still pair through their other chunks unless identical in all
+    // of them.
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until nChunks).map(c =>
         shiftright(col("sig"), c * width).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
       .repartition(col("chunk"), col("chunk_val"))
-    // same megabucket hazard as minhashCandidates: a cluster of identical
-    // signatures (exact-copy boilerplate) puts n docs in ONE chunk bucket
-    // → C(n,2) verify pairs per chunk. Same fix: keyed like the pair join
-    // (exchange reuse), drop degenerate buckets; members can still pair
-    // through their other chunks unless identical in all of them.
-    val small = chunked.groupBy("chunk", "chunk_val")
-      .agg(count(lit(1)).as("sz_"))
+    val szw = Window.partitionBy("chunk", "chunk_val")
+    val kept = chunked
+      .withColumn("sz_", count(lit(1)).over(szw))
       .filter(col("sz_") <= maxBucketSize)
-      .select("chunk", "chunk_val")
-    val kept = chunked.join(small, Seq("chunk", "chunk_val"))
+      .drop("sz_")
     val a = kept.as("a")
     val b = kept.as("b")
     a.join(b,

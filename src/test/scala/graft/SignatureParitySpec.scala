@@ -86,6 +86,28 @@ class SignatureParitySpec extends SparkSpec {
     assert(sids.toSeq == Seq(1L, 2L, 3L, 6L, 8L))
   }
 
+  test("candidate pipeline: kernel runs once, branches share the exchange") {
+    val cands = Dedup.simhashCandidatesPortable(docs, "doc_id", "text",
+      verifyThreshold = 16, maxBucketSize = 500)
+    cands.collect()
+    val plan = cands.queryExecution.executedPlan.toString
+    // final AQE plan: the three consumers of the chunked signatures (the
+    // bucket-size count and both self-join sides) must be served from ONE
+    // materialized stage — the kernel projection appears exactly once
+    val finalStart = plan.indexOf("== Final Plan ==")
+    assert(finalStart >= 0, plan.take(500))
+    val initStart = plan.indexOf("== Initial Plan ==")
+    val finalSection =
+      if (initStart > finalStart) plan.substring(finalStart, initStart)
+      else plan.substring(finalStart)
+    val kernels = finalSection.split("simhash_sig_portable32\\(text", -1).length - 1
+    assert(kernels == 1, s"kernel evaluated $kernels times:\n${finalSection.take(3000)}")
+    // and no scan filter may re-evaluate the kernel (the inferred-isnotnull
+    // trap): every kernel mention sits in a Project, none in a Filter
+    assert(!finalSection.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("simhash_sig")), finalSection.take(3000))
+  }
+
   test("native signature stays inside whole-stage codegen, computed once") {
     val plan = Dedup.minhashSignatures(docs, "doc_id", "text", perms = 16)
       .queryExecution.executedPlan.toString
