@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.Dedup
+import graft.streaming.StreamingDedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming near-dup screening: a new-doc stream banded by the one-pass
+  * MinHash kernel and joined against a STORED corpus index, with no
+  * streaming state (no watermark, no aggregation) — candidates land in
+  * the same micro-batch the document arrives in.
+  */
+class StreamingDedupSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val corpusText =
+    "the quick brown fox jumps over the lazy dog again and again tonight"
+
+  private def corpus = Seq(
+    (1L, corpusText),
+    (2L, "completely different content about distributed query planning"),
+    (3L, "yet another unrelated document mentioning streaming watermarks")
+  ).toDF("doc_id", "text")
+
+  test("stream-static index join finds the planted near-dup, statelessly") {
+    implicit val ctx = spark.sqlContext
+    val index = Dedup.minhashIndex(corpus, "doc_id", "text")
+    val source = MemoryStream[(Long, String)]
+    val docs = source.toDF.toDF("doc_id", "text")
+
+    // the streaming plan must be stateless: banding is a projection, the
+    // index join is stream-static — append mode with no watermark
+    val cands = StreamingDedup.candidatesAgainstIndex(
+      docs, "doc_id", "text", index)
+    val q = cands.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_out").start()
+    try {
+      // doc 100 is an exact copy of corpus doc 1 (Jaccard 1 → every band
+      // matches, so the hit is deterministic; near-dup band-recall curves
+      // are pinned by the batch OperatorsSpec); doc 101 is novel
+      source.addData(
+        (100L, corpusText),
+        (101L, "sphinx of black quartz judge my vow said the typesetter"))
+      q.processAllAvailable()
+      val hits = spark.table("sdedup_out")
+        .groupBy("new_id", "existing_id")
+        .agg(countDistinct("band").as("n_bands"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(hits.get((100L, 1L)).contains(4L),
+        s"exact dup must collide in all 4 bands: $hits")
+      assert(!hits.keys.exists { case (n, _) => n == 101L },
+        s"novel doc produced candidates: $hits")
+
+      // second batch: a copy of corpus doc 2 still emits immediately
+      source.addData(
+        (102L, "completely different content about distributed query planning"))
+      q.processAllAvailable()
+      val hits2 = spark.table("sdedup_out")
+        .filter(col("new_id") === 102L).select("existing_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(hits2.contains(2L), s"batch-2 dup not found: $hits2")
+    } finally q.stop()
+  }
+
+  test("streaming banding equals batch banding (same family, same buckets)") {
+    implicit val ctx = spark.sqlContext
+    val batch = Dedup.minhashIndex(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.get(2))).toSet
+    val source = MemoryStream[(Long, String)]
+    val banded = StreamingDedup.bandedStream(
+      source.toDF.toDF("doc_id", "text"), "doc_id", "text")
+    val q = banded.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_bands").start()
+    try {
+      source.addData((1L, corpusText),
+        (2L, "completely different content about distributed query planning"),
+        (3L, "yet another unrelated document mentioning streaming watermarks"))
+      q.processAllAvailable()
+      val streamed = spark.table("sdedup_bands")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.get(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming plan is stateless (no StateStore operators)") {
+    implicit val ctx = spark.sqlContext
+    val index = Dedup.minhashIndex(corpus, "doc_id", "text")
+    val source = MemoryStream[(Long, String)]
+    val cands = StreamingDedup.candidatesAgainstIndex(
+      source.toDF.toDF("doc_id", "text"), "doc_id", "text", index)
+    val q = cands.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_stateless").start()
+    try {
+      source.addData((100L, corpusText))
+      q.processAllAvailable()
+      val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(!plan.contains("StateStore"), plan.take(2000))
+    } finally q.stop()
+  }
+}
