@@ -17,6 +17,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
   *    pre-hashed shingle long, see its scaladoc).
   *  - `subword_piece_count(text)` — greedy longest-prefix subword pieces
   *    over the checked-in vocab ([[SubwordPieceCount]], q61).
+  *  - `minhash_sig(text, perms[, shingle_w])` /
+  *    `minhash_sig_portable(text, perms[, shingle_w])` — one-pass MinHash
+  *    signature kernels ([[MinHashSig]]; xxhash64 / md5-portable family).
+  *  - `simhash_sig(text)` / `simhash_sig_portable32(text)` — one-pass
+  *    SimHash signature kernels ([[SimHashSig]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -43,7 +48,17 @@ object GraftExtensions {
     "minhash_agg" -> ((args: Seq[Expression]) =>
       MinHashAggregate(args(0), intArg(args(1), "minhash_agg perms"))
         .toAggregateExpression()),
-    "subword_piece_count" -> ((args: Seq[Expression]) => SubwordPieceCount(args(0))))
+    "subword_piece_count" -> ((args: Seq[Expression]) => SubwordPieceCount(args(0))),
+    "minhash_sig" -> ((args: Seq[Expression]) =>
+      MinHashSig(args(0), intArg(args(1), "minhash_sig perms"),
+        if (args.length > 2) intArg(args(2), "minhash_sig shingle_w") else 3,
+        portable = false)),
+    "minhash_sig_portable" -> ((args: Seq[Expression]) =>
+      MinHashSig(args(0), intArg(args(1), "minhash_sig_portable perms"),
+        if (args.length > 2) intArg(args(2), "minhash_sig_portable shingle_w") else 3,
+        portable = true)),
+    "simhash_sig" -> ((args: Seq[Expression]) => SimHashSig(args(0), portable = false)),
+    "simhash_sig_portable32" -> ((args: Seq[Expression]) => SimHashSig(args(0), portable = true)))
 
   /** Same registrations on an already-running session. */
   def register(spark: SparkSession): Unit =

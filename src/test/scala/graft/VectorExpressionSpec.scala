@@ -72,6 +72,23 @@ class VectorExpressionSpec extends SparkSpec {
     // scalar subword tokenizer reachable from SQL too
     val sw = spark.sql("SELECT subword_piece_count('the table') AS n").head()
     assert(sw.getLong(0) == 4L) // the=1 + ta|b|le=3
+    // one-pass signature kernels reachable from SQL, equal to the column API
+    Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text").createOrReplaceTempView("sig_sql")
+    val sqlSig = spark.sql(
+      """SELECT minhash_sig(text, 8) AS m, minhash_sig_portable(text, 8, 3) AS mp,
+        |       simhash_sig(text) AS s, simhash_sig_portable32(text) AS sp
+        |FROM sig_sql""".stripMargin).head()
+    val apiSig = spark.table("sig_sql").select(
+      graft.plans.SignatureExpressions.minhashSig(col("text"), 8).as("m"),
+      graft.plans.SignatureExpressions.minhashSig(col("text"), 8, 3, portable = true).as("mp"),
+      graft.plans.SignatureExpressions.simhashSig(col("text")).as("s"),
+      graft.plans.SignatureExpressions.simhashSig(col("text"), portable = true).as("sp"))
+      .head()
+    assert(sqlSig.getSeq[Long](0) == apiSig.getSeq[Long](0))
+    assert(sqlSig.getSeq[Long](1) == apiSig.getSeq[Long](1))
+    assert(sqlSig.getLong(2) == apiSig.getLong(2))
+    assert(sqlSig.getLong(3) == apiSig.getLong(3))
   }
 
   test("native cosine participates in whole-stage codegen") {
