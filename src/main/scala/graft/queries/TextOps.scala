@@ -232,6 +232,20 @@ object TextOps {
         .filter(col("id") < 100)
     },
 
+    QueryDef.sql("q63_incremental_minhash", q63Sql) { (s, d) =>
+      // deterministic batch split: every 5th doc is "new", the rest are
+      // the stored corpus — the index is built ONLY from the corpus side
+      // (history never re-signed), candidates restricted to pairs
+      // involving >= 1 new doc
+      val docs = Tables.documents(s, d)
+      val existing = docs.filter(col("doc_id") % 5 =!= 0)
+      val newDocs = docs.filter(col("doc_id") % 5 === 0)
+      val idx = Dedup.minhashIndex(existing, "doc_id", "text",
+        family = Dedup.PortableHashFamily)
+      Dedup.minhashCandidatesIncremental(newDocs, "doc_id", "text", idx,
+        family = Dedup.PortableHashFamily, maxBucketSize = 500)
+    },
+
     QueryDef.sql("q61_subword_pieces", q61Sql) { (s, d) =>
       // project the piece count ONCE (the codegen'd SubwordPieceCount
       // static call), then aggregate the materialized column — referencing
@@ -285,6 +299,49 @@ object TextOps {
        |  floor(avg(sz) * 10000.0 + 0.5) / 10000.0 AS avg_bucket,
        |  CAST(sum(sz * (sz - 1) / 2) AS BIGINT) AS n_cand_pairs
        |FROM bs GROUP BY band""".stripMargin
+  }
+
+  /** q63 oracle: the full incremental MinHash-LSH candidate computation in
+    * ANSI SQL — the steady-state 100 TB dedup shape (new batch banded
+    * against the stored index + within-batch pairs, history never
+    * re-signed). Same portable family as q37; the band rows over ALL
+    * documents equal stored-index ∪ new-batch bands because family and
+    * banding parameters match. Mirrors the Spark side exactly: bucket cap
+    * over old+new members, old–new pairs emitted once from the old side,
+    * new–new once via the id-order guard.
+    */
+  private def q63Sql: String = {
+    val F = Dedup.PortableHashFamily
+    val (perms, bands, rpb) = (16, 4, 4)
+    val mins = (0 until perms)
+      .map(i => s"min(${F.permuteSql("h", i)}) AS m$i").mkString(",\n  ")
+    val bandRows = (0 until bands).map { b =>
+      val cols = (b * rpb until (b + 1) * rpb).map(i => s"m$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, $T AS tk FROM documents),
+       |sh AS (SELECT doc_id, $ShinglesSql AS shingles FROM toks),
+       |postings AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |hh AS (SELECT doc_id, ${F.firstLevelSql("s")} AS h FROM postings),
+       |sig AS (SELECT doc_id,
+       |  $mins
+       |  FROM hh GROUP BY doc_id),
+       |bnd AS ($bandRows),
+       |tagged AS (SELECT doc_id, band, bucket, (doc_id % 5 = 0) AS is_new FROM bnd),
+       |small AS (SELECT band, bucket FROM tagged
+       |          GROUP BY band, bucket HAVING count(*) <= 500),
+       |kept AS (SELECT t.* FROM tagged t JOIN small USING (band, bucket)),
+       |pairs AS (
+       |  SELECT least(a.doc_id, b.doc_id) AS id_a,
+       |    greatest(a.doc_id, b.doc_id) AS id_b,
+       |    count(*) AS n_bands_shared
+       |  FROM kept a JOIN kept b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |   AND b.is_new AND a.doc_id <> b.doc_id
+       |   AND (NOT a.is_new OR a.doc_id < b.doc_id)
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, CAST(n_bands_shared AS BIGINT) AS n_bands_shared
+       |FROM pairs""".stripMargin
   }
 
   /** q61 oracle: the SAME greedy longest-prefix segmentation as
