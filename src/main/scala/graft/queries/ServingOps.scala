@@ -49,6 +49,43 @@ object ServingOps {
         Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75, "p90" -> 0.90))
     },
 
+    // q64: MERGEABLE distinct-count sketches — the rolling 100 TB shape
+    // for "distinct users per key over all history": persist per-batch
+    // HLL sketches, union increments, never rescan. Estimates are
+    // engine-specific binaries, so (q60 pattern) the oracle pins the
+    // GUARANTEE: exact counts from DuckDB + all-true certificates that
+    // (a) the merged-batch estimate, (b) the single-pass estimate, and
+    // (c) their mutual gap sit within 5% (≈3σ at the default lgK=12,
+    // rel. err. 1.04/√2¹² ≈ 1.6%) — booleans hash-match iff the bounds
+    // hold on the real data.
+    QueryDef.sql(
+      "q64_hll_incremental",
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  true AS merged_ok, true AS full_ok, true AS merge_consistent
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      // deterministic "daily batch" split; sketches per batch, then union
+      val ska = ev.filter(col("event_id") % 2 === 0).groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("ska"))
+      val skb = ev.filter(col("event_id") % 2 =!= 0).groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("skb"))
+      val merged = ska.join(skb, Seq("event_type"))
+        .select(col("event_type"),
+          hll_sketch_estimate(hll_union(col("ska"), col("skb"))).as("est_m"))
+      val full = ev.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_f"),
+          countDistinct("user_id").as("n_exact"))
+      full.join(merged, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("est_m").cast("double") / col("n_exact") - 1.0) <= 0.05)
+            .as("merged_ok"),
+          (abs(col("est_f").cast("double") / col("n_exact") - 1.0) <= 0.05)
+            .as("full_ok"),
+          (abs(col("est_m") - col("est_f")).cast("double")
+            <= greatest(lit(0.05) * col("n_exact"), lit(1.0)))
+            .as("merge_consistent"))
+    },
+
     QueryDef.sql(
       "q42_point_lookup",
       """SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS acctbal,
