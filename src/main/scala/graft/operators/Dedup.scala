@@ -124,9 +124,17 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, w: Int = 3, maxShingleDf: Long = 1000): DataFrame = {
+    // ONE exchange on (block, shingle) serves the whole index build: a
+    // HashPartitioning on a SUBSET of an aggregate's grouping keys
+    // satisfies its ClusteredDistribution, so the per-doc distinct, the
+    // df-prune window and the pair join all run on this partitioning
+    // without further shuffles (a bare .distinct() planned its own
+    // (block,id,shingle) exchange first), and the sizes/self-join
+    // branches reuse the one materialized stage.
     val postings = shinglePostings(df, idCol, textCol, Some(blockCol), w)
       .select(col("block"), col("id"), xxhash64(col("shingle")).as("shingle"))
-      .distinct()
+      .repartition(col("block"), col("shingle"))
+      .dropDuplicates("block", "id", "shingle")
     val sizes = postings.groupBy("block", "id").agg(count(lit(1)).as("n_sh"))
     val dfw = Window.partitionBy("block", "shingle")
     val kept = postings
