@@ -107,11 +107,16 @@ object TextFunctions {
     */
   def langIdFromHits(hits: Seq[(String, Column)]): Column = {
     val total = hits.map(_._2).reduce(_ + _)
-    val best = hits.zipWithIndex.foldLeft(lit("und")) { case (acc, ((lang, h), i)) =>
-      val earlier = hits.take(i).map(_._2)
-      val later = hits.drop(i + 1).map(_._2)
-      val wins = (earlier.map(h > _) ++ later.map(h >= _)).foldLeft(lit(true))(_ && _)
-      when(acc === "und" && h > 0 && wins, lang).otherwise(acc)
+    // priority-ordered when-chain: the first language whose hit count is
+    // positive and beats every earlier (strictly) / later (weakly) count
+    // wins — same argmax + tie-break as a first-match fold, without the
+    // degenerate lit === lit seed comparison Spark 4 warns about
+    val best = hits.zipWithIndex.foldRight(lit("und")) {
+      case (((lang, h), i), acc) =>
+        val winConds = hits.take(i).map(_._2).map(h > _) ++
+          hits.drop(i + 1).map(_._2).map(h >= _)
+        val wins = winConds.reduce(_ && _)
+        when(h > 0 && wins, lang).otherwise(acc)
     }
     when(total === 0, "und").otherwise(best)
   }
