@@ -158,6 +158,22 @@ object Dedup {
       .select("block", "id_a", "id_b", "n_a", "n_b", "n_shared", "jaccard")
   }
 
+  /** Winnowing fingerprints (MOSS local fingerprinting): one (id, fp) row
+    * per distinct window-min k-gram hash per doc, via the one-pass
+    * [[graft.plans.WinnowFingerprints]] kernel. Unlike MinHash/SimHash —
+    * global similarity signatures — local fingerprints survive PARTIAL
+    * copying: a paragraph pasted into an otherwise-unrelated document
+    * still shares its window minima. Join (fp → doc postings) to find
+    * containment/overlap candidates; cap hot fingerprints like any
+    * posting list. Docs shorter than k emit nothing.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(graft.plans.SignatureExpressions.winnowFps(col(textCol), k, w)).as("fp"))
+      .dropDuplicates("id", "fp")
+
   /** Two-level MinHash permutation family: `firstLevel` hashes the shingle
     * string to a long ONCE per posting (the O(len) work), `permute(h, i)`
     * derives the i-th permutation from that long (O(1) each), `bandBucket`

@@ -58,7 +58,11 @@ object GraftExtensions {
         if (args.length > 2) intArg(args(2), "minhash_sig_portable shingle_w") else 3,
         portable = true)),
     "simhash_sig" -> ((args: Seq[Expression]) => SimHashSig(args(0), portable = false)),
-    "simhash_sig_portable32" -> ((args: Seq[Expression]) => SimHashSig(args(0), portable = true)))
+    "simhash_sig_portable32" -> ((args: Seq[Expression]) => SimHashSig(args(0), portable = true)),
+    "winnow_fingerprints" -> ((args: Seq[Expression]) =>
+      WinnowFingerprints(args(0),
+        if (args.length > 1) intArg(args(1), "winnow_fingerprints k") else 8,
+        if (args.length > 2) intArg(args(2), "winnow_fingerprints w") else 4)))
 
   /** Same registrations on an already-running session. */
   def register(spark: SparkSession): Unit =

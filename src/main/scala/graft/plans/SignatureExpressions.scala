@@ -156,6 +156,42 @@ object SigOps {
     new GenericArrayData(mins)
   }
 
+  /** Winnowing fingerprints (the MOSS local-fingerprinting scheme):
+    * hash every k-CHARACTER gram (md5First4 — portable, SQL-reproducible),
+    * then take the minimum of every w consecutive gram hashes. Local
+    * fingerprints catch PARTIAL overlap/containment (a copied paragraph
+    * shares its window minima) that global-similarity signatures like
+    * MinHash dilute away. Character positions are SQL `substr` semantics
+    * (codepoints), so a DuckDB oracle reproduces fingerprints exactly.
+    * Total: texts shorter than k yield an empty array; texts with fewer
+    * than w grams yield the single min over all grams (the short-doc rule,
+    * mirroring shingles). Duplicate minima are retained — callers dedupe
+    * (doc, fp) pairs.
+    */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val n = text.numChars()
+    val m = n - k + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      hs(i) = md5First4(text.substringSQL(i + 1, k).getBytes)
+      i += 1
+    }
+    val nw = math.max(m - w + 1, 1)
+    val out = new Array[Long](nw)
+    var j = 0
+    while (j < nw) {
+      var mn = Long.MaxValue
+      var t = j
+      val end = math.min(j + w, m)
+      while (t < end) { if (hs(t) < mn) mn = hs(t); t += 1 }
+      out(j) = mn
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 32-bit SimHash, portable family (per token OCCURRENCE, like the
     * explode path). Total: token-less text yields signature 0.
     */
@@ -280,6 +316,37 @@ case class SimHashSig(child: Expression, portable: Boolean)
     copy(child = newChild)
 }
 
+/** Winnowing fingerprint array of a text column in one codegen'd pass —
+  * `array<long>` of window minima over k-gram hashes. TOTAL and
+  * null-intolerant (shorter-than-k text → empty array) — see
+  * [[MinHashSig]] for why that shape matters to the optimizer.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+
+  require(k > 0, s"k must be positive, got $k")
+  require(w > 0, s"w must be positive, got $w")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigOps.winnow(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.SigOps.winnow($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 object SignatureExpressions {
 
   /** MinHash signature column over a text column (token-less text → the
@@ -294,4 +361,10 @@ object SignatureExpressions {
   /** SimHash signature column over a text column (token-less text → 0). */
   def simhashSig(text: Column, portable: Boolean = false): Column =
     GraftSqlBridge.column(SimHashSig(GraftSqlBridge.expression(text), portable))
+
+  /** Winnowing fingerprint array over a text column (shorter-than-k text
+    * → empty array).
+    */
+  def winnowFps(text: Column, k: Int = 8, w: Int = 4): Column =
+    GraftSqlBridge.column(WinnowFingerprints(GraftSqlBridge.expression(text), k, w))
 }

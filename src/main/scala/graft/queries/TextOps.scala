@@ -232,6 +232,25 @@ object TextOps {
         .filter(col("id") < 100)
     },
 
+    QueryDef.sql("q65_winnowing_fingerprints", q65Sql) { (s, d) =>
+      // local fingerprints (MOSS winnowing) — the containment/partial-copy
+      // detector; per-source stats keep the result stable and non-empty,
+      // n_shared counts (doc, fp) rows whose fingerprint appears in >1 doc
+      val docs = Tables.documents(s, d)
+      val fps = Dedup.winnowFingerprints(docs, "doc_id", "text")
+      val withSrc = fps.join(
+        docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
+      val shared = fps.groupBy("fp")
+        .agg(countDistinct("id").as("nd_"))
+        .filter(col("nd_") > 1)
+        .select(col("fp"), lit(1).as("is_shared"))
+      withSrc.join(broadcast(shared), Seq("fp"), "left")
+        .groupBy("source")
+        .agg(countDistinct("id").as("n_docs"),
+          count(lit(1)).as("n_fingerprints"),
+          sum(when(col("is_shared").isNotNull, 1L).otherwise(0L)).as("n_shared"))
+    },
+
     QueryDef.sql("q63_incremental_minhash", q63Sql) { (s, d) =>
       // deterministic batch split: every 5th doc is "new", the rest are
       // the stored corpus — the index is built ONLY from the corpus side
@@ -342,6 +361,36 @@ object TextOps {
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b, CAST(n_bands_shared AS BIGINT) AS n_bands_shared
        |FROM pairs""".stripMargin
+  }
+
+  /** q65 oracle: winnowing fingerprints in ANSI SQL — same k-gram md5
+    * hashes (`substr` character positions match the kernel's
+    * `substringSQL`), same w-window minima incl. the short-doc single
+    * window, distinct (doc, fp) pairs, then per-source stats with the
+    * count of fingerprints shared across >1 document.
+    */
+  private def q65Sql: String = {
+    val (k, w) = (8, 4)
+    val kgramHash =
+      s"CAST(concat('0x', substring(md5(substr(text, CAST(i AS INTEGER), $k)), 1, 8)) AS BIGINT)"
+    s"""WITH d AS (SELECT doc_id, source, text, len(text) AS n FROM documents
+       |           WHERE text IS NOT NULL),
+       |hs AS (SELECT doc_id, source,
+       |  list_transform(range(1, greatest(n - $k + 1, 0) + 1),
+       |    i -> $kgramHash) AS h
+       |  FROM d),
+       |wins AS (SELECT doc_id, source,
+       |  CASE WHEN len(h) = 0 THEN []
+       |       ELSE list_transform(range(1, greatest(len(h) - $w + 1, 1) + 1),
+       |         j -> list_min(h[CAST(j AS INTEGER):CAST(j + $w - 1 AS INTEGER)])) END AS wm
+       |  FROM hs),
+       |fps AS (SELECT DISTINCT doc_id, source, unnest(wm) AS fp FROM wins),
+       |shared AS (SELECT fp FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) > 1)
+       |SELECT f.source, count(DISTINCT f.doc_id) AS n_docs,
+       |  count(*) AS n_fingerprints,
+       |  CAST(sum(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+       |FROM fps f LEFT JOIN shared s ON f.fp = s.fp
+       |GROUP BY f.source""".stripMargin
   }
 
   /** q61 oracle: the SAME greedy longest-prefix segmentation as

@@ -108,6 +108,28 @@ class SignatureParitySpec extends SparkSpec {
       l.contains("Filter") && l.contains("simhash_sig")), finalSection.take(3000))
   }
 
+  test("winnowing: partial copy shares fingerprints, exact dup shares all") {
+    import sqlImplicits._
+    val para = "the five boxing wizards jump quickly over the frozen river bank"
+    val df = Seq(
+      (1L, s"unique opening line alpha beta gamma. $para"),
+      (2L, s"$para. completely different closing thoughts here"),
+      (3L, s"unique opening line alpha beta gamma. $para"),
+      (4L, "tiny"),
+      (5L, "zebra xylophone quantum mechanics lecture notes volume seven")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(df, "doc_id", "text")
+      .collect().groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.map(_.getLong(1)).toSet
+      }
+    // a paragraph pasted into an otherwise-unrelated doc still shares its
+    // window minima — the containment property MinHash dilutes away
+    assert((fps(1L) & fps(2L)).nonEmpty, "partial copy must share fingerprints")
+    assert(fps(1L) == fps(3L), "exact dup must share every fingerprint")
+    assert(!fps.contains(4L), "shorter-than-k doc emits nothing")
+    assert((fps(5L) & fps(1L)).isEmpty, "unrelated docs must not collide")
+  }
+
   test("native signature stays inside whole-stage codegen, computed once") {
     val plan = Dedup.minhashSignatures(docs, "doc_id", "text", perms = 16)
       .queryExecution.executedPlan.toString
