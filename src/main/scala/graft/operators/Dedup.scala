@@ -174,6 +174,48 @@ object Dedup {
         explode(graft.plans.SignatureExpressions.winnowFps(col(textCol), k, w)).as("fp"))
       .dropDuplicates("id", "fp")
 
+  /** Containment/partial-copy candidate pairs over winnowing fingerprints:
+    * self-join the (fp → doc) postings, count shared fingerprints per
+    * pair, containment = n_shared / min(|fps_a|, |fps_b|). `maxFpDf`
+    * caps hot fingerprint posting lists (boilerplate fragments minimize
+    * into MANY docs' windows — measured on the synthetic corpus one
+    * fingerprint spans 67% of documents, so an uncapped join is
+    * quadratic in the boilerplate family size). Sizes keep the FULL
+    * per-doc fingerprint counts, so containment for surviving pairs only
+    * ever underestimates — same convention as [[ngramJaccardPairs]]'s df
+    * prune, same trade: pairs whose every shared fingerprint is hot
+    * disappear.
+    */
+  def winnowContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, maxFpDf: Long = 1000,
+      minContainment: Double = 0.5): DataFrame = {
+    // one (fp)-keyed exchange serves the df-prune window, the sizes
+    // branch and both self-join sides — same shape as ngramJaccardPairs
+    val fps = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(graft.plans.SignatureExpressions.winnowFps(col(textCol), k, w)).as("fp"))
+      .repartition(col("fp"))
+      .dropDuplicates("id", "fp")
+    val sizes = fps.groupBy("id").agg(count(lit(1)).as("n_fp"))
+    val dfw = Window.partitionBy("fp")
+    val kept = fps
+      .withColumn("df_", count(lit(1)).over(dfw))
+      .filter(col("df_") <= maxFpDf)
+      .drop("df_")
+    val shared = kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n_fp").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_fp").as("n_b")), Seq("id_b"))
+      .withColumn("containment",
+        col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select("id_a", "id_b", "n_a", "n_b", "n_shared", "containment")
+  }
+
   /** Two-level MinHash permutation family: `firstLevel` hashes the shingle
     * string to a long ONCE per posting (the O(len) work), `permute(h, i)`
     * derives the i-th permutation from that long (O(1) each), `bandBucket`

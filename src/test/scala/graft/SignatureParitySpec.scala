@@ -130,6 +130,31 @@ class SignatureParitySpec extends SparkSpec {
     assert((fps(5L) & fps(1L)).isEmpty, "unrelated docs must not collide")
   }
 
+  test("winnow containment pairs: pasted paragraph found, hot-fp cap bounds the join") {
+    import sqlImplicits._
+    val para = "pack my box with five dozen liquor jugs before the festival starts downtown"
+    val boiler = "standard header fragment repeated everywhere in this corpus"
+    val df = Seq(
+      (1L, s"original article text one. $para. original closing one"),
+      (2L, s"totally different frame. $para. other remarks entirely"),
+      (3L, s"$boiler. unrelated body alpha"),
+      (4L, s"$boiler. unrelated body beta"),
+      (5L, s"$boiler. unrelated body gamma")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowContainmentPairs(df, "doc_id", "text",
+      minContainment = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"pasted paragraph not found: $pairs")
+    // with the cap tightened below the boilerplate family size, its
+    // fingerprints drop out and the boilerplate-only pairs disappear
+    val capped = Dedup.winnowContainmentPairs(df, "doc_id", "text",
+      maxFpDf = 2, minContainment = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)), s"capped run lost the true pair: $capped")
+    assert(!capped.exists { case (a, b) => a >= 3L && b >= 3L },
+      s"boilerplate-only pairs must be capped away: $capped")
+  }
+
   test("native signature stays inside whole-stage codegen, computed once") {
     val plan = Dedup.minhashSignatures(docs, "doc_id", "text", perms = 16)
       .queryExecution.executedPlan.toString
