@@ -19,6 +19,48 @@ object Windows {
 
   val all: Seq[QueryDef] = Seq(
 
+    // q66: as-of join ([[graft.operators.AsofJoin]] — union + one running
+    // window, a single shuffle on the key) against DuckDB's native
+    // ASOF LEFT JOIN: a true cross-engine semantic oracle for the
+    // temporal-enrichment primitive. Event times are mapped into the
+    // order era on an integer epoch-seconds axis (1995-01-01 +
+    // 80×(ts − 2024-01-01), exact BIGINT arithmetic on both engines), so
+    // probes land between/before/after build rows and exercise the
+    // mid-series match, the inclusive bound and the no-match-null path.
+    QueryDef.sql(
+      "q66_asof_enrich",
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |    788918400 + (CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |                 - 1704067200) * 80 AS pt
+        |  FROM events WHERE event_type = 'purchase' AND user_id < 50),
+        |ords AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ot,
+        |    max(o_orderkey) AS asof_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts_s, o.asof_orderkey
+        |FROM ev e ASOF LEFT JOIN ords o
+        |  ON e.user_id = o.ck AND e.pt >= o.ot""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("user_id") < 50)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          (lit(788918400L) +
+            (col("ts").cast("long") - lit(1704067200L)) * 80).as("pt"))
+      // build side deduped per (key, time) with a deterministic tie-break
+      // (max orderkey per customer-day) — the asofJoin contract
+      val ords = Tables.orders(s, d)
+        .select(col("o_custkey").as("ck"),
+          col("o_orderdate").cast("timestamp").cast("long").as("ot"),
+          col("o_orderkey"))
+        .groupBy("ck", "ot").agg(max("o_orderkey").as("asof_orderkey"))
+      graft.operators.AsofJoin
+        .asofJoin(ev, "user_id", "pt", ords, "ck", "ot", Seq("asof_orderkey"))
+        .select("event_id", "user_id", "ts_s", "asof_orderkey")
+    },
+
     QueryDef.sql(
       "q26_tumbling_hourly",
       """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.AsofJoin
+import org.apache.spark.sql.functions._
+
+/** AsofJoin semantics on planted series: mid-series matches, the
+  * inclusive at-or-before bound, no-match nulls, key isolation, and the
+  * single-shuffle plan shape.
+  */
+class AsofJoinSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def probe = Seq(
+    (1L, "k1", 5L), (2L, "k1", 10L), (3L, "k1", 20L), (4L, "k1", 3L),
+    (5L, "k2", 100L), (6L, "k3", 50L)
+  ).toDF("event_id", "key", "t")
+
+  private def build = Seq(
+    ("k1", 4L, "a"), ("k1", 10L, "b"), ("k1", 15L, "c"),
+    ("k2", 100L, "x"), ("k2", 101L, "y")
+  ).toDF("key", "t", "v")
+
+  test("mid-series, inclusive bound, no-match null, key isolation") {
+    val out = AsofJoin.asofJoin(probe, "key", "t", build, "key", "t", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(out(1L) == Some("a"))   // t=5: latest build ≤ 5 is (4,"a")
+    assert(out(2L) == Some("b"))   // t=10: INCLUSIVE tie matches (10,"b")
+    assert(out(3L) == Some("c"))   // t=20: after the last build row
+    assert(out(4L) == None)        // t=3: before every build row
+    assert(out(5L) == Some("x"))   // k2 at 100: inclusive; 101 not visible
+    assert(out(6L) == None)        // k3 has no build rows at all
+  }
+
+  test("one shuffle: a single exchange on the key serves the whole join") {
+    val out = AsofJoin.asofJoin(probe, "key", "t", build, "key", "t", Seq("v"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    val finalStart = plan.indexOf("== Final Plan ==")
+    val sect =
+      if (finalStart >= 0) {
+        val initStart = plan.indexOf("== Initial Plan ==")
+        if (initStart > finalStart) plan.substring(finalStart, initStart)
+        else plan.substring(finalStart)
+      } else plan
+    val exchanges = sect.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(exchanges == 1, s"expected exactly one exchange:\n${sect.take(3000)}")
+  }
+
+  test("multiple value columns carried together") {
+    val b2 = build.withColumn("v2", concat(col("v"), lit("!")))
+    val out = AsofJoin.asofJoin(probe, "key", "t", b2, "key", "t", Seq("v", "v2"))
+      .collect().map(r => r.getLong(0) -> (Option(r.getString(3)), Option(r.getString(4)))).toMap
+    assert(out(1L) == (Some("a"), Some("a!")))
+    assert(out(4L) == (None, None))
+  }
+}
