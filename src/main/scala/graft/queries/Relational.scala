@@ -328,6 +328,45 @@ object Relational {
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), graft.functions.TextFunctions.round4hu(avg("c_acctbal")).as("avg_bal"))
+    },
+
+    // q67/q68: the skew-mitigation operators under hash verification —
+    // salting must be INVISIBLE in the result, so the oracles are the
+    // plain unsalted SQL. Aggregates are integer-exact (quantity is an
+    // integer-valued double, counts/keys are longs), so two-stage
+    // summation cannot drift from DuckDB's single pass.
+    QueryDef.sql(
+      "q67_salted_aggregate",
+      """SELECT l_returnflag,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      // l_returnflag has 3 values over the whole table — exactly the hot
+      // grouping key salting exists for; 32 salts spread each key over
+      // the full reducer count before the 3-row final aggregate
+      graft.operators.Skew.saltedAggregate(
+        Tables.lineitem(s, d).select("l_returnflag", "l_quantity"),
+        Seq("l_returnflag"), salts = 32)(
+        partial = Seq(sum("l_quantity").as("s_"), count(lit(1)).as("c_")),
+        finalAgg = Seq(sum("s_").cast("long").as("sum_qty"),
+          sum("c_").cast("long").as("n")))
+    },
+
+    QueryDef.sql(
+      "q68_salted_join",
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_customers,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin) { (s, d) =>
+      val probe = Tables.orders(s, d)
+        .select(col("o_custkey").as("jk"), col("o_custkey"), col("o_orderkey"))
+      val build = Tables.customer(s, d)
+        .select(col("c_custkey").as("jk"), col("c_mktsegment"))
+      graft.operators.Skew.saltedJoin(probe, build, "jk", salts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct("o_custkey").as("n_customers"),
+          min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"))
     }
   )
 }
