@@ -156,26 +156,43 @@ object SigOps {
     new GenericArrayData(mins)
   }
 
-  /** Winnowing fingerprints (the MOSS local-fingerprinting scheme):
-    * hash every k-CHARACTER gram (md5First4 — portable, SQL-reproducible),
-    * then take the minimum of every w consecutive gram hashes. Local
-    * fingerprints catch PARTIAL overlap/containment (a copied paragraph
-    * shares its window minima) that global-similarity signatures like
-    * MinHash dilute away. Character positions are SQL `substr` semantics
-    * (codepoints), so a DuckDB oracle reproduces fingerprints exactly.
-    * Total: texts shorter than k yield an empty array; texts with fewer
-    * than w grams yield the single min over all grams (the short-doc rule,
-    * mirroring shingles). Duplicate minima are retained — callers dedupe
-    * (doc, fp) pairs.
+  /** Winnowing fingerprints (the MOSS local-fingerprinting scheme): a
+    * Karp–Rabin ROLLING polynomial hash over every k-CODEPOINT gram —
+    * O(1) per gram instead of an O(k) digest — then the minimum of every
+    * w consecutive gram hashes. Local fingerprints catch PARTIAL
+    * overlap/containment (a copied paragraph shares its window minima)
+    * that global-similarity signatures like MinHash dilute away.
+    *
+    * Hash family (exact BIGINT arithmetic, so an ANSI-SQL oracle
+    * recomputes each gram directly): h(gram at i) = Σ_j cp_{i+j}·B^{k−1−j}
+    * mod P with B=131, P=2³¹−1 — every intermediate stays under 2⁵³.
+    * Codepoints match SQL character semantics (`string_split(text,'')` +
+    * `unicode`). Total: texts shorter than k yield an empty array; texts
+    * with fewer than w grams yield the single min over all grams (the
+    * short-doc rule, mirroring shingles). Duplicate minima are retained —
+    * callers dedupe (doc, fp) pairs.
     */
+  val WinnowP: Long = (1L << 31) - 1
+  val WinnowB: Long = 131L
+
   def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val n = text.numChars()
-    val m = n - k + 1
+    val cps = text.toString.codePoints().toArray
+    val m = cps.length - k + 1
     if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    // bPow = B^(k-1) mod P, the weight of the outgoing codepoint
+    var bPow = 1L
+    var p = 1
+    while (p < k) { bPow = (bPow * WinnowB) % WinnowP; p += 1 }
     val hs = new Array[Long](m)
+    var h = 0L
     var i = 0
-    while (i < m) {
-      hs(i) = md5First4(text.substringSQL(i + 1, k).getBytes)
+    while (i < cps.length) {
+      h = (h * WinnowB + cps(i)) % WinnowP
+      if (i >= k - 1) {
+        hs(i - k + 1) = h
+        // roll: drop cp_{i-k+1} for the next gram
+        h = (h - (cps(i - k + 1) * bPow) % WinnowP + WinnowP) % WinnowP
+      }
       i += 1
     }
     val nw = math.max(m - w + 1, 1)

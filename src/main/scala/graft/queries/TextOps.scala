@@ -363,22 +363,32 @@ object TextOps {
        |FROM pairs""".stripMargin
   }
 
-  /** q65 oracle: winnowing fingerprints in ANSI SQL — same k-gram md5
-    * hashes (`substr` character positions match the kernel's
-    * `substringSQL`), same w-window minima incl. the short-doc single
-    * window, distinct (doc, fp) pairs, then per-source stats with the
-    * count of fingerprints shared across >1 document.
+  /** q65 oracle: winnowing fingerprints in ANSI SQL — the kernel's
+    * Karp–Rabin polynomial recomputed DIRECTLY per gram (the rolling
+    * update is just an evaluation-order optimization; Σ cpⱼ·B^{k−1−j}
+    * mod P is the definition, and the B^j mod P weights are interpolated
+    * from the kernel's constants so the two can never drift), same
+    * w-window minima incl. the short-doc single window, distinct
+    * (doc, fp) pairs, then per-source stats with the count of
+    * fingerprints shared across >1 document.
     */
   private def q65Sql: String = {
     val (k, w) = (8, 4)
-    val kgramHash =
-      s"CAST(concat('0x', substring(md5(substr(text, CAST(i AS INTEGER), $k)), 1, 8)) AS BIGINT)"
+    val P = graft.plans.SigOps.WinnowP
+    val B = graft.plans.SigOps.WinnowB
+    val pows = Array.iterate(1L, k)(p => (p * B) % P).reverse // B^(k-1)..B^0
+    val gram = (0 until k)
+      .map(j => s"(cps[CAST(i + $j AS INTEGER)] * ${pows(j)}) % $P")
+      .mkString("(", " + ", s") % $P")
     s"""WITH d AS (SELECT doc_id, source, text, len(text) AS n FROM documents
        |           WHERE text IS NOT NULL),
+       |cp AS (SELECT doc_id, source, n,
+       |  list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)) AS cps
+       |  FROM d),
        |hs AS (SELECT doc_id, source,
        |  list_transform(range(1, greatest(n - $k + 1, 0) + 1),
-       |    i -> $kgramHash) AS h
-       |  FROM d),
+       |    i -> $gram) AS h
+       |  FROM cp),
        |wins AS (SELECT doc_id, source,
        |  CASE WHEN len(h) = 0 THEN []
        |       ELSE list_transform(range(1, greatest(len(h) - $w + 1, 1) + 1),
