@@ -101,6 +101,23 @@ object VectorOps {
         graft.operators.Multimodal.fromDocuments(Tables.documents(s, d)))
     },
 
+    // q69: the frame-sampling plan (sequence + explode over the typed
+    // duration metadata) under the oracle — per video, frames at 500 ms
+    // steps inclusive of the endpoint, so n = ⌊dur/500⌋+1 and
+    // max = ⌊dur/500⌋·500 with dur = n_chars×10 from fromDocuments' meta
+    QueryDef.sql(
+      "q69_frame_sampling",
+      """SELECT doc_id AS media_id,
+        |  CAST((coalesce(n_chars, 0) * 10) // 500 + 1 AS BIGINT) AS n_frames,
+        |  CAST((coalesce(n_chars, 0) * 10) // 500 * 500 AS BIGINT) AS max_frame_ms
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin) { (s, d) =>
+      graft.operators.Multimodal.sampleFrames(
+        graft.operators.Multimodal.fromDocuments(Tables.documents(s, d)),
+        everyMs = 500)
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"), max("frame_ms").as("max_frame_ms"))
+    },
+
     QueryDef.sql(
       "q56_ivf_ann",
       """WITH c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings),
