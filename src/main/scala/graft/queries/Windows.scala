@@ -27,6 +27,39 @@ object Windows {
     // 80×(ts − 2024-01-01), exact BIGINT arithmetic on both engines), so
     // probes land between/before/after build rows and exercise the
     // mid-series match, the inclusive bound and the no-match-null path.
+    // q70: bucketized range join ([[graft.operators.RangeJoin]]) — every
+    // order landing inside a 14-day "promo window" opened by the same
+    // customer's anchor orders (o_orderkey % 100 = 0), on an integral
+    // epoch-day axis. The oracle is the plain inequality join; the
+    // engine runs the equi-ized (key, bucket) form.
+    QueryDef.sql(
+      "q70_range_join",
+      """WITH pr AS (
+        |  SELECT o_orderkey AS promo_id, o_custkey AS pck,
+        |    datediff('day', DATE '1970-01-01', o_orderdate) AS ps
+        |  FROM orders WHERE o_orderkey % 100 = 0),
+        |l AS (
+        |  SELECT o_orderkey AS order_key, o_custkey AS ck,
+        |    datediff('day', DATE '1970-01-01', o_orderdate) AS t
+        |  FROM orders)
+        |SELECT p.promo_id, l.order_key,
+        |  CAST(l.t - p.ps AS BIGINT) AS day_offset
+        |FROM pr p JOIN l ON l.ck = p.pck AND l.t BETWEEN p.ps AND p.ps + 14""".stripMargin) { (s, d) =>
+      val promos = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as("promo_id"), col("o_custkey").as("pck"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).as("ps"))
+        .withColumn("pe", col("ps") + 14)
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey").as("order_key"), col("o_custkey").as("ck"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).as("t"))
+      graft.operators.RangeJoin
+        .bucketedRangeJoin(orders, "ck", "t", promos, "pck", "ps", "pe",
+          bucketWidth = 16)
+        .select(col("promo_id"), col("order_key"),
+          (col("t") - col("ps")).cast("long").as("day_offset"))
+    },
+
     QueryDef.sql(
       "q66_asof_enrich",
       """WITH ev AS (
