@@ -100,6 +100,20 @@ object ScaleRehearsal {
           Dedup.minhashCandidates(docs, "id", "text",
             bands = 8, rowsPerBand = 2, maxBucketSize = 200)).count()
       }
+      // winnowing containment: rolling-hash local fingerprints; the
+      // boilerplate families' hot fingerprints are df-capped, the
+      // near-dup/exact families still pair through their rare ones.
+      // k=16 (~3 synthetic words per gram): at the default k=8 a gram
+      // spans ~1.5 words of the 30k-word vocabulary and cross-doc random
+      // gram collisions grow ∝ n²/|vocab|² — measured 6→32→82 s across
+      // the ladder with pair rows still exactly linear. Longer grams put
+      // the collision space at |vocab|³ and restore ~linear wall, which
+      // is also how winnowing is parameterized on real text (gram length
+      // well above the word scale).
+      val (tWin, nWin) = timed {
+        Dedup.winnowContainmentPairs(docs, "id", "text", k = 16,
+          maxFpDf = 200, minContainment = 0.5).count()
+      }
       // skewed join: 30% of probe rows on one key, 1000-key build side
       val probe = spark.range(n).select(
         when(pmod(col("id"), lit(10)) < 3, 0L).otherwise(pmod(col("id"), lit(1000))).as("k"),
@@ -111,6 +125,27 @@ object ScaleRehearsal {
       val (tSalted, nSalted) = timed {
         Skew.saltedJoin(probe, build, "k", salts = 32).count()
       }
+      // as-of join: n probes over 1000 keys against n/10 deduped updates —
+      // the union+window must stay ~linear (rows out = n exactly)
+      val (tAsof, nAsof) = timed {
+        val ap = spark.range(n).select(pmod(col("id"), lit(1000)).as("k"),
+          pmod(col("id") * 7, lit(100000L)).as("t"), col("id").as("pid"))
+        val ab = spark.range(n / 10).select(pmod(col("id"), lit(1000)).as("bk"),
+          pmod(col("id") * 70, lit(100000L)).as("bt"), col("id").as("bv"))
+          .groupBy("bk", "bt").agg(max("bv").as("v"))
+        graft.operators.AsofJoin.asofJoin(ap, "k", "t", ab, "bk", "bt", Seq("v")).count()
+      }
+      // range join: n probes vs n/100 width-50 intervals on a 100k axis,
+      // bucket 64 — matches ~ n × (intervals-per-key × 50/100000)
+      val (tRange, nRange) = timed {
+        val rp = spark.range(n).select(pmod(col("id"), lit(1000)).as("k"),
+          pmod(col("id") * 7, lit(100000L)).as("t"), col("id").as("pid"))
+        val iv = spark.range(n / 100).select(pmod(col("id"), lit(1000)).as("rk"),
+          pmod(col("id") * 131, lit(100000L)).as("s"))
+          .withColumn("e", col("s") + 50)
+        graft.operators.RangeJoin.bucketedRangeJoin(
+          rp, "k", "t", iv, "rk", "s", "e", bucketWidth = 64).count()
+      }
       probe.unpersist(); docs.unpersist(); build.unpersist()
 
       (n, Map(
@@ -118,7 +153,10 @@ object ScaleRehearsal {
         "minhash_lsh" -> (tMh, nMh),
         "simhash" -> (tSh, nSh),
         "cluster" -> (tCc, nCc),
-        "salted_join" -> (tSalted, nSalted)))
+        "winnow_containment" -> (tWin, nWin),
+        "salted_join" -> (tSalted, nSalted),
+        "asof_join" -> (tAsof, nAsof),
+        "range_join" -> (tRange, nRange)))
     }
 
     val json = out.map { case (n, ops) =>

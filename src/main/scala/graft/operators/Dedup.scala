@@ -169,10 +169,11 @@ object Dedup {
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame =
+    // the kernel returns each doc's DISTINCT minima, so the exploded
+    // rows are already unique (id, fp) pairs — no dedupe stage
     df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         explode(graft.plans.SignatureExpressions.winnowFps(col(textCol), k, w)).as("fp"))
-      .dropDuplicates("id", "fp")
 
   /** Containment/partial-copy candidate pairs over winnowing fingerprints:
     * self-join the (fp → doc) postings, count shared fingerprints per
@@ -195,7 +196,6 @@ object Dedup {
       .select(col(idCol).as("id"),
         explode(graft.plans.SignatureExpressions.winnowFps(col(textCol), k, w)).as("fp"))
       .repartition(col("fp"))
-      .dropDuplicates("id", "fp")
     val sizes = fps.groupBy("id").agg(count(lit(1)).as("n_fp"))
     val dfw = Window.partitionBy("fp")
     val kept = fps

@@ -169,8 +169,11 @@ object SigOps {
     * Codepoints match SQL character semantics (`string_split(text,'')` +
     * `unicode`). Total: texts shorter than k yield an empty array; texts
     * with fewer than w grams yield the single min over all grams (the
-    * short-doc rule, mirroring shingles). Duplicate minima are retained —
-    * callers dedupe (doc, fp) pairs.
+    * short-doc rule, mirroring shingles). Returns the DISTINCT minima,
+    * sorted — adjacent windows mostly share their minimum, so in-kernel
+    * dedup shrinks the exploded posting volume ~w× and spares callers a
+    * relational dropDuplicates (set semantics are what every consumer
+    * wants; the q65 oracle applies DISTINCT on its side too).
     */
   val WinnowP: Long = (1L << 31) - 1
   val WinnowB: Long = 131L
@@ -206,7 +209,14 @@ object SigOps {
       out(j) = mn
       j += 1
     }
-    new GenericArrayData(out)
+    java.util.Arrays.sort(out)
+    var uniq = 0
+    var r = 0
+    while (r < nw) {
+      if (r == 0 || out(r) != out(r - 1)) { out(uniq) = out(r); uniq += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
   }
 
   /** 32-bit SimHash, portable family (per token OCCURRENCE, like the
