@@ -115,7 +115,8 @@ object TextFunctions {
       case (((lang, h), i), acc) =>
         val winConds = hits.take(i).map(_._2).map(h > _) ++
           hits.drop(i + 1).map(_._2).map(h >= _)
-        val wins = winConds.reduce(_ && _)
+        // single-language lists have no competitors — winning is vacuous
+        val wins = if (winConds.isEmpty) lit(true) else winConds.reduce(_ && _)
         when(h > 0 && wins, lang).otherwise(acc)
     }
     when(total === 0, "und").otherwise(best)

@@ -42,9 +42,14 @@ object AsofJoin {
       .withColumn("__k", col(leftKey))
       .withColumn("__t", col(leftTime))
       .withColumn("__is_probe", lit(1))
+    // SQL join semantics: NULL keys never match. Window.partitionBy
+    // groups NULLs into one partition, so null-key BUILD rows must be
+    // dropped or they would enrich null-key probe rows (which correctly
+    // pass through with null values, like a left join's unmatched side).
     val build = right.select(
       (col(rightKey).as("__k") +: col(rightTime).as("__t") +:
         valueCols.map(col)): _*)
+      .filter(col("__k").isNotNull)
       .withColumn("__is_probe", lit(0))
     val unioned = probe.unionByName(build, allowMissingColumns = true)
     // build rows (tag 0) sort before probe rows (tag 1) on time ties →

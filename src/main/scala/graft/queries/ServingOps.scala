@@ -69,9 +69,16 @@ object ServingOps {
         .agg(hll_sketch_agg(col("user_id")).as("ska"))
       val skb = ev.filter(col("event_id") % 2 =!= 0).groupBy("event_type")
         .agg(hll_sketch_agg(col("user_id")).as("skb"))
-      val merged = ska.join(skb, Seq("event_type"))
+      // FULL OUTER: an event_type whose events all land in one parity
+      // batch still has a merged estimate (the present sketch alone) —
+      // an inner join would drop it while the oracle, grouping all
+      // events, still emits its row
+      val merged = ska.join(skb, Seq("event_type"), "full_outer")
         .select(col("event_type"),
-          hll_sketch_estimate(hll_union(col("ska"), col("skb"))).as("est_m"))
+          hll_sketch_estimate(
+            when(col("ska").isNull, col("skb"))
+              .when(col("skb").isNull, col("ska"))
+              .otherwise(hll_union(col("ska"), col("skb")))).as("est_m"))
       val full = ev.groupBy("event_type")
         .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_f"),
           countDistinct("user_id").as("n_exact"))

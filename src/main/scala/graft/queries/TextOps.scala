@@ -237,7 +237,10 @@ object TextOps {
       // detector; per-source stats keep the result stable and non-empty,
       // n_shared counts (doc, fp) rows whose fingerprint appears in >1 doc
       val docs = Tables.documents(s, d)
+      // one (fp)-keyed exchange shared by the per-doc join branch and the
+      // shared-fp aggregate — without it both branches re-run the kernel
       val fps = Dedup.winnowFingerprints(docs, "doc_id", "text")
+        .repartition(col("fp"))
       val withSrc = fps.join(
         docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
       val shared = fps.groupBy("fp")
@@ -272,7 +275,11 @@ object TextOps {
       // text per reference
       Tables.documents(s, d)
         .select(col("lang"),
-          graft.plans.SubwordExpression.subwordPieces(col("text")).as("pieces"))
+          // NULL text counts as 0 pieces, matching the oracle's
+          // LEFT JOIN + coalesce over the word CTE (a null-skipping
+          // avg/max would diverge on corpora with null documents)
+          coalesce(graft.plans.SubwordExpression.subwordPieces(col("text")),
+            lit(0L)).as("pieces"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum("pieces").cast("long").as("total_pieces"),

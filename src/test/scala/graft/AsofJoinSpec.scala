@@ -47,6 +47,25 @@ class AsofJoinSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly one exchange:\n${sect.take(3000)}")
   }
 
+  test("NULL keys never match (SQL join semantics)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("row_id", LongType),
+      StructField("ck", StringType), StructField("t", LongType)))
+    val bschema = StructType(Seq(StructField("pk", StringType),
+      StructField("bt", LongType), StructField("v", StringType)))
+    val l = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, null, 5L), Row(2L, "k1", 5L)), schema)
+    val r = spark.createDataFrame(
+      java.util.Arrays.asList(Row(null, 1L, "ghost"), Row("k1", 1L, "ok")), bschema)
+    val out = AsofJoin.asofJoin(l, "ck", "t", r, "pk", "bt", Seq("v"))
+      .collect().map(row => row.getLong(0) -> Option(row.getString(3))).toMap
+    // the null-key probe row passes through UNMATCHED (left semantics);
+    // the null-key build row must never enrich anything
+    assert(out(1L) == None, s"null-key probe must not match: $out")
+    assert(out(2L) == Some("ok"))
+  }
+
   test("multiple value columns carried together") {
     val b2 = build.withColumn("v2", concat(col("v"), lit("!")))
     val out = AsofJoin.asofJoin(probe, "key", "t", b2, "key", "t", Seq("v", "v2"))

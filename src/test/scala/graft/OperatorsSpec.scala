@@ -326,6 +326,16 @@ class OperatorsSpec extends SparkSpec {
     assert(got(1L) == "fr" && got(2L) == "en" && got(3L) == "und")
   }
 
+  test("langIdFromHits works with a single-language hits list") {
+    // a one-entry list has no competitors — the when-chain must not
+    // reduce an empty condition list (regression: empty.reduce throw)
+    val df = Seq((1L, 3L), (2L, 0L)).toDF("id", "hits")
+    val got = df.select(col("id"),
+        TextFunctions.langIdFromHits(Seq("en" -> col("hits"))).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en" && got(2L) == "und")
+  }
+
   test("multimodal: batched feature extraction preserves schema and shape") {
     val docs = Tables.documents(spark, sf())
     val media = Multimodal.fromDocuments(docs)
