@@ -35,8 +35,11 @@ object RangeJoin {
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "left/right column names must be disjoint")
     // SQL `div` — exact integral division (a double roundtrip would lose
-    // precision past 2^53, e.g. epoch-micros)
-    def bucketOf(c: String) = expr(s"CAST($c AS BIGINT) div $bucketWidth")
+    // precision past 2^53, e.g. epoch-micros). The identifier is
+    // backtick-quoted (with ` doubled) so dotted/spaced/reserved-word
+    // column names parse as plain top-level columns, not nested fields.
+    def bucketOf(c: String) =
+      expr(s"CAST(`${c.replace("`", "``")}` AS BIGINT) div $bucketWidth")
     val r = right.withColumn("__b",
       explode(sequence(bucketOf(rStart), bucketOf(rEnd))))
     val l = left.withColumn("__b", bucketOf(lTime))

@@ -167,7 +167,13 @@ object SigOps {
     * recomputes each gram directly): h(gram at i) = Σ_j cp_{i+j}·B^{k−1−j}
     * mod P with B=131, P=2³¹−1 — every intermediate stays under 2⁵³.
     * Codepoints match SQL character semantics (`string_split(text,'')` +
-    * `unicode`). Total: texts shorter than k yield an empty array; texts
+    * `unicode`) for SINGLE-CODEPOINT graphemes — DuckDB's `string_split`
+    * yields grapheme CLUSTERS, so a combining sequence (e + U+0301) is
+    * one oracle "character" but two codepoints here; q65's hash parity
+    * is claimed only for single-codepoint-grapheme text (the testdata
+    * corpus is ASCII). The kernel's own codepoint behavior on combining
+    * marks is pinned in SignatureParitySpec. Total: texts shorter than
+    * k yield an empty array; texts
     * with fewer than w grams yield the single min over all grams (the
     * short-doc rule, mirroring shingles). Returns the DISTINCT minima,
     * sorted — adjacent windows mostly share their minimum, so in-kernel

@@ -73,4 +73,52 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(1L) == (Some("a"), Some("a!")))
     assert(out(4L) == (None, None))
   }
+
+  test("NULL times never match: no ghost build rows, null-time probes unmatched") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val ls = StructType(Seq(StructField("row_id", LongType),
+      StructField("ck", StringType), StructField("pt", LongType)))
+    val bs = StructType(Seq(StructField("bk", StringType),
+      StructField("bt", LongType), StructField("v", StringType)))
+    val l = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "k1", 5L),          // before every REAL build row
+      Row(2L, "k1", 20L),         // after the real build row
+      Row(3L, "k1", null)), ls)   // null probe time
+    val r = spark.createDataFrame(java.util.Arrays.asList(
+      Row("k1", null, "ghost"),   // DuckDB ASOF: pt >= NULL never holds
+      Row("k1", 10L, "real")), bs)
+    val out = AsofJoin.asofJoin(l, "ck", "pt", r, "bk", "bt", Seq("v"))
+      .collect().map(row => row.getLong(0) -> Option(row.getString(3))).toMap
+    assert(out(1L) == None, s"null-time build row must never enrich: $out")
+    assert(out(2L) == Some("real"))
+    assert(out(3L) == None, s"null-time probe must pass through unmatched: $out")
+  }
+
+  test("row integrity: a build row with a NULL field carries intact, never mixed") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val bs = StructType(Seq(StructField("bk", StringType),
+      StructField("bt", LongType), StructField("v", StringType),
+      StructField("v2", StringType)))
+    // at t=10 the latest build row holds (null, "B2") — the enrichment
+    // must be exactly that row, NOT v="A" resurrected from t=4
+    val r = spark.createDataFrame(java.util.Arrays.asList(
+      Row("k1", 4L, "A", "A2"), Row("k1", 8L, null, "B2")), bs)
+    val out = AsofJoin.asofJoin(probe, "key", "t", r, "bk", "bt", Seq("v", "v2"))
+      .collect().map(row =>
+        row.getLong(0) -> (Option(row.getString(3)), Option(row.getString(4)))).toMap
+    assert(out(1L) == (Some("A"), Some("A2")))   // t=5 → the t=4 row
+    assert(out(2L) == (None, Some("B2")),        // t=10 → the t=8 row, intact
+      s"per-column carry mixed build rows: $out")
+    assert(out(4L) == (None, None))              // t=3 → no match
+  }
+
+  test("reserved temp names are rejected loudly") {
+    val bad = probe.withColumn("__t", col("t"))
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(bad, "key", "t", build, "key", "t", Seq("v"))
+    }
+    assert(e.getMessage.contains("__t"))
+  }
 }

@@ -130,6 +130,30 @@ class SignatureParitySpec extends SparkSpec {
     assert((fps(5L) & fps(1L)).isEmpty, "unrelated docs must not collide")
   }
 
+  test("winnow iterates CODEPOINTS: combining marks are separate units (pinned)") {
+    // DuckDB's string_split(text,'') yields grapheme CLUSTERS; this kernel
+    // iterates codepoints. For single-codepoint graphemes (all testdata)
+    // the two agree — q65's oracle parity is claimed only there. This pins
+    // the kernel's actual behavior on the divergent case so a future
+    // change is a deliberate decision, not drift: precomposed é (U+00E9)
+    // and decomposed e+U+0301 are DIFFERENT codepoint sequences, hence
+    // different fingerprints, while the supplementary-plane emoji (one
+    // codepoint, two UTF-16 chars) hashes as ONE unit.
+    val precomposed = "caf\u00e9 latte order"     // \u00e9 = 1 codepoint
+    val decomposed = "cafe\u0301 latte order"     // e + combining acute
+    val fpOf = (s: String) =>
+      graft.plans.SigOps.winnow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 8, 4)
+        .toLongArray().toSet
+    assert(fpOf(precomposed) != fpOf(decomposed),
+      "combining-mark normalization must be visible to the codepoint kernel")
+    // 7 codepoints but 8 UTF-16 chars (U+1F600 is a surrogate pair): a
+    // codepoint kernel sees m = 7−8+1 ≤ 0 → empty; a (wrong) char-based
+    // kernel would see 8 units and emit a gram
+    assert(fpOf("😀bcdefg").isEmpty,
+      "a supplementary-plane codepoint must count as one unit, not two")
+  }
+
   test("winnow containment pairs: pasted paragraph found, hot-fp cap bounds the join") {
     import sqlImplicits._
     val para = "pack my box with five dozen liquor jugs before the festival starts downtown"
