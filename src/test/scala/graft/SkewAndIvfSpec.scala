@@ -39,6 +39,51 @@ class SkewAndIvfSpec extends SparkSpec {
     assert(salted == plain && plain.nonEmpty)
   }
 
+  test("saltedJoin keeps left/semi/anti semantics and rejects right/full") {
+    val skewed = Seq(("hot", 1), ("hot", 2), ("lonely", 3)).toDF("k", "v")
+    val build = Seq(("hot", "H"), ("unseen", "U")).toDF("k", "name")
+    // left: the unmatched PROBE row survives exactly once with a null
+    val left = Skew.saltedJoin(skewed, build, "k", salts = 4, joinType = "left")
+      .collect().map(r => (r.getString(0), r.getInt(1), Option(r.getString(2)))).toSet
+    assert(left == Set(("hot", 1, Some("H")), ("hot", 2, Some("H")),
+      ("lonely", 3, None)))
+    val semi = Skew.saltedJoin(skewed, build, "k", salts = 4, joinType = "left_semi")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(semi == Set(("hot", 1), ("hot", 2)))
+    val anti = Skew.saltedJoin(skewed, build, "k", salts = 4, joinType = "left_anti")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(anti == Set(("lonely", 3)))
+    // right/full would emit the unmatched build row ("unseen") salts× —
+    // rejected loudly instead of silently multiplying rows
+    for (bad <- Seq("right", "full", "full_outer", "right_outer")) {
+      val e = intercept[IllegalArgumentException] {
+        Skew.saltedJoin(skewed, build, "k", salts = 4, joinType = bad)
+      }
+      assert(e.getMessage.contains(bad), e.getMessage)
+    }
+  }
+
+  test("saltedAggregateAuto: plain path under threshold, salted and equal above") {
+    val rng = new scala.util.Random(7)
+    val rows = Seq.tabulate(4000) { i =>
+      val k = if (rng.nextDouble() < 0.8) "hot" else s"k${rng.nextInt(40)}"
+      (k, rng.nextInt(100).toDouble)
+    }
+    val df = rows.toDF("k", "v")
+    val plain = df.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    def auto(threshold: Long) =
+      Skew.saltedAggregateAuto(df, Seq("k"), hotKeyThreshold = threshold)(
+        partial = Seq(sum("v").as("ps"), count(lit(1)).as("pn")),
+        finalAgg = Seq(sum("ps").as("s"), sum("pn").as("n")))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    // threshold above the hot key's ~3200 rows → salts=1 degenerate path;
+    // threshold far below → real salting; both must equal the plain agg
+    assert(auto(1000000L) == plain)
+    assert(auto(100L) == plain)
+  }
+
   test("keyHistogram surfaces the hot key first") {
     val df = (1 to 500).map(i => (if (i <= 400) "hot" else s"k$i", i)).toDF("k", "v")
     val top = Skew.keyHistogram(df, Seq("k"), topN = 1).head()
