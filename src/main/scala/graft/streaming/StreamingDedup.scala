@@ -3,6 +3,7 @@ package graft.streaming
 import graft.operators.Dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming near-duplicate detection: band an incoming document stream
   * with the one-pass MinHash kernel and join it against a STORED corpus
@@ -62,5 +63,77 @@ object StreamingDedup {
     stream.join(idx, Seq("band", "bucket"))
       .filter(col("new_id") =!= col("existing_id"))
       .select("new_id", "existing_id", "band", "bucket")
+  }
+
+  // -------------------------------------------------------------------
+  // The CLOSED ingest loop: screen, then grow the index, per micro-batch
+  // -------------------------------------------------------------------
+
+  /** One micro-batch of the self-maintaining ingest loop: screen `batch`
+    * against every EARLIER micro-batch's bands in the persisted index at
+    * `indexDir`, then append this batch's bands — so batch N+1 sees
+    * batch N's documents, which the static-index join above by design
+    * does not.
+    *
+    * Returns the (id_a, id_b, n_bands_shared) candidates involving this
+    * batch's docs — both batch-vs-history and within-batch pairs
+    * ([[Dedup.minhashCandidatesIncremental]] semantics).
+    *
+    * Exactly-once: the index is laid out one partition directory per
+    * micro-batch (`batch_id=N`). A recovery re-run of batch N reads only
+    * `batch_id < N` (its own earlier partial append is invisible to the
+    * screen) and OVERWRITES `batch_id=N` — both halves idempotent, which
+    * is what foreachBatch's at-least-once contract requires. The
+    * partition filter also guarantees the lazily-returned candidate frame
+    * can be evaluated after the append without double-counting this
+    * batch's own bands from the storage side.
+    *
+    * At 100 TB: history is touched only through the (band, bucket) join
+    * — nothing is ever re-signed — and compacting old `batch_id`
+    * partitions into (band, bucket)-bucketed files is a storage-layout
+    * concern, invisible to this reader.
+    */
+  def screenAndIndexBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, indexDir: String,
+      bands: Int = 4, rowsPerBand: Int = 4, shingleW: Int = 3,
+      family: Dedup.MinHashFamily = Dedup.XxHashFamily,
+      maxBucketSize: Long = 100000): DataFrame = {
+    val spark = batch.sparkSession
+    val newBands = Dedup.minhashIndex(batch, idCol, textCol, bands,
+      rowsPerBand, shingleW, family)
+    val existing =
+      try spark.read.parquet(indexDir)
+        .filter(col("batch_id") < batchId)
+        .select("id", "band", "bucket")
+      catch {
+        // first micro-batch: nothing persisted yet
+        case _: org.apache.spark.sql.AnalysisException => newBands.limit(0)
+      }
+    val cands = Dedup.minhashCandidatesIncremental(batch, idCol, textCol,
+      existing, bands, rowsPerBand, shingleW, family, maxBucketSize)
+    newBands.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+    cands
+  }
+
+  /** The streaming face of [[screenAndIndexBatch]]: a `foreachBatch`
+    * query over a document stream that screens each micro-batch against
+    * the growing index and hands the candidate pairs to `onCandidates`
+    * (push to a dup-review topic, quarantine table, metrics — caller's
+    * choice; the frame is bounded by the micro-batch and the caps).
+    */
+  def screeningIngest(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, checkpointDir: Option[String] = None,
+      bands: Int = 4, rowsPerBand: Int = 4, shingleW: Int = 3,
+      family: Dedup.MinHashFamily = Dedup.XxHashFamily,
+      maxBucketSize: Long = 100000)(
+      onCandidates: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onCandidates(screenAndIndexBatch(batch, batchId, idCol, textCol,
+          indexDir, bands, rowsPerBand, shingleW, family, maxBucketSize),
+          batchId)
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
   }
 }

@@ -83,6 +83,73 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("closed ingest loop: batch N+1 screens against batch N, index grows") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sdedup_loop")
+      .toFile.getAbsolutePath + "/index"
+    val novel = "sphinx of black quartz judge my vow said the typesetter"
+    val source = MemoryStream[(Long, String)]
+    val seen = scala.collection.concurrent.TrieMap[Long, Set[(Long, Long)]]()
+    val q = StreamingDedup.screeningIngest(
+      source.toDF.toDF("doc_id", "text"), "doc_id", "text", dir) {
+      (cands, batchId) =>
+        seen(batchId) = cands.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    try {
+      // batch 0 seeds an EMPTY index; its three docs are mutually unlike
+      source.addData((1L, corpusText),
+        (2L, "completely different content about distributed query planning"),
+        (3L, "yet another unrelated document mentioning streaming watermarks"))
+      q.processAllAvailable()
+      assert(seen(0L).isEmpty, s"unlike seed docs produced pairs: $seen")
+      // batch 1: doc 100 duplicates doc 1 FROM BATCH 0 — exactly the
+      // cross-micro-batch catch the static-index join cannot make
+      source.addData((100L, corpusText), (101L, novel))
+      q.processAllAvailable()
+      assert(seen(1L).contains((1L, 100L)),
+        s"batch-1 dup of a batch-0 doc not caught: $seen")
+      assert(!seen(1L).exists { case (a, b) => a == 101L || b == 101L },
+        s"novel doc produced candidates: $seen")
+      // batch 2: a dup of the BATCH-1 novel doc — the index kept growing
+      source.addData((200L, novel))
+      q.processAllAvailable()
+      assert(seen(2L).contains((101L, 200L)),
+        s"batch-2 dup of a batch-1 doc not caught: $seen")
+      // the persisted index is band-for-band the batch banding of all docs
+      val allDocs = corpus.union(
+        Seq((100L, corpusText), (101L, novel), (200L, novel)).toDF("doc_id", "text"))
+      val persisted = spark.read.parquet(dir)
+        .select("id", "band", "bucket")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.get(2))).toSet
+      val batch = Dedup.minhashIndex(allDocs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.get(2))).toSet
+      assert(persisted == batch,
+        "persisted loop index must equal one-shot batch banding")
+    } finally q.stop()
+  }
+
+  test("screenAndIndexBatch re-run of the same batch id is idempotent") {
+    import sqlImplicits._
+    val dir = java.nio.file.Files.createTempDirectory("sdedup_idem")
+      .toFile.getAbsolutePath + "/index"
+    StreamingDedup.screenAndIndexBatch(corpus, 0L, "doc_id", "text", dir).collect()
+    // batch 1 holds a dup of a batch-0 doc AND a within-batch dup pair
+    val b1 = Seq((10L, corpusText), (11L, "alpha beta gamma delta epsilon zeta"),
+      (12L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val first = StreamingDedup.screenAndIndexBatch(b1, 1L, "doc_id", "text", dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(first.exists { case (a, b, _) => (a, b) == (1L, 10L) })
+    assert(first.exists { case (a, b, _) => (a, b) == (11L, 12L) })
+    val rowsAfterFirst = spark.read.parquet(dir).count()
+    // recovery replay: same batch id → same candidates, no index growth
+    val replay = StreamingDedup.screenAndIndexBatch(b1, 1L, "doc_id", "text", dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(replay == first, s"replay diverged: $replay vs $first")
+    assert(spark.read.parquet(dir).count() == rowsAfterFirst,
+      "replay must overwrite its partition, not append")
+  }
+
   test("streaming plan is stateless (no StateStore operators)") {
     implicit val ctx = spark.sqlContext
     val index = Dedup.minhashIndex(corpus, "doc_id", "text")
