@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Scores
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scoring-formula coverage (SURVEY.md §2.9 U1–U8) on the testdata.
@@ -219,6 +220,62 @@ object Scoring {
         col("c_custkey"), col("trending_score"), col("success_score"), col("trust_score"),
         round(Scores.compositeScore(col("trending_score"), col("success_score"), col("trust_score")), 4)
           .as("composite_score"))
+    },
+
+    // U2 with REAL momentum: the reference stubs prev-window engagement to
+    // None in-stream (`trending_stream.py:479`), zeroing the 0.2·(1+mom)
+    // term. Here the previous hour's engagement feeds it — lag() in this
+    // batch twin, the T7 prev-value state operator on the stream
+    // (StatefulVelocity; momentum parity stream↔batch is spec-pinned in
+    // StreamingSpec "stream momentum equals the batch lag twin").
+    QueryDef.sql(
+      "q71_momentum_trending",
+      """WITH hourly AS (
+        |  SELECT user_id,
+        |    strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+        |             '%Y-%m-%d %H:%M:%S') AS hour,
+        |    count(*) AS n, round(sum(value), 2) AS eng
+        |  FROM events GROUP BY 1, 2),
+        |base AS (
+        |  SELECT user_id, hour, n, eng,
+        |    lag(eng) OVER (PARTITION BY user_id ORDER BY hour) AS prev_eng,
+        |    eng / 60.0 * (1.0 + 0.1 * ln(1.0 + n)) AS v
+        |  FROM hourly),
+        |m AS (
+        |  SELECT user_id, hour, n, eng, v,
+        |    CASE WHEN prev_eng IS NOT NULL AND prev_eng > 0
+        |         THEN (eng - prev_eng) / prev_eng ELSE 0.0 END AS mom
+        |  FROM base),
+        |scored AS (
+        |  SELECT user_id, hour, n, eng, mom,
+        |    100.0 / (1.0 + exp(-0.8 * (
+        |      0.5 * (v / greatest(100.0, 1.0)) +
+        |      0.3 * (v / greatest(avg(v) OVER (), 1.0)) +
+        |      0.2 * (1.0 + mom) - 2.0))) AS score
+        |  FROM m)
+        |SELECT user_id, hour, n AS event_count, eng AS engagement,
+        |  floor(mom * 10000.0 + 0.5) / 10000.0 AS momentum,
+        |  round(score, 2) AS trending_score
+        |FROM scored""".stripMargin) { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("eng"))
+        .select(col("user_id"),
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n"), col("eng"))
+      val w = Window.partitionBy("user_id").orderBy("hour")
+      val base = hourly
+        .withColumn("prev_eng", lag(col("eng"), 1).over(w))
+        .withColumn("v", Scores.velocity(col("n"), col("eng"), windowMinutes = 60.0))
+        .withColumn("mom", Scores.momentum(col("eng"), col("prev_eng")))
+      val scored = base
+        .crossJoin(broadcast(base.agg(avg("v").as("gv"))))
+        .withColumn("score",
+          Scores.trendingScore(col("v"), lit(100.0), col("gv"), col("mom")))
+      scored.select(col("user_id"), col("hour"),
+        col("n").as("event_count"), col("eng").as("engagement"),
+        graft.functions.TextFunctions.round4hu(col("mom")).as("momentum"),
+        round(col("score"), 2).as("trending_score"))
     },
 
     QueryDef.sql(

@@ -113,6 +113,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("U2 momentum: stream state path equals the batch lag twin (q71's input)") {
+    implicit val ctx = spark.sqlContext
+    // per-key hourly engagement series with growth, decline, and a flat
+    // key — metric values unique per key so rows map back unambiguously
+    val series = Map(
+      "kol_a" -> Seq(100.0, 150.0, 120.0),
+      "kol_b" -> Seq(50.0, 50.0),
+      "kol_c" -> Seq(80.0))
+    val source = MemoryStream[StatefulVelocity.KeyedMetric]
+    val out = StatefulVelocity.velocityStream(source.toDS(), stateTtlMs = None)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("mom_parity").start()
+    try {
+      // one micro-batch per hour index — the steady-state ingest shape
+      val hours = series.values.map(_.length).max
+      for (i <- 0 until hours) {
+        val batch = series.toSeq.flatMap { case (k, vs) =>
+          vs.lift(i).map(v => StatefulVelocity.KeyedMetric(k, v, i.toLong))
+        }
+        source.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("mom_parity")
+        .as[StatefulVelocity.VelocityOut].collect()
+        .map(r => (r.key, r.metric) -> r.momentum).toMap
+      val batchDf = series.toSeq.flatMap { case (k, vs) =>
+        vs.zipWithIndex.map { case (v, i) => (k, i.toLong, v) }
+      }.toDF("key", "hour_idx", "eng")
+      val batched = StatefulVelocity
+        .velocityBatch(batchDf, Seq("key"), "hour_idx", "eng")
+        .collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[Double]("eng")) ->
+          r.getAs[Double]("momentum")).toMap
+      assert(streamed.keySet == batched.keySet)
+      streamed.foreach { case (k, m) =>
+        assert(math.abs(m - batched(k)) < 1e-12,
+          s"momentum diverged for $k: stream=$m batch=${batched(k)}")
+      }
+      // and the parity is not vacuous: growth and decline both nonzero
+      assert(streamed(("kol_a", 150.0)) == 0.5)
+      assert(math.abs(streamed(("kol_a", 120.0)) - (-0.2)) < 1e-12)
+      assert(streamed(("kol_b", 50.0)) == 0.0)
+    } finally q.stop()
+  }
+
   test("T3 CTR/CVR tumbling window with divide-by-zero guards") {
     val df = Seq(
       ("e1", ts("2024-01-01 10:01:00"), "kol_a", "c1", 1000L, 50L, 5L, 10.0),
