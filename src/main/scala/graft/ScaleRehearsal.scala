@@ -64,8 +64,18 @@ object ScaleRehearsal {
     ((System.nanoTime() - t0) / 1e9, rows)
   }
 
+  /** Row count that FORCES evaluation of `forceCol`: a bare count() lets
+    * Catalyst prune computed columns the filter doesn't need — for the
+    * as-of join that deletes the window carry itself, timing an empty
+    * plan (caught red-handed in round 8: "16M-row as-of" in 0.2 s).
+    */
+  private def forcedRows(df: DataFrame, forceCol: String): Long =
+    df.agg(count(lit(1)), sum(col(forceCol).cast("double"))).head().getLong(0)
+
   def main(args: Array[String]): Unit = {
-    val scales = if (args.nonEmpty) args.toSeq.map(_.toLong)
+    val asofOnly = args.contains("--asof-only")
+    val posArgs = args.toSeq.filterNot(_.startsWith("--"))
+    val scales = if (posArgs.nonEmpty) posArgs.map(_.toLong)
     else Seq(15000L, 50000L, 150000L)
     require(scales.forall(_ > 10000L),
       "rungs below 10k docs keep the exact-copy megabucket (n/50 <= cap " +
@@ -76,7 +86,7 @@ object ScaleRehearsal {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val out = scales.map { n =>
+    val out = (if (asofOnly) Seq.empty[Long] else scales).map { n =>
       val docs = corpus(spark, n).cache()
       docs.count() // materialize outside every timed window
 
@@ -133,7 +143,22 @@ object ScaleRehearsal {
         val ab = spark.range(n / 10).select(pmod(col("id"), lit(1000)).as("bk"),
           pmod(col("id") * 70, lit(100000L)).as("bt"), col("id").as("bv"))
           .groupBy("bk", "bt").agg(max("bv").as("v"))
-        graft.operators.AsofJoin.asofJoin(ap, "k", "t", ab, "bk", "bt", Seq("v")).count()
+        forcedRows(graft.operators.AsofJoin.asofJoin(ap, "k", "t", ab, "bk", "bt", Seq("v")), "v")
+      }
+      // as-of under KEY SKEW: same volumes as above but 50% of probes
+      // (and ~50% of build updates) land on ONE key — the operator's
+      // documented ceiling (Window.partitionBy puts a key's whole history
+      // in one task). The measurement quantifies how far the wall curve
+      // departs from the uniform rung as the hot key's slice grows.
+      val (tAsofSkew, nAsofSkew) = timed {
+        val hot = (c: org.apache.spark.sql.Column) =>
+          when(pmod(c, lit(2)) === 0, lit(0L)).otherwise(pmod(c, lit(1000)))
+        val ap = spark.range(n).select(hot(col("id")).as("k"),
+          pmod(col("id") * 7, lit(100000L)).as("t"), col("id").as("pid"))
+        val ab = spark.range(n / 10).select(hot(col("id")).as("bk"),
+          pmod(col("id") * 70, lit(100000L)).as("bt"), col("id").as("bv"))
+          .groupBy("bk", "bt").agg(max("bv").as("v"))
+        forcedRows(graft.operators.AsofJoin.asofJoin(ap, "k", "t", ab, "bk", "bt", Seq("v")), "v")
       }
       // range join: n probes vs n/100 width-50 intervals on a 100k axis,
       // bucket 64 — matches ~ n × (intervals-per-key × 50/100000)
@@ -156,6 +181,7 @@ object ScaleRehearsal {
         "winnow_containment" -> (tWin, nWin),
         "salted_join" -> (tSalted, nSalted),
         "asof_join" -> (tAsof, nAsof),
+        "asof_join_skewed" -> (tAsofSkew, nAsofSkew),
         "range_join" -> (tRange, nRange)))
     }
 
@@ -165,7 +191,50 @@ object ScaleRehearsal {
       }.mkString(",")
       s"""{"n_docs":$n,$fields}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"scale_rehearsal","scales":$json}""")
+    if (!asofOnly) println(s"""{"metric":"scale_rehearsal","scales":$json}""")
+
+    // Dedicated as-of SKEW ladder at row counts where the single-task-
+    // per-key ceiling can actually bind (at the doc-ladder scales the hot
+    // key's 75k-row slice sorts in milliseconds and skew is invisible).
+    // 50% of probes and build updates land on ONE key: the uniform twin
+    // spreads the same volume over 1000 keys / all cores, the skewed run
+    // serializes half the data through one core — the measured gap IS the
+    // operator's documented skew ceiling (AsofJoin scaladoc).
+    val asofScales = Seq(1000000L, 4000000L, 16000000L)
+    // untimed warmup: JIT + codegen caches, so the first rung isn't
+    // measuring compilation (first run showed 12 s for work later rungs
+    // do in 2-3 s)
+    locally {
+      val wp = spark.range(500000L).select(pmod(col("id"), lit(1000)).as("k"),
+        pmod(col("id") * 7, lit(100000L)).as("t"), col("id").as("pid"))
+      val wb = spark.range(50000L).select(pmod(col("id"), lit(1000)).as("bk"),
+        pmod(col("id") * 70, lit(100000L)).as("bt"), col("id").as("bv"))
+        .groupBy("bk", "bt").agg(max("bv").as("v"))
+      forcedRows(graft.operators.AsofJoin.asofJoin(wp, "k", "t", wb, "bk", "bt", Seq("v")), "v")
+    }
+    val asofOut = asofScales.map { n =>
+      def probeBuild(skewed: Boolean) = {
+        val key = (c: org.apache.spark.sql.Column) =>
+          if (skewed) when(pmod(c, lit(2)) === 0, lit(0L)).otherwise(pmod(c, lit(1000)))
+          else pmod(c, lit(1000))
+        val ap = spark.range(n).select(key(col("id")).as("k"),
+          pmod(col("id") * 7, lit(100000L)).as("t"), col("id").as("pid"))
+        val ab = spark.range(n / 10).select(key(col("id")).as("bk"),
+          pmod(col("id") * 70, lit(100000L)).as("bt"), col("id").as("bv"))
+          .groupBy("bk", "bt").agg(max("bv").as("v"))
+        (ap, ab)
+      }
+      val (tU, nU) = timed {
+        val (ap, ab) = probeBuild(skewed = false)
+        forcedRows(graft.operators.AsofJoin.asofJoin(ap, "k", "t", ab, "bk", "bt", Seq("v")), "v")
+      }
+      val (tS, nS) = timed {
+        val (ap, ab) = probeBuild(skewed = true)
+        forcedRows(graft.operators.AsofJoin.asofJoin(ap, "k", "t", ab, "bk", "bt", Seq("v")), "v")
+      }
+      f"""{"n_rows":$n,"uniform":{"sec":$tU%.2f,"rows":$nU},"hot50":{"sec":$tS%.2f,"rows":$nS}}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"asof_skew_rehearsal","scales":$asofOut}""")
     spark.stop()
   }
 }
