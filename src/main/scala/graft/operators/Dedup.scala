@@ -175,6 +175,24 @@ object Dedup {
       .select(col(idCol).as("id"),
         explode(graft.plans.SignatureExpressions.winnowFps(col(textCol), k, w)).as("fp"))
 
+  /** POSITIONAL winnowing fingerprints: one (id, fp, pos) row per
+    * robust-winnowing selection ([[graft.plans.SigOps.winnowPositions]]),
+    * `pos` the gram's starting codepoint offset. The localizable variant
+    * of [[winnowFingerprints]]: where the set form answers "do these docs
+    * overlap", matched (fp, pos) pairs answer WHERE — for a copied span,
+    * posA − posB is constant (the copy's offset delta), exact for
+    * interior grams and within w at the span's edges (spec-pinned with a
+    * planted copy). Join on fp like the set form; group matched pairs by
+    * (id_a, id_b, posA − posB) to localize each shared span.
+    */
+  def winnowFingerprintPositions(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(graft.plans.SignatureExpressions.winnowFpPositions(
+          col(textCol), k, w)).as("s"))
+      .select(col("id"), col("s.fp").as("fp"), col("s.pos").as("pos"))
+
   /** Containment/partial-copy candidate pairs over winnowing fingerprints:
     * self-join the (fp → doc) postings, count shared fingerprints per
     * pair, containment = n_shared / min(|fps_a|, |fps_b|). `maxFpDf`

@@ -62,7 +62,11 @@ object GraftExtensions {
     "winnow_fingerprints" -> ((args: Seq[Expression]) =>
       WinnowFingerprints(args(0),
         if (args.length > 1) intArg(args(1), "winnow_fingerprints k") else 8,
-        if (args.length > 2) intArg(args(2), "winnow_fingerprints w") else 4)))
+        if (args.length > 2) intArg(args(2), "winnow_fingerprints w") else 4)),
+    "winnow_fingerprint_positions" -> ((args: Seq[Expression]) =>
+      WinnowFingerprintPositions(args(0),
+        if (args.length > 1) intArg(args(1), "winnow_fingerprint_positions k") else 8,
+        if (args.length > 2) intArg(args(2), "winnow_fingerprint_positions w") else 4)))
 
   /** Same registrations on an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -6,8 +6,9 @@ import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass document-signature kernels: tokenize → hash → fold, all inside
@@ -225,6 +226,57 @@ object SigOps {
     new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
   }
 
+  /** POSITIONAL winnowing — the robust-winnowing rule of the MOSS paper:
+    * per window select the RIGHTMOST minimal gram hash and record
+    * (fp, pos) only when the selected position changes. Where [[winnow]]
+    * answers "do these docs share content" (set semantics), the positions
+    * answer "WHERE": a fingerprint matched across two docs pins the
+    * shared span — posA − posB is the copy's offset delta, exact for
+    * grams interior to the copied region and within w at its edges.
+    * `pos` is the gram's starting CODEPOINT offset (same codepoint
+    * semantics and caveats as [[winnow]]). Distinct fp VALUES equal
+    * [[winnow]]'s output — each window's min value is tie-side-
+    * independent — spec-pinned in SignatureParitySpec. Total: shorter-
+    * than-k text yields an empty array; fewer than w grams yield the
+    * single-window selection. Output ordered by pos.
+    */
+  def winnowPositions(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val m = cps.length - k + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    var bPow = 1L
+    var p = 1
+    while (p < k) { bPow = (bPow * WinnowB) % WinnowP; p += 1 }
+    val hs = new Array[Long](m)
+    var h = 0L
+    var i = 0
+    while (i < cps.length) {
+      h = (h * WinnowB + cps(i)) % WinnowP
+      if (i >= k - 1) {
+        hs(i - k + 1) = h
+        h = (h - (cps(i - k + 1) * bPow) % WinnowP + WinnowP) % WinnowP
+      }
+      i += 1
+    }
+    val nw = math.max(m - w + 1, 1)
+    val buf = new scala.collection.mutable.ArrayBuffer[Any](nw / 2 + 1)
+    var lastPos = -1
+    var j = 0
+    while (j < nw) {
+      var mn = Long.MaxValue
+      var mp = -1
+      var t = j
+      val end = math.min(j + w, m)
+      while (t < end) { if (hs(t) <= mn) { mn = hs(t); mp = t }; t += 1 }
+      if (mp != lastPos) {
+        buf += new GenericInternalRow(Array[Any](mn, mp))
+        lastPos = mp
+      }
+      j += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
+
   /** 32-bit SimHash, portable family (per token OCCURRENCE, like the
     * explode path). Total: token-less text yields signature 0.
     */
@@ -380,6 +432,41 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Positional winnowing fingerprints in one codegen'd pass —
+  * `array<struct<fp:long, pos:int>>` of robust-winnowing selections
+  * ([[SigOps.winnowPositions]]). TOTAL and null-intolerant like
+  * [[WinnowFingerprints]].
+  */
+case class WinnowFingerprintPositions(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+
+  require(k > 0, s"k must be positive, got $k")
+  require(w > 0, s"w must be positive, got $w")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("fp", LongType, nullable = false),
+      StructField("pos", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "winnow_fingerprint_positions"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigOps.winnowPositions(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.SigOps.winnowPositions($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprintPositions =
+    copy(child = newChild)
+}
+
 object SignatureExpressions {
 
   /** MinHash signature column over a text column (token-less text → the
@@ -400,4 +487,11 @@ object SignatureExpressions {
     */
   def winnowFps(text: Column, k: Int = 8, w: Int = 4): Column =
     GraftSqlBridge.column(WinnowFingerprints(GraftSqlBridge.expression(text), k, w))
+
+  /** Positional winnowing fingerprints: array<struct<fp, pos>> of
+    * robust-winnowing selections (shorter-than-k text → empty array).
+    */
+  def winnowFpPositions(text: Column, k: Int = 8, w: Int = 4): Column =
+    GraftSqlBridge.column(
+      WinnowFingerprintPositions(GraftSqlBridge.expression(text), k, w))
 }

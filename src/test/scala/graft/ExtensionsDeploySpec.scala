@@ -32,12 +32,14 @@ class ExtensionsDeploySpec extends SparkSpec {
           |  minhash_sig('the quick brown fox jumps over it', 4) AS m,
           |  cosine_f(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
           |  subword_piece_count('the table') AS n,
-          |  winnow_fingerprints('abcdefghijklmnop') AS wf""".stripMargin).head()
+          |  winnow_fingerprints('abcdefghijklmnop') AS wf,
+          |  winnow_fingerprint_positions('abcdefghijklmnop') AS wfp""".stripMargin).head()
       assert(!row.isNullAt(0))
       assert(row.getSeq[Long](1).length == 4)
       assert(row.getDouble(2) == 1.0)
       assert(row.getLong(3) == 4L)
       assert(row.getSeq[Long](4).nonEmpty)
+      assert(row.getSeq[org.apache.spark.sql.Row](5).nonEmpty)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)

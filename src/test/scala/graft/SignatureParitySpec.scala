@@ -154,6 +154,46 @@ class SignatureParitySpec extends SparkSpec {
       "a supplementary-plane codepoint must count as one unit, not two")
   }
 
+  test("positional winnowing: planted copy localized to its offset within w") {
+    import sqlImplicits._
+    val para = "pack my box with five dozen liquor jugs before the festival begins"
+    val prefix = "totally original framing text written for document alpha here. "
+    val df = Seq((1L, prefix + para), (2L, para)).toDF("doc_id", "text")
+    val w = 4
+    val rows = Dedup.winnowFingerprintPositions(df, "doc_id", "text", k = 8, w = w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val aPos = rows.filter(_._1 == 1L).groupBy(_._2).map { case (fp, rs) =>
+      fp -> rs.map(_._3).toSet
+    }
+    val bPos = rows.filter(_._1 == 2L).groupBy(_._2).map { case (fp, rs) =>
+      fp -> rs.map(_._3).toSet
+    }
+    val shared = aPos.keySet & bPos.keySet
+    assert(shared.nonEmpty, "copied paragraph must share positional fingerprints")
+    // every shared fingerprint's offset delta recovers the plant within w;
+    // interior grams recover it EXACTLY (prefix is ASCII → codepoints=chars)
+    val deltas = shared.toSeq.flatMap(fp =>
+      for (pa <- aPos(fp); pb <- bPos(fp)) yield pa - pb)
+    val offset = prefix.length
+    assert(deltas.forall(d => math.abs(d - offset) <= w),
+      s"offset $offset not recovered within $w: $deltas")
+    assert(deltas.count(_ == offset) * 2 >= deltas.size,
+      s"majority of shared fps should recover the offset exactly: $deltas")
+
+    // distinct fp VALUES equal the set-semantics kernel's output — each
+    // window's minimum VALUE is tie-side-independent, only positions move
+    val setFps = Dedup.winnowFingerprints(df, "doc_id", "text", k = 8, w = w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == setFps,
+      "positional selections must cover exactly the set kernel's values")
+
+    // total on the short-doc edges, like the set kernel
+    val edge = Seq((3L, "tiny"), (4L, "exactly8"), (5L, "")).toDF("doc_id", "text")
+    val er = Dedup.winnowFingerprintPositions(edge, "doc_id", "text", k = 8, w = w)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(er.toSeq == Seq((4L, 0)), s"short-doc rule: $er")
+  }
+
   test("winnow containment pairs: pasted paragraph found, hot-fp cap bounds the join") {
     import sqlImplicits._
     val para = "pack my box with five dozen liquor jugs before the festival starts downtown"
