@@ -257,19 +257,29 @@ object Scoring {
         |  floor(mom * 10000.0 + 0.5) / 10000.0 AS momentum,
         |  round(score, 2) AS trending_score
         |FROM scored""".stripMargin) { (s, d) =>
+      // cache the hourly aggregate: the lag-window branch and the
+      // global-average branch both consume it, and neither an explicit
+      // repartition nor AQE exchange reuse can share the stage — column
+      // pruning gives the two branches different exchange payloads, so
+      // the canonicalized plans never match and the events scan +
+      // aggregation would run TWICE (verified in the final AQE plan).
+      // The cached frame is |users × hours| rows — tiny next to the scan
+      // it saves; this is the materialize-the-small-intermediate shape a
+      // production pipeline gets by writing the hourly table.
       val hourly = Tables.events(s, d)
         .groupBy(col("user_id"), window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("eng"))
         .select(col("user_id"),
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("n"), col("eng"))
+        .withColumn("v", Scores.velocity(col("n"), col("eng"), windowMinutes = 60.0))
+        .cache()
       val w = Window.partitionBy("user_id").orderBy("hour")
       val base = hourly
         .withColumn("prev_eng", lag(col("eng"), 1).over(w))
-        .withColumn("v", Scores.velocity(col("n"), col("eng"), windowMinutes = 60.0))
         .withColumn("mom", Scores.momentum(col("eng"), col("prev_eng")))
       val scored = base
-        .crossJoin(broadcast(base.agg(avg("v").as("gv"))))
+        .crossJoin(broadcast(hourly.agg(avg("v").as("gv"))))
         .withColumn("score",
           Scores.trendingScore(col("v"), lit(100.0), col("gv"), col("mom")))
       scored.select(col("user_id"), col("hour"),
