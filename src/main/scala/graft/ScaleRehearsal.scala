@@ -232,7 +232,14 @@ object ScaleRehearsal {
         val (ap, ab) = probeBuild(skewed = true)
         forcedRows(graft.operators.AsofJoin.asofJoin(ap, "k", "t", ab, "bk", "bt", Seq("v")), "v")
       }
-      f"""{"n_rows":$n,"uniform":{"sec":$tU%.2f,"rows":$nU},"hot50":{"sec":$tS%.2f,"rows":$nS}}"""
+      // the mitigation under the same skew: time axis is [0, 100000);
+      // width 512 spreads the hot key over ~195 buckets
+      val (tB, nB) = timed {
+        val (ap, ab) = probeBuild(skewed = true)
+        forcedRows(graft.operators.AsofJoin.bucketedAsofJoin(
+          ap, "k", "t", ab, "bk", "bt", Seq("v"), bucketWidth = 512), "v")
+      }
+      f"""{"n_rows":$n,"uniform":{"sec":$tU%.2f,"rows":$nU},"hot50":{"sec":$tS%.2f,"rows":$nS},"hot50_bucketed":{"sec":$tB%.2f,"rows":$nB}}"""
     }.mkString("[", ",", "]")
     println(s"""{"metric":"asof_skew_rehearsal","scales":$asofOut}""")
     spark.stop()

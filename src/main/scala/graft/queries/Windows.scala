@@ -94,6 +94,46 @@ object Windows {
         .select("event_id", "user_id", "ts_s", "asof_orderkey")
     },
 
+    // q72: the SAME temporal enrichment through the skew-resistant
+    // bucketed as-of ([[graft.operators.AsofJoin.bucketedAsofJoin]] —
+    // row-level window partitioned by (key, time-bucket), carry-in via
+    // per-bucket build summaries) against the SAME native ASOF oracle:
+    // the mitigation's exact-equality claim, hash-verified cross-engine.
+    // Axis spans ~30 years of epoch seconds; width 2^25 s (~1 year)
+    // gives a mixed local/carry bucket population.
+    QueryDef.sql(
+      "q72_asof_bucketed",
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |    788918400 + (CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |                 - 1704067200) * 80 AS pt
+        |  FROM events WHERE event_type = 'purchase' AND user_id < 50),
+        |ords AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ot,
+        |    max(o_orderkey) AS asof_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts_s, o.asof_orderkey
+        |FROM ev e ASOF LEFT JOIN ords o
+        |  ON e.user_id = o.ck AND e.pt >= o.ot""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("user_id") < 50)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          (lit(788918400L) +
+            (col("ts").cast("long") - lit(1704067200L)) * 80).as("pt"))
+      val ords = Tables.orders(s, d)
+        .select(col("o_custkey").as("ck"),
+          col("o_orderdate").cast("timestamp").cast("long").as("ot"),
+          col("o_orderkey"))
+        .groupBy("ck", "ot").agg(max("o_orderkey").as("asof_orderkey"))
+      graft.operators.AsofJoin
+        .bucketedAsofJoin(ev, "user_id", "pt", ords, "ck", "ot",
+          Seq("asof_orderkey"), bucketWidth = 1L << 25)
+        .select("event_id", "user_id", "ts_s", "asof_orderkey")
+    },
+
     QueryDef.sql(
       "q26_tumbling_hourly",
       """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),

@@ -121,4 +121,70 @@ class AsofJoinSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("__t"))
   }
+
+  test("bucketedAsofJoin equals asofJoin on the planted frames, all widths") {
+    val b2 = build.withColumn("v2", concat(col("v"), lit("!")))
+    val plain = AsofJoin.asofJoin(probe, "key", "t", b2, "key", "t", Seq("v", "v2"))
+      .collect().map(_.toSeq).toSet
+    // width 1 = every timestamp its own bucket (all matches via carry-in);
+    // width 7 = mixed local/carry; width 1000 = one bucket (pure local)
+    for (width <- Seq(1L, 7L, 1000L)) {
+      val bucketed = AsofJoin.bucketedAsofJoin(probe, "key", "t", b2, "key", "t",
+        Seq("v", "v2"), bucketWidth = width)
+        .collect().map(_.toSeq).toSet
+      assert(bucketed == plain, s"width=$width diverged:\n$bucketed\nvs\n$plain")
+    }
+  }
+
+  test("bucketedAsofJoin equals asofJoin on a randomized hot-key frame") {
+    val rng = new scala.util.Random(42)
+    // 60% of probes on one hot key; times cluster so buckets are a mix of
+    // build-empty, probe-empty, and dense; some negative times exercise
+    // the div-vs-floor bucketing note
+    val probes = Seq.tabulate(800) { i =>
+      val k = if (rng.nextInt(10) < 6) "hot" else s"k${rng.nextInt(7)}"
+      (i.toLong, k, (rng.nextInt(2000) - 300).toLong)
+    }.toDF("event_id", "key", "t")
+    val builds = Seq.tabulate(120) { i =>
+      val k = if (rng.nextInt(10) < 5) "hot" else s"k${rng.nextInt(7)}"
+      (k, (rng.nextInt(2000) - 300).toLong, i.toLong)
+    }.toDF("key", "t", "payload")
+      // contract: unique per (key, time)
+      .groupBy("key", "t").agg(max("payload").as("payload"))
+    val plain = AsofJoin.asofJoin(probes, "key", "t", builds, "key", "t", Seq("payload"))
+      .collect().map(_.toSeq).toSet
+    for (width <- Seq(13L, 64L, 500L)) {
+      val bucketed = AsofJoin.bucketedAsofJoin(probes, "key", "t", builds,
+        "key", "t", Seq("payload"), bucketWidth = width)
+        .collect().map(_.toSeq).toSet
+      assert(bucketed == plain, s"width=$width diverged on randomized frame")
+    }
+  }
+
+  test("bucketedAsofJoin: null keys and times follow asofJoin semantics") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val ls = StructType(Seq(StructField("row_id", LongType),
+      StructField("ck", StringType), StructField("pt", LongType)))
+    val bs = StructType(Seq(StructField("bk", StringType),
+      StructField("bt", LongType), StructField("v", StringType)))
+    val l = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "k1", 25L), Row(2L, null, 25L), Row(3L, "k1", null)), ls)
+    val r = spark.createDataFrame(java.util.Arrays.asList(
+      Row("k1", 10L, "real"), Row(null, 1L, "ghostK"), Row("k1", null, "ghostT")), bs)
+    val out = AsofJoin.bucketedAsofJoin(l, "ck", "pt", r, "bk", "bt", Seq("v"), 10L)
+      .collect().map(row => row.getLong(0) -> Option(row.getString(3))).toMap
+    assert(out == Map(1L -> Some("real"), 2L -> None, 3L -> None), s"$out")
+  }
+
+  test("bucketedAsofJoin plan: row-level window is partitioned by (key, bucket)") {
+    val out = AsofJoin.bucketedAsofJoin(probe, "key", "t", build, "key", "t",
+      Seq("v"), bucketWidth = 7L)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // the heavy window must carry BOTH the key and the bucket in its
+    // partition spec — that is the whole point of the variant
+    assert(plan.contains("windowspecdefinition(__k#") && plan.contains(", __b#"),
+      plan.take(2000))
+  }
 }
