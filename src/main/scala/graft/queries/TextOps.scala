@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
   *  - q38 SimHash hamming-candidate stats (portable family — full oracle)
   *  - q61 vocab-driven subword piece counts (greedy longest-prefix over
   *    the checked-in vocab; recursive-CTE oracle — full hash check)
+  *  - q73 decontamination: corpus docs containing a benchmark item by
+  *    distinct 5-gram containment (planted: every 25th doc's middle-half
+  *    tokens form the eval set, so sources and their dups must flag)
   */
 object TextOps {
 
@@ -266,6 +269,60 @@ object TextOps {
         family = Dedup.PortableHashFamily)
       Dedup.minhashCandidatesIncremental(newDocs, "doc_id", "text", idx,
         family = Dedup.PortableHashFamily, maxBucketSize = 500)
+    },
+
+    // q73: decontamination ([[graft.operators.Decontamination]]). The
+    // eval set is PLANTED deterministically in both engines: every 25th
+    // document's middle-half token slice becomes a benchmark item, so
+    // its source doc (and that doc's exact/near dups) must flag with
+    // containment ~1.0 while unrelated docs share nothing. Containment
+    // is over the BENCHMARK item's distinct 5-grams — the convention
+    // that catches a long document embedding a whole eval item.
+    QueryDef.sql(
+      "q73_decontamination",
+      s"""WITH toks AS (
+         |  SELECT doc_id, $T AS tk FROM documents),
+         |btoks AS (
+         |  SELECT doc_id AS bench_id,
+         |    list_slice(tk, len(tk)//4 + 1,
+         |               len(tk)//4 + greatest(len(tk)//2, 1)) AS tk
+         |  FROM toks WHERE doc_id % 25 = 0),
+         |cg AS (
+         |  SELECT doc_id, CASE WHEN len(tk) = 0 THEN []
+         |    ELSE list_distinct(list_transform(generate_series(1, greatest(len(tk) - 4, 1)),
+         |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))) END AS g
+         |  FROM toks),
+         |bg AS (
+         |  SELECT bench_id, CASE WHEN len(tk) = 0 THEN []
+         |    ELSE list_distinct(list_transform(generate_series(1, greatest(len(tk) - 4, 1)),
+         |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))) END AS g
+         |  FROM btoks),
+         |cpost AS (SELECT doc_id, unnest(g) AS gram FROM cg),
+         |rare AS (SELECT gram FROM cpost GROUP BY gram HAVING count(*) <= 1000),
+         |kept AS (SELECT c.* FROM cpost c JOIN rare r USING (gram)),
+         |bpost AS (SELECT bench_id, unnest(g) AS gram FROM bg),
+         |bsizes AS (SELECT bench_id, len(g) AS n_bench_grams FROM bg),
+         |shared AS (
+         |  SELECT k.doc_id AS id, b.bench_id, count(*) AS n_shared
+         |  FROM kept k JOIN bpost b USING (gram)
+         |  GROUP BY 1, 2)
+         |SELECT s.id, s.bench_id, s.n_shared,
+         |  CAST(z.n_bench_grams AS BIGINT) AS n_bench_grams,
+         |  floor(s.n_shared * 1.0 / z.n_bench_grams * 10000.0 + 0.5) / 10000.0
+         |    AS containment
+         |FROM shared s JOIN bsizes z USING (bench_id)
+         |WHERE s.n_shared * 1.0 / z.n_bench_grams >= 0.5""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = TextFunctions.tokens(col("text"))
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("bench_id"),
+          concat_ws(" ", slice(toks,
+            (floor(size(toks) / 4) + 1).cast("int"),
+            greatest(floor(size(toks) / 2), lit(1)).cast("int"))).as("btext"))
+      graft.operators.Decontamination
+        .benchmarkContainment(docs, "doc_id", "text", bench, "bench_id", "btext")
+        .select(col("id"), col("bench_id"), col("n_shared"), col("n_bench_grams"),
+          TextFunctions.round4hu(col("containment")).as("containment"))
     },
 
     QueryDef.sql("q61_subword_pieces", q61Sql) { (s, d) =>

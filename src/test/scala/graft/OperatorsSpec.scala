@@ -36,6 +36,40 @@ class OperatorsSpec extends SparkSpec {
       "unrelated doc shares no 3-shingles but appeared as candidate")
   }
 
+  test("benchmarkContainment: embedded eval item flags at 1.0, unrelated absent, df-cap binds") {
+    import graft.operators.Decontamination
+    val evalItem = "the quick brown fox jumps over the lazy dog tonight again"
+    val boiler = "standard corpus header boilerplate fragment repeated in every document here"
+    val corpus = Seq(
+      (1L, s"long article opening paragraph alpha beta $evalItem closing remarks gamma"),
+      (2L, "entirely unrelated content about distributed query planning engines"),
+      (3L, s"another framing text $evalItem different tail entirely here"),
+      (4L, s"$boiler unique body one"), (5L, s"$boiler unique body two"),
+      (6L, s"$boiler unique body three")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, evalItem), (200L, boiler)).toDF("bench_id", "btext")
+    val flagged = Decontamination
+      .benchmarkContainment(corpus, "doc_id", "text", bench, "bench_id", "btext")
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("bench_id")) ->
+        r.getAs[Double]("containment")).toMap
+    // docs 1 and 3 embed the whole eval item verbatim → every bench gram
+    // present → containment exactly 1.0; doc 2 shares nothing
+    assert(flagged((1L, 100L)) == 1.0, s"$flagged")
+    assert(flagged((3L, 100L)) == 1.0, s"$flagged")
+    assert(!flagged.keys.exists(_._1 == 2L), s"unrelated doc flagged: $flagged")
+    // the boilerplate bench item flags its three carriers at default df…
+    assert(Seq(4L, 5L, 6L).forall(d => flagged.contains((d, 200L))), s"$flagged")
+    // …and a df-cap below the carrier count drops those pairs while the
+    // rare eval item still flags (the hot-gram convention)
+    val capped = Decontamination
+      .benchmarkContainment(corpus, "doc_id", "text", bench, "bench_id", "btext",
+        maxGramDf = 2)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("bench_id"))).toSet
+    assert(capped.contains((1L, 100L)) && capped.contains((3L, 100L)), s"$capped")
+    assert(!capped.exists(_._2 == 200L), s"boilerplate pairs must cap away: $capped")
+  }
+
   test("ngramJaccardPairs df cap bounds hot-shingle pair blowup") {
     // 40 docs share ONLY one boilerplate shingle; 2 docs are real near-dups
     val boiler = (1L to 40L).map(i =>
