@@ -325,6 +325,67 @@ object TextOps {
           TextFunctions.round4hu(col("containment")).as("containment"))
     },
 
+    // q74: PII scrub ([[graft.functions.Pii]]). PII is PLANTED
+    // deterministically per customer in both engines (the q20 pattern):
+    // emails on ck%3=0, NANP phones on ck%4=0, IPv4 on ck%5=0 — so the
+    // regex EXTRACTION counts and the REDACTED strings are both under
+    // the hash check. Patterns restrict to the Java-regex ∩ RE2 subset.
+    QueryDef.sql(
+      "q74_pii_scrub",
+      """WITH raw AS (
+        |  SELECT c_custkey,
+        |    concat('note ',
+        |      CASE WHEN c_custkey % 3 = 0
+        |           THEN concat('contact user', CAST(c_custkey AS VARCHAR), '@example.com ')
+        |           ELSE '' END,
+        |      CASE WHEN c_custkey % 4 = 0
+        |           THEN concat('call ', lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0'),
+        |                '-', lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0'),
+        |                '-', lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0'), ' ')
+        |           ELSE '' END,
+        |      CASE WHEN c_custkey % 5 = 0
+        |           THEN concat('from ', CAST(c_custkey % 256 AS VARCHAR),
+        |                '.', CAST((c_custkey * 3) % 256 AS VARCHAR),
+        |                '.', CAST((c_custkey * 5) % 256 AS VARCHAR),
+        |                '.', CAST((c_custkey * 7) % 256 AS VARCHAR), ' ')
+        |           ELSE '' END,
+        |      'end') AS text
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g') AS redacted
+        |FROM raw""".stripMargin) { (s, d) =>
+      val ck = col("c_custkey")
+      val text = concat(lit("note "),
+        when(ck % 3 === 0,
+          concat(lit("contact user"), ck.cast("string"), lit("@example.com ")))
+          .otherwise(""),
+        when(ck % 4 === 0,
+          concat(lit("call "), lpad((ck % 1000).cast("string"), 3, "0"),
+            lit("-"), lpad(((ck * 7) % 1000).cast("string"), 3, "0"),
+            lit("-"), lpad(((ck * 13) % 10000).cast("string"), 4, "0"), lit(" ")))
+          .otherwise(""),
+        when(ck % 5 === 0,
+          concat(lit("from "), (ck % 256).cast("string"),
+            lit("."), ((ck * 3) % 256).cast("string"),
+            lit("."), ((ck * 5) % 256).cast("string"),
+            lit("."), ((ck * 7) % 256).cast("string"), lit(" ")))
+          .otherwise(""),
+        lit("end"))
+      Tables.customer(s, d)
+        .select(ck, text.as("text"))
+        .select(ck,
+          graft.functions.Pii.emailCount(col("text")).cast("long").as("n_emails"),
+          graft.functions.Pii.phoneCount(col("text")).cast("long").as("n_phones"),
+          graft.functions.Pii.ipv4Count(col("text")).cast("long").as("n_ips"),
+          graft.functions.Pii.redact(col("text")).as("redacted"))
+    },
+
     QueryDef.sql("q61_subword_pieces", q61Sql) { (s, d) =>
       // project the piece count ONCE (the codegen'd SubwordPieceCount
       // static call), then aggregate the materialized column — referencing

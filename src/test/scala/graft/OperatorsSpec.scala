@@ -350,6 +350,26 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.head.getAs[Long]("id_a") == 0L && pairs.head.getAs[Long]("id_b") == 100L)
   }
 
+  test("Pii: counts per category and typed redaction; clean text untouched") {
+    import graft.functions.Pii
+    val df = Seq(
+      (1L, "reach me at a.b+c@mail.example.org or 555-123-4567 from 10.0.0.1 thanks"),
+      (2L, "two mails x@y.io and z@w.co, one ip 192.168.001.255"),
+      (3L, "no pii here, just 12345 and a-b-c and v1.2 text"),
+      (4L, "")
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+      Pii.emailCount(col("text")).as("e"), Pii.phoneCount(col("text")).as("p"),
+      Pii.ipv4Count(col("text")).as("i"), Pii.redact(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(got(1L) == (1, 1, 1,
+      "reach me at [EMAIL] or [PHONE] from [IP] thanks"), got(1L))
+    assert(got(2L) == (2, 0, 1, "two mails [EMAIL] and [EMAIL], one ip [IP]"), got(2L))
+    assert(got(3L) == (0, 0, 0, "no pii here, just 12345 and a-b-c and v1.2 text"), got(3L))
+    assert(got(4L) == (0, 0, 0, ""), got(4L))
+  }
+
   test("langId picks the language with most marker hits; und on none") {
     val df = Seq(
       (1L, "le chat est sur la table et le chien est la"),
