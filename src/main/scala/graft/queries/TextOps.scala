@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   *  - q73 decontamination: corpus docs containing a benchmark item by
   *    distinct 5-gram containment (planted: every 25th doc's middle-half
   *    tokens form the eval set, so sources and their dups must flag)
+  *  - q74 PII scrub: planted emails/phones/IPs — extraction counts AND
+  *    redacted strings under the hash check
+  *  - q75 sequence packing: concat-and-chunk placement via the two-phase
+  *    distributed prefix sum, vs a one-window SQL oracle
+  *  - q76 repetition quality signals (dup-token / dup-3-gram / top-token
+  *    fractions, Gopher-style), relational posting aggregates
   */
 object TextOps {
 
@@ -384,6 +390,102 @@ object TextOps {
           graft.functions.Pii.phoneCount(col("text")).cast("long").as("n_phones"),
           graft.functions.Pii.ipv4Count(col("text")).cast("long").as("n_ips"),
           graft.functions.Pii.redact(col("text")).as("redacted"))
+    },
+
+    // q75: concat-and-chunk sequence packing ([[graft.operators.Packing]]).
+    // The oracle computes the global running offset with one SQL window —
+    // the engine runs the two-phase distributed prefix sum (per-group
+    // running sums in parallel + a prefix over group TOTALS), so the
+    // hash match cross-validates the distributed formulation exactly.
+    QueryDef.sql(
+      "q75_sequence_packing",
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($T) AS BIGINT) AS n_tokens FROM documents),
+         |o AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS "offset"
+         |  FROM t)
+         |SELECT doc_id, n_tokens, "offset",
+         |  CASE WHEN n_tokens > 0 THEN "offset" // 256 END AS first_chunk,
+         |  CASE WHEN n_tokens > 0 THEN ("offset" + n_tokens - 1) // 256 END AS last_chunk,
+         |  CAST(coalesce(
+         |    ("offset" + n_tokens - 1) // 256 - "offset" // 256 + 1, 0) AS BIGINT)
+         |    AS n_chunks
+         |FROM o""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.operators.Packing.concatChunkPlacement(docs, "doc_id", "n_tokens",
+        capacity = 256, groupOf = expr("doc_id div 64"))
+        .select(col("doc_id"), col("n_tokens"), col("offset"),
+          col("first_chunk"), col("last_chunk"), col("n_chunks"))
+    },
+
+    // q76: Gopher-style repetition quality signals — duplicate-token
+    // fraction, duplicate-3-gram fraction, top-token fraction — computed
+    // RELATIONALLY (posting rows → per-doc aggregates; no per-element
+    // array lambdas, which re-evaluate their inputs per element) and
+    // rolled up per source with a flag rate at the published-style
+    // thresholds (top token > 0.2, dup 3-grams > 0.3).
+    QueryDef.sql(
+      "q76_repetition_signals",
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, $T AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, CASE WHEN len(tk) = 0 THEN []
+         |    ELSE list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
+         |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])) END AS g
+         |  FROM toks),
+         |trows AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+         |tcounts AS (SELECT doc_id, t, count(*) AS cnt FROM trows GROUP BY doc_id, t),
+         |tstats AS (
+         |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok, count(*) AS n_tok_d,
+         |    max(cnt) AS top_cnt
+         |  FROM tcounts GROUP BY doc_id),
+         |grows AS (SELECT doc_id, unnest(g) AS g FROM sh),
+         |gstats AS (
+         |  SELECT doc_id, count(*) AS n_g, count(DISTINCT g) AS n_g_d
+         |  FROM grows GROUP BY doc_id),
+         |per_doc AS (
+         |  SELECT t.doc_id,
+         |    1.0 - t.n_tok_d * 1.0 / t.n_tok AS dup_tok_frac,
+         |    t.top_cnt * 1.0 / t.n_tok AS top_tok_frac,
+         |    1.0 - g.n_g_d * 1.0 / g.n_g AS dup_3g_frac
+         |  FROM tstats t JOIN gstats g USING (doc_id))
+         |SELECT d.source, count(*) AS n_docs,
+         |  floor(avg(p.dup_tok_frac) * 10000.0 + 0.5) / 10000.0 AS avg_dup_tok,
+         |  floor(avg(p.top_tok_frac) * 10000.0 + 0.5) / 10000.0 AS avg_top_tok,
+         |  floor(avg(p.dup_3g_frac) * 10000.0 + 0.5) / 10000.0 AS avg_dup_3g,
+         |  CAST(sum(CASE WHEN p.top_tok_frac > 0.2 OR p.dup_3g_frac > 0.3
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+         |FROM documents d JOIN per_doc p USING (doc_id)
+         |GROUP BY d.source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tokRows = docs.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("t"))
+      val tstats = tokRows.groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_tok"), count(lit(1)).as("n_tok_d"),
+          max("cnt").as("top_cnt"))
+      val gstats = Dedup.shinglePostings(docs, "doc_id", "text", None, 3)
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_g"), countDistinct("shingle").as("n_g_d"))
+        .withColumnRenamed("id", "doc_id")
+      val perDoc = tstats.join(gstats, Seq("doc_id"))
+        .select(col("doc_id"),
+          (lit(1.0) - col("n_tok_d") / col("n_tok")).as("dup_tok_frac"),
+          (col("top_cnt") / col("n_tok")).as("top_tok_frac"),
+          (lit(1.0) - col("n_g_d") / col("n_g")).as("dup_3g_frac"))
+      docs.join(perDoc, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          TextFunctions.round4hu(avg("dup_tok_frac")).as("avg_dup_tok"),
+          TextFunctions.round4hu(avg("top_tok_frac")).as("avg_top_tok"),
+          TextFunctions.round4hu(avg("dup_3g_frac")).as("avg_dup_3g"),
+          sum(when(col("top_tok_frac") > 0.2 || col("dup_3g_frac") > 0.3, 1L)
+            .otherwise(0L)).as("n_flagged"))
     },
 
     QueryDef.sql("q61_subword_pieces", q61Sql) { (s, d) =>

@@ -350,6 +350,32 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.head.getAs[Long]("id_a") == 0L && pairs.head.getAs[Long]("id_b") == 100L)
   }
 
+  test("Packing: distributed prefix sum equals the sequential reference") {
+    import graft.operators.Packing
+    val rng = new scala.util.Random(5)
+    val counts = Seq.tabulate(300)(i =>
+      (i.toLong, if (i % 17 == 0) 0L else rng.nextInt(40).toLong + 1))
+    val df = counts.toDF("id", "n")
+    val out = Packing.concatChunkPlacement(df, "id", "n",
+      capacity = 64, groupOf = expr("id div 50"))
+    val got = out.collect().map(r => r.getAs[Long]("id") ->
+      (r.getAs[Long]("offset"), Option(r.getAs[Any]("first_chunk")),
+        Option(r.getAs[Any]("last_chunk")), r.getAs[Long]("n_chunks"))).toMap
+    var off = 0L
+    counts.foreach { case (id, n) =>
+      val fc = if (n > 0) Some(off / 64) else None
+      val lc = if (n > 0) Some((off + n - 1) / 64) else None
+      val expect = (off, fc.map(_.asInstanceOf[Any]), lc.map(_.asInstanceOf[Any]),
+        fc.map(f => lc.get - f + 1).getOrElse(0L))
+      assert(got(id) == expect, s"id=$id: ${got(id)} vs $expect")
+      off += n
+    }
+    // the row-level running sum must be partitioned by the group column —
+    // an unpartitioned global window would serialize the corpus
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__g#"), plan.take(2000))
+  }
+
   test("Pii: counts per category and typed redaction; clean text untouched") {
     import graft.functions.Pii
     val df = Seq(
