@@ -702,4 +702,58 @@ object Dedup {
       .filter(col("comp").isNull || col("comp") === col(idCol))
       .drop("comp")
   }
+
+  /** Segment-level exact dedup: the line-level dedup of C4/RefinedWeb-style
+    * corpus cleaning, here with a fixed `width`-token window segmenter
+    * (this corpus has no newline structure; the operator is identical for
+    * any deterministic splitter). Every doc is cut into consecutive
+    * `width`-token segments; only the globally FIRST occurrence of each
+    * distinct segment survives (ordered by (id, segment index)), and each
+    * doc's surviving text is reassembled in segment order.
+    *
+    * Scale shape: the keep/drop decision shuffles only
+    * `(id, idx, md5(segment))` — a 32-char digest per segment, never the
+    * segment text (the q30 trick). Kept indices are collected per doc
+    * (still digests only) and joined back to the source rows, where the
+    * surviving text is rebuilt MAP-SIDE by re-slicing the token array.
+    * The text itself crosses exactly one exchange (the id join).
+    *
+    * Output: idCol, `n_segs`, `n_kept`, `kept_text` (zero-token docs keep
+    * `n_segs = 0`, `kept_text = ""`). A fully-duplicate doc keeps nothing.
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      width: Int): DataFrame = {
+    require(width > 0, s"segment width must be positive, got $width")
+    val base = df
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__tk"))
+      .withColumn("__n_segs",
+        expr(s"(size(__tk) + ${width - 1}) div $width").cast("long"))
+    // (id, idx, digest) postings — explode drops zero-segment docs here;
+    // they rejoin through the left join below
+    val segAt = (tk: Column, i: Column) =>
+      array_join(slice(tk, i * width + 1, lit(width)), " ")
+    val posts = base
+      .withColumn("__idx", explode(
+        when(col("__n_segs") > 0,
+          sequence(lit(0), (col("__n_segs") - 1).cast("int")))
+          .otherwise(array().cast("array<int>"))))
+      .select(col("__id"), col("__idx"),
+        md5(segAt(col("__tk"), col("__idx"))).as("__h"))
+    val firstOnly = posts
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__h").orderBy(col("__id"), col("__idx"))))
+      .filter(col("__rn") === 1)
+    val keptIdx = firstOnly.groupBy("__id")
+      .agg(sort_array(collect_list("__idx")).as("__keep"))
+    base.join(keptIdx, Seq("__id"), "left")
+      .withColumn("__keep", coalesce(col("__keep"), array().cast("array<int>")))
+      .select(
+        col("__id").as(idCol),
+        col("__n_segs").as("n_segs"),
+        size(col("__keep")).cast("long").as("n_kept"),
+        array_join(
+          flatten(transform(col("__keep"),
+            i => slice(col("__tk"), i * width + 1, lit(width)))),
+          " ").as("kept_text"))
+  }
 }

@@ -19,12 +19,41 @@ import org.apache.spark.sql.functions._
   * back as each group's base offset. Wall-clock scales with the scan;
   * the only serial object is the group-totals list.
   *
-  * Contract: `orderCol` must be unique per row (it defines the global
-  * concatenation order); `groupOf` must be monotone non-decreasing in
-  * `orderCol` (e.g. `orderCol div groupWidth` for a numeric key) so
-  * groups are contiguous runs of the global order.
+  * Contract: `orderCol` must be unique per row within a partition (it
+  * defines the concatenation order); `groupOf` must be monotone
+  * non-decreasing in `orderCol` (e.g. `orderCol div groupWidth` for a
+  * numeric key) so groups are contiguous runs of the order.
   */
 object Packing {
+
+  /** Exclusive running sum of `countCol` in (`partitionCols`, `orderCol`)
+    * order, as a new `offset` column — the distributed prefix sum shared
+    * by [[concatChunkPlacement]] (global) and [[takeTokenBudget]]
+    * (per-partition). Phase-1 running sums parallelize over
+    * (partitionCols, group); the phase-2 prefix runs over per-group
+    * totals only (#partitions × #groups rows, broadcast back).
+    */
+  def runningOffset(df: DataFrame, orderCol: String, countCol: String,
+      groupOf: Column, partitionCols: Seq[String] = Nil): DataFrame = {
+    val part = partitionCols.map(col)
+    val grouped = df.withColumn("__g", groupOf)
+    // phase 1 (parallel): running sum WITHIN each (partition, group)
+    val wIn = Window.partitionBy(part :+ col("__g"): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = grouped.withColumn("__local_end", sum(col(countCol)).over(wIn))
+    // phase 2 (tiny): exclusive prefix over per-group totals
+    val wGroups = Window.partitionBy(part: _*).orderBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = grouped.groupBy(part :+ col("__g"): _*)
+      .agg(sum(col(countCol)).as("__g_total"))
+      .withColumn("__g_base", coalesce(sum(col("__g_total")).over(wGroups), lit(0L)))
+      .select(part :+ col("__g") :+ col("__g_base"): _*)
+    // join back (broadcast: #partitions × #groups rows)
+    local.join(broadcast(bases), partitionCols :+ "__g")
+      .withColumn("offset",
+        (col("__g_base") + col("__local_end") - col(countCol)).cast("long"))
+      .drop("__g", "__local_end", "__g_base")
+  }
 
   /** Per-document chunk placement under concat-and-chunk: the exclusive
     * running offset of each doc's first token, and the first/last chunk
@@ -37,22 +66,7 @@ object Packing {
   def concatChunkPlacement(df: DataFrame, orderCol: String, countCol: String,
       capacity: Long, groupOf: Column): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
-    val grouped = df.withColumn("__g", groupOf)
-    // phase 1 (parallel): running sum WITHIN each group
-    val wIn = Window.partitionBy("__g").orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = grouped.withColumn("__local_end", sum(col(countCol)).over(wIn))
-    // phase 2 (tiny): exclusive prefix over per-group totals
-    val wGroups = Window.orderBy(col("__g"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = grouped.groupBy("__g")
-      .agg(sum(col(countCol)).as("__g_total"))
-      .withColumn("__g_base", coalesce(sum(col("__g_total")).over(wGroups), lit(0L)))
-      .select(col("__g"), col("__g_base"))
-    // join back (broadcast: #groups rows) and place chunks
-    val placed = local.join(broadcast(bases), Seq("__g"))
-      .withColumn("offset", (col("__g_base") + col("__local_end") - col(countCol)).cast("long"))
-    placed
+    runningOffset(df, orderCol, countCol, groupOf)
       .withColumn("first_chunk",
         when(col(countCol) > 0, chunkOf(col("offset"), capacity)))
       .withColumn("last_chunk",
@@ -60,7 +74,21 @@ object Packing {
           chunkOf(col("offset") + col(countCol) - 1, capacity)))
       .withColumn("n_chunks",
         coalesce(col("last_chunk") - col("first_chunk") + 1, lit(0L)))
-      .drop("__g", "__local_end", "__g_base")
+  }
+
+  /** Token-budget selection — the data-mixing primitive "take the first
+    * `budget` tokens of each source, in corpus order". Keeps exactly the
+    * rows that FULLY fit before the budget boundary within their
+    * partition (truncation-free: a row straddling the boundary is
+    * dropped, not split; zero-count rows before the boundary are kept).
+    * Output: every input column + the row's `offset` in its partition's
+    * stream.
+    */
+  def takeTokenBudget(df: DataFrame, orderCol: String, countCol: String,
+      budget: Long, groupOf: Column, partitionCols: Seq[String]): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    runningOffset(df, orderCol, countCol, groupOf, partitionCols)
+      .filter(col("offset") + col(countCol) <= budget)
   }
 
   /** Chunk id of a non-negative offset. Offsets stay under 2^53

@@ -27,6 +27,11 @@ import org.apache.spark.sql.functions._
   *    distributed prefix sum, vs a one-window SQL oracle
   *  - q76 repetition quality signals (dup-token / dup-3-gram / top-token
   *    fractions, Gopher-style), relational posting aggregates
+  *  - q77 segment-level exact dedup (C4/RefinedWeb line dedup with a
+  *    16-token window segmenter): global first-occurrence keep +
+  *    per-doc text reassembly, all under the hash check
+  *  - q78 token-budget source mixing: first 800 tokens of each source
+  *    via the per-partition distributed prefix sum
   */
 object TextOps {
 
@@ -486,6 +491,65 @@ object TextOps {
           TextFunctions.round4hu(avg("dup_3g_frac")).as("avg_dup_3g"),
           sum(when(col("top_tok_frac") > 0.2 || col("dup_3g_frac") > 0.3, 1L)
             .otherwise(0L)).as("n_flagged"))
+    },
+
+    // q77: segment-level exact dedup ([[graft.operators.Dedup.segmentDedup]]).
+    // C4/RefinedWeb line dedup with a 16-token window segmenter (the
+    // corpus has no newlines). The hash check covers the keep/drop
+    // decision AND the reassembled text, so the digest-only shuffle path
+    // is verified to rebuild exactly what the direct SQL computes.
+    QueryDef.sql(
+      "q77_segment_dedup",
+      s"""WITH t AS (SELECT doc_id, $T AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id, tk,
+         |    unnest(generate_series(0, CAST(ceil(len(tk)/16.0) AS BIGINT) - 1)) AS idx
+         |  FROM t WHERE len(tk) > 0),
+         |s AS (
+         |  SELECT doc_id, idx,
+         |    array_to_string(tk[idx*16+1 : idx*16+16], ' ') AS seg
+         |  FROM g),
+         |k AS (
+         |  SELECT doc_id, idx, seg,
+         |    row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, idx) AS rn
+         |  FROM s),
+         |a AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    string_agg(seg, ' ' ORDER BY idx) AS kept_text
+         |  FROM k WHERE rn = 1 GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(ceil(len($T)/16.0) AS BIGINT) AS n_segs,
+         |  coalesce(a.n_kept, 0) AS n_kept,
+         |  coalesce(a.kept_text, '') AS kept_text
+         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin) { (s, d) =>
+      Dedup.segmentDedup(Tables.documents(s, d), "doc_id", "text", 16)
+    },
+
+    // q78: token-budget source mixing ([[graft.operators.Packing
+    // .takeTokenBudget]]) — the first 800 tokens of each source in doc
+    // order, truncation-free. The oracle's one-window-per-source running
+    // sum cross-validates the per-partition two-phase prefix sum.
+    QueryDef.sql(
+      "q78_token_budget_mix",
+      s"""WITH t AS (
+         |  SELECT doc_id, source, CAST(len($T) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS "offset"
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens, "offset"
+         |FROM o WHERE "offset" + n_tokens <= 800""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.operators.Packing.takeTokenBudget(docs, "doc_id", "n_tokens",
+        budget = 800, groupOf = expr("doc_id div 64"),
+        partitionCols = Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("offset"))
     },
 
     QueryDef.sql("q61_subword_pieces", q61Sql) { (s, d) =>

@@ -376,6 +376,59 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(__g#"), plan.take(2000))
   }
 
+  test("Packing: takeTokenBudget keeps exactly the fully-fitting prefix per partition") {
+    import graft.operators.Packing
+    val rng = new scala.util.Random(11)
+    val rows = for {
+      src <- Seq("a", "b")
+      i <- 0 until 80
+    } yield (src, i.toLong, if (i % 13 == 0) 0L else rng.nextInt(30).toLong + 1)
+    val df = rows.toDF("src", "id", "n")
+    val out = Packing.takeTokenBudget(df, "id", "n", budget = 300,
+        groupOf = expr("id div 16"), partitionCols = Seq("src"))
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[Long]("id")) ->
+        r.getAs[Long]("offset")).toMap
+    // sequential reference: per-source running offset, keep if it fully fits
+    val expect = rows.groupBy(_._1).flatMap { case (src, rs) =>
+      var off = 0L
+      rs.sortBy(_._2).flatMap { case (_, id, n) =>
+        val keep = off + n <= 300
+        val o = off; off += n
+        if (keep) Some((src, id) -> o) else None
+      }
+    }
+    assert(out == expect, s"got ${out.size} rows, expected ${expect.size}")
+    // zero-count rows inside the budget must be kept
+    assert(out.contains(("a", 0L)) && rows.find(r => r._1 == "a" && r._2 == 0L).get._3 == 0L)
+  }
+
+  test("segmentDedup: global first occurrence wins, docs reassemble, empty doc survives") {
+    import graft.operators.Dedup
+    // width=3 segments; doc 0 and doc 2 share an identical segment block,
+    // doc 3 is a full copy of doc 0, doc 4 is empty
+    val df = Seq(
+      (0L, "a b c d e f"),        // segs: [a b c] [d e f]
+      (1L, "g h i"),              // segs: [g h i]
+      (2L, "a b c x y z"),        // segs: [a b c](dup of doc0) [x y z]
+      (3L, "a b c d e f"),        // both segs dup of doc 0
+      (4L, "")                    // zero tokens
+    ).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(df, "doc_id", "text", width = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_segs"), r.getAs[Long]("n_kept"), r.getAs[String]("kept_text"))).toMap
+    assert(got(0L) == ((2L, 2L, "a b c d e f")))
+    assert(got(1L) == ((1L, 1L, "g h i")))
+    assert(got(2L) == ((2L, 1L, "x y z")), "doc 2 must lose its first segment to doc 0")
+    assert(got(3L) == ((2L, 0L, "")), "full copy keeps nothing")
+    assert(got(4L) == ((0L, 0L, "")))
+    // ragged tail: a doc whose last segment is shorter than width
+    val ragged = Dedup.segmentDedup(
+      Seq((7L, "p q r s")).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .collect().head
+    assert(ragged.getAs[Long]("n_segs") == 2L &&
+      ragged.getAs[String]("kept_text") == "p q r s")
+  }
+
   test("Pii: counts per category and typed redaction; clean text untouched") {
     import graft.functions.Pii
     val df = Seq(
