@@ -66,7 +66,11 @@ object GraftExtensions {
     "winnow_fingerprint_positions" -> ((args: Seq[Expression]) =>
       WinnowFingerprintPositions(args(0),
         if (args.length > 1) intArg(args(1), "winnow_fingerprint_positions k") else 8,
-        if (args.length > 2) intArg(args(2), "winnow_fingerprint_positions w") else 4)))
+        if (args.length > 2) intArg(args(2), "winnow_fingerprint_positions w") else 4)),
+    "cms_union_agg" -> ((args: Seq[Expression]) =>
+      CmsUnionAggregate(args(0)).toAggregateExpression()),
+    "cms_estimate" -> ((args: Seq[Expression]) => CmsEstimate(args(0), args(1))),
+    "cms_total" -> ((args: Seq[Expression]) => CmsTotal(args(0))))
 
   /** Same registrations on an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -93,6 +93,36 @@ object ServingOps {
             .as("merge_consistent"))
     },
 
+    // q79: mergeable count-min FREQUENCY sketches — the q64 contract for
+    // heavy hitters ([[graft.operators.HeavyHitters]]): per-source
+    // sketches, cms_union_agg merge (cell-wise addition — bit-identical
+    // to a single pass, asserted by merge_exact), estimates certified
+    // against the exact 3-gram counts. The oracle pins the exact top-20
+    // and the all-true certificates.
+    QueryDef.sql(
+      "q79_cms_heavy_hitters",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(tk) = 0 THEN []
+        |    ELSE list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
+        |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])) END AS g
+        |  FROM toks),
+        |occ AS (SELECT unnest(g) AS key FROM sh),
+        |c AS (SELECT key, CAST(count(*) AS BIGINT) AS n_exact FROM occ GROUP BY key)
+        |SELECT key, n_exact,
+        |  true AS est_lower_ok, true AS est_upper_ok,
+        |  true AS merge_exact, true AS total_ok
+        |FROM c ORDER BY n_exact DESC, key LIMIT 20""".stripMargin) { (s, d) =>
+      val posts = graft.operators.Dedup.shinglePostings(
+        Tables.documents(s, d), "doc_id", "text", Some("source"), 3)
+      graft.operators.HeavyHitters.cmsTopKCertificate(
+        posts, keyCol = "shingle", batchCol = "block",
+        k = 20, eps = 0.002, confidence = 0.99, seed = 17)
+    },
+
     QueryDef.sql(
       "q42_point_lookup",
       """SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS acctbal,
