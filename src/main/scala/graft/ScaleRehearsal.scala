@@ -124,6 +124,31 @@ object ScaleRehearsal {
         Dedup.winnowContainmentPairs(docs, "id", "text", k = 16,
           maxFpDf = 200, minContainment = 0.5).count()
       }
+      // segment-level dedup: the exact-copy family floods single digests
+      // (n/50 rows land in ONE window partition per shared segment hash) —
+      // the keep/drop stage stays digest-only and the hot partitions are
+      // bounded by family size, so wall must stay ~linear
+      val (tSeg, nSeg) = timed {
+        forcedRows(Dedup.segmentDedup(docs, "id", "text", width = 16), "n_kept")
+      }
+      // concat-and-chunk placement: the two-phase prefix sum (a global
+      // window here would serialize the whole rung through one task)
+      val (tPack, nPack) = timed {
+        val counts = docs.select(col("id"),
+          size(Dedup.tokens(col("text"))).cast("long").as("nt"))
+        forcedRows(graft.operators.Packing.concatChunkPlacement(
+          counts, "id", "nt", capacity = 256, groupOf = expr("id div 2048")),
+          "offset")
+      }
+      // mergeable CMS heavy hitters over token occurrences (~62n rows):
+      // per-batch sketch agg + union + exact-top-k certificate join
+      val (tCms, nCms) = timed {
+        val toks = docs.select(explode(Dedup.tokens(col("text"))).as("tk"),
+          pmod(col("id"), lit(8)).as("b"))
+        graft.operators.HeavyHitters.cmsTopKCertificate(
+          toks, "tk", "b", k = 20, eps = 0.002, confidence = 0.99, seed = 17)
+          .count()
+      }
       // skewed join: 30% of probe rows on one key, 1000-key build side
       val probe = spark.range(n).select(
         when(pmod(col("id"), lit(10)) < 3, 0L).otherwise(pmod(col("id"), lit(1000))).as("k"),
@@ -179,6 +204,9 @@ object ScaleRehearsal {
         "simhash" -> (tSh, nSh),
         "cluster" -> (tCc, nCc),
         "winnow_containment" -> (tWin, nWin),
+        "segment_dedup" -> (tSeg, nSeg),
+        "packing_prefix_sum" -> (tPack, nPack),
+        "cms_heavy_hitters" -> (tCms, nCms),
         "salted_join" -> (tSalted, nSalted),
         "asof_join" -> (tAsof, nAsof),
         "asof_join_skewed" -> (tAsofSkew, nAsofSkew),

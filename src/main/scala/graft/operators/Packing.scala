@@ -22,7 +22,12 @@ import org.apache.spark.sql.functions._
   * Contract: `orderCol` must be unique per row within a partition (it
   * defines the concatenation order); `groupOf` must be monotone
   * non-decreasing in `orderCol` (e.g. `orderCol div groupWidth` for a
-  * numeric key) so groups are contiguous runs of the order.
+  * numeric key) so groups are contiguous runs of the order. `orderCol`,
+  * `partitionCols` and `countCol` must be NON-NULL: a null group key
+  * falls out of the inner base-offset join (the optimizer even infers
+  * the isnotnull filter — see PLANS.md q75), and a null count nulls the
+  * running sum from that row on. Filter first if the input can hold
+  * nulls.
   */
 object Packing {
 
@@ -89,6 +94,38 @@ object Packing {
     require(budget >= 0, s"budget must be non-negative, got $budget")
     runningOffset(df, orderCol, countCol, groupOf, partitionCols)
       .filter(col("offset") + col(countCol) <= budget)
+  }
+
+  /** Materialize the packed sequences themselves: every token of every
+    * doc mapped to its global stream position (the [[runningOffset]]
+    * prefix sum + the token's index), grouped into `capacity`-token
+    * chunks. Every chunk except the stream's last holds exactly
+    * `capacity` tokens; chunks freely span document boundaries (the
+    * concat-and-chunk property). Zero-token docs contribute nothing.
+    *
+    * Scale shape: placement is the two-phase prefix sum; the only other
+    * exchange is the groupBy on chunk_id, whose partitions are bounded
+    * at exactly `capacity` tokens — no skew is possible by construction.
+    *
+    * Output: `chunk_id`, `n_tokens`, `chunk_fp` (md5 of the
+    * space-joined chunk text — the payload for a hash-verifiable layout;
+    * swap the md5 for the join itself to emit raw sequences).
+    */
+  def packChunks(df: DataFrame, orderCol: String, tokensCol: String,
+      capacity: Long, groupOf: Column): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    // keep the caller's column names: groupOf is an expression over them
+    val counts = df.select(col(orderCol), col(tokensCol))
+      .withColumn("__n", size(col(tokensCol)).cast("long"))
+    runningOffset(counts, orderCol, "__n", groupOf)
+      .select(col("offset"), posexplode(col(tokensCol)).as(Seq("__p", "__t")))
+      .select((col("offset") + col("__p")).as("__g"), col("__t"))
+      .groupBy(chunkOf(col("__g"), capacity).as("chunk_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("__g"), col("__t")))),
+            x => x.getField("__t")),
+          " ")).as("chunk_fp"))
   }
 
   /** Chunk id of a non-negative offset. Offsets stay under 2^53

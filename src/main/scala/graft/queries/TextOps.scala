@@ -32,6 +32,8 @@ import org.apache.spark.sql.functions._
   *    per-doc text reassembly, all under the hash check
   *  - q78 token-budget source mixing: first 800 tokens of each source
   *    via the per-partition distributed prefix sum
+  *  - q80 chunk materialization: the packed 256-token sequences
+  *    themselves, every chunk's content hash-pinned
   */
 object TextOps {
 
@@ -550,6 +552,33 @@ object TextOps {
         budget = 800, groupOf = expr("doc_id div 64"),
         partitionCols = Seq("source"))
         .select(col("doc_id"), col("source"), col("n_tokens"), col("offset"))
+    },
+
+    // q80: the packed sequences themselves ([[graft.operators.Packing
+    // .packChunks]]) — q75 verifies placement, this pins every chunk's
+    // CONTENT: each token lands at its global position, chunks cut at
+    // exactly 256, md5 of the space-joined chunk text hash-matched.
+    QueryDef.sql(
+      "q80_pack_chunks",
+      s"""WITH t AS (SELECT doc_id, $T AS tk FROM documents),
+         |c AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t),
+         |o AS (
+         |  SELECT doc_id, tk, n,
+         |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS off
+         |  FROM c),
+         |g AS (
+         |  SELECT doc_id, off, unnest(generate_series(1, n)) AS i, tk
+         |  FROM o WHERE n > 0),
+         |tok AS (SELECT off + i - 1 AS gpos, tk[i] AS tok FROM g)
+         |SELECT gpos // 256 AS chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(tok, ' ' ORDER BY gpos)) AS chunk_fp
+         |FROM tok GROUP BY 1""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+      graft.operators.Packing.packChunks(docs, "doc_id", "tk",
+        capacity = 256, groupOf = expr("doc_id div 64"))
     },
 
     QueryDef.sql("q61_subword_pieces", q61Sql) { (s, d) =>

@@ -421,6 +421,31 @@ class OperatorsSpec extends SparkSpec {
     assert(out.contains(("a", 0L)) && rows.find(r => r._1 == "a" && r._2 == 0L).get._3 == 0L)
   }
 
+  test("packChunks: chunks cut at capacity across doc boundaries, content exact") {
+    import graft.operators.Packing
+    // docs of 3/4/2/0/5 tokens, capacity 4: stream = d0(3) d1(4) d2(2) d4(5)
+    val docs = Seq(
+      (0L, Seq("a0", "a1", "a2")),
+      (1L, Seq("b0", "b1", "b2", "b3")),
+      (2L, Seq("c0", "c1")),
+      (3L, Seq.empty[String]),
+      (4L, Seq("d0", "d1", "d2", "d3", "d4"))
+    ).toDF("id", "tk")
+    val got = Packing.packChunks(docs, "id", "tk", capacity = 4,
+        groupOf = expr("id div 2"))
+      .collect().map(r => r.getAs[Long]("chunk_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[String]("chunk_fp"))).toMap
+    val stream = Seq("a0", "a1", "a2", "b0", "b1", "b2", "b3", "c0", "c1",
+      "d0", "d1", "d2", "d3", "d4")
+    val expect = stream.grouped(4).zipWithIndex.map { case (chunk, i) =>
+      i.toLong -> (chunk.length.toLong,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(chunk.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+    }.toMap
+    assert(got == expect, s"$got vs $expect")
+  }
+
   test("segmentDedup: global first occurrence wins, docs reassemble, empty doc survives") {
     import graft.operators.Dedup
     // width=3 segments; doc 0 and doc 2 share an identical segment block,
