@@ -129,7 +129,11 @@ object ScaleRehearsal {
       // the keep/drop stage stays digest-only and the hot partitions are
       // bounded by family size, so wall must stay ~linear
       val (tSeg, nSeg) = timed {
-        forcedRows(Dedup.segmentDedup(docs, "id", "text", width = 16), "n_kept")
+        // force the REASSEMBLED text, not just the keep decision — summing
+        // only n_kept would let Catalyst prune the map-side re-slicing
+        // (the same pruned-plan trap the as-of rung hit earlier this round)
+        forcedRows(Dedup.segmentDedup(docs, "id", "text", width = 16)
+          .withColumn("__text_len", length(col("kept_text"))), "__text_len")
       }
       // concat-and-chunk placement: the two-phase prefix sum (a global
       // window here would serialize the whole rung through one task)
