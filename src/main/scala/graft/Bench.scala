@@ -38,6 +38,9 @@ object Bench {
     // median rejects a one-off spike, the min is reported alongside as
     // the machine-quiet floor
     val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    require(runsPerQuery >= 1,
+      s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runsPerQuery — 0 would " +
+        "crash on the median index after the full warmup pass")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to runsPerQuery).map { _ =>
         // collect OUTSIDE the timed window: on a large heap a major GC

@@ -41,8 +41,16 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  /** Temp column names the formulation claims for itself. */
+  /** Temp column names the plain formulation claims for itself. */
   private val Reserved = Seq("__k", "__t", "__is_probe", "__vals")
+
+  /** [[bucketedAsofJoin]] additionally claims these (a user column named
+    * `__b` would be silently overwritten by the bucket id and returned
+    * corrupted through the final `leftCols` select; the others only ever
+    * live on internal narrow frames, but are reserved alike).
+    */
+  private val ReservedBucketed =
+    Reserved ++ Seq("__b", "__tag", "__sum", "__carry", "__last")
 
   /** `left` enriched with `valueCols` from the latest `right` row at or
     * before each left row's time. Output = every left column + the
@@ -129,9 +137,9 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     require(!valueCols.exists(leftCols.contains),
       s"value columns ${valueCols.filter(leftCols.contains)} collide with left columns")
-    val reservedClash = (leftCols ++ right.columns).filter(Reserved.contains)
+    val reservedClash = (leftCols ++ right.columns).filter(ReservedBucketed.contains)
     require(reservedClash.isEmpty,
-      s"columns ${reservedClash.distinct} collide with asofJoin's reserved temp names $Reserved")
+      s"columns ${reservedClash.distinct} collide with bucketedAsofJoin's reserved temp names $ReservedBucketed")
 
     val probe = left
       .withColumn("__k", col(leftKey))

@@ -48,7 +48,7 @@ object Skew {
     */
   private val SaltSafeJoinTypes =
     Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
-      "left_anti", "leftanti")
+      "semi", "left_anti", "leftanti", "anti")
 
   /** Salted equi-join for a skewed probe side: probe rows get a random-ish
     * deterministic salt in [0, salts); the build side is exploded `salts`×

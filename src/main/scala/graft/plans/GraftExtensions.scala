@@ -68,9 +68,22 @@ object GraftExtensions {
         if (args.length > 1) intArg(args(1), "winnow_fingerprint_positions k") else 8,
         if (args.length > 2) intArg(args(2), "winnow_fingerprint_positions w") else 4)),
     "cms_union_agg" -> ((args: Seq[Expression]) =>
-      CmsUnionAggregate(args(0)).toAggregateExpression()),
-    "cms_estimate" -> ((args: Seq[Expression]) => CmsEstimate(args(0), args(1))),
-    "cms_total" -> ((args: Seq[Expression]) => CmsTotal(args(0))))
+      CmsUnionAggregate(arity(args, 1, "cms_union_agg").head).toAggregateExpression()),
+    "cms_estimate" -> ((args: Seq[Expression]) => {
+      val a = arity(args, 2, "cms_estimate"); CmsEstimate(a(0), a(1))
+    }),
+    "cms_total" -> ((args: Seq[Expression]) =>
+      CmsTotal(arity(args, 1, "cms_total").head)))
+
+  /** Exact-arity check with a named error — a raw `args(1)` on a short
+    * list would surface as a bare IndexOutOfBoundsException with no
+    * mention of the function or its signature.
+    */
+  private def arity(args: Seq[Expression], n: Int, name: String): Seq[Expression] = {
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$name expects $n argument(s), got ${args.length}")
+    args
+  }
 
   /** Same registrations on an already-running session. */
   def register(spark: SparkSession): Unit =

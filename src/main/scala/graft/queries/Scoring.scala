@@ -265,7 +265,11 @@ object Scoring {
       // aggregation would run TWICE (verified in the final AQE plan).
       // The cached frame is |users × hours| rows — tiny next to the scan
       // it saves; this is the materialize-the-small-intermediate shape a
-      // production pipeline gets by writing the hourly table.
+      // production pipeline gets by writing the hourly table. The entry
+      // stays pinned for the session (no post-consumption unpersist
+      // hook), but repeated invocations do NOT accumulate: CacheManager
+      // dedupes by canonicalized plan, so it is one bounded entry per
+      // data dir.
       val hourly = Tables.events(s, d)
         .groupBy(col("user_id"), window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("eng"))

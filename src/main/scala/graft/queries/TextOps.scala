@@ -417,9 +417,9 @@ object TextOps {
          |SELECT doc_id, n_tokens, "offset",
          |  CASE WHEN n_tokens > 0 THEN "offset" // 256 END AS first_chunk,
          |  CASE WHEN n_tokens > 0 THEN ("offset" + n_tokens - 1) // 256 END AS last_chunk,
-         |  CAST(coalesce(
-         |    ("offset" + n_tokens - 1) // 256 - "offset" // 256 + 1, 0) AS BIGINT)
-         |    AS n_chunks
+         |  CAST(CASE WHEN n_tokens > 0
+         |    THEN ("offset" + n_tokens - 1) // 256 - "offset" // 256 + 1
+         |    ELSE 0 END AS BIGINT) AS n_chunks
          |FROM o""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
         .select(col("doc_id"),

@@ -101,14 +101,30 @@ object StreamingDedup {
     val spark = batch.sparkSession
     val newBands = Dedup.minhashIndex(batch, idCol, textCol, bands,
       rowsPerBand, shingleW, family)
+    // explicit existence check, not a caught AnalysisException: a real
+    // read failure (schema drift, corrupt footer) must PROPAGATE, not
+    // silently screen against an empty index
+    val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val indexedIds: Seq[Long] =
+      if (!fs.exists(idxPath)) Seq.empty
+      else fs.listStatus(idxPath).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch_id=")).map(_.stripPrefix("batch_id=").toLong)
+    // renumbered-restart guard: a stream restarted WITHOUT a durable
+    // checkpoint renumbers micro-batches from 0 — batch 0 would screen
+    // against `batch_id < 0` (nothing) and overwrite real history.
+    // Equal ids are fine (idempotent replay of the same batch).
+    require(indexedIds.forall(_ <= batchId),
+      s"index at $indexDir already holds batch ids " +
+        s"${indexedIds.filter(_ > batchId).sorted.mkString(",")} > current " +
+        s"$batchId — stream restarted with renumbered batch ids (run " +
+        "screeningIngest with a durable checkpointDir); refusing to " +
+        "overwrite history")
     val existing =
-      try spark.read.parquet(indexDir)
+      if (indexedIds.isEmpty) newBands.limit(0)
+      else spark.read.parquet(indexDir)
         .filter(col("batch_id") < batchId)
         .select("id", "band", "bucket")
-      catch {
-        // first micro-batch: nothing persisted yet
-        case _: org.apache.spark.sql.AnalysisException => newBands.limit(0)
-      }
     val cands = Dedup.minhashCandidatesIncremental(batch, idCol, textCol,
       existing, bands, rowsPerBand, shingleW, family, maxBucketSize)
     newBands.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
@@ -120,6 +136,13 @@ object StreamingDedup {
     * the growing index and hands the candidate pairs to `onCandidates`
     * (push to a dup-review topic, quarantine table, metrics — caller's
     * choice; the frame is bounded by the micro-batch and the caps).
+    *
+    * PRODUCTION MUST pass `checkpointDir`: the index's integrity hangs
+    * on durable, monotone batch ids. With the `None` default (test
+    * convenience only) a restart renumbers batches from 0 —
+    * [[screenAndIndexBatch]]'s renumbered-restart guard then fails the
+    * query loudly instead of letting batch 0 screen against nothing and
+    * overwrite history.
     */
   def screeningIngest(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, checkpointDir: Option[String] = None,

@@ -122,6 +122,18 @@ class AsofJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("__t"))
   }
 
+  test("bucketedAsofJoin rejects its extra reserved names (__b would corrupt silently)") {
+    // __b is bucketedAsofJoin-only: the plain variant accepts it, the
+    // bucketed one would overwrite it with the bucket id and return the
+    // corrupted column through the final leftCols select
+    val withB = probe.withColumn("__b", col("t"))
+    AsofJoin.asofJoin(withB, "key", "t", build, "key", "t", Seq("v")).collect()
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.bucketedAsofJoin(withB, "key", "t", build, "key", "t", Seq("v"), 10L)
+    }
+    assert(e.getMessage.contains("__b"))
+  }
+
   test("bucketedAsofJoin equals asofJoin on the planted frames, all widths") {
     val b2 = build.withColumn("v2", concat(col("v"), lit("!")))
     val plain = AsofJoin.asofJoin(probe, "key", "t", b2, "key", "t", Seq("v", "v2"))

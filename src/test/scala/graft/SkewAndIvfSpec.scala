@@ -53,6 +53,13 @@ class SkewAndIvfSpec extends SparkSpec {
     val anti = Skew.saltedJoin(skewed, build, "k", salts = 4, joinType = "left_anti")
       .collect().map(r => (r.getString(0), r.getInt(1))).toSet
     assert(anti == Set(("lonely", 3)))
+    // Spark's bare aliases are salt-safe too and must not be rejected
+    val semiAlias = Skew.saltedJoin(skewed, build, "k", salts = 4, joinType = "semi")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(semiAlias == semi)
+    val antiAlias = Skew.saltedJoin(skewed, build, "k", salts = 4, joinType = "anti")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(antiAlias == anti)
     // right/full would emit the unmatched build row ("unseen") salts× —
     // rejected loudly instead of silently multiplying rows
     for (bad <- Seq("right", "full", "full_outer", "right_outer")) {

@@ -150,6 +150,23 @@ class StreamingDedupSpec extends SparkSpec {
       "replay must overwrite its partition, not append")
   }
 
+  test("renumbered batch ids (restart without checkpoint) are refused, not overwritten") {
+    import sqlImplicits._
+    val dir = java.nio.file.Files.createTempDirectory("sdedup_guard")
+      .toFile.getAbsolutePath + "/index"
+    StreamingDedup.screenAndIndexBatch(corpus, 3L, "doc_id", "text", dir).collect()
+    // a restart without a durable checkpoint renumbers from 0: batch 0
+    // would screen against `batch_id < 0` (nothing) and overwrite history
+    val b = Seq((50L, corpusText)).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      StreamingDedup.screenAndIndexBatch(b, 0L, "doc_id", "text", dir).collect()
+    }
+    assert(e.getMessage.contains("renumbered"), e.getMessage)
+    // the existing index is untouched by the refused call
+    assert(spark.read.parquet(dir).select("batch_id").distinct()
+      .collect().map(_.getInt(0)).toSet == Set(3))
+  }
+
   test("streaming plan is stateless (no StateStore operators)") {
     implicit val ctx = spark.sqlContext
     val index = Dedup.minhashIndex(corpus, "doc_id", "text")
