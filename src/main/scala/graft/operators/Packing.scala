@@ -128,6 +128,29 @@ object Packing {
           " ")).as("chunk_fp"))
   }
 
+  /** Seeded deterministic corpus shuffle + chunk placement: training
+    * order = `md5("<seed>:<id>")` — a pseudorandom but fully
+    * reproducible permutation ANY engine can recompute (no RNG, the
+    * [[Sampling]] portability rule) — with [[concatChunkPlacement]]
+    * over that order. The hash's first two hex chars give 256
+    * contiguous runs of the shuffled order as the prefix-sum groups, so
+    * the shuffle costs nothing extra: same two-phase shape, different
+    * sort key. Changing `seed` yields an unrelated permutation —
+    * epoch-wise reshuffling is a seed bump, never a data move.
+    *
+    * Output: every input column + `shuffle_key`, `offset`,
+    * `first_chunk`, `last_chunk`, `n_chunks`.
+    */
+  def shuffledChunkPlacement(df: DataFrame, idCol: String, countCol: String,
+      capacity: Long, seed: String): DataFrame = {
+    require(!df.columns.contains("shuffle_key"),
+      "input already has a shuffle_key column")
+    val keyed = df.withColumn("shuffle_key",
+      md5(concat_ws(":", lit(seed), col(idCol).cast("string"))))
+    concatChunkPlacement(keyed, "shuffle_key", countCol, capacity,
+      groupOf = substring(col("shuffle_key"), 1, 2))
+  }
+
   /** Chunk id of a non-negative offset. Offsets stay under 2^53
     * (≈9e15 tokens ≈ tens of PB of raw text), so after subtracting the
     * remainder the double division is exact.

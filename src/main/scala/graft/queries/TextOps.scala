@@ -34,6 +34,8 @@ import org.apache.spark.sql.functions._
   *    via the per-partition distributed prefix sum
   *  - q80 chunk materialization: the packed 256-token sequences
   *    themselves, every chunk's content hash-pinned
+  *  - q81 seeded corpus shuffle + packing: md5-keyed deterministic
+  *    permutation (portable, no RNG) feeding the chunk placement
   */
 object TextOps {
 
@@ -579,6 +581,40 @@ object TextOps {
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
       graft.operators.Packing.packChunks(docs, "doc_id", "tk",
         capacity = 256, groupOf = expr("doc_id div 64"))
+    },
+
+    // q81: seeded corpus shuffle + packing ([[graft.operators.Packing
+    // .shuffledChunkPlacement]]) — the training order is the md5-keyed
+    // permutation (seed "r8"), so the SAME docs land at DIFFERENT
+    // offsets than q75's doc_id order; the oracle replays the identical
+    // permutation (md5 hex sorts identically in both engines: pure
+    // ASCII [0-9a-f]).
+    QueryDef.sql(
+      "q81_shuffled_packing",
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($T) AS BIGINT) AS n_tokens,
+         |    md5('r8:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, n_tokens, shuffle_key,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY shuffle_key
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS "offset"
+         |  FROM t)
+         |SELECT doc_id, n_tokens, shuffle_key, "offset",
+         |  CASE WHEN n_tokens > 0 THEN "offset" // 256 END AS first_chunk,
+         |  CASE WHEN n_tokens > 0 THEN ("offset" + n_tokens - 1) // 256 END AS last_chunk,
+         |  CAST(CASE WHEN n_tokens > 0
+         |    THEN ("offset" + n_tokens - 1) // 256 - "offset" // 256 + 1
+         |    ELSE 0 END AS BIGINT) AS n_chunks
+         |FROM o""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.operators.Packing.shuffledChunkPlacement(docs, "doc_id",
+        "n_tokens", capacity = 256, seed = "r8")
+        .select(col("doc_id"), col("n_tokens"), col("shuffle_key"),
+          col("offset"), col("first_chunk"), col("last_chunk"), col("n_chunks"))
     },
 
     QueryDef.sql("q61_subword_pieces", q61Sql) { (s, d) =>

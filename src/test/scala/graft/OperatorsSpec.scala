@@ -421,6 +421,29 @@ class OperatorsSpec extends SparkSpec {
     assert(out.contains(("a", 0L)) && rows.find(r => r._1 == "a" && r._2 == 0L).get._3 == 0L)
   }
 
+  test("shuffledChunkPlacement: seeded permutation, contiguous stream, seed changes order") {
+    import graft.operators.Packing
+    val df = Seq.tabulate(200)(i => (i.toLong, (i % 7 + 1).toLong)).toDF("id", "n")
+    val a = Packing.shuffledChunkPlacement(df, "id", "n", capacity = 32, seed = "s1")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("shuffle_key"), r.getAs[Long]("offset"))).toMap
+    // the stream is a contiguous packing of the md5-shuffled order:
+    // offsets sorted by shuffle_key form an exact exclusive prefix sum
+    val inKeyOrder = a.toSeq.sortBy(_._2._1)
+    var off = 0L
+    inKeyOrder.foreach { case (id, (_, o)) =>
+      assert(o == off, s"id=$id offset $o, expected $off")
+      off += (id % 7 + 1)
+    }
+    // same seed reproduces; a different seed is a different permutation
+    val a2 = Packing.shuffledChunkPlacement(df, "id", "n", capacity = 32, seed = "s1")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("offset")).toMap
+    assert(a2 == a.map { case (k, (_, o)) => k -> o })
+    val b = Packing.shuffledChunkPlacement(df, "id", "n", capacity = 32, seed = "s2")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("offset")).toMap
+    assert(b != a2, "different seeds must permute differently")
+  }
+
   test("packChunks: chunks cut at capacity across doc boundaries, content exact") {
     import graft.operators.Packing
     // docs of 3/4/2/0/5 tokens, capacity 4: stream = d0(3) d1(4) d2(2) d4(5)
