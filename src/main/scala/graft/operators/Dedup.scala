@@ -724,26 +724,89 @@ object Dedup {
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
       width: Int): DataFrame = {
     require(width > 0, s"segment width must be positive, got $width")
-    val base = df
-      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__tk"))
+    val base = segmentBase(df, idCol, textCol, width)
+    val firstOnly = segmentPosts(base, width)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__h").orderBy(col("__id"), col("__idx"))))
+      .filter(col("__rn") === 1)
+    reassemble(base, firstOnly, idCol, width)
+  }
+
+  /** Boilerplate strip: remove EVERY occurrence of any segment that
+    * appears in more than `maxDf` distinct documents — the df-based
+    * cleanup (headers, disclaimers, injected templates) that
+    * [[segmentDedup]]'s keep-first rule deliberately does not do (the
+    * first copy of boilerplate is still boilerplate). Same digest-only
+    * decision shuffle and map-side reassembly; the extra cost is one
+    * distinct-count aggregation over the digests.
+    *
+    * Output: idCol, `n_segs`, `n_kept`, `kept_text`.
+    */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      width: Int, maxDf: Long): DataFrame = {
+    require(width > 0, s"segment width must be positive, got $width")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val base = segmentBase(df, idCol, textCol, width)
+    val posts = segmentPosts(base, width)
+    // document frequency per segment digest (a doc repeating its own
+    // segment counts once); rejoin on the digest keeps the decision
+    // stream at (id, idx, 32 chars)
+    val dfs = posts.groupBy("__h")
+      .agg(countDistinct("__id").as("__df"))
+    val kept = posts.join(dfs, Seq("__h")).filter(col("__df") <= maxDf)
+    reassemble(base, kept, idCol, width)
+  }
+
+  /** Cross-block segment-overlap matrix: for every block pair (a < b),
+    * the number of DISTINCT `width`-token segments present in both — the
+    * contamination diagnostic ("how much of corpus A recurs in corpus
+    * B") run before mixing sources into a training set. Digest-only:
+    * distinct (block, md5(segment)) postings self-joined on the digest;
+    * a segment present in k blocks emits C(k,2) pairs — bounded by
+    * #blocks² per segment, never corpus size.
+    */
+  def segmentOverlapMatrix(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, width: Int): DataFrame = {
+    require(width > 0, s"segment width must be positive, got $width")
+    val posts = segmentPosts(segmentBase(df, idCol, textCol, width), width)
+      .join(df.select(col(idCol).as("__id"), col(blockCol).as("__blk")), Seq("__id"))
+      .select(col("__blk"), col("__h")).distinct()
+    posts.as("a")
+      .join(posts.as("b"),
+        col("a.__h") === col("b.__h") && col("a.__blk") < col("b.__blk"))
+      .groupBy(col("a.__blk").as("block_a"), col("b.__blk").as("block_b"))
+      .agg(count(lit(1)).as("n_shared_segments"))
+  }
+
+  /** Token arrays + segment counts for the fixed-window segmenter. */
+  private def segmentBase(df: DataFrame, idCol: String, textCol: String,
+      width: Int): DataFrame =
+    df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__tk"))
       .withColumn("__n_segs",
         expr(s"(size(__tk) + ${width - 1}) div $width").cast("long"))
-    // (id, idx, digest) postings — explode drops zero-segment docs here;
-    // they rejoin through the left join below
-    val segAt = (tk: Column, i: Column) =>
-      array_join(slice(tk, i * width + 1, lit(width)), " ")
-    val posts = base
+
+  /** (id, idx, digest) posting rows — explode drops zero-segment docs;
+    * they rejoin through [[reassemble]]'s left join.
+    */
+  private def segmentPosts(base: DataFrame, width: Int): DataFrame = {
+    base
       .withColumn("__idx", explode(
         when(col("__n_segs") > 0,
           sequence(lit(0), (col("__n_segs") - 1).cast("int")))
           .otherwise(array().cast("array<int>"))))
       .select(col("__id"), col("__idx"),
-        md5(segAt(col("__tk"), col("__idx"))).as("__h"))
-    val firstOnly = posts
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("__h").orderBy(col("__id"), col("__idx"))))
-      .filter(col("__rn") === 1)
-    val keptIdx = firstOnly.groupBy("__id")
+        md5(segAt(col("__tk"), col("__idx"), width)).as("__h"))
+  }
+
+  private def segAt(tk: Column, i: Column, width: Int): Column =
+    array_join(slice(tk, i * width + 1, lit(width)), " ")
+
+  /** Collect kept indices per doc (digests only), rejoin to the token
+    * arrays and rebuild the surviving text map-side by re-slicing.
+    */
+  private def reassemble(base: DataFrame, kept: DataFrame, idCol: String,
+      width: Int): DataFrame = {
+    val keptIdx = kept.groupBy("__id")
       .agg(sort_array(collect_list("__idx")).as("__keep"))
     base.join(keptIdx, Seq("__id"), "left")
       .withColumn("__keep", coalesce(col("__keep"), array().cast("array<int>")))

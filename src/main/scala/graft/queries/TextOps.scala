@@ -36,6 +36,10 @@ import org.apache.spark.sql.functions._
   *    themselves, every chunk's content hash-pinned
   *  - q81 seeded corpus shuffle + packing: md5-keyed deterministic
   *    permutation (portable, no RNG) feeding the chunk placement
+  *  - q82 cross-source segment-overlap matrix (contamination diagnostic
+  *    before mixing sources)
+  *  - q83 boilerplate strip: EVERY occurrence of a high-df segment
+  *    removed (vs q77's keep-first), reassembly hash-pinned
   */
 object TextOps {
 
@@ -615,6 +619,59 @@ object TextOps {
         "n_tokens", capacity = 256, seed = "r8")
         .select(col("doc_id"), col("n_tokens"), col("shuffle_key"),
           col("offset"), col("first_chunk"), col("last_chunk"), col("n_chunks"))
+    },
+
+    // q82: cross-source segment overlap ([[graft.operators.Dedup
+    // .segmentOverlapMatrix]]) — distinct 16-token segments shared by
+    // each source pair. The engine joins digests; distinct-digest counts
+    // equal distinct-segment counts (the established md5 convention).
+    QueryDef.sql(
+      "q82_source_overlap",
+      s"""WITH t AS (SELECT doc_id, source, $T AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id, source, tk,
+         |    unnest(generate_series(0, CAST(ceil(len(tk)/16.0) AS BIGINT) - 1)) AS idx
+         |  FROM t WHERE len(tk) > 0),
+         |s AS (
+         |  SELECT DISTINCT source,
+         |    array_to_string(tk[idx*16+1 : idx*16+16], ' ') AS seg
+         |  FROM g)
+         |SELECT a.source AS block_a, b.source AS block_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared_segments
+         |FROM s a JOIN s b ON a.seg = b.seg AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Dedup.segmentOverlapMatrix(Tables.documents(s, d),
+        "doc_id", "text", "source", 16)
+    },
+
+    // q83: boilerplate strip ([[graft.operators.Dedup.stripBoilerplate]])
+    // — EVERY occurrence of a segment seen in more than 2 docs is
+    // removed (q77 keeps the first; the first copy of boilerplate is
+    // still boilerplate). The hash check again covers the reassembled
+    // text.
+    QueryDef.sql(
+      "q83_boilerplate_strip",
+      s"""WITH t AS (SELECT doc_id, $T AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id, tk,
+         |    unnest(generate_series(0, CAST(ceil(len(tk)/16.0) AS BIGINT) - 1)) AS idx
+         |  FROM t WHERE len(tk) > 0),
+         |s AS (
+         |  SELECT doc_id, idx,
+         |    array_to_string(tk[idx*16+1 : idx*16+16], ' ') AS seg
+         |  FROM g),
+         |f AS (SELECT seg, count(DISTINCT doc_id) AS df FROM s GROUP BY seg),
+         |a AS (
+         |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    string_agg(s.seg, ' ' ORDER BY s.idx) AS kept_text
+         |  FROM s JOIN f USING (seg) WHERE f.df <= 2 GROUP BY s.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(ceil(len($T)/16.0) AS BIGINT) AS n_segs,
+         |  coalesce(a.n_kept, 0) AS n_kept,
+         |  coalesce(a.kept_text, '') AS kept_text
+         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin) { (s, d) =>
+      Dedup.stripBoilerplate(Tables.documents(s, d), "doc_id", "text",
+        width = 16, maxDf = 2)
     },
 
     QueryDef.sql("q61_subword_pieces", q61Sql) { (s, d) =>

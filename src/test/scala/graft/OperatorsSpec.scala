@@ -496,6 +496,39 @@ class OperatorsSpec extends SparkSpec {
       ragged.getAs[String]("kept_text") == "p q r s")
   }
 
+  test("stripBoilerplate: ALL copies of a high-df segment vanish, rare text survives") {
+    import graft.operators.Dedup
+    // width=3: "x y z" appears in docs 0,1,2 (df=3 > maxDf=2) — every
+    // copy must go, including the first; "a b c" (df=2) survives in both
+    val df = Seq(
+      (0L, "x y z a b c"),
+      (1L, "x y z d e f"),
+      (2L, "x y z g h i"),
+      (3L, "a b c j k l")
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripBoilerplate(df, "doc_id", "text", width = 3, maxDf = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_kept"), r.getAs[String]("kept_text"))).toMap
+    assert(got(0L) == ((1L, "a b c")), s"boilerplate first copy kept: $got")
+    assert(got(1L) == ((1L, "d e f")))
+    assert(got(2L) == ((1L, "g h i")))
+    assert(got(3L) == ((2L, "a b c j k l")))
+  }
+
+  test("segmentOverlapMatrix: counts distinct shared segments per block pair") {
+    import graft.operators.Dedup
+    val df = Seq(
+      (0L, "a", "x y z a b c"),       // A: {xyz, abc}
+      (1L, "a", "x y z x y z"),       // A repeats xyz — still ONE distinct
+      (2L, "b", "x y z d e f"),       // B: {xyz, def}
+      (3L, "c", "a b c x y z")        // C: {abc, xyz}
+    ).toDF("doc_id", "src", "text")
+    val got = Dedup.segmentOverlapMatrix(df, "doc_id", "text", "src", width = 3)
+      .collect().map(r => (r.getAs[String]("block_a"), r.getAs[String]("block_b")) ->
+        r.getAs[Long]("n_shared_segments")).toMap
+    assert(got == Map(("a", "b") -> 1L, ("a", "c") -> 2L, ("b", "c") -> 1L), got.toString)
+  }
+
   test("Pii: counts per category and typed redaction; clean text untouched") {
     import graft.functions.Pii
     val df = Seq(
