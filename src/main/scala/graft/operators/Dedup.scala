@@ -778,6 +778,42 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_segments"))
   }
 
+  /** Corpus-curation funnel: boilerplate strip (df > `maxDf` segments
+    * removed everywhere) THEN first-occurrence dedup of what survives,
+    * composed in ONE pass over the segment postings (segment once, one
+    * digest exchange family — re-segmenting between stages would re-cut
+    * windows across removal boundaries and re-shuffle the corpus), with
+    * per-`blockCol` survival counts at each stage. The curation report a
+    * pipeline runs before committing to a training mix.
+    *
+    * Output per block: `n_docs`, `n_segs`, `n_after_strip`,
+    * `n_after_dedup` (dedup's first-occurrence rule applies AFTER the
+    * strip, ordered by (id, idx)).
+    */
+  def curationFunnel(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, width: Int, maxDf: Long): DataFrame = {
+    require(width > 0, s"segment width must be positive, got $width")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val blocks = df.select(col(idCol).as("__id"), col(blockCol).as("__blk"))
+    val posts = segmentPosts(segmentBase(df, idCol, textCol, width), width)
+      .join(blocks, Seq("__id"))
+    val dfs = posts.groupBy("__h").agg(countDistinct("__id").as("__df"))
+    val stripped = posts.join(dfs, Seq("__h")).filter(col("__df") <= maxDf)
+    val deduped = stripped
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__h").orderBy(col("__id"), col("__idx"))))
+      .filter(col("__rn") === 1)
+    val nDocs = blocks.groupBy("__blk").agg(count(lit(1)).as("n_docs"))
+    val nSegs = posts.groupBy("__blk").agg(count(lit(1)).as("n_segs"))
+    val nStrip = stripped.groupBy("__blk").agg(count(lit(1)).as("n_after_strip"))
+    val nDedup = deduped.groupBy("__blk").agg(count(lit(1)).as("n_after_dedup"))
+    nDocs.join(nSegs, Seq("__blk"), "left")
+      .join(nStrip, Seq("__blk"), "left")
+      .join(nDedup, Seq("__blk"), "left")
+      .na.fill(0L, Seq("n_segs", "n_after_strip", "n_after_dedup"))
+      .withColumnRenamed("__blk", blockCol)
+  }
+
   /** Token arrays + segment counts for the fixed-window segmenter. */
   private def segmentBase(df: DataFrame, idCol: String, textCol: String,
       width: Int): DataFrame =

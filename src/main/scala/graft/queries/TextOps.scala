@@ -40,6 +40,8 @@ import org.apache.spark.sql.functions._
   *    before mixing sources)
   *  - q83 boilerplate strip: EVERY occurrence of a high-df segment
   *    removed (vs q77's keep-first), reassembly hash-pinned
+  *  - q84 curation funnel: strip-then-dedup composed in one pass over
+  *    the postings, per-source survival counts at each stage
   */
 object TextOps {
 
@@ -672,6 +674,50 @@ object TextOps {
          |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin) { (s, d) =>
       Dedup.stripBoilerplate(Tables.documents(s, d), "doc_id", "text",
         width = 16, maxDf = 2)
+    },
+
+    // q84: curation funnel ([[graft.operators.Dedup.curationFunnel]]) —
+    // strip (df > 2) then first-occurrence dedup, one pass over the
+    // postings, survival counts per source. The oracle chains the same
+    // two stages over one segmentation.
+    QueryDef.sql(
+      "q84_curation_funnel",
+      s"""WITH t AS (SELECT doc_id, source, $T AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id, source, tk,
+         |    unnest(generate_series(0, CAST(ceil(len(tk)/16.0) AS BIGINT) - 1)) AS idx
+         |  FROM t WHERE len(tk) > 0),
+         |s AS (
+         |  SELECT doc_id, source, idx,
+         |    array_to_string(tk[idx*16+1 : idx*16+16], ' ') AS seg
+         |  FROM g),
+         |f AS (SELECT seg, count(DISTINCT doc_id) AS df FROM s GROUP BY seg),
+         |stripped AS (
+         |  SELECT s.doc_id, s.source, s.idx, s.seg
+         |  FROM s JOIN f USING (seg) WHERE f.df <= 2),
+         |deduped AS (
+         |  SELECT source FROM (
+         |    SELECT source,
+         |      row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+         |    FROM stripped) WHERE rn = 1),
+         |c_docs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |           FROM documents GROUP BY source),
+         |c_segs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_segs
+         |           FROM s GROUP BY source),
+         |c_strip AS (SELECT source, CAST(count(*) AS BIGINT) AS n_after_strip
+         |            FROM stripped GROUP BY source),
+         |c_dedup AS (SELECT source, CAST(count(*) AS BIGINT) AS n_after_dedup
+         |            FROM deduped GROUP BY source)
+         |SELECT d.source, d.n_docs,
+         |  coalesce(a.n_segs, 0) AS n_segs,
+         |  coalesce(b.n_after_strip, 0) AS n_after_strip,
+         |  coalesce(c.n_after_dedup, 0) AS n_after_dedup
+         |FROM c_docs d
+         |LEFT JOIN c_segs a USING (source)
+         |LEFT JOIN c_strip b USING (source)
+         |LEFT JOIN c_dedup c USING (source)""".stripMargin) { (s, d) =>
+      Dedup.curationFunnel(Tables.documents(s, d), "doc_id", "text",
+        "source", width = 16, maxDf = 2)
     },
 
     QueryDef.sql("q61_subword_pieces", q61Sql) { (s, d) =>

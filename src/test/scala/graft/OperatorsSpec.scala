@@ -529,6 +529,26 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map(("a", "b") -> 1L, ("a", "c") -> 2L, ("b", "c") -> 1L), got.toString)
   }
 
+  test("curationFunnel: strip removes all boilerplate copies, dedup keeps firsts, per-block counts") {
+    import graft.operators.Dedup
+    // width=3: "x y z" df=3 (stripped entirely); "a b c" df=2 (survives
+    // the strip, dedup keeps doc 0's copy and drops doc 3's)
+    val df = Seq(
+      (0L, "a", "x y z a b c"),
+      (1L, "a", "x y z d e f"),
+      (2L, "b", "x y z g h i"),
+      (3L, "b", "a b c j k l")
+    ).toDF("doc_id", "src", "text")
+    val got = Dedup.curationFunnel(df, "doc_id", "text", "src", width = 3, maxDf = 2)
+      .collect().map(r => r.getAs[String]("src") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_segs"),
+          r.getAs[Long]("n_after_strip"), r.getAs[Long]("n_after_dedup"))).toMap
+    // a: 4 segs, strip drops 2 xyz → 2, dedup keeps both (abc first + def)
+    assert(got("a") == ((2L, 4L, 2L, 2L)), got.toString)
+    // b: 4 segs, strip drops 1 xyz → 3, dedup drops doc 3's abc → 2
+    assert(got("b") == ((2L, 4L, 3L, 2L)), got.toString)
+  }
+
   test("Pii: counts per category and typed redaction; clean text untouched") {
     import graft.functions.Pii
     val df = Seq(
