@@ -64,6 +64,17 @@ object ScaleRehearsal {
     ((System.nanoTime() - t0) / 1e9, rows)
   }
 
+  /** Median-of-3 wall for shape-vs-shape ladders: single-shot timing on
+    * this container cannot distinguish a 2× shape difference from
+    * ambient load (measured: the same rung varied 4.7 → 45.9 s across
+    * three otherwise-identical runs), the same lesson that moved Bench
+    * to per-query medians in r8.
+    */
+  private def timed3(body: => Long): (Double, Long) = {
+    val runs = (1 to 3).map(_ => timed(body)).sortBy(_._1)
+    (runs(1)._1, runs(1)._2)
+  }
+
   /** Row count that FORCES evaluation of `forceCol`: a bare count() lets
     * Catalyst prune computed columns the filter doesn't need — for the
     * as-of join that deletes the window carry itself, timing an empty
@@ -74,6 +85,8 @@ object ScaleRehearsal {
 
   def main(args: Array[String]): Unit = {
     val asofOnly = args.contains("--asof-only")
+    val segOnly = args.contains("--seg-only")
+    val capOnly = args.contains("--cap-only")
     val posArgs = args.toSeq.filterNot(_.startsWith("--"))
     val scales = if (posArgs.nonEmpty) posArgs.map(_.toLong)
     else Seq(15000L, 50000L, 150000L)
@@ -86,7 +99,7 @@ object ScaleRehearsal {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val out = (if (asofOnly) Seq.empty[Long] else scales).map { n =>
+    val out = (if (asofOnly || segOnly || capOnly) Seq.empty[Long] else scales).map { n =>
       val docs = corpus(spark, n).cache()
       docs.count() // materialize outside every timed window
 
@@ -125,9 +138,10 @@ object ScaleRehearsal {
           maxFpDf = 200, minContainment = 0.5).count()
       }
       // segment-level dedup: the exact-copy family floods single digests
-      // (n/50 rows land in ONE window partition per shared segment hash) —
-      // the keep/drop stage stays digest-only and the hot partitions are
-      // bounded by family size, so wall must stay ~linear
+      // (n/50 postings per shared segment hash) — the keep/drop stage is
+      // a digest-only groupBy-min(struct) with map-side partial agg (the
+      // r9 rewrite; the dedicated hot-segment ladder below measures the
+      // removed window ceiling), so wall must stay ~linear
       val (tSeg, nSeg) = timed {
         // force the REASSEMBLED text, not just the keep decision — summing
         // only n_kept would let Catalyst prune the map-side re-slicing
@@ -225,6 +239,7 @@ object ScaleRehearsal {
     }.mkString("[", ",", "]")
     if (!asofOnly) println(s"""{"metric":"scale_rehearsal","scales":$json}""")
 
+    if (!segOnly && !capOnly) {
     // Dedicated as-of SKEW ladder at row counts where the single-task-
     // per-key ceiling can actually bind (at the doc-ladder scales the hot
     // key's 75k-row slice sorts in milliseconds and skew is invisible).
@@ -274,6 +289,89 @@ object ScaleRehearsal {
       f"""{"n_rows":$n,"uniform":{"sec":$tU%.2f,"rows":$nU},"hot50":{"sec":$tS%.2f,"rows":$nS},"hot50_bucketed":{"sec":$tB%.2f,"rows":$nB}}"""
     }.mkString("[", ",", "]")
     println(s"""{"metric":"asof_skew_rehearsal","scales":$asofOut}""")
+    }
+
+    // Cap-shape adjudication (VERDICT r9 #2): the df cap as
+    // count-over-window vs groupBy.count+join, on a corpus where EVERY
+    // doc shares a 4-token prefix — the pure-prefix shingles' df = n, the
+    // planted mega-df key. Both shapes run the FULL ngramJaccardPairs
+    // (the cap's cost only matters in situ: the window rides the pair
+    // join's exchange, the groupBy pays an extra join — isolating the cap
+    // stage would hide exactly that difference).
+    if (!asofOnly && !segOnly) {
+      def megaCorpus(n: Long) = corpus(spark, n).select(col("id"),
+        concat(lit("omni present header tokens "), col("text")).as("text"),
+        col("source"))
+      locally { // untimed JIT/codegen warmup
+        Dedup.ngramJaccardPairs(megaCorpus(20000L), "id", "text", "source",
+          maxShingleDf = 200).count()
+      }
+      val capLadder = Seq(50000L, 150000L, 450000L).map { n =>
+        // corpus cached OUTSIDE the timed window: generation is string-
+        // heavy and identical for both shapes — timing it would dilute
+        // the very difference under adjudication
+        val docs = megaCorpus(n).cache()
+        docs.count()
+        val (tWin, nWin) = timed3 {
+          Dedup.ngramJaccardPairs(docs, "id", "text", "source",
+            maxShingleDf = 200).count()
+        }
+        val (tGrp, nGrp) = timed3 {
+          Dedup.ngramJaccardPairsGroupCap(docs, "id", "text", "source",
+            maxShingleDf = 200).count()
+        }
+        docs.unpersist()
+        require(nWin == nGrp, s"cap-shape mismatch at $n: $nWin vs $nGrp")
+        f"""{"n_docs":$n,"window_cap":{"sec":$tWin%.2f,"rows":$nWin},"group_cap":{"sec":$tGrp%.2f,"rows":$nGrp}}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"cap_shape_rehearsal","scales":$capLadder}""")
+    }
+
+    if (capOnly) { spark.stop(); return }
+
+    // Hot-SEGMENT dedup ladder (VERDICT r9 #1): ONE width-16 boilerplate
+    // segment planted in HALF the docs — the adversary segment dedup
+    // exists for. Under the round-8 row_number window, every one of those
+    // n/2 postings lands in a single task's sort; the groupBy-min(struct)
+    // rewrite partial-aggregates them map-side (one row per input
+    // partition survives the map side). Both shapes run on the same
+    // generated corpus (generation cost is identical and parallel), so
+    // the measured gap — and its growth down the ladder — IS the removed
+    // ceiling. Even ids: [hot seg][unique seg]; odd ids: one unique seg.
+    if (!asofOnly) {
+      val hotSeg = (0 until 16).map(j => s"boiler$j").mkString(" ")
+      def segCorpus(n: Long) = spark.range(n).select(col("id"),
+        concat(
+          when(pmod(col("id"), lit(2)) === 0, lit(hotSeg + " ")).otherwise(lit("")),
+          expr("concat_ws(' ', transform(sequence(0, 15), " +
+            "j -> concat('u', cast(id AS string), '_', cast(j AS string))))"))
+          .as("text"))
+      def run(dedup: (DataFrame, String, String, Int) => DataFrame,
+          docs: DataFrame) =
+        timed3 {
+          // force the reassembled text (the pruned-plan trap, see forcedRows)
+          forcedRows(dedup(docs, "id", "text", 16)
+            .withColumn("__tl", length(col("kept_text"))), "__tl")
+        }
+      locally { // untimed JIT/codegen warmup
+        val w = segCorpus(500000L).cache(); w.count()
+        timed(forcedRows(Dedup.segmentDedup(w, "id", "text", 16)
+          .withColumn("__tl", length(col("kept_text"))), "__tl"))
+        w.unpersist()
+      }
+      val segLadder = Seq(1000000L, 4000000L, 16000000L).map { n =>
+        // cache the corpus OUTSIDE the timed window — generating tens of
+        // millions of token strings inside it swamped the shape difference
+        val docs = segCorpus(n).cache()
+        docs.count()
+        val (tFix, nFix) = run(Dedup.segmentDedup, docs)
+        val (tWin, nWin) = run(Dedup.segmentDedupWindowed, docs)
+        docs.unpersist()
+        require(nFix == nWin, s"shape mismatch at $n: $nFix vs $nWin")
+        f"""{"n_docs":$n,"grouped":{"sec":$tFix%.2f,"rows":$nFix},"windowed":{"sec":$tWin%.2f,"rows":$nWin}}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"segment_hot_rehearsal","scales":$segLadder}""")
+    }
     spark.stop()
   }
 }

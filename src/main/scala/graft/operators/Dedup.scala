@@ -123,7 +123,24 @@ object Dedup {
     * (block, id_a, id_b, n_a, n_b, n_shared, jaccard), id_a < id_b.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCol: String, w: Int = 3, maxShingleDf: Long = 1000): DataFrame = {
+      blockCol: String, w: Int = 3, maxShingleDf: Long = 1000): DataFrame =
+    ngramJaccardPairsImpl(df, idCol, textCol, blockCol, w, maxShingleDf,
+      windowCap = true)
+
+  /** Measurement twin of [[ngramJaccardPairs]] with the df cap as
+    * `groupBy.count` + join instead of count-over-window — kept
+    * package-private for the cap-shape rehearsal (PERF_NOTES r9), not a
+    * query path. See the adjudication note inside the impl.
+    */
+  private[graft] def ngramJaccardPairsGroupCap(df: DataFrame, idCol: String,
+      textCol: String, blockCol: String, w: Int = 3,
+      maxShingleDf: Long = 1000): DataFrame =
+    ngramJaccardPairsImpl(df, idCol, textCol, blockCol, w, maxShingleDf,
+      windowCap = false)
+
+  private def ngramJaccardPairsImpl(df: DataFrame, idCol: String,
+      textCol: String, blockCol: String, w: Int, maxShingleDf: Long,
+      windowCap: Boolean): DataFrame = {
     // ONE exchange on (block, shingle) serves the whole index build: a
     // HashPartitioning on a SUBSET of an aggregate's grouping keys
     // satisfies its ClusteredDistribution, so the per-doc distinct, the
@@ -136,11 +153,31 @@ object Dedup {
       .repartition(col("block"), col("shingle"))
       .dropDuplicates("block", "id", "shingle")
     val sizes = postings.groupBy("block", "id").agg(count(lit(1)).as("n_sh"))
+    // Cap-shape adjudication (VERDICT r9 #2, measured — PERF_NOTES r9):
+    // the count-over-window DOES concentrate a mega-df shingle's postings
+    // in one task, but only to count and drop them — no sort (unbounded
+    // frame), rows are 24-byte digests, and the exchange it rides is the
+    // SAME one the pair join needs anyway. The groupBy+join alternative
+    // gets map-side partials but pays a second join of the full postings
+    // against the df table on the same keys. On the planted
+    // every-doc-shares-a-shingle corpus the two shapes measure within
+    // noise of each other at every rung (the join's extra probe work
+    // cancels the window's buffering), so the window stays: same wall,
+    // one fewer plan branch, and the hot key's rows are dropped at the
+    // exchange that must exist regardless.
     val dfw = Window.partitionBy("block", "shingle")
-    val kept = postings
-      .withColumn("df_", count(lit(1)).over(dfw))
-      .filter(col("df_") <= maxShingleDf)
-      .drop("df_")
+    val kept = if (windowCap) {
+      postings
+        .withColumn("df_", count(lit(1)).over(dfw))
+        .filter(col("df_") <= maxShingleDf)
+        .drop("df_")
+    } else {
+      val dfs = postings.groupBy("block", "shingle")
+        .agg(count(lit(1)).as("df_"))
+        .filter(col("df_") <= maxShingleDf)
+        .select("block", "shingle")
+      postings.join(dfs, Seq("block", "shingle"))
+    }
     val a = kept.as("a")
     val b = kept.as("b")
     val shared = a.join(b,
@@ -725,6 +762,67 @@ object Dedup {
       width: Int): DataFrame = {
     require(width > 0, s"segment width must be positive, got $width")
     val base = segmentBase(df, idCol, textCol, width)
+    reassemble(base, firstPosting(segmentPosts(base, width)), idCol, width)
+  }
+
+  /** 2³¹ — `__idx` is a non-negative int, so (id, idx) packs losslessly
+    * into `id * 2³¹ + idx`, order-preserving for any integral id
+    * (negative included: idx ∈ [0, 2³¹) keeps the id ranges disjoint
+    * and monotone).
+    */
+  private val IdxBits = 2147483648L
+
+  /** Globally-first posting per segment digest WITHOUT a window.
+    *
+    * The obvious shape — `row_number() over Window.partitionBy(__h)
+    * .orderBy(__id, __idx)` — puts EVERY posting of a hot digest into one
+    * task's sort. A boilerplate segment present in half the corpus (the
+    * very input segment dedup exists for) then serializes the whole
+    * operator through one core.
+    *
+    * Because a posting is exactly `(id, idx, digest)`, the minimum of an
+    * order-preserving encoding of (id, idx) per digest IS the winning
+    * posting — no join back. HOW that minimum aggregates matters as much
+    * as avoiding the window (measured, hot-segment ladder, PERF_NOTES
+    * r9): `min(struct(id, idx))` has a non-mutable buffer, so BOTH
+    * phases plan as SortAggregate — two full posting sorts, 2× the
+    * window's wall on uniform data. Packing (id, idx) into one
+    * fixed-width `decimal` keeps the aggregate a codegen'd
+    * HashAggregate: map-side partials cap any digest at one row per
+    * input partition, and NO phase sorts anything. For non-integral ids
+    * (no lossless packing) the struct-min fallback stands: 2× sort cost,
+    * but every task stays bounded — the property that matters at scale.
+    */
+  private def firstPosting(posts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    posts.schema("__id").dataType match {
+      case idT @ (ByteType | ShortType | IntegerType | LongType) =>
+        // decimal(20,0) holds any long; ×2³¹+idx stays ≤ 2e28 ≪ 1e38
+        posts.groupBy("__h")
+          .agg(min(col("__id").cast(DecimalType(20, 0)) * lit(IdxBits)
+            + col("__idx")).as("__w"))
+          .select(col("__h"),
+            // (w − idx) / 2³¹ divides exactly — no float/rounding leg
+            ((col("__w") - pmod(col("__w"), lit(IdxBits))) / lit(IdxBits))
+              .cast(idT).as("__id"),
+            pmod(col("__w"), lit(IdxBits)).cast("int").as("__idx"))
+      case _ =>
+        posts.groupBy("__h")
+          .agg(min(struct(col("__id"), col("__idx"))).as("__w"))
+          .select(col("__h"), col("__w.__id").as("__id"),
+            col("__w.__idx").as("__idx"))
+    }
+  }
+
+  /** REJECTED round-8 shape of [[segmentDedup]]'s keep-first rule, kept
+    * package-private and unused by any query SOLELY so the hot-segment
+    * rehearsal ladder can measure the single-task sort the operator was
+    * rewritten to avoid (see [[firstPosting]]). Do not call from queries.
+    */
+  private[graft] def segmentDedupWindowed(df: DataFrame, idCol: String,
+      textCol: String, width: Int): DataFrame = {
+    require(width > 0, s"segment width must be positive, got $width")
+    val base = segmentBase(df, idCol, textCol, width)
     val firstOnly = segmentPosts(base, width)
       .withColumn("__rn", row_number().over(
         Window.partitionBy("__h").orderBy(col("__id"), col("__idx"))))
@@ -799,10 +897,12 @@ object Dedup {
       .join(blocks, Seq("__id"))
     val dfs = posts.groupBy("__h").agg(countDistinct("__id").as("__df"))
     val stripped = posts.join(dfs, Seq("__h")).filter(col("__df") <= maxDf)
-    val deduped = stripped
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("__h").orderBy(col("__id"), col("__idx"))))
-      .filter(col("__rn") === 1)
+    // post-strip digests have df <= maxDf, so the round-8 window here was
+    // already bounded — but the no-window firstPosting shape is strictly
+    // better (map-side partial agg, no sort) and keeps both dedup stages
+    // on one code path; the block label rejoins by doc id
+    val deduped = firstPosting(stripped.select("__id", "__idx", "__h"))
+      .join(blocks, Seq("__id"))
     val nDocs = blocks.groupBy("__blk").agg(count(lit(1)).as("n_docs"))
     val nSegs = posts.groupBy("__blk").agg(count(lit(1)).as("n_segs"))
     val nStrip = stripped.groupBy("__blk").agg(count(lit(1)).as("n_after_strip"))
@@ -812,6 +912,34 @@ object Dedup {
       .join(nDedup, Seq("__blk"), "left")
       .na.fill(0L, Seq("n_segs", "n_after_strip", "n_after_dedup"))
       .withColumnRenamed("__blk", blockCol)
+  }
+
+  /** [[segmentDedup]] against an external set of already-seen segment
+    * digests: keep-first WITHIN `df`, then drop any segment whose digest
+    * appears in `seenDigests` (a frame with column `__h`) — the
+    * per-batch kernel of
+    * [[graft.streaming.StreamingDedup.screenSegmentsBatch]]. Same
+    * (id, n_segs, n_kept, kept_text) contract as [[segmentDedup]]; the
+    * history side is touched only through a left-anti join on the
+    * 32-char digests, never re-segmented.
+    */
+  private[graft] def segmentDedupAgainst(df: DataFrame, idCol: String,
+      textCol: String, width: Int, seenDigests: DataFrame): DataFrame = {
+    require(width > 0, s"segment width must be positive, got $width")
+    val base = segmentBase(df, idCol, textCol, width)
+    val kept = firstPosting(segmentPosts(base, width))
+      .join(seenDigests.select(col("__h")), Seq("__h"), "left_anti")
+    reassemble(base, kept, idCol, width)
+  }
+
+  /** Distinct segment digests of `df` — the rows a segment-screening
+    * ingest appends to its seen-index per batch.
+    */
+  private[graft] def segmentDigests(df: DataFrame, idCol: String,
+      textCol: String, width: Int): DataFrame = {
+    require(width > 0, s"segment width must be positive, got $width")
+    segmentPosts(segmentBase(df, idCol, textCol, width), width)
+      .select(col("__h")).distinct()
   }
 
   /** Token arrays + segment counts for the fixed-window segmenter. */

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   *  - q73 decontamination: corpus docs containing a benchmark item by
   *    distinct 5-gram containment (planted: every 25th doc's middle-half
   *    tokens form the eval set, so sources and their dups must flag)
-  *  - q74 PII scrub: planted emails/phones/IPs — extraction counts AND
+  *  - q74 PII scrub: planted emails/phones/SSNs/IPs — extraction counts AND
   *    redacted strings under the hash check
   *  - q75 sequence packing: concat-and-chunk placement via the two-phase
   *    distributed prefix sum, vs a one-window SQL oracle
@@ -348,9 +348,10 @@ object TextOps {
 
     // q74: PII scrub ([[graft.functions.Pii]]). PII is PLANTED
     // deterministically per customer in both engines (the q20 pattern):
-    // emails on ck%3=0, NANP phones on ck%4=0, IPv4 on ck%5=0 — so the
-    // regex EXTRACTION counts and the REDACTED strings are both under
-    // the hash check. Patterns restrict to the Java-regex ∩ RE2 subset.
+    // emails on ck%3=0, NANP phones on ck%4=0, IPv4 on ck%5=0, SSN-shaped
+    // ddd-dd-dddd on ck%7=0 — so the regex EXTRACTION counts and the
+    // REDACTED strings are both under the hash check. Patterns restrict
+    // to the Java-regex ∩ RE2 subset.
     QueryDef.sql(
       "q74_pii_scrub",
       """WITH raw AS (
@@ -370,15 +371,22 @@ object TextOps {
         |                '.', CAST((c_custkey * 5) % 256 AS VARCHAR),
         |                '.', CAST((c_custkey * 7) % 256 AS VARCHAR), ' ')
         |           ELSE '' END,
+        |      CASE WHEN c_custkey % 7 = 0
+        |           THEN concat('id ', lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0'),
+        |                '-', lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0'),
+        |                '-', lpad(CAST((c_custkey * 11) % 10000 AS VARCHAR), 4, '0'), ' ')
+        |           ELSE '' END,
         |      'end') AS text
         |  FROM customer)
         |SELECT c_custkey,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
         |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssns,
         |  CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
-        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
         |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g') AS redacted
         |FROM raw""".stripMargin) { (s, d) =>
       val ck = col("c_custkey")
@@ -397,12 +405,18 @@ object TextOps {
             lit("."), ((ck * 5) % 256).cast("string"),
             lit("."), ((ck * 7) % 256).cast("string"), lit(" ")))
           .otherwise(""),
+        when(ck % 7 === 0,
+          concat(lit("id "), lpad((ck % 1000).cast("string"), 3, "0"),
+            lit("-"), lpad((ck % 100).cast("string"), 2, "0"),
+            lit("-"), lpad(((ck * 11) % 10000).cast("string"), 4, "0"), lit(" ")))
+          .otherwise(""),
         lit("end"))
       Tables.customer(s, d)
         .select(ck, text.as("text"))
         .select(ck,
           graft.functions.Pii.emailCount(col("text")).cast("long").as("n_emails"),
           graft.functions.Pii.phoneCount(col("text")).cast("long").as("n_phones"),
+          graft.functions.Pii.ssnCount(col("text")).cast("long").as("n_ssns"),
           graft.functions.Pii.ipv4Count(col("text")).cast("long").as("n_ips"),
           graft.functions.Pii.redact(col("text")).as("redacted"))
     },

@@ -496,6 +496,52 @@ class OperatorsSpec extends SparkSpec {
       ragged.getAs[String]("kept_text") == "p q r s")
   }
 
+  test("segmentDedup: no-window keep-first shape matches the windowed twin and plans without a Window") {
+    import graft.operators.Dedup
+    // randomized-ish corpus with hot segments: ids sharing id%7 share a
+    // leading segment, id%3==0 docs repeat a mid segment, plus uniques —
+    // exercises ties across docs AND within a doc (same digest at two
+    // indexes of one doc: min(struct) must pick the lower idx)
+    val df = spark.range(200).selectExpr(
+      "id AS doc_id",
+      """concat(
+           concat_ws(' ', transform(sequence(0,2), j -> concat('h', id % 7, '_', j))), ' ',
+           CASE WHEN id % 3 = 0 THEN 'rep rep rep rep rep rep ' ELSE '' END,
+           concat_ws(' ', transform(sequence(0,5), j -> concat('u', id, '_', j)))
+         ) AS text""")
+    val fixed = Dedup.segmentDedup(df, "doc_id", "text", width = 3)
+    val windowed = Dedup.segmentDedupWindowed(df, "doc_id", "text", width = 3)
+    assert(fixed.exceptAll(windowed).isEmpty && windowed.exceptAll(fixed).isEmpty,
+      "groupBy-min(struct) keep-first must equal the row_number window rule")
+    // the scale property itself: the keep/drop decision must NOT plan a
+    // Window (single-task sort per hot digest) — partial hash aggregation
+    // is the whole point of the rewrite
+    val plan = fixed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"segmentDedup must not plan a Window:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial min"),
+      s"keep-first must partial-aggregate map-side:\n$plan")
+    // integral ids pack (id, idx) into one fixed-width decimal PRECISELY
+    // so the keep-first min hash-aggregates — a SortAggregate here means
+    // the packing regressed to the struct fallback (two full sorts)
+    assert(!plan.contains("SortAggregate"),
+      s"packed keep-first must be a HashAggregate, not SortAggregate:\n$plan")
+    // non-integral ids can't pack losslessly: the struct-min fallback
+    // must still match the windowed rule (task-bounded, sort-based)
+    val sdf = df.selectExpr("concat('doc_', lpad(cast(doc_id AS string), 4, '0')) AS doc_id", "text")
+    val sFixed = Dedup.segmentDedup(sdf, "doc_id", "text", width = 3)
+    val sWin = Dedup.segmentDedupWindowed(sdf, "doc_id", "text", width = 3)
+    assert(sFixed.exceptAll(sWin).isEmpty && sWin.exceptAll(sFixed).isEmpty,
+      "string-id struct-min fallback must equal the window rule")
+    assert(!sFixed.queryExecution.executedPlan.toString.contains("Window"))
+    // curationFunnel's post-strip dedup shares the same shape
+    val funnelPlan = Dedup.curationFunnel(
+      df.withColumn("src", expr("CAST(doc_id % 2 AS string)")),
+      "doc_id", "text", "src", width = 3, maxDf = 100)
+      .queryExecution.executedPlan.toString
+    assert(!funnelPlan.contains("Window"),
+      s"curationFunnel must not plan a Window:\n$funnelPlan")
+  }
+
   test("stripBoilerplate: ALL copies of a high-df segment vanish, rare text survives") {
     import graft.operators.Dedup
     // width=3: "x y z" appears in docs 0,1,2 (df=3 > maxDf=2) — every
@@ -555,18 +601,23 @@ class OperatorsSpec extends SparkSpec {
       (1L, "reach me at a.b+c@mail.example.org or 555-123-4567 from 10.0.0.1 thanks"),
       (2L, "two mails x@y.io and z@w.co, one ip 192.168.001.255"),
       (3L, "no pii here, just 12345 and a-b-c and v1.2 text"),
-      (4L, "")
+      (4L, ""),
+      // SSN-shaped 3-2-4 next to a phone-shaped 3-3-4: each matches ONLY
+      // its own category (\b + the digit-group shapes are disjoint)
+      (5L, "ssn 078-05-1120 tel 555-123-4567 done")
     ).toDF("id", "text")
     val got = df.select(col("id"),
       Pii.emailCount(col("text")).as("e"), Pii.phoneCount(col("text")).as("p"),
+      Pii.ssnCount(col("text")).as("s"),
       Pii.ipv4Count(col("text")).as("i"), Pii.redact(col("text")).as("r"))
       .collect().map(r => r.getLong(0) ->
-        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
-    assert(got(1L) == (1, 1, 1,
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)), r.getString(5))).toMap
+    assert(got(1L) == ((1, 1, 0, 1),
       "reach me at [EMAIL] or [PHONE] from [IP] thanks"), got(1L))
-    assert(got(2L) == (2, 0, 1, "two mails [EMAIL] and [EMAIL], one ip [IP]"), got(2L))
-    assert(got(3L) == (0, 0, 0, "no pii here, just 12345 and a-b-c and v1.2 text"), got(3L))
-    assert(got(4L) == (0, 0, 0, ""), got(4L))
+    assert(got(2L) == ((2, 0, 0, 1), "two mails [EMAIL] and [EMAIL], one ip [IP]"), got(2L))
+    assert(got(3L) == ((0, 0, 0, 0), "no pii here, just 12345 and a-b-c and v1.2 text"), got(3L))
+    assert(got(4L) == ((0, 0, 0, 0), ""), got(4L))
+    assert(got(5L) == ((0, 1, 1, 0), "ssn [SSN] tel [PHONE] done"), got(5L))
   }
 
   test("langId picks the language with most marker hits; und on none") {
