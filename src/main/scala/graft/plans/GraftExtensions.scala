@@ -43,30 +43,47 @@ object GraftExtensions {
   }
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_f" -> ((args: Seq[Expression]) => FloatVectorCosine(args(0), args(1))),
-    "dot_f" -> ((args: Seq[Expression]) => FloatVectorDot(args(0), args(1))),
-    "minhash_agg" -> ((args: Seq[Expression]) =>
-      MinHashAggregate(args(0), intArg(args(1), "minhash_agg perms"))
-        .toAggregateExpression()),
-    "subword_piece_count" -> ((args: Seq[Expression]) => SubwordPieceCount(args(0))),
-    "minhash_sig" -> ((args: Seq[Expression]) =>
-      MinHashSig(args(0), intArg(args(1), "minhash_sig perms"),
-        if (args.length > 2) intArg(args(2), "minhash_sig shingle_w") else 3,
-        portable = false)),
-    "minhash_sig_portable" -> ((args: Seq[Expression]) =>
-      MinHashSig(args(0), intArg(args(1), "minhash_sig_portable perms"),
-        if (args.length > 2) intArg(args(2), "minhash_sig_portable shingle_w") else 3,
-        portable = true)),
-    "simhash_sig" -> ((args: Seq[Expression]) => SimHashSig(args(0), portable = false)),
-    "simhash_sig_portable32" -> ((args: Seq[Expression]) => SimHashSig(args(0), portable = true)),
-    "winnow_fingerprints" -> ((args: Seq[Expression]) =>
-      WinnowFingerprints(args(0),
-        if (args.length > 1) intArg(args(1), "winnow_fingerprints k") else 8,
-        if (args.length > 2) intArg(args(2), "winnow_fingerprints w") else 4)),
-    "winnow_fingerprint_positions" -> ((args: Seq[Expression]) =>
-      WinnowFingerprintPositions(args(0),
-        if (args.length > 1) intArg(args(1), "winnow_fingerprint_positions k") else 8,
-        if (args.length > 2) intArg(args(2), "winnow_fingerprint_positions w") else 4)),
+    "cosine_f" -> ((args: Seq[Expression]) => {
+      val a = arity(args, 2, "cosine_f"); FloatVectorCosine(a(0), a(1))
+    }),
+    "dot_f" -> ((args: Seq[Expression]) => {
+      val a = arity(args, 2, "dot_f"); FloatVectorDot(a(0), a(1))
+    }),
+    "minhash_agg" -> ((args: Seq[Expression]) => {
+      val a = arity(args, 2, "minhash_agg")
+      MinHashAggregate(a(0), intArg(a(1), "minhash_agg perms"))
+        .toAggregateExpression()
+    }),
+    "subword_piece_count" -> ((args: Seq[Expression]) =>
+      SubwordPieceCount(arity(args, 1, "subword_piece_count").head)),
+    "minhash_sig" -> ((args: Seq[Expression]) => {
+      val a = arity(args, 2, 3, "minhash_sig")
+      MinHashSig(a(0), intArg(a(1), "minhash_sig perms"),
+        if (a.length > 2) intArg(a(2), "minhash_sig shingle_w") else 3,
+        portable = false)
+    }),
+    "minhash_sig_portable" -> ((args: Seq[Expression]) => {
+      val a = arity(args, 2, 3, "minhash_sig_portable")
+      MinHashSig(a(0), intArg(a(1), "minhash_sig_portable perms"),
+        if (a.length > 2) intArg(a(2), "minhash_sig_portable shingle_w") else 3,
+        portable = true)
+    }),
+    "simhash_sig" -> ((args: Seq[Expression]) =>
+      SimHashSig(arity(args, 1, "simhash_sig").head, portable = false)),
+    "simhash_sig_portable32" -> ((args: Seq[Expression]) =>
+      SimHashSig(arity(args, 1, "simhash_sig_portable32").head, portable = true)),
+    "winnow_fingerprints" -> ((args: Seq[Expression]) => {
+      val a = arity(args, 1, 3, "winnow_fingerprints")
+      WinnowFingerprints(a(0),
+        if (a.length > 1) intArg(a(1), "winnow_fingerprints k") else 8,
+        if (a.length > 2) intArg(a(2), "winnow_fingerprints w") else 4)
+    }),
+    "winnow_fingerprint_positions" -> ((args: Seq[Expression]) => {
+      val a = arity(args, 1, 3, "winnow_fingerprint_positions")
+      WinnowFingerprintPositions(a(0),
+        if (a.length > 1) intArg(a(1), "winnow_fingerprint_positions k") else 8,
+        if (a.length > 2) intArg(a(2), "winnow_fingerprint_positions w") else 4)
+    }),
     "cms_union_agg" -> ((args: Seq[Expression]) =>
       CmsUnionAggregate(arity(args, 1, "cms_union_agg").head).toAggregateExpression()),
     "cms_estimate" -> ((args: Seq[Expression]) => {
@@ -77,11 +94,19 @@ object GraftExtensions {
 
   /** Exact-arity check with a named error — a raw `args(1)` on a short
     * list would surface as a bare IndexOutOfBoundsException with no
-    * mention of the function or its signature.
+    * mention of the function or its signature. Every builder above goes
+    * through this (ADVICE r8: the guard originally covered only the cms_*
+    * family, leaving the variadic registrations to throw bare).
     */
-  private def arity(args: Seq[Expression], n: Int, name: String): Seq[Expression] = {
-    if (args.length != n) throw new IllegalArgumentException(
-      s"$name expects $n argument(s), got ${args.length}")
+  private def arity(args: Seq[Expression], n: Int, name: String): Seq[Expression] =
+    arity(args, n, n, name)
+
+  /** Ranged arity for registrations with optional trailing arguments. */
+  private def arity(args: Seq[Expression], min: Int, max: Int,
+      name: String): Seq[Expression] = {
+    if (args.length < min || args.length > max) throw new IllegalArgumentException(
+      if (min == max) s"$name expects $min argument(s), got ${args.length}"
+      else s"$name expects $min to $max arguments, got ${args.length}")
     args
   }
 

@@ -226,9 +226,13 @@ object SigOps {
     new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
   }
 
-  /** POSITIONAL winnowing — the robust-winnowing rule of the MOSS paper:
-    * per window select the RIGHTMOST minimal gram hash and record
-    * (fp, pos) only when the selected position changes. Where [[winnow]]
+  /** POSITIONAL winnowing: per window select the RIGHTMOST minimal gram
+    * hash and record (fp, pos) only when the selected position changes.
+    * This is plain winnowing with rightmost tie-breaking — NOT the MOSS
+    * paper's "robust winnowing", whose tie rule prefers re-selecting the
+    * PREVIOUS window's fingerprint on equal hashes to minimize recorded
+    * positions; on tied hashes this variant can record extra
+    * fingerprints, which only ever adds match evidence. Where [[winnow]]
     * answers "do these docs share content" (set semantics), the positions
     * answer "WHERE": a fingerprint matched across two docs pins the
     * shared span — posA − posB is the copy's offset delta, exact for
