@@ -22,9 +22,11 @@ import org.apache.spark.util.sketch.CountMinSketch
   *    bit-identical to one sketch over the full data — order-independent,
   *    exactly mergeable (stronger than HLL's approximate union).
   *  - [[CmsEstimate]] (`cms_estimate`): point estimate for a pre-hashed
-  *    LONG key. Deserializes per evaluation — intended for BOUNDED frames
-  *    (a top-k certificate join), not per-row of a 100 TB scan; the scan
-  *    side is the codegen'd built-in aggregate.
+  *    LONG key. A one-entry per-thread cache keyed on the serialized
+  *    bytes ([[CachedSketchEval]]) makes probing ONE sketch per row of a
+  *    frame deserialize once per thread, not once per row; still, the
+  *    scan side of a 100 TB job belongs in the codegen'd built-in
+  *    aggregate, with these probes on the reduced frame.
   *  - [[CmsTotal]] (`cms_total`): the sketch's total ingested count — a
   *    cheap completeness cross-check against `count(*)`.
   *
@@ -81,11 +83,36 @@ case class CmsUnionAggregate(
     copy(child = newChildren.head)
 }
 
+/** One-entry per-thread cache of the last deserialized sketch, keyed on
+  * the serialized bytes. A row-sourced BINARY column hands each call a
+  * FRESH array copy (UnsafeRow.getBinary), so reference equality alone
+  * never hits; content equality (a vectorized memcmp) is an order of
+  * magnitude cheaper than `CountMinSketch.readFrom`'s parse+allocate, and
+  * the dominant usage — ONE unioned sketch probed per row of a frame —
+  * then deserializes once per thread instead of once per row. ThreadLocal
+  * because one Expression instance is shared across local-mode tasks.
+  */
+private[plans] trait CachedSketchEval {
+  @transient private lazy val cache =
+    new ThreadLocal[(Array[Byte], CountMinSketch)]
+
+  protected final def sketchFor(bytes: Array[Byte]): CountMinSketch = {
+    val c = cache.get()
+    if (c != null && ((c._1 eq bytes) || java.util.Arrays.equals(c._1, bytes))) c._2
+    else {
+      val sk = CountMinSketch.readFrom(bytes)
+      cache.set((bytes, sk))
+      sk
+    }
+  }
+}
+
 /** Point estimate from a serialized sketch for a pre-hashed long key.
-  * See [[CmsUnionAggregate]]'s scaladoc for the bounded-frame contract.
+  * Per-row probes against one sketch deserialize once per thread, not
+  * once per row (see [[CachedSketchEval]]).
   */
 case class CmsEstimate(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression with CodegenFallback with CachedSketchEval {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "cms_estimate"
@@ -98,7 +125,7 @@ case class CmsEstimate(left: Expression, right: Expression)
         s"(${left.dataType}, ${right.dataType})")
 
   override protected def nullSafeEval(sketch: Any, key: Any): Any =
-    CountMinSketch.readFrom(sketch.asInstanceOf[Array[Byte]])
+    sketchFor(sketch.asInstanceOf[Array[Byte]])
       .estimateCount(java.lang.Long.valueOf(key.asInstanceOf[Long]))
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CmsEstimate =
@@ -107,7 +134,7 @@ case class CmsEstimate(left: Expression, right: Expression)
 
 /** Total ingested count of a serialized sketch (`totalCount`). */
 case class CmsTotal(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with CodegenFallback with CachedSketchEval {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "cms_total"
@@ -118,7 +145,7 @@ case class CmsTotal(child: Expression)
       s"cms_total needs a BINARY serialized sketch, got ${child.dataType}")
 
   override protected def nullSafeEval(sketch: Any): Any =
-    CountMinSketch.readFrom(sketch.asInstanceOf[Array[Byte]]).totalCount()
+    sketchFor(sketch.asInstanceOf[Array[Byte]]).totalCount()
 
   override protected def withNewChildInternal(newChild: Expression): CmsTotal =
     copy(child = newChild)
