@@ -269,7 +269,9 @@ object Scoring {
       // stays pinned for the session (no post-consumption unpersist
       // hook), but repeated invocations do NOT accumulate: CacheManager
       // dedupes by canonicalized plan, so it is one bounded entry per
-      // data dir.
+      // data dir. Bench clears the cache before every timed run, so the
+      // benched number is end-to-end (scan + aggregate + both branches),
+      // comparable to uncached queries (ADVICE r8).
       val hourly = Tables.events(s, d)
         .groupBy(col("user_id"), window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("eng"))
