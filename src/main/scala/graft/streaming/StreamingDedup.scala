@@ -101,25 +101,7 @@ object StreamingDedup {
     val spark = batch.sparkSession
     val newBands = Dedup.minhashIndex(batch, idCol, textCol, bands,
       rowsPerBand, shingleW, family)
-    // explicit existence check, not a caught AnalysisException: a real
-    // read failure (schema drift, corrupt footer) must PROPAGATE, not
-    // silently screen against an empty index
-    val idxPath = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val indexedIds: Seq[Long] =
-      if (!fs.exists(idxPath)) Seq.empty
-      else fs.listStatus(idxPath).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("batch_id=")).map(_.stripPrefix("batch_id=").toLong)
-    // renumbered-restart guard: a stream restarted WITHOUT a durable
-    // checkpoint renumbers micro-batches from 0 — batch 0 would screen
-    // against `batch_id < 0` (nothing) and overwrite real history.
-    // Equal ids are fine (idempotent replay of the same batch).
-    require(indexedIds.forall(_ <= batchId),
-      s"index at $indexDir already holds batch ids " +
-        s"${indexedIds.filter(_ > batchId).sorted.mkString(",")} > current " +
-        s"$batchId — stream restarted with renumbered batch ids (run " +
-        "screeningIngest with a durable checkpointDir); refusing to " +
-        "overwrite history")
+    val indexedIds = guardedIndexedBatchIds(batch, batchId, indexDir)
     val existing =
       if (indexedIds.isEmpty) newBands.limit(0)
       else spark.read.parquet(indexDir)
@@ -129,6 +111,90 @@ object StreamingDedup {
       existing, bands, rowsPerBand, shingleW, family, maxBucketSize)
     newBands.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
     cands
+  }
+
+  /** Batch ids already present in the partition-per-batch index at
+    * `indexDir`, with the renumbered-restart guard applied.
+    *
+    * Explicit existence check, not a caught AnalysisException: a real
+    * read failure (schema drift, corrupt footer) must PROPAGATE, not
+    * silently screen against an empty index. The guard: a stream
+    * restarted WITHOUT a durable checkpoint renumbers micro-batches from
+    * 0 — batch 0 would screen against `batch_id < 0` (nothing) and
+    * overwrite real history. Equal ids are fine (idempotent replay of
+    * the same batch).
+    */
+  private def guardedIndexedBatchIds(batch: DataFrame, batchId: Long,
+      indexDir: String): Seq[Long] = {
+    val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = idxPath.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    val indexedIds: Seq[Long] =
+      if (!fs.exists(idxPath)) Seq.empty
+      else fs.listStatus(idxPath).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch_id=")).map(_.stripPrefix("batch_id=").toLong)
+    require(indexedIds.forall(_ <= batchId),
+      s"index at $indexDir already holds batch ids " +
+        s"${indexedIds.filter(_ > batchId).sorted.mkString(",")} > current " +
+        s"$batchId — stream restarted with renumbered batch ids (run " +
+        "the ingest with a durable checkpointDir); refusing to " +
+        "overwrite history")
+    indexedIds
+  }
+
+  /** One micro-batch of C4-style EXACT segment dedup at ingest — the
+    * segment-digest analogue of [[screenAndIndexBatch]]: drop every
+    * segment of `batch` whose digest was seen in ANY earlier micro-batch
+    * (or earlier in this batch, keep-first by (id, idx)), reassemble the
+    * surviving text, and append this batch's distinct digests to the
+    * persisted seen-index at `indexDir`.
+    *
+    * Returns [[graft.operators.Dedup.segmentDedup]]'s
+    * (id, n_segs, n_kept, kept_text) contract for the batch's docs.
+    * First-occurrence is ARRIVAL order across batches: an earlier batch's
+    * copy wins regardless of id; within a batch, (id, idx) order — so
+    * with batch-monotone ids the stream output equals the batch operator
+    * on the concatenated corpus, restricted to this batch (spec-pinned).
+    *
+    * Exactly-once follows [[screenAndIndexBatch]]: one partition
+    * directory per micro-batch; a recovery re-run reads only
+    * `batch_id < N` and overwrites `batch_id=N` — both halves
+    * idempotent. At 100 TB the history is touched only through the
+    * digest anti-join (32-byte rows), never re-segmented.
+    */
+  def screenSegmentsBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, indexDir: String, width: Int = 16): DataFrame = {
+    val spark = batch.sparkSession
+    val indexedIds = guardedIndexedBatchIds(batch, batchId, indexDir)
+    val seen =
+      if (indexedIds.isEmpty) Dedup.segmentDigests(batch.limit(0), idCol, textCol, width)
+      else spark.read.parquet(indexDir)
+        .filter(col("batch_id") < batchId)
+        .select("__h")
+    val screened = Dedup.segmentDedupAgainst(batch, idCol, textCol, width, seen)
+    Dedup.segmentDigests(batch, idCol, textCol, width)
+      .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+    screened
+  }
+
+  /** The streaming face of [[screenSegmentsBatch]]: a `foreachBatch`
+    * query that segment-screens each arriving micro-batch against the
+    * growing seen-index and hands the screened (reassembled) docs to
+    * `onScreened`. Same checkpoint contract as [[screeningIngest]]:
+    * PRODUCTION MUST pass `checkpointDir` or a restart renumbers batch
+    * ids and the guard fails the query loudly.
+    */
+  def segmentScreeningIngest(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, checkpointDir: Option[String] = None,
+      width: Int = 16)(
+      onScreened: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onScreened(screenSegmentsBatch(batch, batchId, idCol, textCol,
+          indexDir, width), batchId)
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
   }
 
   /** The streaming face of [[screenAndIndexBatch]]: a `foreachBatch`

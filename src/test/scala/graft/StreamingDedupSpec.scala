@@ -129,6 +129,69 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("segment screening: stream output equals batch segmentDedup restricted to each batch") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sdedup_seg")
+      .toFile.getAbsolutePath + "/segindex"
+    // width=3 segments; cross-batch dup ("a b c" first in batch 0),
+    // within-batch dup ("q r s" doc3 before doc4), within-DOC dup
+    // (doc5 repeats "u v w"), and a batch-0 within-batch loser ("x y z"
+    // kept by doc 2, so doc 4's copy must still drop in batch 1)
+    val b0 = Seq((1L, "a b c d e f"), (2L, "a b c x y z"))
+    val b1 = Seq((3L, "a b c q r s"), (4L, "x y z q r s"),
+      (5L, "u v w u v w"))
+    val source = MemoryStream[(Long, String)]
+    val outs = scala.collection.concurrent.TrieMap[Long, Map[Long, (Long, Long, String)]]()
+    val q = StreamingDedup.segmentScreeningIngest(
+      source.toDF.toDF("doc_id", "text"), "doc_id", "text", dir, width = 3) {
+      (screened, batchId) =>
+        outs(batchId) = screened.collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_segs"), r.getAs[Long]("n_kept"),
+            r.getAs[String]("kept_text")))).toMap
+    }
+    try {
+      source.addData(b0: _*); q.processAllAvailable()
+      source.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    // ids are batch-monotone, so arrival order == (id, idx) order and the
+    // stream must reproduce the BATCH operator on the concatenated corpus
+    val expect = Dedup.segmentDedup((b0 ++ b1).toDF("doc_id", "text"),
+        "doc_id", "text", width = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_segs"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("kept_text")))).toMap
+    assert(outs(0L) == expect.view.filterKeys(b0.map(_._1).contains).toMap,
+      s"batch 0 diverged: ${outs(0L)}")
+    assert(outs(1L) == expect.view.filterKeys(b1.map(_._1).contains).toMap,
+      s"batch 1 diverged: ${outs(1L)}")
+    // the concrete decisions, spelled out
+    assert(outs(1L)(3L) == ((2L, 1L, "q r s")), "doc3: abc seen in b0, keeps q r s")
+    assert(outs(1L)(4L) == ((2L, 0L, "")), "doc4: both segments seen")
+    assert(outs(1L)(5L) == ((2L, 1L, "u v w")), "doc5: within-doc dup drops")
+  }
+
+  test("screenSegmentsBatch: idempotent replay and renumbered-restart guard") {
+    import sqlImplicits._
+    val dir = java.nio.file.Files.createTempDirectory("sdedup_segidem")
+      .toFile.getAbsolutePath + "/segindex"
+    val b0 = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val b1 = Seq((2L, "a b c x y z")).toDF("doc_id", "text")
+    StreamingDedup.screenSegmentsBatch(b0, 0L, "doc_id", "text", dir, width = 3).collect()
+    val first = StreamingDedup.screenSegmentsBatch(b1, 1L, "doc_id", "text", dir, width = 3)
+      .collect().map(r => (r.getLong(0), r.getAs[String]("kept_text"))).toSet
+    assert(first == Set((2L, "x y z")), s"cross-batch screen: $first")
+    val rowsAfterFirst = spark.read.parquet(dir).count()
+    val replay = StreamingDedup.screenSegmentsBatch(b1, 1L, "doc_id", "text", dir, width = 3)
+      .collect().map(r => (r.getLong(0), r.getAs[String]("kept_text"))).toSet
+    assert(replay == first, s"replay diverged: $replay vs $first")
+    assert(spark.read.parquet(dir).count() == rowsAfterFirst,
+      "replay must overwrite its partition, not append")
+    val e = intercept[IllegalArgumentException] {
+      StreamingDedup.screenSegmentsBatch(b0, 0L, "doc_id", "text", dir, width = 3).collect()
+    }
+    assert(e.getMessage.contains("renumbered"), e.getMessage)
+  }
+
   test("screenAndIndexBatch re-run of the same batch id is idempotent") {
     import sqlImplicits._
     val dir = java.nio.file.Files.createTempDirectory("sdedup_idem")
