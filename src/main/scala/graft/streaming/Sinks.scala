@@ -68,6 +68,37 @@ object Sinks {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c))
   }
 
+  /** foreachBatch writer for [[TrendingStream.momentumPipeline]]'s output
+    * — same KV/top-k view as [[trendingKvSink]], with the momentum-fed
+    * score ranking and the state columns (prev/velocity/momentum) stored
+    * alongside, so a reader can audit WHY a key ranks where it does.
+    */
+  def momentumKvSink(df: DataFrame, kv: KeyValueTopK,
+      checkpoint: Option[String] = None,
+      trigger: Trigger = Trigger.ProcessingTime(TrendingStream.TriggerInterval))
+      : DataStreamWriter[Row] = {
+    val w = df.writeStream
+      .outputMode("update")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.collect() // bounded: one row per active key
+        rows.foreach { r =>
+          kv.upsert(
+            r.getAs[String]("platform"),
+            r.getAs[String]("username"),
+            Map(
+              "trending_score" -> r.getAs[Double]("trending_score").toString,
+              "trending_label" -> r.getAs[String]("trending_label"),
+              "engagement" -> r.getAs[Double]("engagement").toString,
+              "prev_engagement" -> r.getAs[Double]("prev_engagement").toString,
+              "velocity" -> r.getAs[Double]("velocity").toString,
+              "momentum" -> r.getAs[Double]("momentum").toString),
+            r.getAs[Double]("trending_score"))
+        }
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c))
+  }
+
   /** Kafka JSON sink shape (K4): key = kol id, value = full row as JSON. */
   def toKafkaJson(df: DataFrame, keyCol: String): DataFrame =
     df.select(col(keyCol).cast("string").as("key"),

@@ -94,6 +94,44 @@ object TrendingStream {
   def pipeline(raw: DataFrame): DataFrame =
     scored(windowedAggregate(withEngagement(parseKafka(raw, EventSchemas.video))))
 
+  /** The MOMENTUM-FED hot path — the pipeline the reference stubbed
+    * (`trending_stream.py:479` passes `prev=None`, so its momentum term
+    * is always 0): parse → engagement → per-key prev-value state
+    * ([[StatefulVelocity.velocityStream]], checkpointed state store, no
+    * external KV round-trip) → trending score with the REAL momentum in
+    * the sigmoid. Batch twin with the same lag/momentum/score algebra:
+    * q71 (oracle-verified); stream↔batch momentum parity is pinned by
+    * StatefulVelocitySpec. Output feeds [[Sinks.momentumKvSink]].
+    *
+    * Keys are `username|platform` ('|' never appears in either — the
+    * reference's own Redis key convention), split back after the state
+    * stage so the sink sees the original columns.
+    */
+  def momentumPipeline(raw: DataFrame,
+      baselineVelocity: Double = 100.0, globalAvgVelocity: Double = 100.0,
+      stateTtlMs: Option[Long] = Some(StatefulVelocity.StateTtlMs)): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val keyed = withEngagement(parseKafka(raw, EventSchemas.video))
+      .select(
+        concat_ws("|", col("username"), col("platform")).as("key"),
+        col("engagement").cast("double").as("metric"),
+        (col("kafka_ts").cast("double") * 1000).cast("long").as("eventTimeMs"))
+      .as[StatefulVelocity.KeyedMetric]
+    StatefulVelocity.velocityStream(keyed, stateTtlMs).toDF()
+      .withColumn("username", substring_index(col("key"), "|", 1))
+      .withColumn("platform", substring_index(col("key"), "|", -1))
+      .withColumn("trending_score", round(Scores.trendingScore(
+        col("velocity"), lit(baselineVelocity), lit(globalAvgVelocity),
+        col("momentum")), 2))
+      .withColumn("trending_label", Scores.trendingLabel(col("trending_score")))
+      .select(col("username"), col("platform"),
+        col("metric").as("engagement"), col("prev").as("prev_engagement"),
+        round(col("velocity"), 4).as("velocity"),
+        round(col("momentum"), 4).as("momentum"),
+        col("trending_score"), col("trending_label"))
+  }
+
   /** Session-window engagement aggregation (beyond the reference, which
     * has no session windows — SURVEY §2.8 T9): one row per burst of
     * activity per key, session closing after `gap` of inactivity. Batch

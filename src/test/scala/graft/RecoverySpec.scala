@@ -126,6 +126,45 @@ class RecoverySpec extends SparkSpec {
       val second = out.find(_.metric == 250.0)
       assert(second.isDefined && second.get.prev == 100.0 && second.get.velocity == 150.0,
         s"TWS state not recovered: $out")
+      // the recovered prev feeds the q71 momentum algebra: (250−100)/100
+      assert(second.get.momentum == 1.5,
+        s"momentum must come from the RECOVERED prev: ${second.get}")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("T7+ transformWithState TimeMode.None: RocksDB restart without TTL machinery") {
+    // the TTL-less TWS path plans TimeMode.None (no processing-time
+    // timers at all) — its state layout differs from the TTL'd path, so
+    // the restart contract is pinned separately; AvailableNow terminates
+    // normally here (no no-data batches)
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val checkpoint = Files.createTempDirectory("ckpt-tws-nottl").toString
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[StatefulVelocity.VelocityOut]()
+      val source = MemoryStream[StatefulVelocity.KeyedMetric]
+      def run(): Unit = {
+        val q = StatefulVelocity.velocityStreamTws(source.toDS(), ttl = None)
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", checkpoint)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[StatefulVelocity.VelocityOut], _: Long) =>
+            batch.collect().foreach(results.add)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination(60000) finally q.stop()
+      }
+      source.addData(StatefulVelocity.KeyedMetric("k1", 200.0, 1L))
+      run()
+      source.addData(StatefulVelocity.KeyedMetric("k1", 300.0, 2L))
+      run()
+      val second = results.toArray(Array.empty[StatefulVelocity.VelocityOut])
+        .find(_.metric == 300.0)
+      assert(second.isDefined && second.get.prev == 200.0 &&
+        second.get.velocity == 100.0 && second.get.momentum == 0.5,
+        s"TimeMode.None TWS state not recovered: $results")
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }

@@ -273,6 +273,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E2E momentum drive: prev-window state feeds the score, KV top-k audits it") {
+    // The reference's momentum term is a stub — `trending_stream.py:479`
+    // passes prev=None, so its sigmoid always sees momentum 0. This
+    // drives the CLOSED loop end-to-end: ingest → per-key prev-value
+    // state → momentum-fed score → KV top-k, and checks the momentum
+    // actually moved the score vs the stubbed algebra.
+    implicit val ctx = spark.sqlContext
+    val kv = new Sinks.KeyValueTopK
+    val source = MemoryStream[KafkaLike]
+    // stateTtlMs=None: ProcessingTimeTimeout schedules continuous no-data
+    // batches, so processAllAvailable would never quiesce (scaladoc)
+    val q = Sinks.momentumKvSink(
+      TrendingStream.momentumPipeline(source.toDF(), stateTtlMs = None), kv,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)).start()
+    try {
+      // window 1: first sight of kol_m → prev = cur, momentum 0
+      source.addData(KafkaLike(videoJson("kol_m", "tiktok", 100, 0, 0, 1000, "m1"), ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      val first = kv.store("trending:tiktok:kol_m")
+      assert(first("momentum") == "0.0" && first("prev_engagement") == "100.0", first)
+      // window 2: engagement 100 → 150 (velocity 50, momentum 0.5); a
+      // flat competitor arrives for the ranking check
+      val t0 = System.nanoTime()
+      source.addData(
+        KafkaLike(videoJson("kol_m", "tiktok", 150, 0, 0, 2000, "m2"), ts("2024-01-01 10:01:00")),
+        KafkaLike(videoJson("kol_flat", "tiktok", 100, 0, 0, 1000, "f1"), ts("2024-01-01 10:01:10")))
+      q.processAllAvailable()
+      val latencyMs = (System.nanoTime() - t0) / 1e6
+      val m = kv.store("trending:tiktok:kol_m")
+      assert(m("momentum") == "0.5" && m("velocity") == "50.0" &&
+        m("prev_engagement") == "100.0", m)
+      // the momentum term MUST move the score: the same velocity pushed
+      // through the reference's stubbed (momentum=0) algebra scores lower
+      val stubbed = spark.range(1).select(round(graft.functions.Scores.trendingScore(
+        lit(50.0), lit(100.0), lit(100.0), lit(0.0)), 2)).head.getDouble(0)
+      assert(m("trending_score").toDouble > stubbed,
+        s"momentum-fed ${m("trending_score")} must beat momentum-stubbed $stubbed")
+      val top = kv.topK("tiktok", 2).map(_._1)
+      assert(top.head == "tiktok:kol_m", s"top-k: $top")
+      info(f"momentum drive: ingest->KV ${latencyMs}%.0f ms; " +
+        s"score ${m("trending_score")} (momentum 0.5) vs $stubbed (reference stub)")
+    } finally q.stop()
+  }
+
   test("T10 multi-query app: concurrent streams, awaitAnyTermination") {
     implicit val ctx = spark.sqlContext
     spark.streams.resetTerminated()
