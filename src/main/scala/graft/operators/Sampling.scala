@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.plans.TopNAgg
 
 /** Deterministic sampling for training-data pipelines.
   *
@@ -77,5 +78,104 @@ object Sampling {
       when(col(sourceCol) === s, lit(thresholds(s))).otherwise(acc)
     }
     inScope.filter(hashBucket(col(idCol), 1000000) < thrCol)
+  }
+
+  /** Per-group score-percentile gate: keep rows whose `scoreCol` is at or
+    * above the group's `pct` quantile (e.g. top quarter of quality per
+    * language — the standard post-scoring curation cut).
+    *
+    * `exact = true` uses interpolated `percentile` (≡ DuckDB
+    * `quantile_cont` — the oracle twin), which buffers every value of a
+    * group in one ObjectHashAggregate buffer: fine for the per-language
+    * threshold table (values per group bounded by corpus partitioning),
+    * the wrong default at unbounded group sizes. `exact = false` (the
+    * 100 TB path) uses the `approx_percentile` sketch — bounded memory,
+    * partial-aggregated — at the cost of a threshold within the sketch's
+    * rank error (the gate then keeps ~pct of each group rather than
+    * exactly). Same trade, same defaults, as `Serving.percentiles`.
+    *
+    * The threshold table is one row per group — always broadcast.
+    */
+  def percentileGate(df: DataFrame, groupCol: String, scoreCol: String,
+      pct: Double, exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(pct > 0 && pct < 1, s"pct must be in (0,1), got $pct")
+    val thrExpr =
+      if (exact) expr(s"percentile($scoreCol, $pct)")
+      else expr(s"approx_percentile($scoreCol, $pct, $accuracy)")
+    val thr = df.groupBy(groupCol).agg(thrExpr.as("__thr"))
+    df.join(broadcast(thr), groupCol)
+      .filter(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
+  /** Per-domain document cap: keep at most `cap` documents per URL domain
+    * (smallest ids win — deterministic, rerun-stable), dropping blocklisted
+    * domains entirely. The standard web-corpus guard against one crawler
+    * trap or SEO farm dominating the training mix.
+    *
+    * The kept-id set per domain comes from [[graft.plans.TopNAgg]]'s
+    * bounded-heap aggregate, NOT `row_number()` — a hot domain with 10⁸
+    * pages would otherwise sort all its rows in one window task (the same
+    * hot-key wall as segment dedup's old keep-first window, VERDICT r8).
+    * With the bounded aggregate the exchange carries at most `cap` ids per
+    * input partition per domain and no task sorts more than `cap` values.
+    * The exploded keep-list (≤ cap rows per domain) then semi-joins back
+    * on the unique id — broadcast-able while #domains·cap fits, a plain
+    * shuffle semi-join beyond.
+    */
+  def domainCap(df: DataFrame, urlCol: String, idCol: String, cap: Int,
+      blocklist: Seq[String] = Nil): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val dom = lower(regexp_extract(col(urlCol), "^https?://([^/]+)", 1))
+    val scoped =
+      if (blocklist.isEmpty) df.withColumn("__domain", dom)
+      else df.withColumn("__domain", dom)
+        .filter(!col("__domain").isin(blocklist: _*))
+    val keep = scoped.groupBy("__domain")
+      .agg(TopNAgg.topnMinAgg(col(idCol), cap).as("__keep"))
+      .select(explode(col("__keep")).as("__keep_id"))
+    scoped
+      .join(keep, col(idCol) === col("__keep_id"), "left_semi")
+      .drop("__domain")
+  }
+
+  /** Temperature-flattened source resampling at T = 2 (the multilingual-
+    * LM "sqrt smoothing": sample share ∝ √(natural share), so dominant
+    * sources shrink and rare ones gain relative weight). Downsample-only:
+    * the SMALLEST source keeps everything and every other source keeps
+    * `√(n_min/n_s)` of its rows, chosen by the deterministic id-hash
+    * threshold (same primitive as [[mixBySource]] — reproducible across
+    * engines, reruns, and repartitioning; an epoch re-draw is a different
+    * `salt`).
+    *
+    * T = 2 is hard-wired because √ is the one exponent with a bitwise
+    * cross-engine guarantee: IEEE 754 sqrt is correctly rounded, so the
+    * per-source rate — and therefore membership — is identical wherever
+    * the counts are (general `pow` differs in ULPs between libms, which
+    * would flip hash-boundary rows). Fully declarative: counts, the
+    * 1-row minimum, rates, and the filter are one plan — no driver
+    * round-trip, composable downstream.
+    */
+  def sqrtTemperatureSample(df: DataFrame, sourceCol: String,
+      idCol: String, salt: String = ""): DataFrame =
+    df.join(broadcast(sqrtTemperatureRates(df, sourceCol)
+        .select(col(sourceCol), col("__thr"))), sourceCol)
+      .filter(hashBucket(concat(col(idCol).cast("string"), lit(salt)),
+        1000000) < col("__thr"))
+      .drop("__thr")
+
+  /** The rate table behind [[sqrtTemperatureSample]]: one row per source
+    * with its count `__n` and keep-threshold `__thr` out of 10⁶ (the
+    * smallest source reads exactly 10⁶ = keep-everything). Exposed so
+    * pipelines can log/audit the realized mix without re-deriving it.
+    */
+  def sqrtTemperatureRates(df: DataFrame, sourceCol: String): DataFrame = {
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min("__n").as("__n_min"))
+    counts.crossJoin(broadcast(nMin))
+      .withColumn("__thr",
+        floor(sqrt(col("__n_min").cast("double") / col("__n").cast("double"))
+          * 1000000.0).cast("long"))
+      .select(col(sourceCol), col("__n"), col("__thr"))
   }
 }

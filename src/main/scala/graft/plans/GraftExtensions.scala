@@ -22,6 +22,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
   *    signature kernels ([[MinHashSig]]; xxhash64 / md5-portable family).
   *  - `simhash_sig(text)` / `simhash_sig_portable32(text)` — one-pass
   *    SimHash signature kernels ([[SimHashSig]]).
+  *  - `topn_min_agg(value, n)` — the n smallest values in one bounded
+  *    aggregation buffer ([[TopNMinAggregate]]; keep-N-per-key without a
+  *    window sort on hot keys).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -90,7 +93,12 @@ object GraftExtensions {
       val a = arity(args, 2, "cms_estimate"); CmsEstimate(a(0), a(1))
     }),
     "cms_total" -> ((args: Seq[Expression]) =>
-      CmsTotal(arity(args, 1, "cms_total").head)))
+      CmsTotal(arity(args, 1, "cms_total").head)),
+    "topn_min_agg" -> ((args: Seq[Expression]) => {
+      val a = arity(args, 2, "topn_min_agg")
+      TopNMinAggregate(a(0), intArg(a(1), "topn_min_agg n"))
+        .toAggregateExpression()
+    }))
 
   /** Exact-arity check with a named error — a raw `args(1)` on a short
     * list would surface as a bare IndexOutOfBoundsException with no

@@ -1,0 +1,143 @@
+package graft
+
+import graft.operators.{LanguageModel, Sampling}
+import graft.plans.TopNAgg
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Curation-policy operators: bounded top-n aggregate, bigram-LM
+  * perplexity, percentile gating, domain caps, √-temperature resampling.
+  */
+class CurationSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("topn_min_agg equals sorted-prefix ground truth under skew and partial merges") {
+    // 10k rows over 3 keys, one hot key with 90% of rows, ids shuffled
+    // across 16 input partitions so map-side partial merges really happen
+    val rows = spark.range(10000).repartition(16).select(
+      when(col("id") % 10 < 9, lit("hot")).otherwise(
+        when(col("id") % 2 === 0, lit("a")).otherwise(lit("b"))).as("k"),
+      // non-monotone id derivation: arrival order != value order
+      ((col("id") * 7919) % 10000).as("v"))
+    val got = rows.groupBy("k").agg(TopNAgg.topnMinAgg(col("v"), 5).as("top"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val want = rows.withColumn("rn",
+        row_number().over(Window.partitionBy("k").orderBy("v")))
+      .filter(col("rn") <= 5).groupBy("k")
+      .agg(sort_array(collect_list("v")).as("top"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got == want)
+    assert(got("hot").length == 5 && got("hot") == got("hot").sorted)
+  }
+
+  test("topn_min_agg: group smaller than n, duplicates, and nulls") {
+    val df = Seq(
+      (Some(3L), "a"), (Some(1L), "a"), (None, "a"),
+      (Some(5L), "b"), (Some(5L), "b"), (Some(5L), "b"), (Some(2L), "b"), (Some(7L), "b"))
+      .toDF("v", "k")
+    val got = df.groupBy("k").agg(TopNAgg.topnMinAgg(col("v"), 3).as("top"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got("a") == Seq(1L, 3L)) // nulls skipped, short group kept whole
+    assert(got("b") == Seq(2L, 5L, 5L)) // duplicates occupy slots
+  }
+
+  test("topn_min_agg SQL registration: works and guards arity") {
+    graft.plans.GraftExtensions.register(spark)
+    spark.range(100).createOrReplaceTempView("tn_src")
+    val out = spark.sql(
+      "SELECT topn_min_agg(id, 4) AS t FROM tn_src").collect()
+    assert(out.head.getSeq[Long](0) == Seq(0L, 1L, 2L, 3L))
+    val err = intercept[Exception](spark.sql("SELECT topn_min_agg(id) FROM tn_src"))
+    assert(err.getMessage.contains("topn_min_agg"))
+  }
+
+  test("bigram perplexity: hand-computed NLL on a 3-doc corpus") {
+    // corpus: "a b a b", "a b", "c" → bigrams: (a,b)x3, (b,a)x1; c has none
+    // c12(a,b)=3 c12(b,a)=1; c1(a)=3 c1(b)=1; V = |{a,b}| = 2
+    // p(b|a) = (3+1)/(3+2) = 0.8; p(a|b) = (1+1)/(1+2) = 2/3
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c")).toDF("id", "text")
+    val got = LanguageModel.perplexityScores(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def u(p: Double) = math.floor(-math.log(p) * 1e6 + 0.5).toLong
+    val pBA = u(4.0 / 5.0); val pAB = u(2.0 / 3.0)
+    assert(got(1L) == (3L, 2 * pBA + pAB)) // a→b, b→a, a→b
+    assert(got(2L) == (1L, pBA))
+    assert(!got.contains(3L)) // no bigrams → absent (callers left-join)
+  }
+
+  test("bigram model smoothing: unseen pairs are never scored, seen pairs add one") {
+    val docs = Seq((1L, "x y z")).toDF("id", "text")
+    val model = LanguageModel.bigramModel(
+      LanguageModel.bigramPostings(docs, "id", "text")).collect()
+    // (x,y) and (y,z); contexts x,y each count 1; vocab {x,y,z} = 3
+    assert(model.length == 2)
+    assert(model.forall(r => r.getLong(r.fieldIndex("c12")) == 1L
+      && r.getLong(r.fieldIndex("c1")) == 1L
+      && r.getLong(r.fieldIndex("v")) == 3L))
+  }
+
+  test("percentileGate: exact p75 keeps the top quarter boundary-inclusive") {
+    val df = (1 to 8).map(i => ("g", i.toDouble)).toDF("k", "s")
+    // percentile(s, 0.75) over 1..8 = 1 + 0.75*7 = 6.25 → keep {7, 8}
+    val kept = Sampling.percentileGate(df, "k", "s", 0.75, exact = true)
+      .select("s").as[Double].collect().sorted
+    assert(kept.toSeq == Seq(7.0, 8.0))
+    // a threshold landing ON a value keeps it (>= gate): p50 of 1..8 = 4.5;
+    // p50 of 1..7 = 4.0 → 4 itself survives
+    val odd = (1 to 7).map(i => ("g", i.toDouble)).toDF("k", "s")
+    val kept50 = Sampling.percentileGate(odd, "k", "s", 0.5, exact = true)
+      .select("s").as[Double].collect().sorted
+    assert(kept50.toSeq == Seq(4.0, 5.0, 6.0, 7.0))
+  }
+
+  test("percentileGate: approx path keeps ~25% of a large uniform group") {
+    val df = spark.range(10000).select(lit("g").as("k"),
+      col("id").cast("double").as("s"))
+    val n = Sampling.percentileGate(df, "k", "s", 0.75).count()
+    assert(n >= 2300 && n <= 2700, s"approx p75 kept $n of 10000")
+  }
+
+  test("domainCap: hot domain capped to smallest ids, blocklist dropped, tail intact") {
+    val docs = spark.range(200).select(col("id").as("doc_id"),
+      concat(lit("https://"),
+        when(col("id") % 2 === 0, lit("hot.example.com"))
+          .otherwise(when(col("id") % 4 === 1, lit("evil.example.com"))
+            .otherwise(concat(lit("d"), col("id"), lit(".example.net")))),
+        lit("/p/"), col("id")).as("url"))
+    val kept = Sampling.domainCap(docs, "url", "doc_id", cap = 3,
+        blocklist = Seq("evil.example.com"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val hotKept = kept.filter(_ % 2 == 0)
+    assert(hotKept == Seq(0L, 2L, 4L)) // 100 hot docs → 3 smallest
+    assert(!kept.exists(id => id % 2 == 1 && id % 4 == 1)) // blocklisted gone
+    val tail = (0L until 200L).filter(id => id % 2 == 1 && id % 4 != 1)
+    assert(kept.filter(id => id % 2 == 1) == tail) // singletons untouched
+  }
+
+  test("sqrtTemperatureSample: smallest source whole, rates ∝ sqrt share, deterministic") {
+    // sources sized 100 / 400 / 2500: rates 1.0 / 0.5 / 0.2
+    val df = spark.range(3000).select(col("id"),
+      when(col("id") < 100, lit("small"))
+        .when(col("id") < 500, lit("mid")).otherwise(lit("big")).as("src"))
+    val rates = Sampling.sqrtTemperatureRates(df, "src").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rates("small") == 1000000L)
+    assert(rates("mid") == 500000L)
+    assert(rates("big") == 200000L)
+    val kept = Sampling.sqrtTemperatureSample(df, "src", "id")
+    val bySrc = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("small") == 100L) // keep-everything threshold
+    // md5 buckets are uniform-ish: expect ~200 of mid, ~500 of big
+    assert(bySrc("mid") > 150 && bySrc("mid") < 250)
+    assert(bySrc("big") > 400 && bySrc("big") < 600)
+    // layout-independence: same membership after an adversarial repartition
+    val again = Sampling.sqrtTemperatureSample(df.repartition(13, col("id")), "src", "id")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again == kept.select("id").as[Long].collect().sorted.toSeq)
+    // a salt bump re-draws membership (epoch reshuffle) at the same rates
+    val epoch2 = Sampling.sqrtTemperatureSample(df, "src", "id", salt = ":e2")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(epoch2 != again)
+  }
+}
