@@ -157,14 +157,16 @@ object Dedup {
     // the count-over-window DOES concentrate a mega-df shingle's postings
     // in one task, but only to count and drop them — no sort (unbounded
     // frame), rows are 24-byte digests, and the exchange it rides is the
-    // SAME one the pair join needs anyway. The groupBy+join alternative
-    // gets map-side partials but pays a second join of the full postings
-    // against the df table on the same keys. On the planted
-    // every-doc-shares-a-shingle corpus the two shapes measure within
-    // noise of each other at every rung (the join's extra probe work
-    // cancels the window's buffering), so the window stays: same wall,
-    // one fewer plan branch, and the hot key's rows are dropped at the
-    // exchange that must exist regardless.
+    // SAME one the pair join needs anyway (the self-join's second side
+    // is a ReusedExchange of that stage). The groupBy+join alternative
+    // gets map-side partials but plans the df table as a separate
+    // aggregation whose probe join re-shuffles the full postings a
+    // second time. Measured on the planted every-doc-shares-a-shingle
+    // corpus (quiet machine, timed3): window 3.78/10.33/25.31 s vs
+    // groupBy+join 9.20/17.01/41.51 s at 50k/150k/450k docs — the
+    // window wins 1.6–2.4× at every rung, so it stays at every cap
+    // site. The hot key's bounded count-and-drop serialization is far
+    // cheaper than a second postings exchange.
     val dfw = Window.partitionBy("block", "shingle")
     val kept = if (windowCap) {
       postings
@@ -792,6 +794,19 @@ object Dedup {
     * input partition, and NO phase sorts anything. For non-integral ids
     * (no lossless packing) the struct-min fallback stands: 2× sort cost,
     * but every task stays bounded — the property that matters at scale.
+    *
+    * Priced honestly (hot-segment ladder, one segment in HALF the docs,
+    * quiet machine): the windowed shape still measures FASTER at every
+    * tested rung — 3.47/9.39/30.81 s vs this shape's 4.88/14.63/39.91 s
+    * at 1M/4M/16M docs — because sorting even 8M digest-only postings
+    * in one task costs low single-digit seconds while this shape pays
+    * the winners join back. Both curves are linear here; the difference
+    * is what happens beyond the machine: the window's hot partition is
+    * ONE task growing linearly with corpus size (~10⁹ postings on a
+    * ubiquitous segment at 100 TB — minutes, serialized), this shape's
+    * per-task work stays bounded by construction. ~30% at rehearsal
+    * scale buys the flat profile; [[segmentDedupWindowed]] remains for
+    * corpora known to be free of mega-df segments.
     */
   private def firstPosting(posts: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
@@ -815,9 +830,12 @@ object Dedup {
   }
 
   /** REJECTED round-8 shape of [[segmentDedup]]'s keep-first rule, kept
-    * package-private and unused by any query SOLELY so the hot-segment
+    * package-private and unused by any query so the hot-segment
     * rehearsal ladder can measure the single-task sort the operator was
-    * rewritten to avoid (see [[firstPosting]]). Do not call from queries.
+    * rewritten to avoid (see [[firstPosting]] — including the honest
+    * finding that THIS shape is ~25–30% faster at rehearsal scale and
+    * loses only beyond it, where the hot partition serializes). Not a
+    * query path.
     */
   private[graft] def segmentDedupWindowed(df: DataFrame, idCol: String,
       textCol: String, width: Int): DataFrame = {
