@@ -58,4 +58,60 @@ object Decontamination {
       .filter(col("containment") >= minContainment)
       .select("id", "bench_id", "n_shared", "n_bench_grams", "containment")
   }
+
+  /** [[benchmarkContainment]] with a Bloom-filter prefilter — SAME output
+    * (the filter is a candidate screen, never the verdict), different
+    * 100 TB shape. The exact path's first shuffle moves EVERY distinct
+    * corpus (id, gram) posting to compute the df cap; at 100 TB that
+    * exchange dwarfs the benchmark side by ~6 orders of magnitude. Here
+    * a [[graft.plans.BloomBuildAggregate]] over the benchmark's hashed
+    * grams (a few MB regardless of corpus size) is broadcast to the
+    * corpus scan, and `bloom_might_contain` drops non-benchmark grams
+    * MAP-SIDE — only grams that might be in the benchmark (true matches
+    * + the fpp tail) ever reach an exchange.
+    *
+    * Why the df cap survives the reordering: membership is a function of
+    * the gram alone, so for any gram that passes the screen ALL of its
+    * corpus postings pass — a screened gram's df computed on survivors
+    * equals its full-corpus df, and grams the screen drops could never
+    * produce a join row anyway. The cap filter is therefore applied to
+    * exactly the same values as the exact path's, just computed on a
+    * frame ~|bench|(1 + fpp·|corpus|/|bench|) instead of |corpus|.
+    *
+    * False positives cost only wasted probe rows: the gram equi-join
+    * against the real benchmark postings discards them, so the output is
+    * EXACT (spec-pinned equal to [[benchmarkContainment]]; q89's oracle
+    * is the same SQL as q73's). Grams join on their xxhash64 digest —
+    * the established digest-equals-segment convention (a collision could
+    * overcount one shared gram for one pair at ~2⁻⁶⁴ per gram pair).
+    */
+  def benchmarkContainmentBloom(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 5, maxGramDf: Long = 1000, minContainment: Double = 0.5,
+      expectedBenchGrams: Long = 1 << 20, fpp: Double = 0.01): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val docGrams = Dedup.shinglePostings(corpus, idCol, textCol, None, n)
+      .select(col("id"), xxhash64(col("shingle")).as("g")).distinct()
+    val benchGrams = Dedup.shinglePostings(bench, benchIdCol, benchTextCol, None, n)
+      .select(col("id").as("bench_id"), xxhash64(col("shingle")).as("g")).distinct()
+    val benchSizes = benchGrams.groupBy("bench_id")
+      .agg(count(lit(1)).as("n_bench_grams"))
+    val bloom = benchGrams.agg(
+      graft.plans.Bloom.bloomAgg(col("g"), expectedBenchGrams, fpp).as("bf"))
+    val screened = docGrams.join(broadcast(bloom),
+        graft.plans.Bloom.bloomMightContain(col("bf"), col("g")))
+      .drop("bf")
+    val dfw = Window.partitionBy("g")
+    val kept = screened
+      .withColumn("df_", count(lit(1)).over(dfw))
+      .filter(col("df_") <= maxGramDf)
+      .drop("df_")
+    kept.join(benchGrams, Seq("g"))
+      .groupBy("id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(benchSizes, Seq("bench_id"))
+      .withColumn("containment", col("n_shared") / col("n_bench_grams"))
+      .filter(col("containment") >= minContainment)
+      .select("id", "bench_id", "n_shared", "n_bench_grams", "containment")
+  }
 }

@@ -164,6 +164,67 @@ object Sampling {
         1000000) < col("__thr"))
       .drop("__thr")
 
+  /** Efraimidis–Spirakis weighted sampling WITHOUT replacement, k items,
+    * deterministic: each row draws its uniform from the md5 id-hash
+    * (`u = (h + 0.5) / 2³²` — never exactly 0 or 1), and the k rows with
+    * the largest `u^(1/w)` — compared as `ln(u)/w`, the monotone form
+    * that avoids cross-libm `pow` — are the sample. This is the one
+    * scheme where per-row INDEPENDENT keys give an exact without-
+    * replacement weighted sample (Efraimidis & Spirakis 2006), which is
+    * what makes it distributed-friendly: no sequential state, no
+    * rejection loop, just a global top-k.
+    *
+    * The top-k plans as `TakeOrderedAndProject` — per-partition bounded
+    * heaps, one k-row merge — never a global sort. Reruns, repartitions,
+    * and engines agree on the sample because the only inputs are the id
+    * and the weight. Ties are broken by id ascending so the selected SET
+    * is stable even on a (astronomically unlikely) equal key; rows with
+    * null or non-positive weight are excluded up front (a zero weight
+    * has selection probability 0; a negative one is a caller bug made
+    * loud by exclusion rather than NaN ordering).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = col(weightCol).cast("double")
+    val h = conv(substring(md5(concat(lit(seed), lit(":"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    val u = (h.cast("double") + 0.5) / 4294967296.0
+    df.filter(w.isNotNull && w > 0)
+      .withColumn("__es", log(u) / w)
+      .orderBy(col("__es").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__es")
+  }
+
+  /** Stratified deterministic sample: exactly `nPer` documents per group
+    * (fewer if the group is smaller), selected in md5 id-hash order — a
+    * seeded pseudo-random draw any engine can replay. Selection runs on
+    * [[graft.plans.TopNAgg]]'s bounded heap over `hash·2³¹ + id` (hash
+    * from 7 md5 hex chars = 28 bits, so the packed long is exact and its
+    * ordering is (hash, id) lexicographic — the id bits double as the
+    * tie-break), NOT `row_number()`: a hot stratum never sorts in one
+    * window task, the exchange carries ≤ nPer packed longs per input
+    * partition per group. Same keep-N shape as [[domainCap]]; ids must
+    * be in [0, 2³¹), enforced per row.
+    */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+      nPer: Int, seed: String = ""): DataFrame = {
+    require(nPer > 0, s"nPer must be positive, got $nPer")
+    val id = col(idCol).cast("long")
+    val h = conv(substring(md5(concat(lit(seed), lit(":"),
+      col(idCol).cast("string"))), 1, 7), 16, 10).cast("long")
+    val packed = when(id >= 0 && id < (1L << 31), h * (1L << 31) + id)
+      .otherwise(expr(
+        "assert_true(false, 'stratifiedSample requires 0 <= id < 2^31')")
+        .cast("long"))
+    val keep = df.groupBy(groupCol)
+      .agg(TopNAgg.topnMinAgg(packed, nPer).as("__keep"))
+      .select(explode(col("__keep")).as("__packed"))
+      .select((col("__packed") % (1L << 31)).as("__keep_id"))
+    df.join(keep, id === col("__keep_id"), "left_semi")
+  }
+
   /** The rate table behind [[sqrtTemperatureSample]]: one row per source
     * with its count `__n` and keep-threshold `__thr` out of 10⁶ (the
     * smallest source reads exactly 10⁶ = keep-everything). Exposed so

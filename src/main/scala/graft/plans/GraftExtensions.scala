@@ -25,6 +25,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
   *  - `topn_min_agg(value, n)` — the n smallest values in one bounded
   *    aggregation buffer ([[TopNMinAggregate]]; keep-N-per-key without a
   *    window sort on hot keys).
+  *  - `bloom_agg(hashed_long, expectedItems[, fpp])` /
+  *    `bloom_might_contain(filter, hashed_long)` — mergeable Bloom
+  *    membership filter + probe ([[BloomBuildAggregate]],
+  *    [[BloomMightContainLong]]; the membership member of the sketch
+  *    family next to `hll_union` and `cms_union_agg`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -43,6 +48,22 @@ object GraftExtensions {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  // SQL decimal literals (0.01) arrive as Decimal, not Double
+  private def doubleArg(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
   }
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -98,6 +119,16 @@ object GraftExtensions {
       val a = arity(args, 2, "topn_min_agg")
       TopNMinAggregate(a(0), intArg(a(1), "topn_min_agg n"))
         .toAggregateExpression()
+    }),
+    "bloom_agg" -> ((args: Seq[Expression]) => {
+      val a = arity(args, 2, 3, "bloom_agg")
+      BloomBuildAggregate(a(0), longArg(a(1), "bloom_agg expectedItems"),
+        if (a.length > 2) doubleArg(a(2), "bloom_agg fpp") else 0.01)
+        .toAggregateExpression()
+    }),
+    "bloom_might_contain" -> ((args: Seq[Expression]) => {
+      val a = arity(args, 2, "bloom_might_contain")
+      BloomMightContainLong(a(0), a(1))
     }))
 
   /** Exact-arity check with a named error — a raw `args(1)` on a short

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{LanguageModel, Sampling}
+import graft.operators.{Decontamination, LanguageModel, Sampling, Snapshot}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation policy operators over `documents` (beyond-reference,
@@ -25,6 +25,19 @@ import org.apache.spark.sql.functions._
   *    share), downsample-only, membership by the md5 id-hash threshold
   *    (IEEE sqrt is correctly rounded, so rates are bit-identical on
   *    both engines — the reason T=2 is the hard-wired exponent)
+  *  - q89 Bloom-screened decontamination: q73's exact output through the
+  *    map-side Bloom prefilter path (`bloom_agg`/`bloom_might_contain`)
+  *    — the oracle IS q73's SQL, because the filter screens candidates
+  *    and the exact gram join renders the verdict
+  *  - q90 Efraimidis–Spirakis weighted sample: k docs without
+  *    replacement, selection probability ∝ weight, keys from the md5
+  *    id-hash — a global top-k, no RNG, no sequential state
+  *  - q91 stratified per-language sample: exactly n per language in
+  *    seeded hash order via the bounded-heap topn_min_agg (integer sort
+  *    keys — fully engine-portable ordering)
+  *  - q92 corpus snapshot diff: added/removed/changed/unchanged between
+  *    two derived snapshots by content fingerprint — the incremental
+  *    front door that keeps a refresh from reprocessing the whole corpus
   */
 object CurationOps {
 
@@ -185,6 +198,135 @@ object CurationOps {
         .select(col("lang"), col("n_docs"), col("thr"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("kept_sum"), lit(0L)).as("kept_sum"))
+    },
+
+    // q89: Bloom-screened decontamination ([[graft.operators
+    // .Decontamination.benchmarkContainmentBloom]]). Same planted eval
+    // set and SAME ORACLE as q73 — the Bloom filter only screens
+    // candidate grams map-side; the exact gram join decides, so false
+    // positives cost probe rows, never output rows. What changes is the
+    // shuffle: the exact path exchanges every distinct corpus (id, gram)
+    // posting to df-cap it, the Bloom path only the grams that might be
+    // in the benchmark.
+    QueryDef.sql(
+      "q89_bloom_decontamination",
+      s"""WITH toks AS (
+         |  SELECT doc_id, $T AS tk FROM documents),
+         |btoks AS (
+         |  SELECT doc_id AS bench_id,
+         |    list_slice(tk, len(tk)//4 + 1,
+         |               len(tk)//4 + greatest(len(tk)//2, 1)) AS tk
+         |  FROM toks WHERE doc_id % 25 = 0),
+         |cg AS (
+         |  SELECT doc_id, CASE WHEN len(tk) = 0 THEN []
+         |    ELSE list_distinct(list_transform(generate_series(1, greatest(len(tk) - 4, 1)),
+         |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))) END AS g
+         |  FROM toks),
+         |bg AS (
+         |  SELECT bench_id, CASE WHEN len(tk) = 0 THEN []
+         |    ELSE list_distinct(list_transform(generate_series(1, greatest(len(tk) - 4, 1)),
+         |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))) END AS g
+         |  FROM btoks),
+         |cpost AS (SELECT doc_id, unnest(g) AS gram FROM cg),
+         |rare AS (SELECT gram FROM cpost GROUP BY gram HAVING count(*) <= 1000),
+         |kept AS (SELECT c.* FROM cpost c JOIN rare r USING (gram)),
+         |bpost AS (SELECT bench_id, unnest(g) AS gram FROM bg),
+         |bsizes AS (SELECT bench_id, len(g) AS n_bench_grams FROM bg),
+         |shared AS (
+         |  SELECT k.doc_id AS id, b.bench_id, count(*) AS n_shared
+         |  FROM kept k JOIN bpost b USING (gram)
+         |  GROUP BY 1, 2)
+         |SELECT s.id, s.bench_id, s.n_shared,
+         |  CAST(z.n_bench_grams AS BIGINT) AS n_bench_grams,
+         |  floor(s.n_shared * 1.0 / z.n_bench_grams * 10000.0 + 0.5) / 10000.0
+         |    AS containment
+         |FROM shared s JOIN bsizes z USING (bench_id)
+         |WHERE s.n_shared * 1.0 / z.n_bench_grams >= 0.5""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = TextFunctions.tokens(col("text"))
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("bench_id"),
+          concat_ws(" ", slice(toks,
+            (floor(size(toks) / 4) + 1).cast("int"),
+            greatest(floor(size(toks) / 2), lit(1)).cast("int"))).as("btext"))
+      Decontamination
+        .benchmarkContainmentBloom(docs, "doc_id", "text", bench, "bench_id", "btext")
+        .select(col("id"), col("bench_id"), col("n_shared"), col("n_bench_grams"),
+          TextFunctions.round4hu(col("containment")).as("containment"))
+    },
+
+    // q90: Efraimidis–Spirakis weighted sample ([[graft.operators
+    // .Sampling.weightedSample]]) — 100 docs without replacement with
+    // probability ∝ (n_chars + 1). The oracle replays the identical
+    // ln(u)/w top-k; sort keys derive only from the id hash and the
+    // weight, so the selected SET is engine-stable (ties broken by id).
+    QueryDef.sql(
+      "q90_weighted_sample",
+      """WITH t AS (
+        |  SELECT doc_id, source, CAST(n_chars + 1 AS DOUBLE) AS w,
+        |    CAST(concat('0x', substring(md5('s9:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, source, w FROM t
+        |ORDER BY ln((h + 0.5) / 4294967296.0) / w DESC, doc_id
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") + 1).cast("double").as("w"))
+      Sampling.weightedSample(docs, "doc_id", "w", k = 100, seed = "s9")
+    },
+
+    // q91: stratified per-language sample ([[graft.operators.Sampling
+    // .stratifiedSample]]) — exactly 20 docs per language in seeded
+    // md5-hash order. The oracle's row_number formulation is the
+    // correctness twin; the engine runs the bounded-heap aggregate
+    // (packed integer keys, no per-language window sort).
+    QueryDef.sql(
+      "q91_stratified_sample",
+      """WITH x AS (
+        |  SELECT lang, doc_id,
+        |    CAST(concat('0x', substring(md5('s9:' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+        |      FROM x)
+        |SELECT lang, doc_id FROM r WHERE rn <= 20""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("lang"), col("doc_id"))
+      Sampling.stratifiedSample(docs, "lang", "doc_id", nPer = 20, seed = "s9")
+        .select("lang", "doc_id")
+    },
+
+    // q92: corpus snapshot diff ([[graft.operators.Snapshot.corpusDiff]]).
+    // Old snapshot = docs with doc_id % 7 != 3; new = docs with
+    // doc_id % 5 != 4, every 11th doc's text amended — so all four
+    // statuses occur. Fingerprint = the q31 normalization (md5 of
+    // lower/whitespace-collapsed text); the diff itself never reads text.
+    QueryDef.sql(
+      "q92_corpus_diff",
+      """WITH o AS (
+        |  SELECT doc_id AS id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS old_fp
+        |  FROM documents WHERE doc_id % 7 != 3),
+        |n AS (
+        |  SELECT doc_id AS id,
+        |    md5(trim(regexp_replace(lower(
+        |      CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END),
+        |      '\s+', ' ', 'g'))) AS new_fp
+        |  FROM documents WHERE doc_id % 5 != 4)
+        |SELECT coalesce(o.id, n.id) AS id,
+        |  CASE WHEN o.id IS NULL THEN 'added'
+        |       WHEN n.id IS NULL THEN 'removed'
+        |       WHEN o.old_fp = n.new_fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  o.old_fp, n.new_fp
+        |FROM o FULL OUTER JOIN n ON o.id = n.id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      val newSnap = docs.filter(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id"), TextFunctions.fingerprint(
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("fp"))
+      Snapshot.corpusDiff(oldSnap, newSnap, "doc_id", "fp")
     }
   )
 }

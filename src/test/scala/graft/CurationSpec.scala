@@ -140,4 +140,68 @@ class CurationSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq
     assert(epoch2 != again)
   }
+
+  test("weightedSample: weight-monotone, layout-independent, excludes non-positive weights") {
+    // one row with overwhelming weight is always selected; tiny weights fill in
+    val df = spark.range(1000).select(col("id"),
+      when(col("id") === 7, lit(1e9)).otherwise(lit(1.0)).as("w"))
+    val picked = Sampling.weightedSample(df, "id", "w", k = 50, seed = "t")
+      .select("id").as[Long].collect().toSet
+    assert(picked.contains(7L))
+    assert(picked.size == 50)
+    // identical sample after an adversarial repartition (no RNG, no
+    // partition-layout dependence — the property Spark's sample() lacks)
+    val again = Sampling.weightedSample(df.repartition(17, col("id")),
+      "id", "w", k = 50, seed = "t").select("id").as[Long].collect().toSet
+    assert(again == picked)
+    // a different seed draws a different sample at the same weights
+    val other = Sampling.weightedSample(df, "id", "w", k = 50, seed = "u")
+      .select("id").as[Long].collect().toSet
+    assert(other != picked && other.contains(7L))
+    // zero/negative/null weights can never be drawn
+    val mixed = spark.range(100).select(col("id"),
+      when(col("id") < 50, lit(-1.0)).when(col("id") < 75, lit(0.0))
+        .otherwise(lit(2.0)).as("w"))
+    val m = Sampling.weightedSample(mixed, "id", "w", k = 100, seed = "t")
+      .select("id").as[Long].collect().toSet
+    assert(m == (75L until 100L).toSet)
+  }
+
+  test("stratifiedSample: exact per-group quota, equals the row_number twin, id-range guard") {
+    val df = spark.range(2000).select(col("id"),
+      when(col("id") % 20 === 0, lit("rare")).otherwise(lit("common")).as("g"))
+    val got = Sampling.stratifiedSample(df, "g", "id", nPer = 30, seed = "t")
+    val byG = got.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG("common") == 30L && byG("rare") == 30L)
+    // small group: kept whole
+    val small = spark.range(5).select(col("id"), lit("only").as("g"))
+    assert(Sampling.stratifiedSample(small, "g", "id", 30, "t").count() == 5)
+    // the windowed formulation selects the same ids (packed-long ordering
+    // == (hash, id) lexicographic)
+    val h = conv(substring(md5(concat(lit("t:"), col("id").cast("string"))), 1, 7), 16, 10)
+      .cast("long")
+    val want = df.withColumn("h", h)
+      .withColumn("rn", row_number().over(Window.partitionBy("g").orderBy("h", "id")))
+      .filter(col("rn") <= 30).select("id").as[Long].collect().toSet
+    assert(got.select("id").as[Long].collect().toSet == want)
+    // ids outside [0, 2^31) refuse loudly instead of sampling garbage
+    val bad = spark.range(3).select((col("id") + (1L << 40)).as("id"), lit("g").as("g"))
+    intercept[Exception] {
+      Sampling.stratifiedSample(bad, "g", "id", 2, "t").collect()
+    }
+  }
+
+  test("corpusDiff statuses and reprocessSlice") {
+    import graft.operators.Snapshot
+    val old = Seq((1L, "fa"), (2L, "fb"), (3L, "fc")).toDF("id", "fp")
+    val neu = Seq((2L, "fb"), (3L, "fc2"), (4L, "fd")).toDF("id", "fp")
+    val diff = Snapshot.corpusDiff(old, neu, "id", "fp").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    val slice = Snapshot.reprocessSlice(old, neu, "id", "fp")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(slice == Seq(3L, 4L))
+  }
 }
