@@ -99,10 +99,16 @@ case class BloomBuildAggregate(
 }
 
 /** One-entry per-thread cache of the last deserialized Bloom filter,
-  * keyed on the serialized bytes — same rationale as [[CachedSketchEval]]
-  * (a row-sourced BINARY column hands each call a fresh array copy, so
-  * content equality is the cache key; memcmp is an order of magnitude
-  * cheaper than parse+allocate).
+  * keyed on the serialized bytes — same shape as [[CachedSketchEval]],
+  * with one sharp edge the CMS probes don't have: Bloom filters are
+  * orders of magnitude larger (≈ 1.2 MB per 10⁶ keys at 1% fpp), so the
+  * content-equality fallback — a full memcmp of the filter — is only
+  * acceptable as a SAFETY NET, never the steady state. Callers probing
+  * per scan row MUST hand the filter as a stable reference (a `lit` of
+  * the collected bytes — `Decontamination.BenchBloomIndex.bloomBytes`),
+  * where the `eq` fast path hits every row; a row-sourced BINARY column
+  * copies the bytes per access and pays the memcmp per row (measured
+  * 34× on the decontamination screen).
   */
 private[plans] trait CachedBloomEval {
   @transient private lazy val cache =

@@ -246,4 +246,45 @@ class StreamingDedupSpec extends SparkSpec {
       assert(!plan.contains("StateStore"), plan.take(2000))
     } finally q.stop()
   }
+
+  test("decontamination ingest: per-batch flags equal the batch operator, clean batches flag nothing") {
+    import sqlImplicits._
+    implicit val ctx = spark.sqlContext
+    val bench = Seq((100L, "alpha beta gamma delta"),
+      (200L, "one two three four")).toDF("bench_id", "btext")
+    // n=3 grams: item 100 = {alpha beta gamma, beta gamma delta}.
+    // b0 doc 2 embeds item 100 whole (containment 1.0); b1 doc 3 carries
+    // only "one two three" of item 200 (containment 0.5, the gate edge);
+    // docs 1/4 share no gram with either item
+    val b0 = Seq((1L, "the quick brown fox jumps over"),
+      (2L, "intro words alpha beta gamma delta outro tail"))
+    val b1 = Seq((3L, "second item one two three inside text"),
+      (4L, "completely clean words here again"))
+    val source = MemoryStream[(Long, String)]
+    val outs = scala.collection.concurrent.TrieMap[Long, Set[(Long, Long, Long, Long)]]()
+    val q = graft.streaming.DecontaminationStream.ingest(
+      source.toDF.toDF("doc_id", "text"), "doc_id", "text",
+      bench, "bench_id", "btext", n = 3) { (flagged, batchId) =>
+      outs(batchId) = flagged.collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Long]("bench_id"), r.getAs[Long]("n_shared"),
+        r.getAs[Long]("n_bench_grams"))).toSet
+    }
+    try {
+      source.addData(b0: _*); q.processAllAvailable()
+      source.addData(b1: _*); q.processAllAvailable()
+      source.addData((5L, "nothing suspicious at all today")); q.processAllAvailable()
+    } finally q.stop()
+    assert(outs(0L) == Set((2L, 100L, 2L, 2L)), s"batch 0: ${outs(0L)}")
+    assert(outs(1L) == Set((3L, 200L, 1L, 2L)), s"batch 1: ${outs(1L)}")
+    assert(outs(2L) == Set.empty, s"clean batch flagged: ${outs(2L)}")
+    // stream == the exact batch operator applied to each batch alone
+    Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+      val exact = graft.operators.Decontamination.benchmarkContainment(
+        b.toDF("doc_id", "text"), "doc_id", "text",
+        bench, "bench_id", "btext", n = 3)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("bench_id"),
+          r.getAs[Long]("n_shared"), r.getAs[Long]("n_bench_grams"))).toSet
+      assert(outs(i.toLong) == exact, s"batch $i diverged from exact: $exact")
+    }
+  }
 }
