@@ -151,6 +151,52 @@ object Packing {
       groupOf = substring(col("shuffle_key"), 1, 2))
   }
 
+  /** Shard manifest over [[packChunks]] output: contiguous runs of
+    * `chunksPerShard` chunks become one training shard, and each shard
+    * row carries its chunk count, token count, and a fingerprint of its
+    * chunk fingerprints IN CHUNK ORDER — the audit record that lets a
+    * trainer (or a later round) verify a shard file byte-for-byte
+    * without re-deriving the packing. Contiguous assignment is the
+    * point: chunk order IS training order (q81's shuffle already
+    * randomized it upstream), so a shard is a sequential slice of the
+    * token stream and resuming from shard k is resuming from a known
+    * stream position.
+    *
+    * Scale shape: one hash aggregate keyed on shard_id; a shard's
+    * partition is bounded at `chunksPerShard` 32-char fingerprints.
+    */
+  def shardManifest(chunks: DataFrame, chunksPerShard: Long): DataFrame = {
+    require(chunksPerShard > 0,
+      s"chunksPerShard must be positive, got $chunksPerShard")
+    chunks
+      .groupBy(chunkOf(col("chunk_id"), chunksPerShard).as("shard_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("n_tokens").cast("long").as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("chunk_id"), col("chunk_fp")))),
+            x => x.getField("chunk_fp")),
+          " ")).as("shard_fp"))
+  }
+
+  /** Write [[packChunks]] output as one parquet file per shard under
+    * `dir/shard_id=K/`. `repartition(shard_id)` puts each shard's chunks
+    * in exactly one task, `sortWithinPartitions` fixes the row order
+    * inside the file, and `partitionBy` gives the hive layout a trainer
+    * can range-read — so shard K is ONE sequentially-readable file whose
+    * content is pinned by [[shardManifest]]'s `shard_fp`. At 100 TB the
+    * same call fans out across executors: shards are independent, no
+    * coordination beyond the one exchange.
+    */
+  def writeShards(chunks: DataFrame, dir: String, chunksPerShard: Long): Unit = {
+    require(chunksPerShard > 0,
+      s"chunksPerShard must be positive, got $chunksPerShard")
+    chunks
+      .withColumn("shard_id", chunkOf(col("chunk_id"), chunksPerShard))
+      .repartition(col("shard_id"))
+      .sortWithinPartitions("chunk_id")
+      .write.mode("overwrite").partitionBy("shard_id").parquet(dir)
+  }
+
   /** Chunk id of a non-negative offset. Offsets stay under 2^53
     * (≈9e15 tokens ≈ tens of PB of raw text), so after subtracting the
     * remainder the double division is exact.

@@ -171,6 +171,44 @@ object Similarity {
       .select("qid", "cell", "nid", "cosine", "rank")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space with the coarse quantizer, then drop —
+    * WITHIN each cluster only — every vector that has a near-duplicate
+    * (cosine ≥ `tau`) with a smaller id. The keep rule is the paper's
+    * practical greedy one (keep the first representative encountered,
+    * here in id order), not transitive closure: near-dup sets are
+    * near-cliques in practice, and the greedy rule needs no iterative
+    * component propagation — one self-join decides everything
+    * (contrast [[graft.operators.Dedup.dedupByPairs]], the
+    * connected-components policy used when pairs are verified near-dups
+    * from text).
+    *
+    * Scale shape: assignment is the pure-projection literal-centroid
+    * argmin (no shuffle), the pair join keys on the cell — candidate
+    * volume is Σ|cell|², the quantizer's job to bound (more centroids =
+    * smaller cells), and the only exchange the corpus crosses is the
+    * cell repartition both self-join sides share.
+    *
+    * Output: (id, cell, kept) for every input vector.
+    */
+  def semanticDedup(corpus: DataFrame, tau: Double, nCentroids: Int = 16,
+      centroids: Option[Seq[(Long, Array[Float])]] = None): DataFrame = {
+    val cents = centroids.getOrElse(sampleCentroidsPortable(corpus, nCentroids))
+    val assigned = corpus.select(col("id"), col("embedding"),
+        array_min(centroidRanks(cents, col("embedding"))).getField("cid").as("cell"))
+      .repartition(col("cell"))
+    val a = assigned.as("a")
+    val b = assigned.as("b")
+    val dropped = a.join(b,
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id") &&
+        VectorExpressions.cosineNative(col("a.embedding"), col("b.embedding")) >= tau)
+      .select(col("b.id").as("id")).distinct()
+    assigned
+      .join(dropped.withColumn("__dropped", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("__dropped"), lit(false)).unary_!.as("kept"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, LSH-blocked:
     * the dedup formulation of similarity search (pairs, not top-k).
     */

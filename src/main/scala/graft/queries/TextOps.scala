@@ -751,6 +751,42 @@ object TextOps {
           sum("pieces").cast("long").as("total_pieces"),
           max("pieces").cast("long").as("max_pieces"),
           TextFunctions.round4hu(avg(col("pieces").cast("double"))).as("avg_pieces"))
+    },
+
+    // q93: shard manifest ([[graft.operators.Packing.shardManifest]]) —
+    // q80's packed chunks grouped into 4-chunk training shards, each
+    // shard's content pinned by a fingerprint of its chunk fingerprints
+    // in chunk order. The audit record for the written shard files
+    // (Packing.writeShards, layout spec-pinned): a trainer verifies a
+    // shard byte-for-byte without re-deriving the packing.
+    QueryDef.sql(
+      "q93_shard_manifest",
+      s"""WITH t AS (SELECT doc_id, $T AS tk FROM documents),
+         |c AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t),
+         |o AS (
+         |  SELECT doc_id, tk, n,
+         |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS off
+         |  FROM c),
+         |g AS (
+         |  SELECT doc_id, off, unnest(generate_series(1, n)) AS i, tk
+         |  FROM o WHERE n > 0),
+         |tok AS (SELECT off + i - 1 AS gpos, tk[i] AS tok FROM g),
+         |chunks AS (
+         |  SELECT gpos // 256 AS chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    md5(string_agg(tok, ' ' ORDER BY gpos)) AS chunk_fp
+         |  FROM tok GROUP BY 1)
+         |SELECT chunk_id // 4 AS shard_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(chunk_fp, ' ' ORDER BY chunk_id)) AS shard_fp
+         |FROM chunks GROUP BY 1""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+      graft.operators.Packing.shardManifest(
+        graft.operators.Packing.packChunks(docs, "doc_id", "tk",
+          capacity = 256, groupOf = expr("doc_id div 64")),
+        chunksPerShard = 4)
     }
   )
 

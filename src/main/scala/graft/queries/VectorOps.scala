@@ -200,6 +200,38 @@ object VectorOps {
         round4hu(max("cosine")).as("max_cosine"))
       emb.groupBy("label").agg(count(lit(1)).as("n_vecs"))
         .crossJoin(broadcast(stats))
+    },
+
+    // q94: SemDeDup-style semantic dedup ([[graft.operators.Similarity
+    // .semanticDedup]]) — IVF-cell clustering (the q56 md5-sampled
+    // portable centroids) then the greedy within-cell keep rule: drop
+    // any vector with a cosine ≥ 0.5 neighbor of smaller id in its
+    // cell. The oracle replays assignment and the drop join with
+    // DuckDB's DOUBLE[] ops; cross-engine ≥-on-cosine is the q62
+    // precedent.
+    QueryDef.sql(
+      "q94_semantic_dedup",
+      """WITH e AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+        |          FROM embeddings
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 12),
+        |assign AS (
+        |  SELECT nid, ne, cid,
+        |    list_dot_product(ce, ce) - 2 * list_dot_product(ne, ce) AS dist
+        |  FROM e CROSS JOIN cents),
+        |cells AS (
+        |  SELECT nid, ne, cid AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY nid ORDER BY dist, cid) AS rn
+        |    FROM assign) WHERE rn = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.nid
+        |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.nid < b.nid
+        |    AND list_cosine_similarity(a.ne, b.ne) >= 0.5)
+        |SELECT c.nid AS id, c.cell, (d.nid IS NULL) AS kept
+        |FROM cells c LEFT JOIN dropped d ON c.nid = d.nid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding"))
+      val cents = Similarity.sampleCentroidsPortable(emb, 12)
+      Similarity.semanticDedup(emb, tau = 0.5, centroids = Some(cents))
     }
   )
 }

@@ -469,6 +469,65 @@ class OperatorsSpec extends SparkSpec {
     assert(got == expect, s"$got vs $expect")
   }
 
+  test("shardManifest groups contiguous chunks; writeShards lands one ordered file per shard") {
+    import graft.operators.Packing
+    val docs = Seq(
+      (0L, Seq("a0", "a1", "a2")),
+      (1L, Seq("b0", "b1", "b2", "b3")),
+      (2L, Seq("c0", "c1")),
+      (4L, Seq("d0", "d1", "d2", "d3", "d4"))
+    ).toDF("id", "tk")
+    val chunks = Packing.packChunks(docs, "id", "tk", capacity = 4,
+      groupOf = expr("id div 2"))
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val stream = Seq("a0", "a1", "a2", "b0", "b1", "b2", "b3", "c0", "c1",
+      "d0", "d1", "d2", "d3", "d4")
+    val chunkFps = stream.grouped(4).map(c => md5s(c.mkString(" "))).toSeq
+    val got = Packing.shardManifest(chunks, chunksPerShard = 2)
+      .collect().map(r => r.getAs[Long]("shard_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_tokens"),
+          r.getAs[String]("shard_fp")))).toMap
+    assert(got == Map(
+      0L -> ((2L, 8L, md5s(chunkFps.take(2).mkString(" ")))),
+      1L -> ((2L, 6L, md5s(chunkFps.drop(2).mkString(" "))))), s"$got")
+    // the files: one parquet per shard dir, rows in chunk order
+    val dir = java.nio.file.Files.createTempDirectory("shards").toFile.getAbsolutePath
+    Packing.writeShards(chunks, dir, chunksPerShard = 2)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard_id=")).sortBy(_.getName)
+    assert(shardDirs.map(_.getName).toSeq == Seq("shard_id=0", "shard_id=1"))
+    shardDirs.foreach { sd =>
+      assert(sd.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"${sd.getName} must hold exactly one data file")
+    }
+    val shard0 = spark.read.parquet(s"$dir/shard_id=0")
+      .select("chunk_id").as[Long].collect().toSeq
+    assert(shard0 == Seq(0L, 1L), "rows inside a shard file are in chunk order")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 4 &&
+      back.select("chunk_id", "n_tokens", "chunk_fp").except(chunks).isEmpty)
+  }
+
+  test("semanticDedup: greedy within-cell keep rule, cross-cell twins untouched") {
+    // explicit centroids on axes; tau = 0.9
+    val cents = Seq(100L -> Array(1f, 0f, 0f, 0f), 200L -> Array(0f, 1f, 0f, 0f))
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),       // cell 100, first — kept
+      (1L, Seq(0.99f, 0.1f, 0f, 0f)),  // cell 100, cos≈0.995 with v0 — dropped
+      (2L, Seq(0f, 1f, 0f, 0f)),       // cell 200, first — kept
+      (3L, Seq(0.1f, 0.99f, 0f, 0f)),  // cell 200, cos≈0.995 with v2 — dropped
+      (4L, Seq(1f, 0.05f, 0f, 0f)),    // cell 100, cos≈0.999 with v0 — dropped
+      (5L, Seq(0.7f, 0f, 0.714f, 0f))  // cell 100, cos=0.7 with v0 < 0.9 — kept
+    ).toDF("id", "embedding")
+    val got = Similarity.semanticDedup(emb, tau = 0.9, centroids = Some(cents))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("cell"), r.getAs[Boolean]("kept")))).toMap
+    assert(got == Map(
+      0L -> ((100L, true)), 1L -> ((100L, false)), 2L -> ((200L, true)),
+      3L -> ((200L, false)), 4L -> ((100L, false)), 5L -> ((100L, true))), s"$got")
+  }
+
   test("segmentDedup: global first occurrence wins, docs reassemble, empty doc survives") {
     import graft.operators.Dedup
     // width=3 segments; doc 0 and doc 2 share an identical segment block,
