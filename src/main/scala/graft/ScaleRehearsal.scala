@@ -87,6 +87,7 @@ object ScaleRehearsal {
     val asofOnly = args.contains("--asof-only")
     val segOnly = args.contains("--seg-only")
     val capOnly = args.contains("--cap-only")
+    val deconOnly = args.contains("--decon-only")
     val posArgs = args.toSeq.filterNot(_.startsWith("--"))
     val scales = if (posArgs.nonEmpty) posArgs.map(_.toLong)
     else Seq(15000L, 50000L, 150000L)
@@ -99,7 +100,7 @@ object ScaleRehearsal {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val out = (if (asofOnly || segOnly || capOnly) Seq.empty[Long] else scales).map { n =>
+    val out = (if (asofOnly || segOnly || capOnly || deconOnly) Seq.empty[Long] else scales).map { n =>
       val docs = corpus(spark, n).cache()
       docs.count() // materialize outside every timed window
 
@@ -298,7 +299,7 @@ object ScaleRehearsal {
     // (the cap's cost only matters in situ: the window rides the pair
     // join's exchange, the groupBy pays an extra join — isolating the cap
     // stage would hide exactly that difference).
-    if (!asofOnly && !segOnly) {
+    if (!asofOnly && !segOnly && !deconOnly) {
       def megaCorpus(n: Long) = corpus(spark, n).select(col("id"),
         concat(lit("omni present header tokens "), col("text")).as("text"),
         col("source"))
@@ -328,6 +329,51 @@ object ScaleRehearsal {
     }
 
     if (capOnly) { spark.stop(); return }
+
+    // Decontamination screen ladder (r9): the EXACT full-postings path
+    // vs the Bloom literal-screen path against a FIXED 200-item
+    // benchmark as the corpus grows. This is the asymmetry the bloom
+    // path exists for — the exact path exchanges every distinct corpus
+    // (id, gram) posting to df-cap it (work ∝ corpus), the bloom path
+    // drops non-benchmark grams at the scan and exchanges only the
+    // might-be-benchmark residue (work ∝ benchmark + fpp·corpus). At
+    // sf0.1 (1.5k docs) the filter build dominates and bloom LOSES
+    // (2.8 vs 2.0 s, PERF_NOTES r9); this ladder locates the crossover.
+    // Benchmark = middle half of every corpus doc with id < 200 (the
+    // q73 construction), so flags exist at every rung and both paths
+    // must return identical rows.
+    if (!asofOnly && !segOnly) {
+      import graft.operators.Decontamination
+      def benchOf(docs: DataFrame) = docs.filter(col("id") < 200)
+        .select(col("id").as("bench_id"), expr(
+          "array_join(slice(split(text, ' '), cast(size(split(text, ' '))/4 as int) + 1, " +
+            "greatest(cast(size(split(text, ' '))/2 as int), 1)), ' ')").as("btext"))
+      locally { // untimed JIT/codegen warmup
+        val w = corpus(spark, 20000L).cache(); w.count()
+        val bw = benchOf(w).cache(); bw.count()
+        Decontamination.benchmarkContainment(w, "id", "text", bw, "bench_id", "btext").count()
+        Decontamination.benchmarkContainmentBloom(w, "id", "text", bw, "bench_id", "btext").count()
+        bw.unpersist(); w.unpersist()
+      }
+      val deconLadder = Seq(50000L, 150000L, 450000L).map { n =>
+        val docs = corpus(spark, n).cache(); docs.count()
+        val bench = benchOf(docs).cache(); bench.count()
+        val (tEx, nEx) = timed3 {
+          Decontamination.benchmarkContainment(docs, "id", "text",
+            bench, "bench_id", "btext").count()
+        }
+        val (tBl, nBl) = timed3 {
+          Decontamination.benchmarkContainmentBloom(docs, "id", "text",
+            bench, "bench_id", "btext").count()
+        }
+        bench.unpersist(); docs.unpersist()
+        require(nEx == nBl, s"decon mismatch at $n: $nEx vs $nBl")
+        f"""{"n_docs":$n,"exact":{"sec":$tEx%.2f,"rows":$nEx},"bloom":{"sec":$tBl%.2f,"rows":$nBl}}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"decon_shape_rehearsal","scales":$deconLadder}""")
+    }
+
+    if (deconOnly) { spark.stop(); return }
 
     // Hot-SEGMENT dedup ladder (VERDICT r9 #1): ONE width-16 boilerplate
     // segment planted in HALF the docs — the adversary segment dedup
