@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked runMain's stdout verbatim instead of routing it
+// through sbt's logger: the logger prefixes every line with "[info] ",
+// which breaks machine parsing of Bench's one-line JSON contract (the
+// driver's BENCH parser reported parsed:null through round 9).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

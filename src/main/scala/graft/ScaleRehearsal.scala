@@ -88,10 +88,12 @@ object ScaleRehearsal {
     val segOnly = args.contains("--seg-only")
     val capOnly = args.contains("--cap-only")
     val deconOnly = args.contains("--decon-only")
+    val semOnly = args.contains("--sem-only")
+    val segDigestOnly = args.contains("--segdigest-only")
     val posArgs = args.toSeq.filterNot(_.startsWith("--"))
     val scales = if (posArgs.nonEmpty) posArgs.map(_.toLong)
     else Seq(15000L, 50000L, 150000L)
-    require(scales.forall(_ > 10000L),
+    if (!semOnly && !segDigestOnly) require(scales.forall(_ > 10000L),
       "rungs below 10k docs keep the exact-copy megabucket (n/50 <= cap " +
         "200) while larger rungs drop it — incomparable cap regimes; " +
         s"got ${scales.mkString(",")}")
@@ -99,6 +101,88 @@ object ScaleRehearsal {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+
+    // Semantic-dedup cell-governance ladder (VERDICT r9 #1): HALF the
+    // corpus is ONE exactly-identical embedding — the degenerate
+    // quantizer input where every mega doc lands in the SAME cell no
+    // matter how many centroids the sample holds (identical vectors give
+    // identical distances; the argmin tie-break sends all of them to one
+    // cid). The r9 shape (fixed k, no cap) pays (n/2)²/2 cosine pairs in
+    // that cell — quadratic by construction; the shipped shape (auto
+    // k ≈ √n + cellCap 4096) md5-sub-splits the mega cell into
+    // ⌈(n/2)/4096⌉ sub-cells and pays ≤ (n/2)·4096/2 — linear. Odd ids
+    // are pseudo-random vectors: the healthy-corpus background both
+    // shapes handle identically.
+    if (semOnly) {
+      import graft.operators.Similarity
+      def semCorpus(n: Long) = spark.range(n).select(col("id"),
+        expr("""transform(sequence(0, 63), j -> CAST(CASE
+          WHEN id % 2 = 0 THEN CASE WHEN j = 0 THEN 1.0 ELSE 0.0 END
+          ELSE CAST(pmod(xxhash64(concat(cast(id AS string), '_',
+            cast(j AS string))), 1000) AS DOUBLE) / 500.0 - 1.0
+          END AS FLOAT))""").as("embedding"))
+      val semScales = if (posArgs.nonEmpty) posArgs.map(_.toLong)
+      else Seq(10000L, 20000L, 40000L)
+      locally { // untimed JIT/codegen warmup
+        val w = semCorpus(5000L).cache(); w.count()
+        Similarity.semanticDedup(w, tau = 0.8, nCentroids = 16,
+          cellCap = Int.MaxValue).filter(col("kept")).count()
+        Similarity.semanticDedup(w, tau = 0.8).filter(col("kept")).count()
+        w.unpersist()
+      }
+      val ladder = semScales.map { n =>
+        val docs = semCorpus(n).cache(); docs.count()
+        val (tFix, nFix) = timed3 {
+          Similarity.semanticDedup(docs, tau = 0.8, nCentroids = 16,
+            cellCap = Int.MaxValue).filter(col("kept")).count()
+        }
+        // the auto path's corpus.count() for k ≈ √n runs INSIDE the
+        // timed window — it is part of the shape's real cost
+        val (tAuto, nAuto) = timed3 {
+          Similarity.semanticDedup(docs, tau = 0.8)
+            .filter(col("kept")).count()
+        }
+        docs.unpersist()
+        f"""{"n_docs":$n,"fixed_k_unguarded":{"sec":$tFix%.2f,"kept":$nFix},"auto_k_capped":{"sec":$tAuto%.2f,"kept":$nAuto}}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"sem_cell_rehearsal","scales":$ladder}""")
+      spark.stop(); return
+    }
+
+    // Keep-first DECISION-stage crossover hunt (VERDICT r9 #5): the full
+    // hot-segment ladder stopped at 16M docs with the window still ~25%
+    // ahead; the two shapes differ only in the first-posting decision,
+    // so this ladder feeds synthetic postings straight in (no text
+    // generation, no reassembly) and rungs reach 128M docs. Even ids
+    // contribute the ONE hot digest plus a unique one, odd ids one
+    // unique digest → 1.5n postings, hot df = n/2 (64M postings of one
+    // digest through one window task at the top rung).
+    if (segDigestOnly) {
+      def posts(n: Long) = spark.range(n).select(col("id").as("__id"),
+        posexplode(when(pmod(col("id"), lit(2)) === 0,
+            array(lit("HOTSEGMENTDIGESTHOTSEGMENTDIGEST"),
+              concat(lit("u"), col("id").cast("string"))))
+          .otherwise(array(concat(lit("u"), col("id").cast("string")))))
+          .as(Seq("__idx", "__h")))
+      val dScales = if (posArgs.nonEmpty) posArgs.map(_.toLong)
+      else Seq(16000000L, 64000000L, 128000000L)
+      locally { // untimed JIT/codegen warmup
+        val w = posts(1000000L).cache(); w.count()
+        Dedup.firstPostingGrouped(w).count()
+        Dedup.firstPostingWindowed(w).count()
+        w.unpersist()
+      }
+      val ladder = dScales.map { n =>
+        val p = posts(n).cache(); p.count()
+        val (tG, nG) = timed3 { Dedup.firstPostingGrouped(p).count() }
+        val (tW, nW) = timed3 { Dedup.firstPostingWindowed(p).count() }
+        p.unpersist()
+        require(nG == nW, s"decision-shape mismatch at $n: $nG vs $nW")
+        f"""{"n_docs":$n,"grouped":{"sec":$tG%.2f,"rows":$nG},"windowed":{"sec":$tW%.2f,"rows":$nW}}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"seg_digest_rehearsal","scales":$ladder}""")
+      spark.stop(); return
+    }
 
     val out = (if (asofOnly || segOnly || capOnly || deconOnly) Seq.empty[Long] else scales).map { n =>
       val docs = corpus(spark, n).cache()

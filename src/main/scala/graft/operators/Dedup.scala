@@ -829,6 +829,20 @@ object Dedup {
     }
   }
 
+  /** Rehearsal-only handles on the two keep-first DECISION shapes, minus
+    * segmentation and reassembly: the shapes differ only here, so the
+    * crossover hunt ([[graft.ScaleRehearsal]] --segdigest-only) feeds
+    * synthetic postings straight in and rungs reach 128M docs without
+    * paying text generation. Not query paths.
+    */
+  private[graft] def firstPostingGrouped(posts: DataFrame): DataFrame =
+    firstPosting(posts)
+  private[graft] def firstPostingWindowed(posts: DataFrame): DataFrame =
+    posts.withColumn("__rn", row_number().over(
+        Window.partitionBy("__h").orderBy(col("__id"), col("__idx"))))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+
   /** REJECTED round-8 shape of [[segmentDedup]]'s keep-first rule, kept
     * package-private and unused by any query so the hot-segment
     * rehearsal ladder can measure the single-task sort the operator was

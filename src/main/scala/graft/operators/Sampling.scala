@@ -206,7 +206,11 @@ object Sampling {
     * tie-break), NOT `row_number()`: a hot stratum never sorts in one
     * window task, the exchange carries ≤ nPer packed longs per input
     * partition per group. Same keep-N shape as [[domainCap]]; ids must
-    * be in [0, 2³¹), enforced per row.
+    * be in [0, 2³¹), enforced per row. The keep-set semi-join keys on
+    * (group, id) — an id value reused across strata selects only in the
+    * stratum that drew it. (Duplicate rows sharing an id WITHIN one
+    * stratum would all be kept; the exact-quota guarantee assumes ids are
+    * unique within each stratum.)
     */
   def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
       nPer: Int, seed: String = ""): DataFrame = {
@@ -220,9 +224,12 @@ object Sampling {
         .cast("long"))
     val keep = df.groupBy(groupCol)
       .agg(TopNAgg.topnMinAgg(packed, nPer).as("__keep"))
-      .select(explode(col("__keep")).as("__packed"))
-      .select((col("__packed") % (1L << 31)).as("__keep_id"))
-    df.join(keep, id === col("__keep_id"), "left_semi")
+      .select(col(groupCol).as("__keep_grp"),
+        explode(col("__keep")).as("__packed"))
+      .select(col("__keep_grp"), (col("__packed") % (1L << 31)).as("__keep_id"))
+    df.join(keep,
+      col(groupCol) === col("__keep_grp") && id === col("__keep_id"),
+      "left_semi")
   }
 
   /** The rate table behind [[sqrtTemperatureSample]]: one row per source

@@ -171,36 +171,79 @@ object Similarity {
       .select("qid", "cell", "nid", "cosine", "rank")
   }
 
+  /** Auto-scaled centroid count for [[semanticDedup]]: k = ⌈√n⌉ clamped
+    * to [1, 1024]. SemDeDup's candidate volume is Σ|cell|² — with a FIXED
+    * k it is quadratic in corpus size no matter how good the quantizer
+    * is (the paper runs 10⁴–10⁵ clusters for billions of docs for exactly
+    * this reason); k ∝ √n keeps expected cell size ≈ √n and candidate
+    * volume ≈ n^1.5. The 1024 ceiling is the literal-argmin contract:
+    * centroids are plan-time literals ([[centroidRanks]]) so assignment
+    * is shuffle-free, which stops paying past a few thousand structs per
+    * expression — beyond that, move assignment to a broadcast-join argmin
+    * before raising the clamp.
+    */
+  def autoCentroids(n: Long): Int =
+    math.min(1024, math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt))
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the embedding space with the coarse quantizer, then drop —
-    * WITHIN each cluster only — every vector that has a near-duplicate
-    * (cosine ≥ `tau`) with a smaller id. The keep rule is the paper's
-    * practical greedy one (keep the first representative encountered,
-    * here in id order), not transitive closure: near-dup sets are
-    * near-cliques in practice, and the greedy rule needs no iterative
-    * component propagation — one self-join decides everything
-    * (contrast [[graft.operators.Dedup.dedupByPairs]], the
+    * WITHIN each cluster only — every vector that has ANY smaller-id
+    * neighbor at cosine ≥ `tau`. This is the paper's upper-triangular
+    * rule, decided by one self-join: a vector is dropped even when that
+    * smaller-id neighbor was itself dropped, so along a chain A~B, B~C,
+    * A≁C only A survives (true greedy-against-kept would also keep C;
+    * near-dup sets are near-cliques in practice so the two rarely
+    * differ, and the one-join rule needs no iterative propagation —
+    * contrast [[graft.operators.Dedup.dedupByPairs]], the
     * connected-components policy used when pairs are verified near-dups
     * from text).
     *
     * Scale shape: assignment is the pure-projection literal-centroid
-    * argmin (no shuffle), the pair join keys on the cell — candidate
-    * volume is Σ|cell|², the quantizer's job to bound (more centroids =
-    * smaller cells), and the only exchange the corpus crosses is the
-    * cell repartition both self-join sides share.
+    * argmin (no shuffle); `nCentroids = 0` (the default) auto-scales the
+    * quantizer with the corpus ([[autoCentroids]], k ≈ √n) so candidate
+    * volume grows ~n^1.5, never n² — a fixed k is quadratic by
+    * construction. Degenerate cells (a mega-cluster of near-identical
+    * web pages the quantizer can't separate — many sampled centroids
+    * land inside it and still each inherit O(n) members) are bounded by
+    * `cellCap`: every cell is deterministically sub-split into
+    * ⌈size/cellCap⌉ sub-cells by md5 id-hash (identity for cells within
+    * the cap — one sub-cell), and candidates pair only within a
+    * sub-cell. The documented trade: near-dup pairs STRADDLING sub-cells
+    * of an over-cap cell are not compared (recall loss confined to
+    * degenerate cells, where members are near-identical and transitively
+    * caught through same-sub-cell representatives in practice), in
+    * exchange for a hard O(cellCap) bound on any cell's per-task pair
+    * work. The split runs unconditionally so an oracle can replay it as
+    * plain SQL with no conditional branch.
+    *
+    * Exchanges: one broadcast of the ≤k-row cell-size table, one
+    * (cell, subcell) repartition shared by both self-join sides.
     *
     * Output: (id, cell, kept) for every input vector.
     */
-  def semanticDedup(corpus: DataFrame, tau: Double, nCentroids: Int = 16,
-      centroids: Option[Seq[(Long, Array[Float])]] = None): DataFrame = {
-    val cents = centroids.getOrElse(sampleCentroidsPortable(corpus, nCentroids))
-    val assigned = corpus.select(col("id"), col("embedding"),
+  def semanticDedup(corpus: DataFrame, tau: Double, nCentroids: Int = 0,
+      centroids: Option[Seq[(Long, Array[Float])]] = None,
+      cellCap: Int = 4096): DataFrame = {
+    require(cellCap > 0, s"cellCap must be positive, got $cellCap")
+    val cents = centroids.getOrElse {
+      val k = if (nCentroids > 0) nCentroids else autoCentroids(corpus.count())
+      sampleCentroidsPortable(corpus, k)
+    }
+    val sized = corpus.select(col("id"), col("embedding"),
         array_min(centroidRanks(cents, col("embedding"))).getField("cid").as("cell"))
-      .repartition(col("cell"))
+    val sizes = sized.groupBy("cell").agg(count(lit(1)).as("__sz"))
+    val assigned = sized.join(broadcast(sizes), Seq("cell"))
+      .withColumn("subcell",
+        pmod(conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+          .cast("long"),
+          ceil(col("__sz").cast("double") / cellCap).cast("long")))
+      .drop("__sz")
+      .repartition(col("cell"), col("subcell"))
     val a = assigned.as("a")
     val b = assigned.as("b")
     val dropped = a.join(b,
-        col("a.cell") === col("b.cell") && col("a.id") < col("b.id") &&
+        col("a.cell") === col("b.cell") &&
+        col("a.subcell") === col("b.subcell") && col("a.id") < col("b.id") &&
         VectorExpressions.cosineNative(col("a.embedding"), col("b.embedding")) >= tau)
       .select(col("b.id").as("id")).distinct()
     assigned

@@ -28,12 +28,21 @@ object Snapshot {
     */
   def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame,
       idCol: String, fpCol: String): DataFrame = {
-    val o = oldSnap.select(col(idCol).as("id"), col(fpCol).as("old_fp"))
-    val n = newSnap.select(col(idCol).as("id"), col(fpCol).as("new_fp"))
+    // side presence comes from explicit markers, NOT fingerprint nullness:
+    // a doc present in both snapshots with a null fingerprint (null text →
+    // md5 null) must not masquerade as 'added'. The changed/unchanged
+    // split then uses plain equality, so any null fingerprint classifies
+    // as 'changed' — conservative (the doc re-enters the pipeline rather
+    // than being silently skipped) and exactly the q92 oracle's SQL
+    // semantics (presence by id, `old_fp = new_fp` for unchanged).
+    val o = oldSnap.select(col(idCol).as("id"), col(fpCol).as("old_fp"),
+      lit(true).as("__in_old"))
+    val n = newSnap.select(col(idCol).as("id"), col(fpCol).as("new_fp"),
+      lit(true).as("__in_new"))
     o.join(n, Seq("id"), "full_outer")
       .withColumn("status",
-        when(col("old_fp").isNull, "added")
-          .when(col("new_fp").isNull, "removed")
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
           .when(col("old_fp") === col("new_fp"), "unchanged")
           .otherwise("changed"))
       .select("id", "status", "old_fp", "new_fp")

@@ -203,18 +203,27 @@ object VectorOps {
     },
 
     // q94: SemDeDup-style semantic dedup ([[graft.operators.Similarity
-    // .semanticDedup]]) — IVF-cell clustering (the q56 md5-sampled
-    // portable centroids) then the greedy within-cell keep rule: drop
-    // any vector with a cosine ≥ 0.5 neighbor of smaller id in its
-    // cell. The oracle replays assignment and the drop join with
-    // DuckDB's DOUBLE[] ops; cross-engine ≥-on-cosine is the q62
-    // precedent.
+    // .semanticDedup]]) — IVF-cell clustering with the AUTO-SCALED
+    // centroid count (k = min(1024, max(1, ⌈√n⌉)) — the oracle pins the
+    // scaling rule itself, not a frozen k), the unconditional
+    // deterministic cell sub-split (⌈size/4096⌉ sub-cells by md5
+    // id-hash — identity at these SFs, but the oracle replays the rule
+    // so the guarded shape IS the verified shape), then the
+    // upper-triangular drop: any vector with a cosine ≥ 0.5 smaller-id
+    // neighbor in its (cell, subcell). DuckDB replays centroid
+    // sampling, assignment, split, and drop with DOUBLE[] ops;
+    // cross-engine ≥-on-cosine is the q62 precedent.
     QueryDef.sql(
       "q94_semantic_dedup",
       """WITH e AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings),
-        |cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-        |          FROM embeddings
-        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 12),
+        |nn AS (SELECT least(1024, greatest(1,
+        |         CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS k
+        |       FROM e),
+        |rc AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce,
+        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |  FROM embeddings),
+        |cents AS (SELECT cid, ce FROM rc CROSS JOIN nn WHERE rn <= k),
         |assign AS (
         |  SELECT nid, ne, cid,
         |    list_dot_product(ce, ce) - 2 * list_dot_product(ne, ce) AS dist
@@ -223,15 +232,20 @@ object VectorOps {
         |  SELECT nid, ne, cid AS cell FROM (
         |    SELECT *, row_number() OVER (PARTITION BY nid ORDER BY dist, cid) AS rn
         |    FROM assign) WHERE rn = 1),
+        |sizes AS (SELECT cell, count(*) AS sz FROM cells GROUP BY cell),
+        |sub AS (
+        |  SELECT nid, ne, cells.cell AS cell,
+        |    CAST(concat('0x', substring(md5(CAST(nid AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % CAST(ceil(CAST(sz AS DOUBLE) / 4096.0) AS BIGINT) AS subcell
+        |  FROM cells JOIN sizes ON cells.cell = sizes.cell),
         |dropped AS (
         |  SELECT DISTINCT b.nid
-        |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.nid < b.nid
-        |    AND list_cosine_similarity(a.ne, b.ne) >= 0.5)
-        |SELECT c.nid AS id, c.cell, (d.nid IS NULL) AS kept
-        |FROM cells c LEFT JOIN dropped d ON c.nid = d.nid""".stripMargin) { (s, d) =>
+        |  FROM sub a JOIN sub b ON a.cell = b.cell AND a.subcell = b.subcell
+        |    AND a.nid < b.nid AND list_cosine_similarity(a.ne, b.ne) >= 0.5)
+        |SELECT s.nid AS id, s.cell, (d.nid IS NULL) AS kept
+        |FROM sub s LEFT JOIN dropped d ON s.nid = d.nid""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding"))
-      val cents = Similarity.sampleCentroidsPortable(emb, 12)
-      Similarity.semanticDedup(emb, tau = 0.5, centroids = Some(cents))
+      Similarity.semanticDedup(emb, tau = 0.5)
     }
   )
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
 import graft.operators.Decontamination
 
 /** Decontamination at INGEST: every arriving micro-batch of documents is
@@ -49,6 +49,24 @@ object DecontaminationStream {
           textCol, idx, n, maxGramDf, minContainment), batchId)
       }
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
-    writer.start()
+    val query = writer.start()
+    // release the cached benchmark frames when THIS query terminates —
+    // without the hook, repeated start/stop cycles in one session leak a
+    // cached gram+size frame pair per cycle (ADVICE r9). The listener
+    // removes itself so stopped queries don't accumulate listeners either.
+    val streams = docs.sparkSession.streams
+    streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          idx.unpersist()
+          streams.removeListener(this)
+        }
+    })
+    query
   }
 }

@@ -509,7 +509,52 @@ class OperatorsSpec extends SparkSpec {
       back.select("chunk_id", "n_tokens", "chunk_fp").except(chunks).isEmpty)
   }
 
-  test("semanticDedup: greedy within-cell keep rule, cross-cell twins untouched") {
+  test("semanticDedup: transitive chain A~B, B~C drops both B and C (upper-triangular rule)") {
+    // one centroid → one cell. cos(A,B) ≈ cos(B,C) ≈ 0.97 ≥ tau, but
+    // cos(A,C) ≈ 0.88 < tau: the one-join upper-triangular rule drops C
+    // (it has smaller-id neighbor B at ≥ tau even though B was itself
+    // dropped) — greedy-against-kept would keep C. Pins the documented
+    // semantics so a future "fix" toward greedy can't land silently.
+    val cents = Seq(9L -> Array(1f, 0f))
+    val deg = (d: Double) => Seq(math.cos(math.toRadians(d)).toFloat,
+      math.sin(math.toRadians(d)).toFloat)
+    val emb = Seq((0L, deg(0)), (1L, deg(14)), (2L, deg(28)))
+      .toDF("id", "embedding")
+    val got = Similarity.semanticDedup(emb, tau = 0.95, centroids = Some(cents))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("kept")).toMap
+    assert(got == Map(0L -> true, 1L -> false, 2L -> false), s"$got")
+  }
+
+  test("semanticDedup: over-cap cell sub-splits by md5 id-hash; min id per sub-cell survives") {
+    // 10 IDENTICAL vectors in one cell (every pair cosine 1): with
+    // cellCap >= 10 the split is identity and only id 0 survives; with
+    // cellCap 3 the cell splits into ceil(10/3) = 4 md5-hash sub-cells
+    // and the minimum id of each NON-EMPTY sub-cell survives — the
+    // documented recall trade that bounds the pair join.
+    val cents = Seq(7L -> Array(1f, 0f, 0f, 0f))
+    val emb = (0L until 10L).map(i => (i, Seq(1f, 0f, 0f, 0f)))
+      .toDF("id", "embedding")
+    val loose = Similarity.semanticDedup(emb, tau = 0.9,
+      centroids = Some(cents), cellCap = 10)
+      .filter(col("kept")).collect().map(_.getAs[Long]("id")).toSet
+    assert(loose == Set(0L), s"identity split must keep only id 0: $loose")
+    // replicate the split rule independently: first 8 md5 hex chars of
+    // the decimal id, as a long, mod ceil(10/3) = 4
+    def subcell(id: Long, ns: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % ns
+    }
+    val expected = (0L until 10L).groupBy(subcell(_, 4)).values.map(_.min).toSet
+    val capped = Similarity.semanticDedup(emb, tau = 0.9,
+      centroids = Some(cents), cellCap = 3)
+      .filter(col("kept")).collect().map(_.getAs[Long]("id")).toSet
+    assert(capped == expected, s"got $capped, expected $expected")
+    assert(capped.contains(0L) && capped.size > 1,
+      "a 4-way split of 10 ids must keep id 0 plus at least one more")
+  }
+
+  test("semanticDedup: upper-triangular within-cell keep rule, cross-cell twins untouched") {
     // explicit centroids on axes; tau = 0.9
     val cents = Seq(100L -> Array(1f, 0f, 0f, 0f), 200L -> Array(0f, 1f, 0f, 0f))
     val emb = Seq(
