@@ -33,6 +33,15 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", "134217728")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // Plan STRINGS are generated per action for the SQL listener even
+      // with the UI off (SparkListenerSQLExecutionStart carries the full
+      // physical-plan description). The default cap is ~2 GB; a plan
+      // that embeds MB-size binary literals (Bloom filters) under nested
+      // cached subtrees can render to gigabytes and OOM the driver on
+      // string CONCATENATION alone (measured: q95 at 500 docs, 12 GB
+      // heap). 10 MB keeps every real dump readable and bounds the
+      // listener cost.
+      .config("spark.sql.maxPlanStringLength", "10000000")
       // the driver's events table is nanosecond-precision parquet; Spark
       // rejects TIMESTAMP(NANOS) unless read as raw longs (converted to a
       // timestamp in Tables.events)

@@ -1,0 +1,299 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Decontamination, Dedup, LanguageModel, Packing, Sampling, Snapshot}
+import org.apache.spark.sql.functions._
+
+/** q95: the END-TO-END corpus-to-shards pipeline — every curation layer
+  * this engine ships, composed into ONE verified query (VERDICT r9 #2):
+  *
+  *   snapshot reprocess slice → Bloom-screened decontamination →
+  *   segment-level dedup → perplexity score + per-language median gate →
+  *   per-domain cap → √-temperature language mix → seeded shuffle →
+  *   concat-and-chunk packing → shard manifest
+  *
+  * The individually-verified stages (q92, q89, q77, q85, q86, q87, q88,
+  * q81, q93) prove each layer; THIS query proves they compose — same
+  * constructions, chained, with per-stage survival counts riding every
+  * output row so the funnel's shape is part of the hash check.
+  *
+  * Composition shape notes (the 100 TB story):
+  *  - EVERY inter-stage hand-off is `localCheckpoint()`ed — not an
+  *    optimization but a structural requirement, measured twice over:
+  *    (1) each stage's plan references its input at least twice (dedup
+  *    segments + rejoins, the gate aggregates a threshold + probes, the
+  *    cap builds a keep-set + semi-joins, the mix counts + filters, the
+  *    prefix sum runs local sums + group totals), so without
+  *    materialization the physical plan re-derives the full upstream
+  *    chain ~2^stages times — measured as hundreds of stages and a
+  *    driver OOM at 500 docs, each re-derivation re-broadcasting the
+  *    MB-size Bloom literal in its task binary; (2) `cache()` alone
+  *    fixes the recompute but keeps the LINEAGE — seven nested
+  *    InMemoryRelations each embedding every predecessor's full tree
+  *    (Bloom literal included) made the per-action plan STRING blow up
+  *    multiplicatively and OOM the driver inside explainString.
+  *    localCheckpoint truncates the lineage at each stage: downstream
+  *    plans start from the materialized partitions, which is exactly
+  *    the inter-stage tables a production pipeline checkpoints to
+  *    storage between stages at 100 TB ([[graft.operators.Dedup
+  *    .connectedComponents]] precedent).
+  *  - every stage is the operator's own scale shape: the decon screen
+  *    is the map-side Bloom literal, dedup's keep-first is the grouped
+  *    no-window aggregate, the gate threshold is a broadcast per-lang
+  *    table, the cap is the bounded-heap topn aggregate, the mix is a
+  *    count aggregate + hash-threshold filter, packing is the two-phase
+  *    prefix sum. Nothing new is introduced by composing them.
+  *
+  * Stage parameters deliberately mirror the stage queries' own (width
+  * 16, df cap 2 replaced by decon defaults, cap 8, p50 gate, capacity
+  * 256, 4 chunks/shard) so divergences localize to composition, never
+  * to re-tuned constants.
+  */
+object PipelineOps {
+
+  /** DuckDB tokenizer twin over an arbitrary column (TextOps.T is
+    * hardwired to `text`).
+    */
+  private def Tk(c: String): String =
+    s"list_filter(string_split_regex($c, '\\s+'), t -> len(t) > 0)"
+
+  private def q95Sql: String =
+    s"""WITH fp_old AS (
+       |  SELECT doc_id, md5(trim(regexp_replace(lower(
+       |    CASE WHEN doc_id % 11 = 0 THEN text || ' v0' ELSE text END),
+       |    '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents WHERE doc_id % 7 != 3),
+       |fp_new AS (
+       |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents),
+       |slice AS (
+       |  SELECT d.doc_id, d.text, d.lang, d.source
+       |  FROM documents d JOIN fp_new n USING (doc_id)
+       |  LEFT JOIN fp_old o USING (doc_id)
+       |  WHERE o.doc_id IS NULL OR (o.fp = n.fp) IS NOT TRUE),
+       |stoks AS (SELECT doc_id, ${Tk("text")} AS tk FROM slice),
+       |atoks AS (SELECT doc_id, ${Tk("text")} AS tk FROM documents),
+       |btoks AS (
+       |  SELECT doc_id AS bench_id,
+       |    list_slice(tk, len(tk)//4 + 1,
+       |               len(tk)//4 + greatest(len(tk)//2, 1)) AS tk
+       |  FROM atoks WHERE doc_id % 25 = 0),
+       |cg AS (
+       |  SELECT doc_id, CASE WHEN len(tk) = 0 THEN []
+       |    ELSE list_distinct(list_transform(generate_series(1, greatest(len(tk) - 4, 1)),
+       |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))) END AS g
+       |  FROM stoks),
+       |bg AS (
+       |  SELECT bench_id, CASE WHEN len(tk) = 0 THEN []
+       |    ELSE list_distinct(list_transform(generate_series(1, greatest(len(tk) - 4, 1)),
+       |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))) END AS g
+       |  FROM btoks),
+       |cpost AS (SELECT doc_id, unnest(g) AS gram FROM cg),
+       |rare AS (SELECT gram FROM cpost GROUP BY gram HAVING count(*) <= 1000),
+       |keptg AS (SELECT c.* FROM cpost c JOIN rare r USING (gram)),
+       |bpost AS (SELECT bench_id, unnest(g) AS gram FROM bg),
+       |bsizes AS (SELECT bench_id, len(g) AS n_bench_grams FROM bg),
+       |shared AS (
+       |  SELECT k.doc_id, b.bench_id, count(*) AS n_shared
+       |  FROM keptg k JOIN bpost b USING (gram) GROUP BY 1, 2),
+       |flagged AS (
+       |  SELECT DISTINCT s.doc_id FROM shared s JOIN bsizes z USING (bench_id)
+       |  WHERE s.n_shared * 1.0 / z.n_bench_grams >= 0.5),
+       |clean AS (
+       |  SELECT * FROM slice WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+       |ct AS (SELECT doc_id, ${Tk("text")} AS tk FROM clean),
+       |sg AS (
+       |  SELECT doc_id, tk,
+       |    unnest(generate_series(0, CAST(ceil(len(tk)/16.0) AS BIGINT) - 1)) AS idx
+       |  FROM ct WHERE len(tk) > 0),
+       |seg AS (
+       |  SELECT doc_id, idx,
+       |    array_to_string(tk[idx*16+1 : idx*16+16], ' ') AS seg
+       |  FROM sg),
+       |segk AS (
+       |  SELECT doc_id, idx, seg,
+       |    row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, idx) AS rn
+       |  FROM seg),
+       |dedup AS (
+       |  SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS kept_text
+       |  FROM segk WHERE rn = 1 GROUP BY doc_id),
+       |dd AS (
+       |  SELECT c.doc_id, c.lang, c.source, d.kept_text
+       |  FROM clean c JOIN dedup d USING (doc_id)),
+       |ptoks AS (SELECT doc_id, ${Tk("kept_text")} AS tk FROM dd),
+       |pbg AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+       |      i -> [tk[i], tk[i+1]])) AS b
+       |  FROM ptoks),
+       |ppairs AS (SELECT doc_id, b[1] AS w1, b[2] AS w2 FROM pbg),
+       |pc12 AS (SELECT w1, w2, count(*) AS c12 FROM ppairs GROUP BY w1, w2),
+       |pc1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM pc12 GROUP BY w1),
+       |pv AS (SELECT count(DISTINCT t) AS v FROM
+       |  (SELECT w1 AS t FROM pc12 UNION SELECT w2 AS t FROM pc12)),
+       |pnll AS (
+       |  SELECT p.doc_id,
+       |    CAST(floor(-ln((pc12.c12 + 1) / CAST(pc1.c1 + pv.v AS DOUBLE))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS nll_u
+       |  FROM ppairs p JOIN pc12 USING (w1, w2) JOIN pc1 USING (w1) CROSS JOIN pv),
+       |psc AS (
+       |  SELECT doc_id, count(*) AS nb, CAST(sum(nll_u) AS BIGINT) AS s
+       |  FROM pnll GROUP BY doc_id),
+       |nsc AS (
+       |  SELECT dd.doc_id, dd.lang, dd.source, dd.kept_text,
+       |    -(psc.s // psc.nb) AS neg_u
+       |  FROM dd JOIN psc USING (doc_id)),
+       |thr AS (SELECT lang, quantile_cont(neg_u, 0.5) AS thr FROM nsc GROUP BY lang),
+       |gated AS (
+       |  SELECT n.doc_id, n.lang, n.source, n.kept_text
+       |  FROM nsc n JOIN thr t USING (lang) WHERE n.neg_u >= t.thr),
+       |gd AS (
+       |  SELECT g.*, lower(regexp_extract(
+       |    'https://' ||
+       |    CASE WHEN doc_id % 10 < 3 THEN 'hot.example.com'
+       |         ELSE 'd' || CAST(doc_id % 97 AS VARCHAR) || '.example.net' END ||
+       |    '/doc/' || CAST(doc_id AS VARCHAR),
+       |    '^https?://([^/]+)', 1)) AS domain
+       |  FROM gated g),
+       |capped AS (
+       |  SELECT doc_id, lang, source, kept_text FROM (
+       |    SELECT gd.*, row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+       |    FROM gd) WHERE rn <= 8),
+       |mcounts AS (SELECT lang, count(*) AS n FROM capped GROUP BY lang),
+       |mmin AS (SELECT min(n) AS n_min FROM mcounts),
+       |mthr AS (
+       |  SELECT lang,
+       |    CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * 1000000.0) AS BIGINT) AS thr
+       |  FROM mcounts CROSS JOIN mmin),
+       |mixed AS (
+       |  SELECT c.* FROM capped c JOIN mthr USING (lang)
+       |  WHERE CAST(concat('0x', substring(md5(CAST(c.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |          % 1000000 < mthr.thr),
+       |mc AS (
+       |  SELECT md5('s10:' || CAST(doc_id AS VARCHAR)) AS skey,
+       |    ${Tk("kept_text")} AS tk
+       |  FROM mixed),
+       |mn AS (SELECT skey, tk, CAST(len(tk) AS BIGINT) AS n FROM mc),
+       |mo AS (
+       |  SELECT skey, tk, n,
+       |    CAST(coalesce(sum(n) OVER (ORDER BY skey
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM mn),
+       |mg AS (SELECT off, unnest(generate_series(1, n)) AS i, tk FROM mo WHERE n > 0),
+       |mtok AS (SELECT off + i - 1 AS gpos, tk[i] AS tok FROM mg),
+       |chunks AS (
+       |  SELECT gpos // 256 AS chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    md5(string_agg(tok, ' ' ORDER BY gpos)) AS chunk_fp
+       |  FROM mtok GROUP BY 1),
+       |manifest AS (
+       |  SELECT chunk_id // 4 AS shard_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |    md5(string_agg(chunk_fp, ' ' ORDER BY chunk_id)) AS shard_fp
+       |  FROM chunks GROUP BY 1),
+       |stats AS (SELECT
+       |  (SELECT count(*) FROM documents) AS n_input,
+       |  (SELECT count(*) FROM slice) AS n_slice,
+       |  (SELECT count(*) FROM clean) AS n_clean,
+       |  (SELECT count(*) FROM dd) AS n_dedup,
+       |  (SELECT count(*) FROM gated) AS n_gated,
+       |  (SELECT count(*) FROM capped) AS n_capped,
+       |  (SELECT count(*) FROM mixed) AS n_mixed)
+       |SELECT m.shard_id, m.n_chunks, m.n_tokens, m.shard_fp, s.*
+       |FROM manifest m CROSS JOIN stats s""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef.sql("q95_corpus_to_shards", q95Sql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+
+      // S1 — snapshot reprocess slice (q92 construction, amended on the
+      // OLD side so the new text stays canonical): docs with
+      // doc_id % 7 == 3 are absent from the old snapshot (added), every
+      // 11th doc's old fingerprint differs (changed); only those
+      // re-enter the pipeline this "refresh".
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"), TextFunctions.fingerprint(
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v0")))
+            .otherwise(col("text"))).as("fp"))
+      val newSnap = docs.select(col("doc_id"), col("text"), col("lang"),
+        col("source"), TextFunctions.fingerprint(col("text")).as("fp"))
+      val sliceDf = Snapshot.reprocessSlice(oldSnap, newSnap, "doc_id", "fp")
+        .drop("fp").localCheckpoint()
+
+      // S2 — Bloom-screened decontamination (q89 construction: the eval
+      // set is the middle half of every 25th document of the FULL
+      // corpus — external to the slice); flagged docs leave the pipeline
+      val toks = TextFunctions.tokens(col("text"))
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("bench_id"),
+          concat_ws(" ", slice(toks,
+            (floor(size(toks) / 4) + 1).cast("int"),
+            greatest(floor(size(toks) / 2), lit(1)).cast("int"))).as("btext"))
+      val flagged = Decontamination.benchmarkContainmentBloom(
+          sliceDf, "doc_id", "text", bench, "bench_id", "btext")
+        .select(col("id").as("doc_id")).distinct()
+      val clean = sliceDf.join(flagged, Seq("doc_id"), "left_anti").localCheckpoint()
+
+      // S3 — segment-level keep-first dedup (q77 shape); fully-duplicate
+      // and zero-token docs (n_kept = 0) leave here
+      val deduped = Dedup.segmentDedup(clean, "doc_id", "text", width = 16)
+        .filter(col("n_kept") > 0)
+        .join(clean.select("doc_id", "lang", "source"), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("kept_text"))
+        .localCheckpoint()
+
+      // S4 — bigram-LM perplexity (trained on the deduped slice itself,
+      // q85 machinery) + per-language MEDIAN gate on the integer
+      // micro-nat mean (integer scores make the interpolated threshold
+      // exact on both engines); the gate keeps the LOW-perplexity half,
+      // so the score is negated into percentileGate's >= convention
+      val scores = LanguageModel.perplexityScores(deduped, "doc_id", "kept_text")
+        .withColumnRenamed("id", "doc_id")
+        .select(col("doc_id"),
+          (-expr("nll_micro_sum div n_bigrams")).as("neg_u"))
+      val scored = deduped.join(scores, Seq("doc_id")).localCheckpoint()
+      val gated = Sampling.percentileGate(scored, "lang", "neg_u", 0.5,
+          exact = true)
+        .drop("neg_u")
+        .localCheckpoint()
+
+      // S5 — per-domain cap (q87's synthetic URL: one hot domain holding
+      // 30% of ids plus 97 long-tail domains), smallest ids win
+      val url = concat(lit("https://"),
+        when(pmod(col("doc_id"), lit(10)) < 3, lit("hot.example.com"))
+          .otherwise(concat(lit("d"), pmod(col("doc_id"), lit(97)).cast("string"),
+            lit(".example.net"))),
+        lit("/doc/"), col("doc_id").cast("string"))
+      val capped = Sampling.domainCap(gated.withColumn("url", url),
+        "url", "doc_id", cap = 8).drop("url").localCheckpoint()
+
+      // S6 — √-temperature language rebalancing (q88)
+      val mixed = Sampling.sqrtTemperatureSample(capped, "lang", "doc_id")
+        .localCheckpoint()
+
+      // S7 — seeded shuffle (md5 permutation, q81) + concat-and-chunk
+      // packing (q80/q93) + 4-chunk shard manifest (q93)
+      val packedIn = mixed.select(col("doc_id"),
+          TextFunctions.tokens(col("kept_text")).as("tk"))
+        .withColumn("skey",
+          md5(concat_ws(":", lit("s10"), col("doc_id").cast("string"))))
+      val manifest = Packing.shardManifest(
+        Packing.packChunks(packedIn, "skey", "tk", capacity = 256,
+          groupOf = substring(col("skey"), 1, 2)),
+        chunksPerShard = 4)
+
+      // S8 — the funnel's survival counts ride every row: the hash check
+      // then pins not just the shard fingerprints but the whole funnel
+      val stats = docs.agg(count(lit(1)).as("n_input"))
+        .crossJoin(sliceDf.agg(count(lit(1)).as("n_slice")))
+        .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
+        .crossJoin(deduped.agg(count(lit(1)).as("n_dedup")))
+        .crossJoin(gated.agg(count(lit(1)).as("n_gated")))
+        .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
+        .crossJoin(mixed.agg(count(lit(1)).as("n_mixed")))
+      manifest.crossJoin(broadcast(stats))
+    }
+  )
+}
