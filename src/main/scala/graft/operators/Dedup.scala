@@ -795,18 +795,22 @@ object Dedup {
     * (no lossless packing) the struct-min fallback stands: 2× sort cost,
     * but every task stays bounded — the property that matters at scale.
     *
-    * Priced honestly (hot-segment ladder, one segment in HALF the docs,
-    * quiet machine): the windowed shape still measures FASTER at every
-    * tested rung — 3.47/9.39/30.81 s vs this shape's 4.88/14.63/39.91 s
-    * at 1M/4M/16M docs — because sorting even 8M digest-only postings
-    * in one task costs low single-digit seconds while this shape pays
-    * the winners join back. Both curves are linear here; the difference
-    * is what happens beyond the machine: the window's hot partition is
-    * ONE task growing linearly with corpus size (~10⁹ postings on a
-    * ubiquitous segment at 100 TB — minutes, serialized), this shape's
-    * per-task work stays bounded by construction. ~30% at rehearsal
-    * scale buys the flat profile; [[segmentDedupWindowed]] remains for
-    * corpora known to be free of mega-df segments.
+    * Priced honestly, crossover LOCATED (r10). Full-pipeline ladder
+    * (one segment in HALF the docs, quiet machine): the windowed shape
+    * measures faster through 16M docs — 3.47/9.39/30.81 s vs this
+    * shape's 4.88/14.63/39.91 s at 1M/4M/16M — because sorting 8M
+    * digest-only postings in one task costs low single-digit seconds
+    * while this shape pays the winners join back. The decision-stage-
+    * only ladder (--segdigest-only: synthetic postings, no text, rungs
+    * to 128M docs) finds where that stops: windowed 1.51 s vs grouped
+    * 1.77 s at 16M, then **4.19 vs 10.79 s at 64M (grouped 2.6×
+    * ahead)** and 10.65 vs 12.10 s at 128M — the hot partition's
+    * single-task sort (32M/64M postings of one digest) finally
+    * dominates between 16M and 64M docs. At 100 TB (~10⁹ postings on a
+    * ubiquitous segment) the window serializes for minutes; this
+    * shape's per-task work stays bounded by construction.
+    * [[segmentDedupWindowed]] remains for corpora known to be free of
+    * mega-df segments at sub-crossover scale.
     */
   private def firstPosting(posts: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
