@@ -179,11 +179,52 @@ object Similarity {
     * volume ≈ n^1.5. The 1024 ceiling is the literal-argmin contract:
     * centroids are plan-time literals ([[centroidRanks]]) so assignment
     * is shuffle-free, which stops paying past a few thousand structs per
-    * expression — beyond that, move assignment to a broadcast-join argmin
-    * before raising the clamp.
+    * expression. Callers passing MORE than [[LiteralAssignLimit]]
+    * explicit centroids are dispatched to [[assignCellsJoin]]'s
+    * broadcast-join argmin instead (same rule, one exchange).
     */
   def autoCentroids(n: Long): Int =
-    math.min(1024, math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt))
+    math.min(LiteralAssignLimit, math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** Largest centroid count assigned via plan-time literals; beyond it
+    * [[semanticDedup]] switches to the broadcast-join argmin.
+    */
+  val LiteralAssignLimit = 1024
+
+  /** Cell assignment via a broadcast centroid JOIN — the beyond-
+    * [[LiteralAssignLimit]] path: the same ‖c‖² − 2·x·c argmin with the
+    * same smallest-cid tie-break, but centroids live in a broadcast
+    * FRAME instead of the plan, so k scales to real SemDeDup cluster
+    * counts (10⁴–10⁵) without growing a codegen expression. Cost
+    * relative to the literal path: the corpus crosses ONE argmin
+    * exchange — each vector's k candidate rows collapse map-side
+    * (partial `min(struct)`, broadcast join never shuffles the corpus)
+    * to a single row before it. Spec-pinned cell-identical to the
+    * literal path.
+    *
+    * Output: (id, embedding, cell) — [[semanticDedup]]'s assignment
+    * contract.
+    */
+  def assignCellsJoin(corpus: DataFrame,
+      cents: Seq[(Long, Array[Float])]): DataFrame = {
+    require(cents.nonEmpty, "assignCellsJoin needs at least one centroid")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centFrame = cents.map { case (cid, ce) =>
+      val normSq = ce.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+      (cid, ce.toSeq, normSq)
+    }.toDF("__cid", "__ce", "__cnorm")
+    corpus.select(col("id"), col("embedding"))
+      .join(broadcast(centFrame))
+      .select(col("id"), col("embedding"),
+        struct(
+          (col("__cnorm") - lit(2.0) *
+            VectorExpressions.dotNative(col("embedding"), col("__ce"))).as("d"),
+          col("__cid").as("cid")).as("__rank"))
+      .groupBy("id")
+      .agg(first("embedding").as("embedding"),
+        min(col("__rank")).getField("cid").as("cell"))
+  }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the embedding space with the coarse quantizer, then drop —
@@ -229,8 +270,11 @@ object Similarity {
       val k = if (nCentroids > 0) nCentroids else autoCentroids(corpus.count())
       sampleCentroidsPortable(corpus, k)
     }
-    val sized = corpus.select(col("id"), col("embedding"),
-        array_min(centroidRanks(cents, col("embedding"))).getField("cid").as("cell"))
+    val sized =
+      if (cents.size <= LiteralAssignLimit)
+        corpus.select(col("id"), col("embedding"),
+          array_min(centroidRanks(cents, col("embedding"))).getField("cid").as("cell"))
+      else assignCellsJoin(corpus, cents)
     val sizes = sized.groupBy("cell").agg(count(lit(1)).as("__sz"))
     val assigned = sized.join(broadcast(sizes), Seq("cell"))
       .withColumn("subcell",

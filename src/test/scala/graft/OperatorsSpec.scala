@@ -509,6 +509,40 @@ class OperatorsSpec extends SparkSpec {
       back.select("chunk_id", "n_tokens", "chunk_fp").except(chunks).isEmpty)
   }
 
+  test("assignCellsJoin: cell-identical to the literal argmin, and semanticDedup dispatches to it past the literal limit") {
+    // 60 pseudo-random 8-dim vectors, 9 centroids drawn from them: the
+    // broadcast-join argmin must reproduce the literal path's cells
+    // EXACTLY (same left-to-right double accumulation, same ‖c‖²−2·x·c
+    // expansion, same smallest-cid tie-break)
+    val emb = (0L until 60L).map { i =>
+      (i, (0 until 8).map(j => (((i * 31 + j * 17) % 13) - 6).toFloat / 3f))
+    }.toDF("id", "embedding")
+    val cents = Similarity.sampleCentroidsPortable(emb, 9)
+    val viaLiteral = Similarity.semanticDedup(emb, tau = 2.0, // tau>1: no drops — assignment only
+        centroids = Some(cents))
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaJoin = Similarity.assignCellsJoin(emb, cents)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaJoin == viaLiteral, "join argmin must be cell-identical to the literal path")
+    // past LiteralAssignLimit the operator must dispatch to the join
+    // path and still apply the drop rule: 2 real axis centroids plus
+    // 1023 far-away decoys (cids above the real ones so ties can't
+    // land on a decoy), identical twins in the first cell
+    val decoys = (0 until 1023).map(i =>
+      (1000L + i, Array(100f + i, 100f, 100f, 100f)))
+    val manyCents = Seq(1L -> Array(1f, 0f, 0f, 0f), 2L -> Array(0f, 1f, 0f, 0f)) ++ decoys
+    val small = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(1f, 0f, 0f, 0f)), // twins, cell 1
+      (2L, Seq(0f, 1f, 0f, 0f))                              // alone, cell 2
+    ).toDF("id", "embedding")
+    val got = Similarity.semanticDedup(small, tau = 0.9,
+        centroids = Some(manyCents))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("cell"), r.getAs[Boolean]("kept")))).toMap
+    assert(got == Map(0L -> ((1L, true)), 1L -> ((1L, false)), 2L -> ((2L, true))),
+      s"dispatched join assignment must preserve the drop rule: $got")
+  }
+
   test("semanticDedup: transitive chain A~B, B~C drops both B and C (upper-triangular rule)") {
     // one centroid → one cell. cos(A,B) ≈ cos(B,C) ≈ 0.97 ≥ tau, but
     // cos(A,C) ≈ 0.88 < tau: the one-join upper-triangular rule drops C
