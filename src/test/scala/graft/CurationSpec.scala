@@ -190,6 +190,16 @@ class CurationSpec extends SparkSpec {
     intercept[Exception] {
       Sampling.stratifiedSample(bad, "g", "id", 2, "t").collect()
     }
+    // ADVICE r9: an id VALUE reused across strata selects only in the
+    // stratum that drew it — the keep semi-join keys on (group, id).
+    // Two strata share ids 0..9; quota 3: each stratum keeps exactly 3,
+    // never rows "borrowed" through the other stratum's draw.
+    val dup = spark.range(10).select(col("id"), lit("a").as("g"))
+      .union(spark.range(10).select(col("id"), lit("b").as("g")))
+    val dupByG = Sampling.stratifiedSample(dup, "g", "id", nPer = 3, seed = "t")
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dupByG == Map("a" -> 3L, "b" -> 3L),
+      s"shared id values must not inflate another stratum's quota: $dupByG")
   }
 
   test("corpusDiff statuses and reprocessSlice") {
@@ -203,5 +213,17 @@ class CurationSpec extends SparkSpec {
     val slice = Snapshot.reprocessSlice(old, neu, "id", "fp")
       .select("id").as[Long].collect().sorted.toSeq
     assert(slice == Seq(3L, 4L))
+    // ADVICE r9: presence is decided by side markers, never fingerprint
+    // nullness — a doc in BOTH snapshots with null fingerprints must
+    // classify as 'changed' (conservatively reprocessed), not 'added';
+    // a null fp on one side only is likewise 'changed'
+    val oldN = Seq((1L, null: String), (2L, "fb"), (3L, null: String))
+      .toDF("id", "fp")
+    val neuN = Seq((1L, null: String), (2L, null: String), (3L, "fc"))
+      .toDF("id", "fp")
+    val diffN = Snapshot.corpusDiff(oldN, neuN, "id", "fp").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diffN == Map(1L -> "changed", 2L -> "changed", 3L -> "changed"),
+      s"null fingerprints must never masquerade as added/removed: $diffN")
   }
 }
