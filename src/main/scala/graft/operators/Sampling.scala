@@ -232,6 +232,52 @@ object Sampling {
       "left_semi")
   }
 
+  /** Epoch up-sampling — the other half of data mixing ([[mixBySource]] /
+    * [[sqrtTemperatureSample]] only ever DOWN-sample): replicate each
+    * source's documents `epochs(source)` times, the way LM training
+    * mixes repeat rare high-quality sources for several epochs while
+    * web crawl runs under one. Fractional epochs are deterministic:
+    * ⌊e⌋ full copies for every row, plus one extra copy for exactly the
+    * id-hash fraction e − ⌊e⌋ of rows (same md5 threshold primitive as
+    * every sampler here — reproducible across engines, reruns, and
+    * repartitioning). e < 1 therefore degenerates to a downsample
+    * filter, and sources absent from the map pass through once — one
+    * operator covers the whole mixing axis.
+    *
+    * Output: every input column + `epoch` (0-based replica index).
+    * Downstream training order should key on (id, epoch) — the q81
+    * seeded shuffle spreads replicas across the stream for free when
+    * its key is md5(seed:id:epoch).
+    *
+    * Scale shape: a when-chain of per-source literals (thresholds
+    * computed driver-side from the map) and one generator explode — a
+    * pure map-side operator, no join, no shuffle, output rows ∝
+    * Σ nₛ·eₛ.
+    */
+  def epochUpsample(df: DataFrame, sourceCol: String, idCol: String,
+      epochs: Map[String, Double]): DataFrame = {
+    require(epochs.values.forall(e => e > 0 && e.isFinite),
+      s"epochs must all be positive and finite, got $epochs")
+    val full = epochs.map { case (s, e) => s -> math.floor(e).toLong }
+    val thr = epochs.map { case (s, e) =>
+      s -> math.floor((e - math.floor(e)) * 1000000).toLong
+    }
+    val fullCol = epochs.keys.foldLeft(lit(1L)) { (acc, s) =>
+      when(col(sourceCol) === s, lit(full(s))).otherwise(acc)
+    }
+    val thrCol = epochs.keys.foldLeft(lit(0L)) { (acc, s) =>
+      when(col(sourceCol) === s, lit(thr(s))).otherwise(acc)
+    }
+    val copies = fullCol +
+      when(hashBucket(col(idCol), 1000000) < thrCol, 1L).otherwise(0L)
+    // sequence(0, -1) would generate a DESCENDING series, not an empty
+    // one — rows with zero copies (e < 1, hash above the threshold) must
+    // explode an empty array instead
+    df.withColumn("epoch", explode(
+      when(copies > 0, sequence(lit(0L), copies - 1))
+        .otherwise(array().cast("array<long>"))))
+  }
+
   /** The rate table behind [[sqrtTemperatureSample]]: one row per source
     * with its count `__n` and keep-threshold `__thr` out of 10⁶ (the
     * smallest source reads exactly 10⁶ = keep-everything). Exposed so

@@ -327,6 +327,47 @@ object CurationOps {
           when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text"))).as("fp"))
       Snapshot.corpusDiff(oldSnap, newSnap, "doc_id", "fp")
+    },
+
+    // q96: epoch up-sampling ([[graft.operators.Sampling.epochUpsample]])
+    // — the UP-sampling half of data mixing: src0 repeats 2.5 epochs
+    // (2 full copies + the id-hash fraction 0.5 gets a third), src1
+    // runs at 0.4 (down-sampling through the same operator), every
+    // other source passes through once. The oracle replays the ⌊e⌋ +
+    // hash-threshold copy count and the replica expansion; the checksum
+    // Σ doc_id·(epoch+1) pins WHICH replicas exist, not just how many.
+    QueryDef.sql(
+      "q96_epoch_upsample",
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |    (CASE WHEN source = 'src0' THEN 2 WHEN source = 'src1' THEN 0 ELSE 1 END)
+        |    + (CASE WHEN
+        |         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |           % 1000000
+        |         < (CASE WHEN source = 'src0' THEN 500000
+        |                 WHEN source = 'src1' THEN 400000 ELSE 0 END)
+        |       THEN 1 ELSE 0 END) AS copies
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, source, unnest(
+        |    CASE WHEN copies > 0 THEN generate_series(0, copies - 1)
+        |         ELSE [] END) AS epoch
+        |  FROM c)
+        |SELECT source,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_rows_out,
+        |  CAST(max(epoch) AS BIGINT) AS max_epoch,
+        |  CAST(sum(doc_id * (epoch + 1)) AS BIGINT) AS replica_checksum
+        |FROM e GROUP BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      Sampling.epochUpsample(docs, "source", "doc_id",
+          Map("src0" -> 2.5, "src1" -> 0.4))
+        .groupBy("source")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_rows_out"),
+          max("epoch").cast("long").as("max_epoch"),
+          sum(col("doc_id") * (col("epoch") + 1)).cast("long")
+            .as("replica_checksum"))
     }
   )
 }

@@ -202,6 +202,43 @@ class CurationSpec extends SparkSpec {
       s"shared id values must not inflate another stratum's quota: $dupByG")
   }
 
+  test("epochUpsample: integer epochs replicate exactly, fractional by id-hash, e<1 filters, absent sources pass once") {
+    val df = spark.range(2000).select(col("id"),
+      when(col("id") % 4 === 0, lit("whole"))
+        .when(col("id") % 4 === 1, lit("frac"))
+        .when(col("id") % 4 === 2, lit("down"))
+        .otherwise(lit("other")).as("src"))
+    val got = Sampling.epochUpsample(df, "src", "id",
+      Map("whole" -> 3.0, "frac" -> 1.5, "down" -> 0.4))
+    val byEpoch = got.groupBy("src", "epoch").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // e = 3.0: every row exactly thrice, epochs 0/1/2, no hash dependence
+    assert(byEpoch(("whole", 0L)) == 500 && byEpoch(("whole", 1L)) == 500 &&
+      byEpoch(("whole", 2L)) == 500 && !byEpoch.contains(("whole", 3L)))
+    // absent from the map: exactly one copy
+    assert(byEpoch(("other", 0L)) == 500 && !byEpoch.contains(("other", 1L)))
+    // e = 1.5: every row keeps epoch 0; the hash-selected fraction gains
+    // epoch 1 — and that set is exactly the hashBucket < 500000 rows
+    assert(byEpoch(("frac", 0L)) == 500)
+    val extra = got.filter(col("src") === "frac" && col("epoch") === 1)
+      .select("id").as[Long].collect().toSet
+    val wantExtra = df.filter(col("src") === "frac" &&
+        Sampling.hashBucket(col("id"), 1000000) < 500000)
+      .select("id").as[Long].collect().toSet
+    assert(extra == wantExtra && extra.nonEmpty && extra.size < 500)
+    // e = 0.4: pure filter — only epoch 0, only the sub-threshold ids
+    assert(!byEpoch.contains(("down", 1L)))
+    val down = got.filter(col("src") === "down").select("id").as[Long].collect().toSet
+    val wantDown = df.filter(col("src") === "down" &&
+        Sampling.hashBucket(col("id"), 1000000) < 400000)
+      .select("id").as[Long].collect().toSet
+    assert(down == wantDown && down.nonEmpty && down.size < 500)
+    // non-positive epochs refuse loudly
+    intercept[IllegalArgumentException] {
+      Sampling.epochUpsample(df, "src", "id", Map("whole" -> 0.0))
+    }
+  }
+
   test("corpusDiff statuses and reprocessSlice") {
     import graft.operators.Snapshot
     val old = Seq((1L, "fa"), (2L, "fb"), (3L, "fc")).toDF("id", "fp")
