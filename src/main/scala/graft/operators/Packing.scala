@@ -197,6 +197,48 @@ object Packing {
       .write.mode("overwrite").partitionBy("shard_id").parquet(dir)
   }
 
+  /** Sliding-window chunking with overlap — the retrieval/eval-window
+    * counterpart of [[packChunks]]: instead of concatenating documents
+    * into a global token stream, each document is cut into
+    * `width`-token windows every `stride` tokens (stride < width ⇒
+    * consecutive chunks overlap by width − stride tokens, the standard
+    * RAG chunking shape). Window k of an n-token document starts at
+    * token k·stride for every k·stride < n; the last window may be
+    * short. Empty documents contribute nothing.
+    *
+    * Scale shape: a pure map-side generator — tokenize, explode one
+    * small index array per document, slice. No shuffle, no state, no
+    * window functions; chunk count per document is ⌈n/stride⌉, so the
+    * fan-out is bounded by corpus tokens / stride regardless of skew.
+    *
+    * Output: (`id`, `chunk_idx`, `start_token`, `n_chunk_tokens`,
+    * `chunk_fp`) with `chunk_fp` = md5 of the space-joined window — the
+    * same digest-not-text convention as [[packChunks]].
+    */
+  def slidingChunks(df: DataFrame, idCol: String, textCol: String,
+      width: Int, stride: Int): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    require(stride > 0 && stride <= width,
+      s"stride must be in [1, width], got $stride (width $width)")
+    df.select(col(idCol).as("id"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .filter(col("__n") > 0)
+      // Generate is a CollapseProject barrier: __toks materializes once
+      // per document here, and the per-chunk slice below reads the
+      // attribute, never re-tokenizes
+      .select(col("id"), col("__toks"), col("__n"),
+        explode(sequence(lit(0L), chunkOf(col("__n") - 1L, stride.toLong)))
+          .as("chunk_idx"))
+      .select(col("id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_token"),
+        least(lit(width.toLong), col("__n") - col("chunk_idx") * stride)
+          .as("n_chunk_tokens"),
+        md5(array_join(
+          slice(col("__toks"), (col("chunk_idx") * stride + 1).cast("int"),
+            lit(width)), " ")).as("chunk_fp"))
+  }
+
   /** Chunk id of a non-negative offset. Offsets stay under 2^53
     * (≈9e15 tokens ≈ tens of PB of raw text), so after subtracting the
     * remainder the double division is exact.

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Corpus snapshot diffing — the incremental-processing front door of a
   * recurring crawl: each refresh, classify every document as added /
@@ -59,5 +60,43 @@ object Snapshot {
       .filter(col("status").isin("added", "changed"))
       .select(col("id"))
     newSnap.join(delta, newSnap(idCol) === delta("id"), "left_semi")
+  }
+
+  /** Distribution drift between two snapshots over a low-cardinality
+    * dimension (source, language, domain bucket): the statistical
+    * companion to [[corpusDiff]]'s row-level diff — a refresh that adds
+    * the right number of rows can still silently shift the corpus MIX,
+    * which changes what a model trained on it sees. Per dimension value:
+    * both sides' counts, both shares, and the absolute share drift,
+    * plus the side-wide L1 drift (Σ|p−q|; total-variation distance is
+    * half of it) repeated on every row of the dimension.
+    *
+    * Portability contract: shares are exact integer micro-shares —
+    * `n·10⁶ div total` in BIGINT arithmetic (never a float division),
+    * so every output is bit-identical on any engine and the L1 sum is
+    * order-free. A value absent from one side counts as share 0.
+    *
+    * Scale shape: two map-side-combined counts (the exchange carries
+    * one row per dimension value), 1-row totals broadcast onto them,
+    * and a full-outer join of two ≤|dim| frames — nothing here grows
+    * with corpus size, only with dimension cardinality.
+    */
+  def distributionDrift(oldSnap: DataFrame, newSnap: DataFrame,
+      dimCol: String): DataFrame = {
+    def microShares(df: DataFrame, nCol: String, mCol: String) = {
+      // the side total is the sum of the per-value counts — a global
+      // window over the ≤|dim|-row counts frame, NOT a second corpus scan
+      df.groupBy(col(dimCol).as("value"))
+        .agg(count(lit(1)).as(nCol))
+        .withColumn("__t", sum(col(nCol)).over(Window.partitionBy()))
+        .withColumn(mCol, expr(s"($nCol * 1000000) div __t"))
+        .drop("__t")
+    }
+    microShares(oldSnap, "n_old", "micro_old")
+      .join(microShares(newSnap, "n_new", "micro_new"), Seq("value"), "full_outer")
+      .na.fill(0L, Seq("n_old", "n_new", "micro_old", "micro_new"))
+      .withColumn("drift_micro", abs(col("micro_old") - col("micro_new")))
+      .withColumn("l1_micro",
+        sum(col("drift_micro")).over(Window.partitionBy()))
   }
 }

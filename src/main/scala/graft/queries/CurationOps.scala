@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Decontamination, LanguageModel, Sampling, Snapshot}
+import graft.operators.{Classifier, Decontamination, LanguageModel, Sampling, Snapshot}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation policy operators over `documents` (beyond-reference,
@@ -368,6 +368,89 @@ object CurationOps {
           max("epoch").cast("long").as("max_epoch"),
           sum(col("doc_id") * (col("epoch") + 1)).cast("long")
             .as("replica_checksum"))
+    },
+
+    // q97: model-based quality filtering ([[graft.operators.Classifier]])
+    // — the frozen-linear-model half of the GPT-3/CCNet quality-
+    // classifier pattern: integer features, integer micro-weights, one
+    // exact BIGINT dot product per document, keep = score ≥ 0. The
+    // oracle replays the identical integer arithmetic; no float ever
+    // enters the decision, so the match is bit-exact by construction.
+    QueryDef.sql(
+      "q97_quality_classifier",
+      s"""WITH f AS (
+        |  SELECT doc_id,
+        |    len($T) AS n_tok,
+        |    len(list_distinct($T)) AS n_dis,
+        |    len(regexp_replace(text, '\\s', '', 'g')) AS n_ch,
+        |    len(list_filter($T,
+        |      t -> t IN ('the','a','an','of','and','in','to','is','it','that')))
+        |      AS stop_hits
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(n_dis AS BIGINT) AS n_dis, CAST(n_ch AS BIGINT) AS n_ch,
+        |  CAST(stop_hits AS BIGINT) AS stop_hits,
+        |  CAST(-3000000 - 40000*n_tok + 200000*n_dis + 2000*n_ch
+        |    + 300000*stop_hits AS BIGINT) AS score_micro,
+        |  (-3000000 - 40000*n_tok + 200000*n_dis + 2000*n_ch
+        |    + 300000*stop_hits) >= 0 AS keep
+        |FROM f""".stripMargin) { (s, d) =>
+      Classifier.qualityClassify(
+          Tables.documents(s, d).select(col("doc_id"), col("text")), "text")
+        .select("doc_id", "n_tok", "n_dis", "n_ch", "stop_hits",
+          "score_micro", "keep")
+    },
+
+    // q99: corpus mix drift ([[graft.operators.Snapshot
+    // .distributionDrift]]) — the statistical companion of q92's row
+    // diff, over the same two derived snapshots: per source and per
+    // language, both sides' counts, exact integer micro-shares
+    // (n·10⁶ div total — never a float), the absolute share drift, and
+    // the per-dimension L1 drift (TVD·2). A refresh that adds the right
+    // number of rows but shifts the mix shows up here, not in q92.
+    QueryDef.sql(
+      "q99_mix_drift",
+      """WITH o AS (SELECT source, lang FROM documents WHERE doc_id % 7 != 3),
+        |n AS (SELECT source, lang FROM documents WHERE doc_id % 5 != 4),
+        |oc AS (
+        |  SELECT 'source' AS dim, source AS value,
+        |    CAST(count(*) AS BIGINT) AS n_old FROM o GROUP BY 1, 2
+        |  UNION ALL SELECT 'lang', lang, CAST(count(*) AS BIGINT)
+        |  FROM o GROUP BY 1, 2),
+        |nc AS (
+        |  SELECT 'source' AS dim, source AS value,
+        |    CAST(count(*) AS BIGINT) AS n_new FROM n GROUP BY 1, 2
+        |  UNION ALL SELECT 'lang', lang, CAST(count(*) AS BIGINT)
+        |  FROM n GROUP BY 1, 2),
+        |om AS (SELECT dim, value, n_old,
+        |  n_old * 1000000 // sum(n_old) OVER (PARTITION BY dim) AS micro_old
+        |  FROM oc),
+        |nm AS (SELECT dim, value, n_new,
+        |  n_new * 1000000 // sum(n_new) OVER (PARTITION BY dim) AS micro_new
+        |  FROM nc),
+        |j AS (
+        |  SELECT coalesce(om.dim, nm.dim) AS dim,
+        |    coalesce(om.value, nm.value) AS value,
+        |    coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new,
+        |    coalesce(micro_old, 0) AS micro_old,
+        |    coalesce(micro_new, 0) AS micro_new
+        |  FROM om FULL OUTER JOIN nm
+        |    ON om.dim = nm.dim AND om.value = nm.value)
+        |SELECT dim, value, n_old, n_new,
+        |  CAST(micro_old AS BIGINT) AS micro_old,
+        |  CAST(micro_new AS BIGINT) AS micro_new,
+        |  CAST(abs(micro_old - micro_new) AS BIGINT) AS drift_micro,
+        |  CAST(sum(abs(micro_old - micro_new)) OVER (PARTITION BY dim)
+        |    AS BIGINT) AS l1_micro
+        |FROM j""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val o = docs.filter(col("doc_id") % 7 =!= 3)
+      val n = docs.filter(col("doc_id") % 5 =!= 4)
+      def driftOn(dim: String) =
+        Snapshot.distributionDrift(o, n, dim).withColumn("dim", lit(dim))
+      driftOn("source").unionByName(driftOn("lang"))
+        .select("dim", "value", "n_old", "n_new", "micro_old", "micro_new",
+          "drift_micro", "l1_micro")
     }
   )
 }

@@ -367,6 +367,55 @@ object Relational {
         .agg(count(lit(1)).as("n_orders"),
           countDistinct("o_custkey").as("n_customers"),
           min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"))
+    },
+
+    // q100: Z-order file layout ([[graft.operators.Layout]]) — Morton-
+    // interleave (l_partkey, l_suppkey), assign rows to fixed-size
+    // "files" in key order, and report each file's per-dimension
+    // min/max span: the file-level statistics a scan would prune on.
+    // Z-ordering keeps BOTH spans narrow (lexicographic keeps only the
+    // leading one) — the q-visible pin of the layout, since the span
+    // columns are exactly what makes predicates on either dimension
+    // skip files. The oracle replays the identical bit arithmetic; the
+    // production write path is [[graft.operators.Layout.clusterByZOrder]]
+    // (sampled range partitioning — no global window), the rn
+    // formulation here is the deterministic cross-engine pin.
+    QueryDef.sql(
+      "q100_zorder_layout",
+      s"""WITH z0 AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    (l_partkey % 65536) AS x, (l_suppkey % 65536) AS y
+         |  FROM lineitem),
+         |z AS (
+         |  SELECT *, ${graft.operators.Layout.zOrderKey2Sql("x", "y", 16)}
+         |    AS zkey
+         |  FROM z0),
+         |r AS (
+         |  SELECT *, (row_number() OVER
+         |    (ORDER BY zkey, l_orderkey, l_linenumber) - 1) // 4096 AS file_id
+         |  FROM z)
+         |SELECT CAST(file_id AS BIGINT) AS file_id,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(x) AS min_part, max(x) AS max_part,
+         |  CAST(max(x) - min(x) + 1 AS BIGINT) AS part_span,
+         |  min(y) AS min_supp, max(y) AS max_supp,
+         |  CAST(max(y) - min(y) + 1 AS BIGINT) AS supp_span
+         |FROM r GROUP BY file_id""".stripMargin) { (s, d) =>
+      val z = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_partkey"), lit(65536L)).as("x"),
+          pmod(col("l_suppkey"), lit(65536L)).as("y"))
+        .withColumn("zkey",
+          graft.operators.Layout.zOrderKey2(col("x"), col("y"), 16))
+      z.withColumn("file_id",
+          expr("(row_number() OVER (ORDER BY zkey, l_orderkey, l_linenumber)" +
+            " - 1) div 4096").cast("long"))
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min("x").as("min_part"), max("x").as("max_part"),
+          (max("x") - min("x") + 1).cast("long").as("part_span"),
+          min("y").as("min_supp"), max("y").as("max_supp"),
+          (max("y") - min("y") + 1).cast("long").as("supp_span"))
     }
   )
 }

@@ -452,6 +452,33 @@ object TextOps {
           col("first_chunk"), col("last_chunk"), col("n_chunks"))
     },
 
+    // q98: sliding-window chunking with overlap ([[graft.operators
+    // .Packing.slidingChunks]]) — the retrieval/eval-window shape
+    // (width 32, stride 16 ⇒ 16-token overlap), vs q75/q80's
+    // concat-and-chunk. Pure map-side generator, no shuffle; the
+    // oracle replays window starts via generate_series and pins each
+    // window's content by md5. Chunk count per doc = ⌈n/16⌉.
+    QueryDef.sql(
+      "q98_sliding_chunks",
+      s"""WITH t AS (
+         |  SELECT doc_id, $T AS tk, CAST(len($T) AS BIGINT) AS n
+         |  FROM documents WHERE len($T) > 0),
+         |e AS (
+         |  SELECT doc_id, tk, n,
+         |    unnest(generate_series(0, (n - 1) // 16)) AS chunk_idx
+         |  FROM t)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(chunk_idx * 16 AS BIGINT) AS start_token,
+         |  CAST(least(32, n - chunk_idx * 16) AS BIGINT) AS n_chunk_tokens,
+         |  md5(array_to_string(
+         |    list_slice(tk, chunk_idx * 16 + 1, least(chunk_idx * 16 + 32, n)),
+         |    ' ')) AS chunk_fp
+         |FROM e""".stripMargin) { (s, d) =>
+      graft.operators.Packing.slidingChunks(
+          Tables.documents(s, d), "doc_id", "text", width = 32, stride = 16)
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // q76: Gopher-style repetition quality signals — duplicate-token
     // fraction, duplicate-3-gram fraction, top-token fraction — computed
     // RELATIONALLY (posting rows → per-doc aggregates; no per-element

@@ -1,0 +1,158 @@
+package graft
+
+import graft.operators.{Classifier, Layout, Packing, Snapshot}
+import org.apache.spark.sql.functions._
+
+/** Round-10 additions: linear quality classifier, sliding-window
+  * chunking, distribution drift, Z-order layout.
+  */
+class LayoutAndDriftSpec extends SparkSpec {
+  import sqlImplicits._
+
+  // ---- Classifier ----
+
+  test("qualityClassify: exact integer score on a hand-computed document") {
+    val df = Seq((1L, "the the quick brown fox"), (2L, ""), (3L, "  "))
+      .toDF("doc_id", "text")
+    val out = Classifier.qualityClassify(df, "text")
+      .select("doc_id", "n_tok", "n_dis", "n_ch", "stop_hits", "score_micro", "keep")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 5 tokens, 4 distinct, 19 chars sans spaces, 2 stop hits
+    val r1 = out(1L)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3), r1.getLong(4)) == ((5L, 4L, 19L, 2L)))
+    val expected = -3000000L + -40000L * 5 + 200000L * 4 + 2000L * 19 + 300000L * 2
+    assert(r1.getLong(5) == expected && expected == -1762000L)
+    assert(!r1.getBoolean(6))
+    // empty / whitespace-only: all-zero features, score == bias, drop
+    Seq(2L, 3L).foreach { id =>
+      val r = out(id)
+      assert((r.getLong(1), r.getLong(2), r.getLong(4)) == ((0L, 0L, 0L)))
+      assert(r.getLong(5) == Classifier.QualityBiasMicro && !r.getBoolean(6))
+    }
+  }
+
+  test("qualityClassify: keep boundary is score >= 0, both classes occur on testdata") {
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
+    val out = Classifier.qualityClassify(docs, "text")
+    val bad = out.filter((col("score_micro") >= 0) =!= col("keep")).count()
+    assert(bad == 0L)
+    val byClass = out.groupBy("keep").count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(byClass.getOrElse(true, 0L) > 0 && byClass.getOrElse(false, 0L) > 0)
+  }
+
+  // ---- slidingChunks ----
+
+  test("slidingChunks: window starts, lengths, overlap content, and edges") {
+    val df = Seq(
+      (1L, (1 to 40).map(i => s"t$i").mkString(" ")), // 40 tokens, w=16 s=8
+      (2L, "a b c"), // n <= width: single chunk
+      (3L, ""), (4L, "   ") // empty: no rows
+    ).toDF("doc_id", "text")
+    val out = Packing.slidingChunks(df, "doc_id", "text", width = 16, stride = 8)
+      .orderBy("id", "chunk_idx").collect()
+    // doc 1: starts 0,8,16,24,32 -> 5 chunks; lengths 16,16,16,16,8
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getLong(1)).toSeq == (0L to 4L))
+    assert(d1.map(_.getLong(2)).toSeq == Seq(0L, 8L, 16L, 24L, 32L))
+    assert(d1.map(_.getLong(3)).toSeq == Seq(16L, 16L, 16L, 16L, 8L))
+    // chunk 1 of doc 1 covers tokens 9..24 (1-based): md5 pinned
+    val toks = (1 to 40).map(i => s"t$i")
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest(toks.slice(8, 24).mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(d1(1).getString(4) == want)
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getLong(3) == 3L && d2(0).getLong(2) == 0L)
+    assert(!out.exists(r => r.getLong(0) >= 3L))
+  }
+
+  test("slidingChunks: stride == width degenerates to disjoint chunking") {
+    val df = Seq((1L, (1 to 10).map("w" + _).mkString(" "))).toDF("doc_id", "text")
+    val out = Packing.slidingChunks(df, "doc_id", "text", width = 4, stride = 4)
+      .orderBy("chunk_idx").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 4L, 8L))
+    assert(out.map(_.getLong(3)).sum == 10L) // disjoint cover, no overlap
+  }
+
+  // ---- distributionDrift ----
+
+  test("distributionDrift: zero drift on identical sides, exact micro shares") {
+    val snap = Seq("a", "a", "a", "b").toDF("src")
+    val out = Snapshot.distributionDrift(snap, snap, "src")
+      .orderBy("value").collect()
+    assert(out.map(_.getAs[Long]("micro_old")).toSeq == Seq(750000L, 250000L))
+    assert(out.forall(r => r.getAs[Long]("drift_micro") == 0L &&
+      r.getAs[Long]("l1_micro") == 0L))
+  }
+
+  test("distributionDrift: one-sided values fill zero; l1 is the drift sum") {
+    val o = Seq("a", "a", "b").toDF("src")
+    val n = Seq("a", "c", "c", "c").toDF("src")
+    val out = Snapshot.distributionDrift(o, n, "src")
+      .collect().map(r => r.getAs[String]("value") -> r).toMap
+    assert(out("b").getAs[Long]("n_new") == 0L &&
+      out("b").getAs[Long]("micro_new") == 0L)
+    assert(out("c").getAs[Long]("n_old") == 0L)
+    // micro shares: a 2/3 vs 1/4, b 1/3 vs 0, c 0 vs 3/4 (integer div)
+    assert(out("a").getAs[Long]("micro_old") == 666666L)
+    assert(out("a").getAs[Long]("micro_new") == 250000L)
+    val drifts = out.values.map(_.getAs[Long]("drift_micro")).toSeq
+    assert(out.values.forall(_.getAs[Long]("l1_micro") == drifts.sum))
+  }
+
+  // ---- Layout / Z-order ----
+
+  test("zOrderKey2 interleaves bits exactly (vs a reference Scala fold)") {
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L), (65535L, 65535L),
+      (12345L, 54321L), (65536L, 1L)) // high bits beyond `bits` ignored
+    val df = cases.toDF("x", "y")
+      .withColumn("z", Layout.zOrderKey2(col("x"), col("y"), 16))
+    val got = df.orderBy("x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) =>
+      assert(z == ref(x & 65535L, y & 65535L, 16), s"($x,$y)")
+    }
+    // canonical small case: x=0b101, y=0b011 -> even bits 1,0,1 + odd
+    // bits 1,1,0 -> z=0b011011 = 27
+    assert(ref(5L, 3L, 16) == 27L)
+  }
+
+  test("zOrderKey2 keeps both dimensions' per-file spans narrow vs lexicographic") {
+    // 64x64 grid, one point per cell; 16 "files" of 256 rows each
+    val grid = spark.range(4096).select((col("id") / 64).cast("long").as("x"),
+      pmod(col("id"), lit(64L)).as("y"))
+    def spans(keyed: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val f = keyed
+        .withColumn("fid", expr("(row_number() OVER (ORDER BY k, x, y) - 1) div 256"))
+        .groupBy("fid")
+        .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+        .agg(avg("sx"), avg("sy")).collect()(0)
+      (f.getDouble(0), f.getDouble(1))
+    }
+    val (lexX, lexY) = spans(grid.withColumn("k", col("x") * 64 + col("y")))
+    val (zX, zY) = spans(grid.withColumn("k", Layout.zOrderKey2(col("x"), col("y"), 6)))
+    // lexicographic: perfect on x, useless on y (full 0..63 span per file)
+    assert(lexY == 63.0 && lexX < 16)
+    // z-order: BOTH spans a fraction of the domain (16x16 quads -> span 15)
+    assert(zX <= 16.0 && zY <= 16.0, s"z spans ($zX, $zY)")
+  }
+
+  test("clusterByZOrder: partitions are zkey-ranged and internally sorted") {
+    val grid = spark.range(1024).select((col("id") / 32).cast("long").as("x"),
+      pmod(col("id"), lit(32L)).as("y"))
+    val parts = Layout.clusterByZOrder(grid, col("x"), col("y"), nFiles = 4, bits = 5)
+      .select(Layout.zOrderKey2(col("x"), col("y"), 5).as("z"))
+      .rdd.mapPartitions { it => Iterator(it.map(_.getLong(0)).toSeq) }
+      .collect().filter(_.nonEmpty)
+    parts.foreach(p => assert(p == p.sorted, "within-partition sort"))
+    val ranges = parts.map(p => (p.head, p.last)).sortBy(_._1)
+    ranges.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0)._2 <= w(1)._1, "disjoint ranges")
+    }
+  }
+}
