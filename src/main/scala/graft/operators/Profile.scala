@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deequ-style single-pass column profiler — the data-quality snapshot a
+  * pipeline records before admitting a new corpus drop (row count, null
+  * counts, exact distinct cardinalities, numeric ranges, string ranges).
+  *
+  * One aggregation over one scan produces every statistic; the profile is
+  * then pivoted to one row PER COLUMN (long format) so downstream checks
+  * and snapshots diff structurally. The multiple exact `count(DISTINCT)`
+  * aggregates plan through Expand — still one scan, with map-side partial
+  * aggregation shrinking each partition to one row before the shuffle. At
+  * 100 TB swap the exact distincts for `approx_count_distinct` (the
+  * q60-vs-q41 exact/approx pairing); exact is the oracle-checkable twin.
+  *
+  * String min/max is only offered for columns the caller vouches are
+  * ASCII-ordered (cross-engine collation on arbitrary UTF-8 differs);
+  * `countOnlyCols` profiles nullness/cardinality without ranges.
+  */
+object Profile {
+
+  /** One row per profiled column: (col_name, n_rows, n_null, n_distinct,
+    * num_min, num_max, str_min, str_max) — the range pair not applicable
+    * to the column's kind is null.
+    */
+  def columnProfile(df: DataFrame, numericCols: Seq[String],
+      stringCols: Seq[String], countOnlyCols: Seq[String] = Nil): DataFrame = {
+    val all = numericCols ++ stringCols ++ countOnlyCols
+    require(all.nonEmpty, "no columns to profile")
+    def nullsOf(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c")
+    def distinctOf(c: String) = countDistinct(col(c)).as(s"__dist_$c")
+    val rangeAggs = numericCols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"__min_$c"),
+      max(col(c)).cast("double").as(s"__max_$c"))) ++
+      stringCols.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"__smin_$c"),
+        max(col(c)).cast("string").as(s"__smax_$c")))
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      all.map(nullsOf) ++ all.map(distinctOf) ++ rangeAggs
+    val one = df.agg(aggs.head, aggs.tail: _*)
+
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    def rowOf(c: String, numMin: Column, numMax: Column, sMin: Column,
+        sMax: Column) =
+      struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+        col(s"__null_$c").as("n_null"), col(s"__dist_$c").as("n_distinct"),
+        numMin.as("num_min"), numMax.as("num_max"),
+        sMin.as("str_min"), sMax.as("str_max"))
+    val rows =
+      numericCols.map(c => rowOf(c, col(s"__min_$c"), col(s"__max_$c"), nullS, nullS)) ++
+        stringCols.map(c => rowOf(c, nullD, nullD, col(s"__smin_$c"), col(s"__smax_$c"))) ++
+        countOnlyCols.map(c => rowOf(c, nullD, nullD, nullS, nullS))
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+}

@@ -1,0 +1,266 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{BinPack, Profile, Quantize}
+import org.apache.spark.sql.functions._
+
+/** Corpus admission & layout operators (beyond-reference, SURVEY §2.11):
+  * the checks and transforms a pipeline runs when a new data drop arrives
+  * and when a packed corpus leaves for the trainer.
+  *
+  *  - q101 whole-document next-fit bin packing: fixed-capacity training
+  *    bins that never split a document ([[graft.operators.BinPack]]) —
+  *    the instruction-tuning/eval-shard layout, vs q75/q80's
+  *    concat-and-chunk. Oracle replays the greedy scan with a recursive
+  *    CTE per lane; per-row `bin_fill` pins the whole trajectory.
+  *  - q102 symmetric int8 embedding quantization (FAISS SQ8 shape):
+  *    map-only, codegen'd, bit-portable via q85's integer micro-unit
+  *    discipline ([[graft.operators.Quantize]]).
+  *  - q103 single-pass column profile: row/null/distinct/range per column
+  *    in one scan ([[graft.operators.Profile]]) — the Deequ-style snapshot
+  *    recorded before a corpus drop is admitted.
+  *  - q104 constraint checks: uniqueness, nullness, derived-column
+  *    consistency, referential integrity — one scan per table, anti-join
+  *    for FKs, (constraint, violations, passed) long format.
+  *  - q105 per-dimension embedding moments: n/Σv/Σv²/min/max by dimension
+  *    in integer micro-units (the feature-scaling prep for q94/q56's
+  *    centroid paths; posexplode + partial aggregation, so the shuffle
+  *    carries 64 rows per map partition no matter the corpus size).
+  */
+object ValidationOps {
+
+  /** DuckDB twin of TextFunctions.tokens (same as TextOps.T). */
+  private val T = "list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)"
+
+  private val Capacity = 128L
+  private val LaneBuckets = 4
+
+  val all: Seq[QueryDef] = Seq(
+
+    // q101: whole-doc next-fit packing into 128-token bins, packed per
+    // (source, doc_id % 4) lane so the greedy scans parallelize. The
+    // oracle's recursive CTE advances one document per lane per step —
+    // the sequential semantics the distributed mapPartitions pass must
+    // reproduce exactly.
+    QueryDef.sql(
+      "q101_binpack_nextfit",
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, source, doc_id % $LaneBuckets AS lane_bucket,
+         |    CAST(len($T) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |ord AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY source, lane_bucket ORDER BY doc_id) AS rn
+         |  FROM toks),
+         |pack AS (
+         |  SELECT source, lane_bucket, doc_id, n_tok, rn,
+         |    CAST(0 AS BIGINT) AS bin, n_tok AS bin_fill
+         |  FROM ord WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.source, o.lane_bucket, o.doc_id, o.n_tok, o.rn,
+         |    CASE WHEN p.bin_fill > 0 AND p.bin_fill + o.n_tok > $Capacity
+         |         THEN p.bin + 1 ELSE p.bin END,
+         |    CASE WHEN p.bin_fill > 0 AND p.bin_fill + o.n_tok > $Capacity
+         |         THEN o.n_tok ELSE p.bin_fill + o.n_tok END
+         |  FROM pack p JOIN ord o
+         |    ON o.source = p.source AND o.lane_bucket = p.lane_bucket
+         |   AND o.rn = p.rn + 1)
+         |SELECT source, lane_bucket, doc_id, n_tok, bin, bin_fill
+         |FROM pack""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(
+        col("source"),
+        pmod(col("doc_id"), lit(LaneBuckets.toLong)).as("lane_bucket"),
+        col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+      BinPack.nextFit(docs, Seq("source", "lane_bucket"), "doc_id", "n_tok",
+        Capacity)
+        .select("source", "lane_bucket", "doc_id", "n_tok", "bin", "bin_fill")
+    },
+
+    // q102: per-vector symmetric int8 quantization + reconstruction error
+    // in integer tenth-microunits (order-free sums → engine-portable).
+    QueryDef.sql(
+      "q102_int8_quantize",
+      """WITH sc AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+        |      / 127.0 AS scale
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id, embedding, scale,
+        |    list_transform(embedding, v -> CASE WHEN scale = 0 THEN 0
+        |      ELSE CAST(greatest(-127.0, least(127.0,
+        |             floor(CAST(v AS DOUBLE) / scale + 0.5))) AS INTEGER)
+        |      END) AS q
+        |  FROM sc),
+        |er AS (
+        |  SELECT vec_id, scale, q, len(embedding) AS nd,
+        |    list_transform(generate_series(1, len(embedding)),
+        |      i -> CAST(floor(abs(CAST(embedding[i] AS DOUBLE)
+        |             - CAST(q[i] AS DOUBLE) * scale) * 10000000.0 + 0.5)
+        |           AS BIGINT)) AS errs
+        |  FROM qz)
+        |SELECT vec_id, CAST(nd AS BIGINT) AS n_dims,
+        |  CAST(floor(scale * 10000000.0 + 0.5) AS BIGINT) AS scale_u,
+        |  CAST(list_sum(errs) AS BIGINT) AS sum_err_u,
+        |  list_min(q) AS q_min, list_max(q) AS q_max,
+        |  CAST(len(list_filter(q, x -> x <> 0)) AS BIGINT) AS n_nonzero
+        |FROM er""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .withColumn("__scale", Quantize.scaleOf(col("embedding")))
+        .withColumn("__q", Quantize.int8Codes(col("embedding"), col("__scale")))
+      e.select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        floor(col("__scale") * 1e7 + 0.5).as("scale_u"),
+        Quantize.arraySum(
+          Quantize.errorMicros(col("embedding"), col("__q"), col("__scale"))
+            .cast("array<long>")).as("sum_err_u"),
+        array_min(col("__q")).as("q_min"),
+        array_max(col("__q")).as("q_max"),
+        size(filter(col("__q"), q => q =!= 0)).cast("long").as("n_nonzero"))
+    },
+
+    // q103: one-scan column profile of `documents`. text is count-only
+    // (string ranges are offered only for ASCII-ordered columns —
+    // cross-engine collation on arbitrary UTF-8 differs).
+    QueryDef.sql(
+      "q103_column_profile",
+      profileSql(Seq("doc_id", "n_chars"), Seq("lang", "source"), Seq("text"))) {
+      (s, dir) =>
+        Profile.columnProfile(Tables.documents(s, dir),
+          numericCols = Seq("doc_id", "n_chars"),
+          stringCols = Seq("lang", "source"),
+          countOnlyCols = Seq("text"))
+    },
+
+    // q104: admission constraints — per-table single-pass checks plus
+    // anti-join referential integrity, long format (constraint,
+    // violations, passed).
+    QueryDef.sql(
+      "q104_constraint_checks",
+      """SELECT 'doc_id_unique' AS check_name,
+        |  CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS violations,
+        |  count(*) = count(DISTINCT doc_id) AS passed
+        |FROM documents
+        |UNION ALL
+        |SELECT 'doc_text_not_null',
+        |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) = 0
+        |FROM documents
+        |UNION ALL
+        |SELECT 'doc_n_chars_consistent',
+        |  CAST(sum(CASE WHEN (n_chars IS NULL) <> (text IS NULL) THEN 1
+        |                WHEN n_chars IS NULL THEN 0
+        |                WHEN n_chars <> len(text) THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN (n_chars IS NULL) <> (text IS NULL) THEN 1
+        |           WHEN n_chars IS NULL THEN 0
+        |           WHEN n_chars <> len(text) THEN 1 ELSE 0 END) = 0
+        |FROM documents
+        |UNION ALL
+        |SELECT 'orders_custkey_fk',
+        |  CAST(count(*) AS BIGINT), count(*) = 0
+        |FROM orders o WHERE NOT EXISTS (
+        |  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'lineitem_orderkey_fk',
+        |  CAST(count(*) AS BIGINT), count(*) = 0
+        |FROM lineitem l WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'events_ts_not_null',
+        |  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) = 0
+        |FROM events""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val inconsistent =
+        when((col("n_chars").isNull) =!= (col("text").isNull), 1L)
+          .when(col("n_chars").isNull, 0L)
+          .when(col("n_chars") =!= length(col("text")), 1L)
+          .otherwise(0L)
+      // documents: three constraints from ONE scan, exploded to rows
+      val docChecks = docs
+        .agg(count(lit(1)).as("__n"), countDistinct(col("doc_id")).as("__d"),
+          sum(when(col("text").isNull, 1L).otherwise(0L)).as("__tn"),
+          sum(inconsistent).as("__nc"))
+        .select(explode(array(
+          struct(lit("doc_id_unique").as("check_name"),
+            (col("__n") - col("__d")).as("violations")),
+          struct(lit("doc_text_not_null").as("check_name"),
+            col("__tn").as("violations")),
+          struct(lit("doc_n_chars_consistent").as("check_name"),
+            col("__nc").as("violations")))).as("c"))
+        .select("c.*")
+      val orders = Tables.orders(s, dir)
+      val customer = Tables.customer(s, dir)
+      val lineitem = Tables.lineitem(s, dir)
+      val ordersFk = orders
+        .join(customer, orders("o_custkey") === customer("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("orders_custkey_fk").as("check_name"), col("violations"))
+      val lineitemFk = lineitem
+        .join(orders, lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("lineitem_orderkey_fk").as("check_name"), col("violations"))
+      val eventsTs = Tables.events(s, dir)
+        .agg(sum(when(col("ts").isNull, 1L).otherwise(0L)).as("violations"))
+        .select(lit("events_ts_not_null").as("check_name"), col("violations"))
+      docChecks.unionByName(ordersFk).unionByName(lineitemFk)
+        .unionByName(eventsTs)
+        .select(col("check_name"), col("violations"),
+          (col("violations") === 0L).as("passed"))
+    },
+
+    // q105: per-dimension embedding moments in integer micro-units.
+    // posexplode then hash-agg: partial aggregation collapses each map
+    // partition to 64 rows before the shuffle, so the exchange is O(64 ×
+    // #partitions) regardless of corpus size.
+    QueryDef.sql(
+      "q105_dim_stats",
+      """WITH pv AS (
+        |  SELECT unnest(generate_series(1, len(embedding))) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings)
+        |SELECT CAST(pos AS BIGINT) AS pos, count(*) AS n,
+        |  CAST(sum(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s_u,
+        |  CAST(sum(CAST(floor(v * v * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ss_u,
+        |  CAST(min(floor(v * 1000000.0 + 0.5)) AS BIGINT) AS min_u,
+        |  CAST(max(floor(v * 1000000.0 + 0.5)) AS BIGINT) AS max_u
+        |FROM pv GROUP BY pos""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding")))
+        .select((col("pos") + 1).cast("long").as("pos"),
+          col("col").cast("double").as("v"))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("v") * 1e6 + 0.5)).as("s_u"),
+          sum(floor(col("v") * col("v") * 1e6 + 0.5)).as("ss_u"),
+          min(floor(col("v") * 1e6 + 0.5)).as("min_u"),
+          max(floor(col("v") * 1e6 + 0.5)).as("max_u"))
+    },
+  )
+
+  /** q103 oracle: one UNION ALL branch per profiled column, types aligned
+    * across branches (BIGINT counts, DOUBLE numeric ranges, VARCHAR
+    * string ranges, NULL where the kind doesn't apply).
+    */
+  private def profileSql(numeric: Seq[String], strings: Seq[String],
+      countOnly: Seq[String]): String = {
+    def branch(c: String, numMin: String, numMax: String, sMin: String,
+        sMax: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  $numMin AS num_min, $numMax AS num_max,
+         |  $sMin AS str_min, $sMax AS str_max
+         |FROM documents""".stripMargin
+    val nD = "CAST(NULL AS DOUBLE)"
+    val nS = "CAST(NULL AS VARCHAR)"
+    (numeric.map(c => branch(c, s"CAST(min($c) AS DOUBLE)",
+        s"CAST(max($c) AS DOUBLE)", nS, nS)) ++
+      strings.map(c => branch(c, nD, nD, s"min($c)", s"max($c)")) ++
+      countOnly.map(c => branch(c, nD, nD, nS, nS)))
+      .mkString("\nUNION ALL\n")
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import graft.operators.{BinPack, Profile, Quantize}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the corpus-admission layer (q101–q105): next-fit bin
+  * packing, int8 quantization, the column profiler, and the constraint
+  * checks — on crafted frames where the expected answers are computable
+  * by hand (the oracle queries pin the real-data behavior).
+  */
+class ValidationOpsSpec extends AnyFunSuite with SparkSpec {
+
+  import sqlImplicits._
+
+  // ---- BinPack.nextFit ----------------------------------------------
+
+  private def packed(rows: Seq[(String, Long, Long)], capacity: Long) = {
+    val df = rows.toDF("lane", "id", "n")
+    BinPack.nextFit(df, Seq("lane"), "id", "n", capacity)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+  }
+
+  test("nextFit packs greedily in order, resetting per lane") {
+    val out = packed(Seq(
+      ("a", 1L, 60L), ("a", 2L, 50L), ("a", 3L, 30L), ("a", 4L, 10L),
+      ("b", 1L, 100L), ("b", 2L, 1L)), capacity = 100L)
+    // lane a: 60+50>100 → new bin; 50+30<=100 stays; +10 <= 100 stays
+    assert(out === Seq(
+      ("a", 1L, 60L, 0L, 60L), ("a", 2L, 50L, 1L, 50L),
+      ("a", 3L, 30L, 1L, 80L), ("a", 4L, 10L, 1L, 90L),
+      ("b", 1L, 100L, 0L, 100L), ("b", 2L, 1L, 1L, 1L)))
+  }
+
+  test("nextFit gives an oversized document its own overflowing bin") {
+    val out = packed(Seq(
+      ("a", 1L, 10L), ("a", 2L, 500L), ("a", 3L, 10L)), capacity = 100L)
+    assert(out === Seq(
+      ("a", 1L, 10L, 0L, 10L),
+      ("a", 2L, 500L, 1L, 500L), // overflows alone, never dropped
+      ("a", 3L, 10L, 2L, 10L)))
+  }
+
+  test("nextFit zero-count rows join the current bin without opening one") {
+    val out = packed(Seq(("a", 1L, 0L), ("a", 2L, 100L), ("a", 3L, 0L)), 100L)
+    assert(out.map(_._4).toSeq === Seq(0L, 0L, 0L))
+  }
+
+  test("nextFit is invariant to input partitioning") {
+    val rows = (1L to 200L).map(i => (s"lane${i % 7}", i, (i * 13) % 50 + 1))
+    val a = packed(rows, 120L)
+    val b = {
+      val df = rows.toDF("lane", "id", "n").repartition(13)
+      BinPack.nextFit(df, Seq("lane"), "id", "n", 120L)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(t => (t._1, t._2))
+    }
+    assert(a === b)
+    // every row appears exactly once
+    assert(a.length === 200)
+    // capacity respected whenever a bin holds >1 row
+    val binTotal = a.groupBy(t => (t._1, t._4)).values
+    binTotal.foreach { rs =>
+      if (rs.length > 1) assert(rs.map(_._3).sum <= 120L)
+    }
+    // bins are contiguous, 0-based, fill is the running sum within a bin
+    a.groupBy(_._1).values.foreach { laneRows =>
+      val bins = laneRows.sortBy(_._2).map(_._4)
+      assert(bins.head === 0L)
+      bins.sliding(2).foreach {
+        case Array(x, y) => assert(y === x || y === x + 1)
+        case _ =>
+      }
+    }
+  }
+
+  // ---- Quantize ------------------------------------------------------
+
+  test("int8 roundtrip error is bounded by scale/2 per dimension") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.25f, 3.75f, 0.0f)),
+      (2L, Array(-0.001f, 0.002f, -0.003f, 0.004f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)) // all-zero → scale 0, codes 0
+    ).toDF("vec_id", "embedding")
+    val out = df
+      .withColumn("scale", Quantize.scaleOf($"embedding"))
+      .withColumn("q", Quantize.int8Codes($"embedding", $"scale"))
+      .withColumn("err", Quantize.errorMicros($"embedding", $"q", $"scale"))
+      .collect()
+    out.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val q = r.getAs[scala.collection.Seq[Int]]("q")
+      val errU = r.getAs[scala.collection.Seq[Long]]("err")
+      assert(q.forall(c => c >= -127 && c <= 127))
+      // |v - q*scale| <= scale/2 (+1 micro-unit of floor slack)
+      errU.foreach(e => assert(e <= math.floor(scale / 2 * 1e7 + 0.5).toLong + 1))
+      if (scale == 0.0) assert(q.forall(_ == 0) && errU.forall(_ == 0L))
+    }
+    // the max-|v| dimension quantizes to ±127 exactly
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getAs[scala.collection.Seq[Int]]("q")(2) === 127)
+  }
+
+  test("quantization on real embeddings never clips and keeps sign") {
+    val e = Tables.embeddings(spark, sf())
+      .withColumn("scale", Quantize.scaleOf($"embedding"))
+      .withColumn("q", Quantize.int8Codes($"embedding", $"scale"))
+      .select(
+        max(array_max($"q")).as("qmax"),
+        min(array_min($"q")).as("qmin"),
+        sum(size(filter(zip_with($"embedding", $"q",
+          (v, q) => (v > 0.0f && q < 0) || (v < 0.0f && q > 0)),
+          x => x))).as("sign_flips"))
+      .head()
+    assert(e.getAs[Int]("qmax") <= 127 && e.getAs[Int]("qmin") >= -127)
+    assert(e.getAs[Long]("sign_flips") === 0L)
+  }
+
+  // ---- Profile -------------------------------------------------------
+
+  test("columnProfile counts nulls, distincts and ranges in one pass") {
+    val df = Seq[(java.lang.Long, String, String)](
+      (1L, "en", "alpha"), (2L, "en", null), (3L, null, "beta"),
+      (null, "de", "beta"), (5L, "de", "beta")
+    ).toDF("id", "lang", "note")
+    val p = Profile.columnProfile(df, numericCols = Seq("id"),
+      stringCols = Seq("lang"), countOnlyCols = Seq("note"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p.keySet === Set("id", "lang", "note"))
+    val id = p("id")
+    assert(id.getLong(1) === 5L && id.getLong(2) === 1L && id.getLong(3) === 4L)
+    assert(id.getDouble(4) === 1.0 && id.getDouble(5) === 5.0)
+    assert(id.isNullAt(6) && id.isNullAt(7))
+    val lang = p("lang")
+    assert(lang.getLong(2) === 1L && lang.getLong(3) === 2L)
+    assert(lang.getString(6) === "de" && lang.getString(7) === "en")
+    val note = p("note")
+    assert(note.getLong(2) === 1L && note.getLong(3) === 2L)
+    assert(note.isNullAt(4) && note.isNullAt(6))
+  }
+
+  test("constraint checks flag planted violations") {
+    // q104's shape on a frame with a duplicate id and a bad n_chars
+    val df = Seq((1L, "ab", 2L), (1L, "cde", 3L), (2L, "fg", 99L))
+      .toDF("doc_id", "text", "n_chars")
+    val dup = df.agg((count(lit(1)) - countDistinct($"doc_id")).as("v")).head().getLong(0)
+    val bad = df.agg(sum(when($"n_chars" =!= length($"text"), 1L).otherwise(0L)).as("v"))
+      .head().getLong(0)
+    assert(dup === 1L && bad === 1L)
+  }
+}
