@@ -90,10 +90,11 @@ object ScaleRehearsal {
     val deconOnly = args.contains("--decon-only")
     val semOnly = args.contains("--sem-only")
     val segDigestOnly = args.contains("--segdigest-only")
+    val pqOnly = args.contains("--pq-only")
     val posArgs = args.toSeq.filterNot(_.startsWith("--"))
     val scales = if (posArgs.nonEmpty) posArgs.map(_.toLong)
     else Seq(15000L, 50000L, 150000L)
-    if (!semOnly && !segDigestOnly) require(scales.forall(_ > 10000L),
+    if (!semOnly && !segDigestOnly && !pqOnly) require(scales.forall(_ > 10000L),
       "rungs below 10k docs keep the exact-copy megabucket (n/50 <= cap " +
         "200) while larger rungs drop it — incomparable cap regimes; " +
         s"got ${scales.mkString(",")}")
@@ -181,6 +182,100 @@ object ScaleRehearsal {
         f"""{"n_docs":$n,"grouped":{"sec":$tG%.2f,"rows":$nG},"windowed":{"sec":$tW%.2f,"rows":$nW}}"""
       }.mkString("[", ",", "]")
       println(s"""{"metric":"seg_digest_rehearsal","scales":$ladder}""")
+      spark.stop(); return
+    }
+
+    // PQ-vs-exact search ladder: pseudo-random 64-dim vectors, 3 fixed
+    // queries; measures (a) one-off encode cost, (b) ADC top-5 over the
+    // cached CODE table (8 B/row), (c) exact ‖x‖²−2·q·x top-5 over the
+    // cached VECTORS (256 B/row) — the claim is the per-query scan, not
+    // the one-off encode: ADC reads 1/32 of the bytes and does 8 integer
+    // adds/row vs 64 FMAs/row, so the gap widens with n while recall is
+    // reported for honesty (random vectors are PQ's worst case — real
+    // corpora cluster, which is what codebooks exploit).
+    if (pqOnly) {
+      import graft.operators.ProductQuantizer
+      import graft.plans.VectorExpressions
+      import org.apache.spark.sql.expressions.Window
+      def vecs(n: Long) = spark.range(n).select(col("id"),
+        expr("""transform(sequence(0, 63), j -> CAST(
+          CAST(pmod(xxhash64(concat(cast(id AS string), ':',
+            cast(j AS string))), 2001) AS DOUBLE) / 1000.0 - 1.0
+          AS FLOAT))""").as("embedding"))
+      def exactTopK(v: DataFrame, queries: Seq[(Long, Array[Float])], k: Int) = {
+        val scored = queries.map { case (qid, q) =>
+          v.select(lit(qid).as("qid"), col("id").as("nid"),
+            (VectorExpressions.dotNative(col("embedding"), col("embedding"))
+              - lit(2.0) * VectorExpressions.dotNative(col("embedding"), lit(q)))
+              .as("d"))
+            .where(col("nid") =!= qid)
+        }.reduce(_ unionByName _)
+        val w = Window.partitionBy("qid").orderBy(col("d"), col("nid"))
+        scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      }
+      val pScales = if (posArgs.nonEmpty) posArgs.map(_.toLong)
+      else Seq(200000L, 800000L, 3200000L)
+      locally { // untimed JIT/codegen warmup
+        val w = vecs(20000L).cache(); w.count()
+        val m = ProductQuantizer.fitPortable(w, 64, 8, 16)
+        val qs = w.filter(col("id") < 3).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        val c = ProductQuantizer.encode(w, m).cache(); c.count()
+        ProductQuantizer.adcTopK(c, qs, m, 5).count()
+        exactTopK(w, qs, 5).count()
+        c.unpersist(); w.unpersist()
+      }
+      val ladder = pScales.map { n =>
+        val v = vecs(n).cache(); v.count()
+        val model = ProductQuantizer.fitPortable(v, 64, 8, 16)
+        val queries = v.filter(col("id") < 3).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        val (tEnc, _) = timed3 { ProductQuantizer.encode(v, model).count() }
+        val codes = ProductQuantizer.encode(v, model).cache(); codes.count()
+        val (tAdc, _) = timed3 {
+          ProductQuantizer.adcTopK(codes, queries, model, 5).count() }
+        val (tExact, _) = timed3 { exactTopK(v, queries, 5).count() }
+        val adcIds = ProductQuantizer.adcTopK(codes, queries, model, 5)
+          .select("qid", "nid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exactIds = exactTopK(v, queries, 5)
+          .select("qid", "nid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = (adcIds intersect exactIds).size.toDouble /
+          math.max(exactIds.size, 1)
+        codes.unpersist(); v.unpersist()
+        // recall on PQ's FAVORABLE regime: n/5 well-separated clusters of
+        // ~5 vectors each (center + 5% noise) — exact neighbors ARE the
+        // cluster-mates, and PQ collapses each cluster to one code tuple
+        // in the 16⁸ cell space, so ADC finds them. Within-cell ADC ties
+        // are PQ's designed blind spot (real deployments rerank a
+        // shortlist); cluster size ≈ k keeps the demo rerank-free.
+        // Timing claims stay on the uniform corpus above.
+        val nClusters = math.max(n / 5, 1L)
+        val cv = spark.range(n).select(col("id"),
+          expr(s"""transform(sequence(0, 63), j -> CAST(
+            (CAST(pmod(xxhash64(concat('c', cast(pmod(id, $nClusters) AS string),
+               ':', cast(j AS string))), 2001) AS DOUBLE) / 1000.0 - 1.0)
+            + (CAST(pmod(xxhash64(concat('n', cast(id AS string), ':',
+               cast(j AS string))), 2001) AS DOUBLE) / 1000.0 - 1.0) * 0.05
+            AS FLOAT))""").as("embedding")).cache()
+        cv.count()
+        val cModel = ProductQuantizer.fitPortable(cv, 64, 8, 16)
+        val cQueries = cv.filter(col("id") < 3).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        val cCodes = ProductQuantizer.encode(cv, cModel).cache(); cCodes.count()
+        val cAdc = ProductQuantizer.adcTopK(cCodes, cQueries, cModel, 5)
+          .select("qid", "nid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val cExact = exactTopK(cv, cQueries, 5)
+          .select("qid", "nid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recallC = (cAdc intersect cExact).size.toDouble /
+          math.max(cExact.size, 1)
+        cCodes.unpersist(); cv.unpersist()
+        f"""{"n_vecs":$n,"encode_sec":$tEnc%.2f,"adc_top5_sec":$tAdc%.2f,"exact_top5_sec":$tExact%.2f,"recall_at_5_uniform":$recall%.2f,"recall_at_5_clustered":$recallC%.2f}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"pq_rehearsal","scales":$ladder}""")
       spark.stop(); return
     }
 

@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.plans.VectorExpressions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding search at corpus scale — the
+  * compression/search scheme of Jégou, Douze & Schmid, "Product
+  * Quantization for Nearest Neighbor Search" (TPAMI 2011), the workhorse
+  * behind FAISS `IVFPQ`: split each d-dim vector into `m` subvectors,
+  * quantize every subvector against a small per-subspace codebook, and
+  * search with asymmetric distance computation (ADC) — per-query lookup
+  * tables over the CODES, never touching the original vectors.
+  *
+  * Scale shape:
+  *  - the codebook is driver-sized by construction (m · ks · (d/m)
+  *    floats) and ships into the plan as literals — encoding is a pure
+  *    projection, map-only, whole-stage codegen, zero shuffle;
+  *  - codes pack into ONE BIGINT per vector (m · log₂ks ≤ 63 bits); a
+  *    100 TB float32 corpus becomes a ~1.5 TB code table, which is the
+  *    artifact ADC scans;
+  *  - ADC is again a pure projection over the code table (m shift-mask
+  *    lookups + an integer sum per row) followed by a per-query top-k
+  *    window — `WindowGroupLimit` keeps the shuffle at k rows per
+  *    partition per query.
+  *
+  * Bit-portability: codebooks are md5-hash-ordered corpus samples
+  * ([[Similarity.sampleCentroidsPortable]]'s recipe — no RNG), argmin
+  * uses the q56 `‖c‖² − 2·x·c` literal expansion on dimension slices
+  * (ties broken by code index), and every cross-engine-visible distance
+  * is quantized to integer micro-units BEFORE summation so sums are
+  * order-free (q85's discipline).
+  */
+object ProductQuantizer {
+
+  /** A fitted product quantizer: `books(mi)(j)` is code `j`'s centroid in
+    * subspace `mi` (a d/m-dim slice). `ks` must be a power of two so
+    * packed codes unpack with shift/mask on both engines.
+    */
+  final case class Model(dim: Int, m: Int, ks: Int,
+      books: Seq[Seq[Array[Float]]]) {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    require(ks > 1 && (ks & (ks - 1)) == 0, s"ks must be a power of two, got $ks")
+    val subDim: Int = dim / m
+    val bits: Int = java.lang.Integer.numberOfTrailingZeros(ks)
+    require(m * bits <= 63, s"packed code needs ${m * bits} bits > 63")
+  }
+
+  /** Fit by portable sampling: the md5-ordered first `ks` corpus vectors,
+    * sliced per subspace (every subspace shares the sample rows — the
+    * recipe an oracle replays with ORDER BY md5(id) LIMIT ks).
+    * `corpus` needs (id, embedding) columns.
+    */
+  def fitPortable(corpus: DataFrame, dim: Int, m: Int, ks: Int): Model = {
+    val sampled = Similarity.sampleCentroidsPortable(corpus, ks)
+    require(sampled.size == ks, s"corpus smaller than ks=$ks")
+    val subDim = dim / m
+    val books = (0 until m).map { mi =>
+      sampled.map { case (_, v) => v.slice(mi * subDim, (mi + 1) * subDim) }
+    }
+    Model(dim, m, ks, books)
+  }
+
+  private def normSq(v: Array[Float]): Double =
+    v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+
+  /** Best (code, true-distance) for subspace `mi` as ONE argmin: array_min
+    * over (d, cid, t) structs where d = ‖c‖² − 2·x·c ranks (the ‖x‖² term
+    * is constant within the subspace, so ranking matches true distance),
+    * cid breaks ties toward the smaller code, and t is the true
+    * micro-unit distance floor((d + ‖x‖²)·10⁶ + 0.5) carried along.
+    */
+  private def bestOf(model: Model, vec: Column, mi: Int): Column = {
+    val sub = slice(vec, mi * model.subDim + 1, model.subDim)
+    val subNorm = VectorExpressions.dotNative(sub, sub)
+    array_min(array(model.books(mi).zipWithIndex.map { case (c, j) =>
+      val d = lit(normSq(c)) - lit(2.0) * VectorExpressions.dotNative(sub, lit(c))
+      struct(d.as("d"), lit(j).as("cid"),
+        floor((d + subNorm) * 1e6 + 0.5).as("t"))
+    }: _*))
+  }
+
+  /** Encode: (id, packed_code BIGINT with subspace `mi` in bits
+    * [mi·bits, (mi+1)·bits), distortion_u BIGINT = Σ per-subspace
+    * micro-unit squared distances). Map-only, zero shuffle.
+    */
+  def encode(corpus: DataFrame, model: Model, idCol: String = "id",
+      vecCol: String = "embedding"): DataFrame = {
+    val bests = (0 until model.m).map(mi => bestOf(model, col(vecCol), mi))
+    val packed = bests.zipWithIndex.map { case (b, mi) =>
+      shiftleft(b.getField("cid").cast("long"), mi * model.bits)
+    }.reduce(_ bitwiseOR _)
+    val distort = bests.map(_.getField("t").cast("long")).reduce(_ + _)
+    corpus.select(col(idCol), packed.as("packed_code"),
+      distort.as("distortion_u"))
+  }
+
+  /** ADC top-k over an ENCODED table: for each query vector (collected —
+    * queries are few by contract), build the m·ks lookup table of
+    * micro-unit subspace distances driver-side (same (a − 2b) + c
+    * evaluation order as the encoder so any engine replays it), then
+    * score every code row with m shift-mask lookups + an integer sum,
+    * and keep the top k by (distance, id). `codes` needs
+    * (id, packed_code).
+    */
+  def adcTopK(codes: DataFrame, queries: Seq[(Long, Array[Float])],
+      model: Model, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mask = lit((model.ks - 1).toLong)
+    val scored = queries.map { case (qid, q) =>
+      val luts: Seq[Array[Long]] = (0 until model.m).map { mi =>
+        val qSub = q.slice(mi * model.subDim, (mi + 1) * model.subDim)
+        val normQ = normSq(qSub)
+        model.books(mi).map { c =>
+          val dot = qSub.zip(c).foldLeft(0.0) { case (acc, (a, b)) =>
+            acc + a.toDouble * b.toDouble }
+          math.floor(((normSq(c) - 2.0 * dot) + normQ) * 1e6 + 0.5).toLong
+        }.toArray
+      }
+      val dist = (0 until model.m).map { mi =>
+        val code = shiftrightunsigned(col("packed_code"), mi * model.bits)
+          .bitwiseAND(mask)
+        element_at(lit(luts(mi)), (code + 1).cast("int"))
+      }.reduce(_ + _)
+      codes.select(lit(qid).as("qid"), col("id").as("nid"),
+        dist.as("dist_u")).where(col("nid") =!= qid)
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy("qid").orderBy(col("dist_u"), col("nid"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorFunctions
-import graft.operators.Similarity
+import graft.operators.{ProductQuantizer, Similarity}
 import graft.functions.TextFunctions.round4hu
 import org.apache.spark.sql.functions._
 
@@ -246,6 +246,98 @@ object VectorOps {
         |FROM sub s LEFT JOIN dropped d ON s.nid = d.nid""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding"))
       Similarity.semanticDedup(emb, tau = 0.5)
+    },
+
+    // q106: product-quantization encoding ([[graft.operators
+    // .ProductQuantizer]]) — 8 subspaces × 16 codes over the 64-dim
+    // embeddings, md5-portable codebooks, q56's ‖c‖²−2·x·c argmin on
+    // dimension slices, distortion in order-free integer micro-units.
+    // The oracle replays sampling, slicing, per-subspace argmin, bit
+    // packing, and the micro-unit distortion sum.
+    QueryDef.sql(
+      "q106_pq_codes",
+      s"""$PqCommonSql
+         |SELECT nid AS vec_id,
+         |  CAST(sum(CAST(code AS BIGINT) << (4 * mi)) AS BIGINT) AS packed_code,
+         |  CAST(sum(t) AS BIGINT) AS distortion_u
+         |FROM codes GROUP BY nid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding"))
+      val model = ProductQuantizer.fitPortable(emb, dim = Dim, m = 8, ks = 16)
+      ProductQuantizer.encode(emb, model)
+        .select(col("id").as("vec_id"), col("packed_code"), col("distortion_u"))
+    },
+
+    // q107: ADC top-5 search over the q106 code table — per-query
+    // micro-unit lookup tables built from the same codebooks, m
+    // shift-mask lookups + an integer sum per code row, rank by
+    // (dist_u, nid). Never touches the original embeddings after
+    // encoding — the 100 TB search scans ~1.5% of the corpus bytes.
+    QueryDef.sql(
+      "q107_pq_adc_topk",
+      s"""$PqCommonSql,
+         |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+         |      FROM embeddings WHERE vec_id < 3),
+         |qsl AS (
+         |  SELECT qid, mi, j,
+         |    list_slice(qe, 8 * mi + 1, 8 * mi + 8) AS qsub,
+         |    list_slice(ce, 8 * mi + 1, 8 * mi + 8) AS csub
+         |  FROM q CROSS JOIN ms CROSS JOIN cents),
+         |qterms AS (
+         |  SELECT qid, mi, j,
+         |    CAST(floor(((list_dot_product(csub, csub)
+         |           - 2 * list_dot_product(qsub, csub))
+         |           + list_dot_product(qsub, qsub)) * 1000000.0 + 0.5)
+         |      AS BIGINT) AS t
+         |  FROM qsl),
+         |dist AS (
+         |  SELECT qid, nid, CAST(sum(qt.t) AS BIGINT) AS dist_u
+         |  FROM codes JOIN qterms qt ON qt.mi = codes.mi AND qt.j = codes.code
+         |  WHERE nid <> qid GROUP BY qid, nid),
+         |ranked AS (
+         |  SELECT qid, nid, dist_u,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist_u, nid) AS rank
+         |  FROM dist)
+         |SELECT qid, nid, dist_u, rank FROM ranked WHERE rank <= 5""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding"))
+        val model = ProductQuantizer.fitPortable(emb, dim = Dim, m = 8, ks = 16)
+        val codes = ProductQuantizer.encode(emb, model)
+        val queries = emb.filter(col("id") < 3).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+          .sortBy(_._1)
+        ProductQuantizer.adcTopK(codes, queries, model, k = 5)
+          .select(col("qid"), col("nid"), col("dist_u"), col("rank"))
     }
   )
+
+  /** Shared PQ replay for q106/q107: md5-sampled 16-row codebook, 8
+    * dimension slices, per-(vector, subspace) argmin with (dist, code)
+    * tie-break, true distance carried in integer micro-units.
+    */
+  private def PqCommonSql: String =
+    """WITH e AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings),
+      |cents AS (
+      |  SELECT rn - 1 AS j, ce FROM (
+      |    SELECT row_number() OVER (
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+      |      CAST(embedding AS DOUBLE[]) AS ce
+      |    FROM embeddings) WHERE rn <= 16),
+      |ms AS (SELECT unnest(generate_series(0, 7)) AS mi),
+      |sl AS (
+      |  SELECT nid, mi, j,
+      |    list_slice(ne, 8 * mi + 1, 8 * mi + 8) AS nsub,
+      |    list_slice(ce, 8 * mi + 1, 8 * mi + 8) AS csub
+      |  FROM e CROSS JOIN ms CROSS JOIN cents),
+      |assign AS (
+      |  SELECT nid, mi, j,
+      |    list_dot_product(csub, csub) - 2 * list_dot_product(nsub, csub) AS d,
+      |    CAST(floor(((list_dot_product(csub, csub)
+      |           - 2 * list_dot_product(nsub, csub))
+      |           + list_dot_product(nsub, nsub)) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS t
+      |  FROM sl),
+      |codes AS (
+      |  SELECT nid, mi, j AS code, t FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY nid, mi ORDER BY d, j) AS rn
+      |    FROM assign) WHERE rn = 1)""".stripMargin
 }

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.ProductQuantizer
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PQ invariants on the real embeddings (the q106/q107 oracles pin exact
+  * cross-engine values; these pin the algebra the oracles can't see).
+  */
+class ProductQuantizerSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf())
+    .select(col("vec_id").as("id"), col("embedding"))
+  private lazy val model = ProductQuantizer.fitPortable(emb, dim = 64, m = 8, ks = 16)
+  private lazy val codes = ProductQuantizer.encode(emb, model).cache()
+
+  private def unpack(packed: Long): Seq[Int] =
+    (0 until model.m).map(mi => ((packed >>> (mi * model.bits)) & (model.ks - 1)).toInt)
+
+  test("encode matches a driver-side brute-force argmin per subspace") {
+    val vecs = emb.orderBy("id").limit(20).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val got = codes.filter(col("id").isin(vecs.keys.toSeq: _*)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.foreach { case (id, v) =>
+      val expect = (0 until model.m).map { mi =>
+        val sub = v.slice(mi * model.subDim, (mi + 1) * model.subDim)
+        model.books(mi).zipWithIndex.map { case (c, j) =>
+          // the operator's own ‖c‖²−2·x·c expansion (same FP sequence —
+          // a direct Σ(c−x)² could flip near-ties)
+          val normC = c.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+          val dot = sub.zip(c).foldLeft(0.0) { case (acc, (a, b)) =>
+            acc + a.toDouble * b.toDouble }
+          (normC - 2.0 * dot, j)
+        }.min._2
+      }
+      assert(unpack(got(id)) === expect, s"vector $id")
+    }
+  }
+
+  test("encode is deterministic under repartitioning") {
+    val a = codes.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = ProductQuantizer.encode(emb.repartition(13), model)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a === b)
+  }
+
+  test("ADC distance equals distance to the reconstructed vector") {
+    val queries = emb.filter(col("id") < 3).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val top = ProductQuantizer.adcTopK(codes, queries, model, k = 5).collect()
+    val codeOf = codes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qv = queries.toMap
+    top.foreach { r =>
+      val (qid, nid, distU) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val q = qv(qid)
+      // reconstruct nid from its codes; true d²(q, recon) in micro-units
+      // must match the LUT sum within m units of floor slack
+      val exact = (0 until model.m).map { mi =>
+        val c = model.books(mi)(unpack(codeOf(nid))(mi))
+        val qSub = q.slice(mi * model.subDim, (mi + 1) * model.subDim)
+        qSub.zip(c).foldLeft(0.0) { case (acc, (a, b)) =>
+          acc + (a.toDouble - b.toDouble) * (a.toDouble - b.toDouble) }
+      }.sum
+      assert(math.abs(distU - exact * 1e6) <= model.m.toDouble,
+        s"qid=$qid nid=$nid distU=$distU exact=${exact * 1e6}")
+    }
+    // per-query: exactly k rows, ranks 1..k, distances nondecreasing
+    top.groupBy(_.getLong(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq === (1 to 5))
+      val d = sorted.map(_.getLong(2))
+      assert(d.zip(d.tail).forall { case (x, y) => x <= y })
+    }
+  }
+
+  test("distortion is zero for codebook members' own sample vectors") {
+    // the 16 sampled vectors ARE centroids in every subspace → their
+    // distortion is exactly 0 (up to the +0.5 floor, which keeps 0 at 0)
+    val sampleIds = graft.operators.Similarity
+      .sampleCentroidsPortable(emb, 16).map(_._1)
+    val d = codes.filter(col("id").isin(sampleIds: _*))
+      .agg(max("distortion_u")).head().getLong(0)
+    assert(d === 0L)
+  }
+}
