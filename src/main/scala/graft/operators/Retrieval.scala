@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval over a document corpus — the inverted-index
+  * scoring shape (Robertson & Zaragoza, "The Probabilistic Relevance
+  * Framework: BM25 and Beyond"). The reference's serving layer searches
+  * by relational predicates only (the `dwh/serving` queries filter on category /
+  * follower bands); content-relevance ranking over the text itself is
+  * the retrieval half a training-data platform needs (eval-set mining,
+  * corpus inspection, RAG indexing).
+  *
+  * Relational shape — everything is a hash aggregate or an equi-join on
+  * (term) or (doc): postings `(doc, term, tf)` from one corpus scan;
+  * document lengths from the same scan; df/idf per QUERY term only
+  * (semi-join before the stats, so the full term dictionary is never
+  * materialized); scoring joins postings against the tiny query-term
+  * frame (broadcast) and aggregates by (qid, doc). Top-k per query is a
+  * rank-partitioned `row_number` ≤ k — Spark plans the per-partition
+  * `WindowGroupLimit` so only ≤ k rows per (partition, qid) reach the
+  * exchange. At 100 TB: postings partition by term (the classic
+  * distributed inverted index); query frames are always the broadcast
+  * side; df/idf stats are |query terms| rows.
+  *
+  * Portability (why integer): with k1 = 1.2 and b = 0.75 the BM25 term
+  * factor is the exact rational
+  * `22·tf·total / (10·tf·total + 3·total + 9·dl·N)` (multiply the
+  * classic form through by `10·total`, where `total` = corpus token
+  * count, `N` = doc count, `dl` = doc length, `avgdl = total/N` never
+  * materializes as a float). idf is quantized to integer micro-nats
+  * (`floor(ln((2N+2)/(2·df+1))·10⁶ + 0.5)` — the +0.5-smoothed
+  * `ln(1 + (N−df+0.5)/(df+0.5))` rewritten over integers), and each
+  * term's contribution `idf_u·22·tf·total div (…)` is exact BIGINT
+  * arithmetic, so per-doc sums are order-free and any engine reproduces
+  * them bit-for-bit. Magnitudes: contribution numerators stay below
+  * idf_u·22·tf·total ≈ 2⁶³ until corpus token counts pass ~10¹²; past
+  * that, compute the term factor in micro-units first (or decimal) —
+  * same plan shape.
+  */
+object Retrieval {
+
+  /** Corpus statistics pack: postings (doc, term, tf), lengths
+    * (doc, dl), and the 1-row totals (n docs, total tokens). One scan.
+    */
+  def corpusPostings(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val toks = docs.select(col(idCol).as("doc"), tokens(col(textCol)).as("tk"))
+    val posting = toks
+      .select(col("doc"), explode(col("tk")).as("term"))
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.select(col("doc"), size(col("tk")).cast("long").as("dl"))
+    val tot = toks.agg(count(lit(1)).as("n"), sum(size(col("tk"))).as("total"))
+    (posting, dl, tot)
+  }
+
+  /** Top-k docs per query under BM25(k1=1.2, b=0.75).
+    * `queryTerms`: (qid, term) — one row per query term, duplicates
+    * allowed but counted once (df/idf are per term; a repeated query
+    * term would double its contribution, matching the bag-of-words
+    * query model). Returns (qid, doc, score_u, rnk) with rnk ≤ k; docs
+    * sharing no term with a query are absent.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: DataFrame, k: Int): DataFrame = {
+    val (posting, dl, tot) = corpusPostings(docs, idCol, textCol)
+    // df over query terms only: semi-join first, then count docs per term
+    val qTerms = queryTerms.select("term").distinct()
+    val dfT = posting.join(broadcast(qTerms), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = dfT.crossJoin(broadcast(tot))
+      .select(col("term"),
+        floor(log((col("n") * 2 + 2).cast("double") / (col("df") * 2 + 1))
+          * 1000000.0 + 0.5).cast("long").as("idf_u"))
+    val contrib = posting
+      .join(broadcast(queryTerms), "term")
+      .join(broadcast(idf), "term")
+      .join(dl, "doc")
+      .crossJoin(broadcast(tot))
+      .select(col("qid"), col("doc"),
+        expr("(idf_u * 22 * tf * total) div " +
+          "(10 * tf * total + 3 * total + 9 * dl * n)").as("c"))
+    val scored = contrib.groupBy("qid", "doc").agg(sum("c").as("score_u"))
+    scored
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("score_u").desc, col("doc").asc)).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+}

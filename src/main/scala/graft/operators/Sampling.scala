@@ -292,4 +292,45 @@ object Sampling {
           * 1000000.0).cast("long"))
       .select(col(sourceCol), col("__n"), col("__thr"))
   }
+
+  /** Winsorized min-max score normalization per group: clip `scoreCol`
+    * to the group's [pLo, pHi] percentile band, then rescale the band to
+    * [0, 10000] integer units. The robust-scaling step quality pipelines
+    * run before mixing scores from different sources (a source whose
+    * raw score range is wider would otherwise dominate any combined
+    * gate); winsorizing first makes the range immune to outlier docs.
+    *
+    * Same relational shape as [[percentileGate]]: a per-group threshold
+    * table (two percentiles — exact by default here, because the q111
+    * oracle replays `quantile_cont`; pass `exact = false` for the
+    * 100 TB sketch path), always broadcast, then one map-side clip +
+    * rescale. Portability: the percentile doubles are quantized to
+    * 1e-4 units BEFORE the clip, so clip and rescale are exact BIGINT
+    * arithmetic (`div`) — order-free on any engine. `scoreCol` must be
+    * integer-valued (it is cast to long); pre-quantize fractional scores
+    * to integer units first (the micro-unit convention).
+    *
+    * Returns the input plus `norm_u` ∈ [0, 10000] (constant-score
+    * groups, hi_u = lo_u, normalize to 0 via the `greatest(…, 1)`
+    * denominator guard).
+    */
+  def winsorizedNormalize(df: DataFrame, groupCol: String, scoreCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95,
+      exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    def pct(p: Double) =
+      if (exact) expr(s"percentile($scoreCol, $p)")
+      else expr(s"approx_percentile($scoreCol, $p, $accuracy)")
+    val thr = df.groupBy(groupCol).agg(
+      floor(pct(pLo) * 10000.0 + 0.5).cast("long").as("__lo_u"),
+      floor(pct(pHi) * 10000.0 + 0.5).cast("long").as("__hi_u"))
+    df.join(broadcast(thr), groupCol)
+      .withColumn("__clip_u",
+        least(greatest(col(scoreCol).cast("long") * 10000L, col("__lo_u")),
+          col("__hi_u")))
+      .withColumn("norm_u",
+        expr("((__clip_u - __lo_u) * 10000) div greatest(__hi_u - __lo_u, 1)"))
+      .drop("__lo_u", "__hi_u", "__clip_u")
+  }
 }

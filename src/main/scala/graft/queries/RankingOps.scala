@@ -1,0 +1,186 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dsir, Influence, Retrieval, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Ranking & selection operators (beyond-reference, SURVEY §2.11): who
+  * matters in the interaction graph, which documents match a query, and
+  * which documents look like the target corpus.
+  *
+  *  - q108 PageRank influence ([[graft.operators.Influence]]): damped
+  *    integer PageRank over the customer↔supplier interaction graph —
+  *    the recursive influence measure the reference's per-entity
+  *    engagement scores stop short of. Oracle replays all three
+  *    iterations in chained CTEs with identical BIGINT arithmetic.
+  *  - q109 BM25 top-k retrieval ([[graft.operators.Retrieval]]): ranked
+  *    content search over `documents` with the exact-rational k1=1.2 /
+  *    b=0.75 term factor and micro-nat idf.
+  *  - q110 DSIR importance weights ([[graft.operators.Dsir]]):
+  *    hashed-bigram log-likelihood-ratio selection (target = src0 docs)
+  *    per Xie et al. 2023 — the "select web data that looks like the
+  *    curated set" signal, in exact micro-nat sums.
+  *  - q111 winsorized score normalization
+  *    ([[graft.operators.Sampling.winsorizedNormalize]]): per-source
+  *    robust min-max of `n_chars` onto [0, 10000] integer units — the
+  *    scale-alignment step before cross-source quality gating.
+  */
+object RankingOps {
+
+  /** DuckDB twin of TextFunctions.tokens (same as TextOps.T). */
+  private val T = "list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)"
+
+  /** One PageRank iteration as a DuckDB CTE: `cur` from `prev` over the
+    * shared `e` (edges), `deg` (out-degrees), and `n` (nodes) CTEs —
+    * the exact integer update [[Influence.pageRankInteger]] runs.
+    */
+  private def prIter(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT n.node,
+       |    CAST(150000 + coalesce(c.in_u, 0) AS BIGINT) AS rank_u
+       |  FROM n LEFT JOIN (
+       |    SELECT e.dst,
+       |      CAST(sum(((r.rank_u // d.outdeg) * 850000) // 1000000) AS BIGINT) AS in_u
+       |    FROM e JOIN deg d ON e.src = d.src JOIN $prev r ON r.node = e.src
+       |    GROUP BY e.dst) c ON n.node = c.dst)""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // q108: 3 damped integer-PageRank rounds over the bipartite
+    // customer↔supplier graph (an edge per distinct (custkey, suppkey)
+    // purchase pair, both directions), top-25 suppliers by rank.
+    QueryDef.sql(
+      "q108_pagerank_influence",
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT src, dst FROM e0
+         |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_u FROM n),
+         |${prIter("r0", "r1")},
+         |${prIter("r1", "r2")},
+         |${prIter("r2", "r3")}
+         |SELECT (node - 1) // 2 AS s_suppkey, rank_u
+         |FROM r3 WHERE node % 2 = 1
+         |ORDER BY rank_u DESC, s_suppkey LIMIT 25""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      val e0 = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      Influence.pageRankInteger(edges, 3)
+        .filter(pmod(col("node"), lit(2)) === 1)
+        .select(expr("(node - 1) div 2").as("s_suppkey"), col("rank_u"))
+        .orderBy(col("rank_u").desc, col("s_suppkey").asc)
+        .limit(25)
+    },
+
+    // q109: BM25(k1=1.2, b=0.75) top-10 per query for three fixed
+    // queries over the corpus vocabulary; ties broken by doc_id.
+    QueryDef.sql(
+      "q109_bm25_search",
+      s"""WITH q AS (SELECT CAST(a AS BIGINT) AS qid, b AS term
+         |  FROM (VALUES (1,'hash'),(1,'join'),(2,'window'),(2,'agg'),
+         |               (3,'spark'),(3,'stream'),(3,'data')) v(a, b)),
+         |toks AS (SELECT doc_id, $T AS tk FROM documents),
+         |posting AS (
+         |  SELECT doc_id, t AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+         |tot AS (SELECT count(*) AS n, CAST(sum(len(tk)) AS BIGINT) AS total
+         |        FROM toks),
+         |dft AS (
+         |  SELECT term, count(*) AS df FROM posting
+         |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1),
+         |idf AS (
+         |  SELECT term,
+         |    CAST(floor(ln(CAST(2 * tot.n + 2 AS DOUBLE) / (2 * df + 1))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS idf_u
+         |  FROM dft CROSS JOIN tot),
+         |contrib AS (
+         |  SELECT q.qid, p.doc_id,
+         |    (idf.idf_u * 22 * p.tf * t.total)
+         |      // (10 * p.tf * t.total + 3 * t.total + 9 * dl.dl * t.n) AS c
+         |  FROM q JOIN posting p USING (term) JOIN idf USING (term)
+         |  JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN tot t),
+         |score AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_u
+         |          FROM contrib GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT qid, doc_id, score_u,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY score_u DESC, doc_id) AS rnk
+         |  FROM score)
+         |SELECT qid, doc_id, score_u, rnk FROM ranked WHERE rnk <= 10""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val qt = Seq((1L, "hash"), (1L, "join"), (2L, "window"), (2L, "agg"),
+        (3L, "spark"), (3L, "stream"), (3L, "data")).toDF("qid", "term")
+      Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text", qt, 10)
+        .select(col("qid"), col("doc").as("doc_id"), col("score_u"), col("rnk"))
+    },
+
+    // q110: DSIR log importance weights with target = source 'src0',
+    // 256 hashed-bigram buckets; top-50 docs by weight. Docs with < 2
+    // tokens have no features and are absent (paper's formulation
+    // scores feature occurrences).
+    QueryDef.sql(
+      "q110_dsir_importance",
+      s"""WITH toks AS (SELECT doc_id, source, $T AS tk FROM documents),
+         |bg AS (
+         |  SELECT doc_id, source,
+         |    unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+         |      i -> [tk[i], tk[i+1]])) AS b
+         |  FROM toks),
+         |pairs AS (
+         |  SELECT doc_id, source = 'src0' AS is_tgt,
+         |    CAST(concat('0x', substring(md5(b[1] || ' ' || b[2]), 1, 8))
+         |      AS BIGINT) % 256 AS bucket
+         |  FROM bg),
+         |counts AS (
+         |  SELECT bucket, count(*) AS raw_c,
+         |    CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS tgt_c
+         |  FROM pairs GROUP BY 1),
+         |tot AS (SELECT CAST(sum(raw_c) AS BIGINT) AS raw_tot,
+         |               CAST(sum(tgt_c) AS BIGINT) AS tgt_tot FROM counts),
+         |lr AS (
+         |  SELECT bucket,
+         |    CAST(floor(ln((tgt_c + 1) / CAST(tgt_tot + 256 AS DOUBLE))
+         |      * 1000000.0 + 0.5) AS BIGINT)
+         |    - CAST(floor(ln((raw_c + 1) / CAST(raw_tot + 256 AS DOUBLE))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS lr_u
+         |  FROM counts CROSS JOIN tot),
+         |w AS (SELECT doc_id, count(*) AS n_bigrams,
+         |             CAST(sum(lr_u) AS BIGINT) AS weight_u
+         |      FROM pairs JOIN lr USING (bucket) GROUP BY 1)
+         |SELECT doc_id, n_bigrams, weight_u FROM w
+         |ORDER BY weight_u DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
+      Dsir.importanceWeights(Tables.documents(s, d), "doc_id", "text",
+          col("source") === "src0", 256)
+        .withColumnRenamed("id", "doc_id")
+        .select("doc_id", "n_bigrams", "weight_u")
+        .orderBy(col("weight_u").desc, col("doc_id").asc)
+        .limit(50)
+    },
+
+    // q111: per-source winsorized min-max of n_chars onto [0, 10000].
+    QueryDef.sql(
+      "q111_winsorized_norm",
+      """WITH thr AS (
+        |  SELECT source,
+        |    CAST(floor(quantile_cont(n_chars, 0.05) * 10000.0 + 0.5)
+        |      AS BIGINT) AS lo_u,
+        |    CAST(floor(quantile_cont(n_chars, 0.95) * 10000.0 + 0.5)
+        |      AS BIGINT) AS hi_u
+        |  FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.source,
+        |  ((least(greatest(d.n_chars * 10000, t.lo_u), t.hi_u) - t.lo_u)
+        |    * 10000) // greatest(t.hi_u - t.lo_u, 1) AS norm_u
+        |FROM documents d JOIN thr t USING (source)""".stripMargin) { (s, d) =>
+      Sampling.winsorizedNormalize(Tables.documents(s, d), "source", "n_chars")
+        .select("doc_id", "source", "norm_u")
+    },
+  )
+}

@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.{Dsir, Influence, Retrieval, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Ranking & selection operators: integer PageRank, BM25 retrieval,
+  * DSIR importance weights, winsorized normalization.
+  */
+class RankingSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("pageRankInteger matches hand-computed ranks on a 3-cycle-ish graph") {
+    // 1→2, 1→3, 2→3, 3→1: outdeg 1:2, 2:1, 3:1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    // one iteration: contrib(1→each) = (1e6 div 2)*0.85 = 425000;
+    // contrib(2→3) = 850000; contrib(3→1) = 850000
+    val r1 = Influence.pageRankInteger(edges, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 1000000L, 2L -> 575000L, 3L -> 1425000L))
+    // second iteration from those ranks:
+    // 1 gets (1425000*850000) div 1e6 = 1211250; 2 gets (1000000 div 2)
+    // damped = 425000; 3 gets 425000 + (575000*850000) div 1e6 = 488750
+    val r2 = Influence.pageRankInteger(edges, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 1361250L, 2L -> 575000L, 3L -> 1063750L))
+  }
+
+  test("pageRankInteger: dangling sink keeps teleport-only source alive") {
+    // 1→2 only: node 2 has no out-edges (mass leaks), node 1 no inbound
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val r2 = Influence.pageRankInteger(edges, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // iter1: 1 = teleport 150000; 2 = 150000 + 850000
+    // iter2: 2's inbound re-derives from 1's new rank: (150000*0.85)
+    assert(r2 == Map(1L -> 150000L, 2L -> 277500L))
+  }
+
+  test("pageRankInteger is invariant to input partitioning") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 2L), (2L, 1L))
+    val a = Influence.pageRankInteger(e.toDF("src", "dst"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Influence.pageRankInteger(
+        e.toDF("src", "dst").repartition(7), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("bm25TopK ranks the matching doc first and respects doc-length penalty") {
+    // two docs contain 'cat'; the shorter doc has the same tf so BM25's
+    // length normalization must rank it higher. 'dog' appears in one doc.
+    val docs = Seq(
+      (1L, "cat cat filler filler filler filler filler filler"),
+      (2L, "cat cat pad"),
+      (3L, "dog pad pad"),
+      (4L, "unrelated words only here")).toDF("id", "text")
+    val q = Seq((1L, "cat"), (2L, "dog")).toDF("qid", "term")
+    val got = Retrieval.bm25TopK(docs, "id", "text", q, 10)
+      .orderBy("qid", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // query 1: doc 2 (short) above doc 1 (long); query 2: only doc 3
+    assert(got.toSeq == Seq((1L, 2L, 1L), (1L, 1L, 2L), (2L, 3L, 1L)))
+  }
+
+  test("bm25TopK: rarer term outscores common term at equal tf and dl") {
+    // 'rare' in 1 doc, 'common' in 3 — idf must order the single-term scores
+    val docs = Seq(
+      (1L, "rare pad pad"), (2L, "common pad pad"),
+      (3L, "common xx yy"), (4L, "common zz ww")).toDF("id", "text")
+    val q = Seq((1L, "rare"), (2L, "common")).toDF("qid", "term")
+    val scores = Retrieval.bm25TopK(docs, "id", "text", q, 10)
+      .filter(col("rnk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scores(1L) > scores(2L))
+  }
+
+  test("bm25TopK caps results at k with deterministic tie-break") {
+    val docs = (1L to 8L).map(i => (i, "term pad")).toDF("id", "text")
+    val q = Seq((1L, "term")).toDF("qid", "term")
+    val got = Retrieval.bm25TopK(docs, "id", "text", q, 3)
+      .orderBy("rnk").collect().map(_.getLong(1))
+    // all scores tie (same tf, dl, idf) → doc id ascending, first 3
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("dsir importanceWeights favors docs that look like the target") {
+    // target dialect: "alpha beta" bigrams; raw pool dialect: "gamma delta"
+    val docs = (
+      (1L to 5L).map(i => (i, "alpha beta alpha beta", true)) ++
+      (6L to 20L).map(i => (i, "gamma delta gamma delta", false)) ++
+      Seq((21L, "alpha beta alpha beta", false),   // raw doc matching target
+          (22L, "gamma delta gamma delta", false)) // raw doc matching pool
+    ).toDF("id", "text", "tgt")
+    val w = Dsir.importanceWeights(docs, "id", "text", col("tgt"), 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w(21L) > w(22L), s"target-like doc must outweigh pool-like: $w")
+    // identical text ⇒ identical weight, regardless of target membership
+    assert(w(1L) == w(21L) && w(6L) == w(22L))
+  }
+
+  test("dsir importanceWeights: sub-2-token docs are absent; sums are exact") {
+    val docs = Seq((1L, "a b c", true), (2L, "solo", false),
+      (3L, "", false), (4L, "a b", false)).toDF("id", "text", "tgt")
+    val w = Dsir.importanceWeights(docs, "id", "text", col("tgt"), 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!w.contains(2L) && !w.contains(3L))
+    assert(w(1L)._1 == 2L && w(4L)._1 == 1L)
+  }
+
+  test("winsorizedNormalize clips outliers and hits the [0,10000] rails") {
+    // group g: values 1..20 plus outlier 1000; p05/p95 over 1..20,1000
+    val df = ((1L to 20L) :+ 1000L).map(v => ("g", v)).toDF("grp", "v")
+    val out = Sampling.winsorizedNormalize(df, "grp", "v")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out(1000L) == 10000L)        // outlier clipped to the hi rail
+    assert(out(1L) == 0L)               // low tail clipped to the lo rail
+    assert(out(10L) > 0L && out(10L) < 10000L)
+    // monotone in the raw score
+    val mids = (2L to 19L).map(out)
+    assert(mids == mids.sorted)
+  }
+
+  test("winsorizedNormalize: constant group normalizes to 0, groups independent") {
+    val df = (Seq.fill(5)(("c", 7L)) ++ (1L to 10L).map(v => ("g", v)))
+      .toDF("grp", "v")
+    val out = Sampling.winsorizedNormalize(df, "grp", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out(("c", 7L)) == 0L)        // hi_u == lo_u → denominator guard
+    assert(out(("g", 10L)) == 10000L)
+  }
+}
