@@ -14,7 +14,8 @@ object SparkEntry {
   private def modules: Seq[QueryDef] =
     Relational.all ++ Scoring.all ++ Windows.all ++ TextOps.all ++
       VectorOps.all ++ ServingOps.all ++ MedallionOps.all ++ CurationOps.all ++
-      PipelineOps.all ++ ValidationOps.all ++ RankingOps.all
+      PipelineOps.all ++ ValidationOps.all ++ RankingOps.all ++
+      TokenizerOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

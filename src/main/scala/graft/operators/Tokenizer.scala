@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer TRAINING — greedy merge-pair induction over
+  * the corpus (Sennrich et al., "Neural Machine Translation of Rare
+  * Words with Subword Units"; the SentencePiece/GPT-2 vocabulary-build
+  * step). [[graft.functions.SubwordBpe]] is the APPLY side (segment text
+  * with a frozen vocabulary); this operator is where that vocabulary
+  * comes from, run at corpus scale — the tokenizer-training stage of a
+  * 100 TB data pipeline.
+  *
+  * Word-level BPE, the standard formulation: the corpus collapses to a
+  * (word, freq) frame ONCE (distinct words ≪ corpus occurrences — this
+  * frame, not the corpus, is what iterations touch; it is persisted);
+  * each round counts adjacent-symbol pairs weighted by word frequency,
+  * picks the max-frequency pair (ties broken lexicographically — BPE
+  * needs a total order to be reproducible at all), and merges every
+  * left-to-right non-overlapping occurrence in every word.
+  *
+  * Everything stays declarative — no driver-side collect even for the
+  * argmax: the winning pair is a 1-row `orderBy(…).limit(1)` frame
+  * cross-joined (broadcast) into the rewrite, so the whole N-round
+  * train is one lazy plan. Symbol sequences live as SPACE-SEPARATED
+  * strings (` t h e `, leading/trailing spaces as boundaries) and a
+  * merge is a literal `replace(w, " l r ", " lr ")` — both engines scan
+  * left-to-right and resume AFTER the replacement, which yields the
+  * documented every-other-occurrence behavior inside runs of a
+  * self-overlapping pair (` a a a a ` merging (a,a) → ` aa a a `: the
+  * consumed separator blocks the second merge until the next round —
+  * deterministic, identical on both engines, and the q112 oracle
+  * replays it byte-for-byte).
+  *
+  * At 100 TB: the pair-count aggregate is a map-side-combined hash agg
+  * over the words frame keyed on (l, r); the 1-row argmax is
+  * `TakeOrderedAndProject`; the rewrite is map-only. Per round: one
+  * shuffle of per-partition partial pair counts. Lineage grows linearly
+  * in rounds — checkpoint the words frame every ~10 merges when
+  * training real 30k-merge vocabularies (the q55 pattern).
+  */
+object Tokenizer {
+
+  /** Explode a spaced-symbol string into adjacent (l, r) pairs weighted
+    * by `freq`, summed. `sequence(1, 0)` would generate a DESCENDING
+    * series, so single-symbol words guard to an empty pair array.
+    */
+  private def pairCounts(w: DataFrame): DataFrame = {
+    val syms = w.select(col("freq"),
+      filter(split(col("w"), " "), x => length(x) > 0).as("s"))
+    syms
+      .select(col("freq"), explode(
+        when(size(col("s")) > 1,
+          transform(sequence(lit(1), size(col("s")) - 1),
+            i => struct(element_at(col("s"), i).as("lhs"),
+              element_at(col("s"), i + 1).as("rhs"))))
+          .otherwise(array().cast("array<struct<lhs:string,rhs:string>>"))
+      ).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum("freq").as("f"))
+  }
+
+  /** Train `merges` BPE rounds over the whitespace words of `textCol`.
+    * Returns the merge table: one row per round,
+    * (step, lhs, rhs, freq, tokens_after) — the chosen pair, its
+    * weighted frequency at selection time, and the corpus token count
+    * after applying it (the compression trajectory; step 0's
+    * `tokens_after` baseline is the plain character count plus one
+    * boundary per word, i.e. Σ freq·|word|). Deterministic: the corpus
+    * fixes the counts, the (freq desc, lhs, rhs) order fixes every
+    * choice.
+    */
+  def bpeMergeTable(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .persist()
+    var w = words.select(
+      concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("w"),
+      col("freq"))
+    var steps = Vector.empty[DataFrame]
+    for (step <- 1 to merges) {
+      val top1 = pairCounts(w)
+        .orderBy(col("f").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1)
+      val merged = w.crossJoin(broadcast(top1))
+        .select(
+          replace(col("w"),
+            concat(lit(" "), col("lhs"), lit(" "), col("rhs"), lit(" ")),
+            concat(lit(" "), col("lhs"), col("rhs"), lit(" "))).as("w"),
+          col("freq"))
+      val after = merged.agg(sum(col("freq") *
+        size(filter(split(col("w"), " "), x => length(x) > 0))).as("tokens_after"))
+      steps = steps :+ top1.crossJoin(after)
+        .select(lit(step.toLong).as("step"), col("lhs"), col("rhs"),
+          col("f").as("freq"), col("tokens_after"))
+      w = merged
+    }
+    steps.reduce(_ unionByName _)
+  }
+}

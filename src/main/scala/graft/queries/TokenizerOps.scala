@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Tokenizer
+
+/** Tokenizer training (beyond-reference, SURVEY §2.11): q112 runs three
+  * rounds of corpus-scale BPE merge induction
+  * ([[graft.operators.Tokenizer]]) and emits the merge table — the
+  * train-side companion of the frozen-vocabulary APPLY path
+  * ([[graft.functions.SubwordBpe]], q61). The oracle replays every
+  * round — pair counting, (freq desc, lhs, rhs) argmax, and the
+  * boundary-spaced `replace` rewrite — byte-for-byte in chained CTEs.
+  */
+object TokenizerOps {
+
+  /** DuckDB twin of TextFunctions.tokens (same as TextOps.T). */
+  private val T = "list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)"
+
+  /** One BPE round as DuckDB CTEs: pairs + argmax + rewrite + post-merge
+    * token count, all derived from `w${k-1}`.
+    */
+  private def bpeRound(k: Int): String = {
+    val prev = s"w${k - 1}"
+    s"""p$k AS (
+       |  SELECT b[1] AS lhs, b[2] AS rhs, CAST(sum(freq) AS BIGINT) AS f
+       |  FROM (
+       |    SELECT freq,
+       |      unnest(list_transform(generate_series(1, greatest(len(s) - 1, 0)),
+       |        i -> [s[i], s[i+1]])) AS b
+       |    FROM (SELECT list_filter(string_split(w, ' '), x -> len(x) > 0) AS s,
+       |                 freq FROM $prev))
+       |  GROUP BY 1, 2),
+       |m$k AS (SELECT lhs, rhs, f FROM p$k ORDER BY f DESC, lhs, rhs LIMIT 1),
+       |w$k AS (SELECT replace(w, ' ' || m.lhs || ' ' || m.rhs || ' ',
+       |                       ' ' || m.lhs || m.rhs || ' ') AS w, freq
+       |        FROM $prev CROSS JOIN m$k m),
+       |a$k AS (SELECT CAST(sum(freq * len(list_filter(string_split(w, ' '),
+       |                 x -> len(x) > 0))) AS BIGINT) AS tokens_after
+       |        FROM w$k)""".stripMargin
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef.sql(
+      "q112_bpe_merges",
+      s"""WITH words AS (
+         |  SELECT t AS word, count(*) AS freq
+         |  FROM (SELECT unnest($T) AS t FROM documents) GROUP BY 1),
+         |w0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS w,
+         |              freq FROM words),
+         |${bpeRound(1)},
+         |${bpeRound(2)},
+         |${bpeRound(3)}
+         |SELECT CAST(1 AS BIGINT) AS step, lhs, rhs, f AS freq, tokens_after
+         |  FROM m1 CROSS JOIN a1
+         |UNION ALL
+         |SELECT 2, lhs, rhs, f, tokens_after FROM m2 CROSS JOIN a2
+         |UNION ALL
+         |SELECT 3, lhs, rhs, f, tokens_after FROM m3 CROSS JOIN a3""".stripMargin) {
+      (s, d) => Tokenizer.bpeMergeTable(Tables.documents(s, d), "text", 3)
+    },
+  )
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Tokenizer
+import org.apache.spark.sql.functions._
+
+/** BPE merge induction: hand-computed trajectories, tie-breaks, the
+  * boundary-consuming run semantics, and corpus exhaustion.
+  */
+class TokenizerSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def table(text: Seq[String], merges: Int = 3) =
+    Tokenizer.bpeMergeTable(text.zipWithIndex.map(_.swap).toDF("id", "text"),
+        "text", merges)
+      .orderBy("step")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+      .toSeq
+
+  test("classic hug/pug trajectory matches hand-computed merges") {
+    // words: hug×2, hugs×1, pug×1 → round 1 merges (u,g) f=4 (13→9
+    // symbols), round 2 (h,ug) f=3 (→6), round 3 ties (hug,s)/(p,ug)
+    // at f=1 and lhs order picks (hug,s) (→5)
+    val got = table(Seq("hug hug hugs", "pug"))
+    assert(got == Seq(
+      (1L, "u", "g", 4L, 9L),
+      (2L, "h", "ug", 3L, 6L),
+      (3L, "hug", "s", 1L, 5L)))
+  }
+
+  test("self-overlapping pair merges every other occurrence per round") {
+    // 'aaaa'×2: round 1 picks (a,a) f=6 but the consumed boundary space
+    // leaves ' aa a a ' (not ' aa aa '); round 2 re-ties (aa,a)/(a,a) at
+    // f=2 and lhs order re-picks (a,a) → ' aa aa '; round 3 (aa,aa)
+    val got = table(Seq("aaaa aaaa"))
+    assert(got == Seq(
+      (1L, "a", "a", 6L, 6L),
+      (2L, "a", "a", 2L, 4L),
+      (3L, "aa", "aa", 2L, 2L)))
+  }
+
+  test("corpus exhaustion truncates the merge table") {
+    // 'ab ab ac': after (a,b) then (a,c) no pairs remain — step 3 absent
+    val got = table(Seq("ab ab ac"))
+    assert(got == Seq(
+      (1L, "a", "b", 2L, 4L),
+      (2L, "a", "c", 1L, 3L)))
+  }
+
+  test("merge table is invariant to document partitioning") {
+    val docs = (1 to 50).map(i =>
+      (i.toLong, if (i % 3 == 0) "spark spark sql" else "spark data sql data"))
+    val a = Tokenizer.bpeMergeTable(docs.toDF("id", "text"), "text", 3)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = Tokenizer.bpeMergeTable(docs.toDF("id", "text").repartition(13),
+        "text", 3)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq)
+  }
+}
