@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** DSIR-style importance weighting — Data Selection via Importance
@@ -55,8 +56,7 @@ object Dsir {
     val toks = docs.select(col(idCol).as("id"), isTarget.as("is_tgt"),
       posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
         .as(Seq("pos", "t")))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy("pos")
+    val byDoc = Window.partitionBy("id").orderBy("pos")
     val posting = toks
       .withColumn("w2", lead(col("t"), 1).over(byDoc))
       .filter(col("w2").isNotNull)
@@ -65,8 +65,14 @@ object Dsir {
     val rawCounts = posting.groupBy("bucket")
       .agg(count(lit(1)).as("raw_c"),
         sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt_c"))
-    val totals = rawCounts.agg(sum("raw_c").as("raw_tot"), sum("tgt_c").as("tgt_tot"))
-    val lr = rawCounts.crossJoin(broadcast(totals))
+    // totals as an unpartitioned window over the ≤`buckets`-row counts
+    // frame (the q99 pattern) — an agg+crossJoin would re-derive the
+    // whole postings subtree a third time for a 1-row total
+    val everything = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val lr = rawCounts
+      .withColumn("raw_tot", sum("raw_c").over(everything))
+      .withColumn("tgt_tot", sum("tgt_c").over(everything))
       .select(col("bucket"),
         (floor(log((col("tgt_c") + 1).cast("double") / (col("tgt_tot") + buckets))
             * 1000000.0 + 0.5).cast("long") -

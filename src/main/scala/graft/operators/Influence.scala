@@ -61,10 +61,13 @@ object Influence {
   def pageRankInteger(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // static across iterations: cache the partitioned edge+degree frame,
-    // not the per-iteration join results
+    // static across iterations: cache the partitioned edge+degree frame
+    // AND the node frame — every iteration's rank rebuild references
+    // both, and without the cache each of the ~2·iters references
+    // re-derives the edge build from the source scans (the first plan
+    // audit showed 40 parquet scans for a 3-iteration run)
     val linked = edges.join(outdeg, "src").persist()
-    val allNodes = nodes(edges)
+    val allNodes = nodes(edges).persist()
     var rank = allNodes.withColumn("rank_u", lit(BaseU))
     for (_ <- 1 to iters) {
       val contribs = linked

@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   * corpus inspection, RAG indexing).
   *
   * Relational shape — everything is a hash aggregate or an equi-join on
-  * (term) or (doc): postings `(doc, term, tf)` from one corpus scan;
-  * document lengths from the same scan; df/idf per QUERY term only
+  * (term) or (doc): postings `(doc, dl, term, tf)` from one corpus scan
+  * (the doc length rides the grouping key); df/idf per QUERY term only
   * (semi-join before the stats, so the full term dictionary is never
   * materialized); scoring joins postings against the tiny query-term
   * frame (broadcast) and aggregates by (qid, doc). Top-k per query is a
@@ -41,18 +41,20 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** Corpus statistics pack: postings (doc, term, tf), lengths
-    * (doc, dl), and the 1-row totals (n docs, total tokens). One scan.
+  /** Corpus statistics pack: postings (doc, dl, term, tf) — the doc
+    * length rides the grouping key (constant per doc), so scoring never
+    * joins a separate lengths frame back onto the corpus — and the
+    * 1-row totals (n docs, total tokens). One scan each.
     */
   def corpusPostings(docs: DataFrame, idCol: String, textCol: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame) = {
     val toks = docs.select(col(idCol).as("doc"), tokens(col(textCol)).as("tk"))
     val posting = toks
-      .select(col("doc"), explode(col("tk")).as("term"))
-      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
-    val dl = toks.select(col("doc"), size(col("tk")).cast("long").as("dl"))
+      .select(col("doc"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy("doc", "dl", "term").agg(count(lit(1)).as("tf"))
     val tot = toks.agg(count(lit(1)).as("n"), sum(size(col("tk"))).as("total"))
-    (posting, dl, tot)
+    (posting, tot)
   }
 
   /** Top-k docs per query under BM25(k1=1.2, b=0.75).
@@ -64,7 +66,7 @@ object Retrieval {
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: DataFrame, k: Int): DataFrame = {
-    val (posting, dl, tot) = corpusPostings(docs, idCol, textCol)
+    val (posting, tot) = corpusPostings(docs, idCol, textCol)
     // df over query terms only: semi-join first, then count docs per term
     val qTerms = queryTerms.select("term").distinct()
     val dfT = posting.join(broadcast(qTerms), "term")
@@ -76,7 +78,6 @@ object Retrieval {
     val contrib = posting
       .join(broadcast(queryTerms), "term")
       .join(broadcast(idf), "term")
-      .join(dl, "doc")
       .crossJoin(broadcast(tot))
       .select(col("qid"), col("doc"),
         expr("(idf_u * 22 * tf * total) div " +
