@@ -29,6 +29,31 @@ object Sampling {
       .otherwise("test")
   }
 
+  /** Leakage-safe train/val/test assignment: hash the near-dup CLUSTER
+    * representative, not the document id, so no two near-duplicates ever
+    * straddle a split boundary (a val doc whose near-twin sits in train
+    * silently inflates eval scores — the split-level cousin of q73's
+    * benchmark decontamination). `clusterKey` is any engine-portable
+    * grouping of near-duplicates — a normalized-text fingerprint
+    * ([[graft.functions.TextFunctions.fingerprint]]), a bag-of-words
+    * md5, or a connected-component label from
+    * [[Dedup.connectedComponents]] over LSH pairs.
+    *
+    * The representative is `min(id)` per cluster via one keyed window —
+    * a single shuffle on the cluster key (clusters are small by
+    * construction; a degenerate mega-cluster means the near-dup KEY is
+    * wrong, not this operator). Returns the input plus `rep` and
+    * `split`, recomputable by any engine from the md5 convention.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, clusterKey: Column,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val byCluster = org.apache.spark.sql.expressions.Window.partitionBy("__ck")
+    df.withColumn("__ck", clusterKey)
+      .withColumn("rep", min(col(idCol)).over(byCluster))
+      .withColumn("split", splitLabel(col("rep"), trainPct, valPct))
+      .drop("__ck")
+  }
+
   /** Deterministic source mixing toward target weights: every source's
     * keep-fraction is scaled so the binding (most over-weighted relative
     * to its volume) source keeps 100% and the kept mix matches `weights`

@@ -182,5 +182,32 @@ object RankingOps {
       Sampling.winsorizedNormalize(Tables.documents(s, d), "source", "n_chars")
         .select("doc_id", "source", "norm_u")
     },
+
+    // q113: leakage-safe split — near-dup clusters (bag-of-words md5,
+    // which really collides on this shuffle-of-a-shared-vocab corpus:
+    // 54 collisions at sf0.01, 1065 at sf0.1) hash to a split by their
+    // min-id representative, so near-twins never straddle train/val/test.
+    QueryDef.sql(
+      "q113_leakage_safe_split",
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |    md5(list_aggr(list_sort(list_distinct($T)), 'string_agg', ' '))
+         |      AS ck
+         |  FROM documents),
+         |r AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY ck) AS rep FROM k)
+         |SELECT doc_id, rep,
+         |  CASE
+         |    WHEN CAST(concat('0x', substring(md5(CAST(rep AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 100 < 80 THEN 'train'
+         |    WHEN CAST(concat('0x', substring(md5(CAST(rep AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 100 < 90 THEN 'val'
+         |    ELSE 'test' END AS split
+         |FROM r""".stripMargin) { (s, d) =>
+      import graft.functions.TextFunctions.tokens
+      val bowFp = md5(array_join(array_sort(array_distinct(
+        tokens(col("text")))), " "))
+      Sampling.leakageSafeSplit(Tables.documents(s, d), "doc_id", bowFp)
+        .select("doc_id", "rep", "split")
+    },
   )
 }

@@ -119,6 +119,35 @@ class RankingSpec extends SparkSpec {
     assert(mids == mids.sorted)
   }
 
+  test("leakageSafeSplit: cluster members share a split; singletons match splitLabel") {
+    // clusters of 3 near-twins (same key) + singletons, over enough ids
+    // that all three splits occur
+    val df = (1L to 300L).map(i => (i, s"k${i / 3}")).toDF("id", "ck")
+    val out = Sampling.leakageSafeSplit(df, "id", col("ck"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    // every cluster: one split, rep = min id
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._4).distinct.length == 1)
+      assert(rows.forall(_._3 == rows.map(_._1).min))
+    }
+    // all three splits occur across 100 clusters
+    assert(out.map(_._4).distinct.sorted.toSeq == Seq("test", "train", "val"))
+    // a singleton's split equals the plain id-hash split
+    val plain = df.select(col("id"), Sampling.splitLabel(col("id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.filter(r => r._1 == r._3 && out.count(_._2 == r._2) == 1)
+      .foreach(r => assert(r._4 == plain(r._1)))
+  }
+
+  test("leakageSafeSplit keeps near-twins out of cross-split leakage under repartition") {
+    val df = (1L to 90L).map(i => (i, s"c${i % 30}")).toDF("id", "ck")
+    val a = Sampling.leakageSafeSplit(df, "id", col("ck"))
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.leakageSafeSplit(df.repartition(11), "id", col("ck"))
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
   test("winsorizedNormalize: constant group normalizes to 0, groups independent") {
     val df = (Seq.fill(5)(("c", 7L)) ++ (1L to 10L).map(v => ("g", v)))
       .toDF("grp", "v")
