@@ -91,10 +91,13 @@ object ScaleRehearsal {
     val semOnly = args.contains("--sem-only")
     val segDigestOnly = args.contains("--segdigest-only")
     val pqOnly = args.contains("--pq-only")
+    val prOnly = args.contains("--pr-only")
+    val bpeOnly = args.contains("--bpe-only")
     val posArgs = args.toSeq.filterNot(_.startsWith("--"))
     val scales = if (posArgs.nonEmpty) posArgs.map(_.toLong)
     else Seq(15000L, 50000L, 150000L)
-    if (!semOnly && !segDigestOnly && !pqOnly) require(scales.forall(_ > 10000L),
+    if (!semOnly && !segDigestOnly && !pqOnly && !prOnly && !bpeOnly)
+      require(scales.forall(_ > 10000L),
       "rungs below 10k docs keep the exact-copy megabucket (n/50 <= cap " +
         "200) while larger rungs drop it — incomparable cap regimes; " +
         s"got ${scales.mkString(",")}")
@@ -276,6 +279,83 @@ object ScaleRehearsal {
         f"""{"n_vecs":$n,"encode_sec":$tEnc%.2f,"adc_top5_sec":$tAdc%.2f,"exact_top5_sec":$tExact%.2f,"recall_at_5_uniform":$recall%.2f,"recall_at_5_clustered":$recallC%.2f}"""
       }.mkString("[", ",", "]")
       println(s"""{"metric":"pq_rehearsal","scales":$ladder}""")
+      spark.stop(); return
+    }
+
+    // PageRank hub-skew ladder (r10): the social-graph reality is one
+    // celebrity node receiving a constant fraction of all edges. The
+    // inbound side is SAFE by construction — contributions partial-
+    // aggregate map-side, so the hub's sum crosses the exchange as one
+    // row per input partition; the rank⋈edges join keys on SRC where
+    // the same skew would serialize one task, which AQE's skew-join
+    // split handles. The uniform twin spreads identical volume over all
+    // keys: the measured gap IS the operator's skew exposure.
+    if (prOnly) {
+      import graft.operators.Influence
+      // half of all edges point AT node 0 (hub inbound) and originate
+      // FROM node 1 (hub outbound — the join-side skew); the rest are
+      // pseudo-random among n/100 nodes
+      def graph(n: Long, skewed: Boolean) = {
+        val nodes = math.max(n / 100, 10L)
+        if (skewed) spark.range(n).select(
+          when(pmod(col("id"), lit(2)) === 0, lit(1L))
+            .otherwise(pmod(xxhash64(col("id"), lit("s")), lit(nodes))).as("src"),
+          when(pmod(col("id"), lit(2)) === 0, lit(0L))
+            .otherwise(pmod(xxhash64(col("id"), lit("d")), lit(nodes))).as("dst"))
+        else spark.range(n).select(
+          pmod(xxhash64(col("id"), lit("s")), lit(nodes)).as("src"),
+          pmod(xxhash64(col("id"), lit("d")), lit(nodes)).as("dst"))
+      }
+      val prScales = if (posArgs.nonEmpty) posArgs.map(_.toLong)
+      else Seq(1000000L, 4000000L, 16000000L)
+      locally { // untimed JIT/codegen warmup
+        Influence.pageRankInteger(graph(200000L, skewed = true), 3).count()
+      }
+      val ladder = prScales.map { n =>
+        val (tU, nU) = timed3 {
+          Influence.pageRankInteger(graph(n, skewed = false), 3).count() }
+        val (tS, nS) = timed3 {
+          Influence.pageRankInteger(graph(n, skewed = true), 3).count() }
+        f"""{"n_edges":$n,"uniform":{"sec":$tU%.2f,"nodes":$nU},"hub_skew":{"sec":$tS%.2f,"nodes":$nS}}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"pagerank_rehearsal","scales":$ladder}""")
+      spark.stop(); return
+    }
+
+    // BPE training ladder (r10): two axes. (a) corpus axis — distinct
+    // words at 1M/4M/16M, 3 merges: per-round cost is one pair-count agg
+    // over the persisted words frame, expected ~linear. (b) merge-depth
+    // axis at fixed 1M words — the lazy chain re-derives every earlier
+    // round's argmax per new round (no checkpoint), so wall grows
+    // quadratically with rounds: the measurement that prices the
+    // documented checkpoint-every-10-merges advice for real 30k-merge
+    // vocabularies.
+    if (bpeOnly) {
+      import graft.operators.Tokenizer
+      // 4 words per row, each drawn from a pool of n/4 distinct ~8-char
+      // hex words (avg freq ≈ 16) — duplication exercises the
+      // freq-weighted pair counts, pool size scales the distinct-word
+      // frame with the rung
+      def words(n: Long) = {
+        val pool = math.max(n / 4, 100L)
+        spark.range(n).select(
+          expr(s"""concat_ws(' ', transform(sequence(1, 4), w ->
+            substring(lower(hex(xxhash64(cast(pmod(xxhash64(id * 7 + w),
+              $pool) AS string)))), 1, 8)))""").as("text"))
+      }
+      val bScales = if (posArgs.nonEmpty) posArgs.map(_.toLong)
+      else Seq(250000L, 1000000L, 4000000L)
+      locally { Tokenizer.bpeMergeTable(words(50000L), "text", 2).count() }
+      val corpusLadder = bScales.map { n =>
+        val (t, r) = timed3 { Tokenizer.bpeMergeTable(words(n), "text", 3).count() }
+        f"""{"n_rows":$n,"merges3":{"sec":$t%.2f,"rows":$r}}"""
+      }.mkString("[", ",", "]")
+      val depthLadder = Seq(2, 4, 8).map { m =>
+        val (t, r) = timed3 {
+          Tokenizer.bpeMergeTable(words(250000L), "text", m).count() }
+        f"""{"merges":$m,"sec":$t%.2f,"rows":$r}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"bpe_rehearsal","corpus":$corpusLadder,"depth":$depthLadder}""")
       spark.stop(); return
     }
 
