@@ -283,13 +283,20 @@ object ScaleRehearsal {
     }
 
     // PageRank hub-skew ladder (r10): the social-graph reality is one
-    // celebrity node receiving a constant fraction of all edges. The
-    // inbound side is SAFE by construction — contributions partial-
-    // aggregate map-side, so the hub's sum crosses the exchange as one
-    // row per input partition; the rank⋈edges join keys on SRC where
-    // the same skew would serialize one task, which AQE's skew-join
-    // split handles. The uniform twin spreads identical volume over all
-    // keys: the measured gap IS the operator's skew exposure.
+    // celebrity node receiving (and emitting) a constant fraction of all
+    // edges. The inbound side is SAFE by construction — contributions
+    // partial-aggregate map-side, so the hub's sum crosses the exchange
+    // as one row per input partition. The rank⋈edges join keys on SRC,
+    // where the same skew WOULD serialize one task — but the rank frame
+    // is one row per node and broadcasts while it fits (measured: zero
+    // uniform-vs-hub gap at every rung, 0.3 s flat to 16M edges,
+    // because a broadcast join scans the hub's edges in place across
+    // all cached partitions); past broadcastable node counts (~10⁸+)
+    // the join degrades to shuffle and AQE's skew split is the guard.
+    // Medians are over 3 runs of the same plan: the cache manager
+    // dedupes the re-persisted edge frame, so run 1 pays the build and
+    // the median prices the steady-state iteration cost — the number
+    // that scales with iterations.
     if (prOnly) {
       import graft.operators.Influence
       // half of all edges point AT node 0 (hub inbound) and originate
@@ -322,14 +329,15 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
-    // BPE training ladder (r10): two axes. (a) corpus axis — distinct
-    // words at 1M/4M/16M, 3 merges: per-round cost is one pair-count agg
-    // over the persisted words frame, expected ~linear. (b) merge-depth
-    // axis at fixed 1M words — the lazy chain re-derives every earlier
-    // round's argmax per new round (no checkpoint), so wall grows
-    // quadratically with rounds: the measurement that prices the
-    // documented checkpoint-every-10-merges advice for real 30k-merge
-    // vocabularies.
+    // BPE training ladder (r10): two axes. (a) corpus axis — rows at
+    // 250k/1M/4M (4 words each, pool = n/4 distinct), 3 merges:
+    // per-round cost is one pair-count agg over the persisted words
+    // frame, expected ~linear. (b) merge-depth axis at fixed 250k rows,
+    // lazy (checkpointEvery = 0) vs checkpointed (default 4): each round
+    // references the previous frame twice, so the lazy plan holds
+    // 2^rounds copies of the base chain — the first depth-8 lazy run
+    // had to be killed after 15+ minutes, which is the measurement that
+    // makes periodic localCheckpoint the default, not advice.
     if (bpeOnly) {
       import graft.operators.Tokenizer
       // 4 words per row, each drawn from a pool of n/4 distinct ~8-char
@@ -350,10 +358,14 @@ object ScaleRehearsal {
         val (t, r) = timed3 { Tokenizer.bpeMergeTable(words(n), "text", 3).count() }
         f"""{"n_rows":$n,"merges3":{"sec":$t%.2f,"rows":$r}}"""
       }.mkString("[", ",", "]")
-      val depthLadder = Seq(2, 4, 8).map { m =>
-        val (t, r) = timed3 {
+      val depthLadder = Seq(2, 4, 6).map { m =>
+        val (tL, rL) = timed {
+          Tokenizer.bpeMergeTable(words(250000L), "text", m,
+            checkpointEvery = 0).count() }
+        val (tC, rC) = timed {
           Tokenizer.bpeMergeTable(words(250000L), "text", m).count() }
-        f"""{"merges":$m,"sec":$t%.2f,"rows":$r}"""
+        require(rL == rC, s"depth-shape mismatch at $m merges: $rL vs $rC")
+        f"""{"merges":$m,"lazy":{"sec":$tL%.2f},"ckpt4":{"sec":$tC%.2f},"rows":$rC}"""
       }.mkString("[", ",", "]")
       println(s"""{"metric":"bpe_rehearsal","corpus":$corpusLadder,"depth":$depthLadder}""")
       spark.stop(); return

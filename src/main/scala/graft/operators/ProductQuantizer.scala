@@ -128,4 +128,66 @@ object ProductQuantizer {
     val w = Window.partitionBy("qid").orderBy(col("dist_u"), col("nid"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** IVF-PQ index build — the FAISS `IVFPQ` composition (Jégou et al.):
+    * coarse cells from [[Similarity.assignCellsJoin]]'s broadcast-join
+    * argmin (cell = nearest coarse centroid's id, smallest-id
+    * tie-break) with the PQ code packed in the same pass. One row per
+    * vector: (id, cell, packed_code) — at 100 TB this 16-byte-row table,
+    * written partitioned BY cell, is the entire search artifact; the
+    * float vectors are cold storage.
+    */
+  def ivfpqIndex(corpus: DataFrame, coarse: Seq[(Long, Array[Float])],
+      model: Model, idCol: String = "id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned = Similarity.assignCellsJoin(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("embedding")), coarse)
+    val bests = (0 until model.m).map(mi => bestOf(model, col("embedding"), mi))
+    val packed = bests.zipWithIndex.map { case (b, mi) =>
+      shiftleft(b.getField("cid").cast("long"), mi * model.bits)
+    }.reduce(_ bitwiseOR _)
+    assigned.select(col("id"), col("cell"), packed.as("packed_code"))
+  }
+
+  /** IVF-PQ search: each query ranks the coarse centroids driver-side
+    * (same `‖c‖² − 2·q·c` / smallest-cid order as the index build and
+    * the oracle), probes its `nProbe` nearest cells, and ADC-scores ONLY
+    * the code rows in those cells — the scan reads nProbe/nlist of the
+    * code table, which composed with PQ's 1.5% byte ratio is the shape
+    * that makes 100 TB ANN interactive. Scoring and ranking are exactly
+    * [[adcTopK]]'s: integer micro-unit LUTs, m shift-mask lookups per
+    * row, (dist_u, nid) order.
+    */
+  def ivfpqTopK(index: DataFrame, queries: Seq[(Long, Array[Float])],
+      model: Model, coarse: Seq[(Long, Array[Float])],
+      nProbe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mask = lit((model.ks - 1).toLong)
+    val scored = queries.map { case (qid, q) =>
+      val probeCells: Seq[Long] = coarse.map { case (cid, c) =>
+        val dot = q.zip(c).foldLeft(0.0) { case (acc, (a, b)) =>
+          acc + a.toDouble * b.toDouble }
+        (normSq(c) - 2.0 * dot, cid)
+      }.sorted.take(nProbe).map(_._2)
+      val luts: Seq[Array[Long]] = (0 until model.m).map { mi =>
+        val qSub = q.slice(mi * model.subDim, (mi + 1) * model.subDim)
+        val normQ = normSq(qSub)
+        model.books(mi).map { c =>
+          val dot = qSub.zip(c).foldLeft(0.0) { case (acc, (a, b)) =>
+            acc + a.toDouble * b.toDouble }
+          math.floor(((normSq(c) - 2.0 * dot) + normQ) * 1e6 + 0.5).toLong
+        }.toArray
+      }
+      val dist = (0 until model.m).map { mi =>
+        val code = shiftrightunsigned(col("packed_code"), mi * model.bits)
+          .bitwiseAND(mask)
+        element_at(lit(luts(mi)), (code + 1).cast("int"))
+      }.reduce(_ + _)
+      index
+        .where(col("cell").isin(probeCells: _*) && col("id") =!= qid)
+        .select(lit(qid).as("qid"), col("id").as("nid"), dist.as("dist_u"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy("qid").orderBy(col("dist_u"), col("nid"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
 }

@@ -36,9 +36,15 @@ import org.apache.spark.sql.functions._
   * At 100 TB: the pair-count aggregate is a map-side-combined hash agg
   * over the words frame keyed on (l, r); the 1-row argmax is
   * `TakeOrderedAndProject`; the rewrite is map-only. Per round: one
-  * shuffle of per-partition partial pair counts. Lineage grows linearly
-  * in rounds — checkpoint the words frame every ~10 merges when
-  * training real 30k-merge vocabularies (the q55 pattern).
+  * shuffle of per-partition partial pair counts. Each round references
+  * the previous words frame TWICE (argmax + rewrite), so the lazy plan
+  * doubles per round — 2^rounds copies of the base chain, the q95
+  * stage-diamond lesson — which is why `checkpointEvery` (default 4)
+  * eagerly `localCheckpoint`s the rewritten frame every few rounds,
+  * making wall-clock linear in rounds (ladder in PERF_NOTES r10; a
+  * real 30k-merge vocabulary is unreachable without it). The q112
+  * oracle query runs 3 rounds, below the first checkpoint — its plan
+  * stays pure for the plan-dump evidence.
   */
 object Tokenizer {
 
@@ -71,8 +77,11 @@ object Tokenizer {
     * fixes the counts, the (freq desc, lhs, rhs) order fixes every
     * choice.
     */
-  def bpeMergeTable(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+  def bpeMergeTable(docs: DataFrame, textCol: String, merges: Int,
+      checkpointEvery: Int = 4): DataFrame = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
+    require(checkpointEvery >= 0,
+      s"checkpointEvery must be >= 0 (0 = never), got $checkpointEvery")
     val words = docs
       .select(explode(tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -96,7 +105,15 @@ object Tokenizer {
       steps = steps :+ top1.crossJoin(after)
         .select(lit(step.toLong).as("step"), col("lhs"), col("rhs"),
           col("f").as("freq"), col("tokens_after"))
-      w = merged
+      // each round references w twice (the pair counts feeding the
+      // argmax AND the rewrite), so the LAZY chain doubles per round —
+      // 2^rounds copies of the base plan, the q95 stage-diamond lesson.
+      // Eagerly truncating every few rounds makes training linear in
+      // rounds; 0 keeps the pure lazy plan (fine to ~4 rounds, and what
+      // the q112 oracle query uses at 3).
+      w = if (checkpointEvery > 0 && step % checkpointEvery == 0 && step < merges)
+        merged.localCheckpoint(true)
+      else merged
     }
     steps.reduce(_ unionByName _)
   }

@@ -307,6 +307,73 @@ object VectorOps {
           .sortBy(_._1)
         ProductQuantizer.adcTopK(codes, queries, model, k = 5)
           .select(col("qid"), col("nid"), col("dist_u"), col("rank"))
+    },
+
+    // q114: IVF-PQ — the FAISS composition of q56's coarse cells with
+    // q107's ADC code scoring. Queries probe their 3 nearest of 12
+    // coarse cells and ADC-score ONLY the code rows there: the scan
+    // reads nProbe/nlist of a code table that is itself ~1.5% of the
+    // corpus bytes. The oracle replays coarse assignment, probe
+    // selection, LUTs, the cell-restricted join, and ranking.
+    QueryDef.sql(
+      "q114_ivfpq_topk",
+      s"""$PqCommonSql,
+         |ccents AS (
+         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cce
+         |  FROM embeddings
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 12),
+         |cells AS (
+         |  SELECT nid, cid AS cell FROM (
+         |    SELECT nid, cid,
+         |      row_number() OVER (PARTITION BY nid ORDER BY
+         |        list_dot_product(cce, cce) - 2 * list_dot_product(ne, cce),
+         |        cid) AS rn
+         |    FROM e CROSS JOIN ccents) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+         |      FROM embeddings WHERE vec_id < 3),
+         |qprobes AS (
+         |  SELECT qid, cid AS cell FROM (
+         |    SELECT qid, cid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY
+         |        list_dot_product(cce, cce) - 2 * list_dot_product(qe, cce),
+         |        cid) AS rn
+         |    FROM q CROSS JOIN ccents) WHERE rn <= 3),
+         |qsl AS (
+         |  SELECT qid, mi, j,
+         |    list_slice(qe, 8 * mi + 1, 8 * mi + 8) AS qsub,
+         |    list_slice(ce, 8 * mi + 1, 8 * mi + 8) AS csub
+         |  FROM q CROSS JOIN ms CROSS JOIN cents),
+         |qterms AS (
+         |  SELECT qid, mi, j,
+         |    CAST(floor(((list_dot_product(csub, csub)
+         |           - 2 * list_dot_product(qsub, csub))
+         |           + list_dot_product(qsub, qsub)) * 1000000.0 + 0.5)
+         |      AS BIGINT) AS t
+         |  FROM qsl),
+         |dist AS (
+         |  SELECT qt.qid, c.nid, CAST(sum(qt.t) AS BIGINT) AS dist_u
+         |  FROM codes c
+         |  JOIN cells ON cells.nid = c.nid
+         |  JOIN qprobes qp ON qp.cell = cells.cell
+         |  JOIN qterms qt ON qt.qid = qp.qid AND qt.mi = c.mi AND qt.j = c.code
+         |  WHERE c.nid <> qp.qid
+         |  GROUP BY qt.qid, c.nid),
+         |ranked AS (
+         |  SELECT qid, nid, dist_u,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist_u, nid) AS rank
+         |  FROM dist)
+         |SELECT qid, nid, dist_u, rank FROM ranked WHERE rank <= 5""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding"))
+        val model = ProductQuantizer.fitPortable(emb, dim = Dim, m = 8, ks = 16)
+        val coarse = Similarity.sampleCentroidsPortable(emb, 12)
+        val index = ProductQuantizer.ivfpqIndex(emb, coarse, model)
+        val queries = emb.filter(col("id") < 3).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+          .sortBy(_._1)
+        ProductQuantizer.ivfpqTopK(index, queries, model, coarse,
+            nProbe = 3, k = 5)
+          .select(col("qid"), col("nid"), col("dist_u"), col("rank"))
     }
   )
 

@@ -74,6 +74,47 @@ class ProductQuantizerSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("IVFPQ with every cell probed equals plain ADC") {
+    val coarse = graft.operators.Similarity.sampleCentroidsPortable(emb, 8)
+    val index = ProductQuantizer.ivfpqIndex(emb, coarse, model)
+    val queries = emb.filter(col("id") < 3).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "nid", "dist_u", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val a = rows(ProductQuantizer.ivfpqTopK(index, queries, model, coarse,
+      nProbe = 8, k = 5))
+    val b = rows(ProductQuantizer.adcTopK(codes, queries, model, k = 5))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("IVFPQ equals ADC restricted to the probed cells") {
+    val coarse = graft.operators.Similarity.sampleCentroidsPortable(emb, 12)
+    val index = ProductQuantizer.ivfpqIndex(emb, coarse, model)
+    val cellOf = index.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val queries = emb.filter(col("id") < 3).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val got = ProductQuantizer.ivfpqTopK(index, queries, model, coarse,
+        nProbe = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (t._3, t._2)).toSeq).toMap
+    // expected: the UNRESTRICTED ADC ranking, filtered to probed cells
+    val full = ProductQuantizer.adcTopK(codes, queries, model, k = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    queries.foreach { case (qid, q) =>
+      val probes = coarse.map { case (cid, c) =>
+        val dot = q.zip(c).foldLeft(0.0) { case (acc, (a, b)) =>
+          acc + a.toDouble * b.toDouble }
+        val nc = c.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+        (nc - 2.0 * dot, cid)
+      }.sorted.take(3).map(_._2).toSet
+      val expect = full.filter(t => t._1 == qid && probes(cellOf(t._2)))
+        .sortBy(t => (t._3, t._2)).take(5).toSeq
+      assert(got(qid) == expect, s"qid=$qid")
+    }
+  }
+
   test("distortion is zero for codebook members' own sample vectors") {
     // the 16 sampled vectors ARE centroids in every subspace → their
     // distortion is exactly 0 (up to the +0.5 floor, which keeps 0 at 0)

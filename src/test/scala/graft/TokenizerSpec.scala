@@ -48,6 +48,18 @@ class TokenizerSpec extends SparkSpec {
       (2L, "a", "c", 1L, 3L)))
   }
 
+  test("checkpointed training equals the lazy plan merge-for-merge") {
+    val docs = (1 to 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "hug hug hugs pug" else "pug pugs hug")).toDF("id", "text")
+    val lazyT = Tokenizer.bpeMergeTable(docs, "text", 6, checkpointEvery = 0)
+      .orderBy("step").collect().map(_.toSeq).toSeq
+    val ckptT = Tokenizer.bpeMergeTable(docs, "text", 6, checkpointEvery = 2)
+      .orderBy("step").collect().map(_.toSeq).toSeq
+    assert(lazyT == ckptT)
+    // the 4-word corpus exhausts after 5 merges (every word 1 symbol)
+    assert(lazyT.length == 5)
+  }
+
   test("merge table is invariant to document partitioning") {
     val docs = (1 to 50).map(i =>
       (i.toLong, if (i % 3 == 0) "spark spark sql" else "spark data sql data"))
