@@ -89,4 +89,37 @@ object Retrieval {
           .orderBy(col("score_u").desc, col("doc").asc)).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two ranked
+    * candidate lists — the standard hybrid-retrieval combiner (BM25 ⊕
+    * embedding cosine is the RAG default: lexical recall where the
+    * term matches, semantic recall where it paraphrases). Inputs are
+    * (qid, nid, rank) frames; a candidate absent from one list simply
+    * contributes 0 from that side — no score normalization needed,
+    * which is RRF's whole point (ranks are scale-free; BM25 micro-units
+    * and cosine would otherwise need a learned calibration).
+    *
+    * Portability: the classic 1/(k₀+rank) is kept in integer
+    * micro-units — `10⁶ div (k₀ + rank)` — so fused scores are exact
+    * BIGINT sums with deterministic (rrf_u desc, nid) ranking on any
+    * engine. Shape: one full-outer equi-join of two ≤|q|·k-row frames
+    * (both already top-k-bounded — tiny next to any corpus), then a
+    * per-query WindowGroupLimit.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, rrfK: Int = 60): DataFrame = {
+    val ra = a.select(col("qid"), col("nid"),
+      col("rank").cast("long").as("__rank_a"))
+    val rb = b.select(col("qid"), col("nid"),
+      col("rank").cast("long").as("__rank_b"))
+    val fused = ra.join(rb, Seq("qid", "nid"), "full_outer")
+      .withColumn("rrf_u",
+        coalesce(expr(s"1000000 div ($rrfK + __rank_a)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($rrfK + __rank_b)"), lit(0L)))
+    fused
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("rrf_u").desc, col("nid").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rrf_u", "rank")
+  }
 }

@@ -209,5 +209,82 @@ object RankingOps {
       Sampling.leakageSafeSplit(Tables.documents(s, d), "doc_id", bowFp)
         .select("doc_id", "rep", "split")
     },
+
+    // q115: hybrid retrieval — doc-by-example queries (doc_id < 3) run
+    // BOTH as BM25 over their distinct terms (top-20, self kept in the
+    // ranking then dropped — ranks stay as computed) and as embedding
+    // cosine top-20 (vec_id ≡ doc_id in the testdata), fused by
+    // integer reciprocal-rank fusion, top-10 per query.
+    QueryDef.sql(
+      "q115_hybrid_rrf",
+      s"""WITH toks AS (SELECT doc_id, $T AS tk FROM documents),
+         |q AS (SELECT DISTINCT doc_id AS qid, t AS term
+         |      FROM (SELECT doc_id, unnest(tk) AS t FROM toks
+         |            WHERE doc_id < 3)),
+         |posting AS (
+         |  SELECT doc_id, t AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+         |tot AS (SELECT count(*) AS n, CAST(sum(len(tk)) AS BIGINT) AS total
+         |        FROM toks),
+         |dft AS (
+         |  SELECT term, count(*) AS df FROM posting
+         |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1),
+         |idf AS (
+         |  SELECT term,
+         |    CAST(floor(ln(CAST(2 * tot.n + 2 AS DOUBLE) / (2 * df + 1))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS idf_u
+         |  FROM dft CROSS JOIN tot),
+         |contrib AS (
+         |  SELECT q.qid, p.doc_id,
+         |    (idf.idf_u * 22 * p.tf * t.total)
+         |      // (10 * p.tf * t.total + 3 * t.total + 9 * dl.dl * t.n) AS c
+         |  FROM q JOIN posting p USING (term) JOIN idf USING (term)
+         |  JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN tot t),
+         |score AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_u
+         |          FROM contrib GROUP BY 1, 2),
+         |bm AS (
+         |  SELECT qid, doc_id AS nid, rnk AS rank FROM (
+         |    SELECT qid, doc_id,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY score_u DESC, doc_id) AS rnk
+         |    FROM score) WHERE rnk <= 20),
+         |e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |      FROM embeddings),
+         |cosr AS (
+         |  SELECT qid, nid, rank FROM (
+         |    SELECT q2.id AS qid, c2.id AS nid,
+         |      row_number() OVER (PARTITION BY q2.id
+         |        ORDER BY list_cosine_similarity(q2.v, c2.v) DESC, c2.id)
+         |        AS rank
+         |    FROM e q2 CROSS JOIN e c2 WHERE q2.id < 3 AND c2.id <> q2.id)
+         |  WHERE rank <= 20),
+         |fused AS (
+         |  SELECT coalesce(b2.qid, cosr.qid) AS qid,
+         |    coalesce(b2.nid, cosr.nid) AS nid,
+         |    coalesce(1000000 // (60 + b2.rank), 0)
+         |      + coalesce(1000000 // (60 + cosr.rank), 0) AS rrf_u
+         |  FROM (SELECT * FROM bm WHERE nid <> qid) b2
+         |  FULL OUTER JOIN cosr ON b2.qid = cosr.qid AND b2.nid = cosr.nid)
+         |SELECT qid, nid, CAST(rrf_u AS BIGINT) AS rrf_u, rank FROM (
+         |  SELECT qid, nid, rrf_u,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rrf_u DESC, nid)
+         |      AS rank
+         |  FROM fused) WHERE rank <= 10""".stripMargin) { (s, d) =>
+      import graft.functions.TextFunctions.tokens
+      val docs = Tables.documents(s, d)
+      val qt = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), explode(tokens(col("text"))).as("term"))
+        .distinct()
+      val bm = Retrieval.bm25TopK(docs, "doc_id", "text", qt, 20)
+        .filter(col("doc") =!= col("qid"))
+        .select(col("qid"), col("doc").as("nid"), col("rnk").as("rank"))
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val cos = graft.operators.Similarity
+        .bruteForceTopK(emb.filter(col("id") < 3), emb, 20)
+        .select(col("qid"), col("nid"), col("rank"))
+      Retrieval.rrfFuse(bm, cos, k = 10)
+    },
   )
 }

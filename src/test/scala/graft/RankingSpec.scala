@@ -82,6 +82,29 @@ class RankingSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("rrfFuse: both-list hits beat single-list hits; absences score 0") {
+    // qid 1: nid 10 is rank 1 in BOTH lists; nid 11 rank 2 lexical only;
+    // nid 12 rank 1 semantic only (ranks per list, not global)
+    val bm = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("qid", "nid", "rank")
+    val cs = Seq((1L, 10L, 2L), (1L, 12L, 1L)).toDF("qid", "nid", "rank")
+    val got = graft.operators.Retrieval.rrfFuse(bm, cs, k = 10)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    // integer RRF: 10 → 1e6/61 + 1e6/62 = 16393 + 16129 = 32522;
+    // 12 → 16393; 11 → 16129
+    assert(got(10L) == (32522L, 1L))
+    assert(got(12L) == (16393L, 2L))
+    assert(got(11L) == (16129L, 3L))
+  }
+
+  test("rrfFuse caps at k per query and keeps queries independent") {
+    val bm = (1L to 30L).map(i => (i % 2 + 1, i, i / 2 + 1)).toDF("qid", "nid", "rank")
+    val cs = Seq.empty[(Long, Long, Long)].toDF("qid", "nid", "rank")
+    val got = graft.operators.Retrieval.rrfFuse(bm, cs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.count(_._1 == 1L) == 5 && got.count(_._1 == 2L) == 5)
+    assert(got.groupBy(_._1).values.forall(_.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L)))
+  }
+
   test("dsir importanceWeights favors docs that look like the target") {
     // target dialect: "alpha beta" bigrams; raw pool dialect: "gamma delta"
     val docs = (
