@@ -344,18 +344,40 @@ object Sampling {
       exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi,
       s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    winsorizedNormalizeWith(df, groupCol, scoreCol,
+      winsorThresholds(df, groupCol, scoreCol, pLo, pHi, exact, accuracy))
+  }
+
+  /** The threshold half of [[winsorizedNormalize]]: one row per group,
+    * (groupCol, lo_u, hi_u) in 1e-4 units. Exposed so a STREAMING gate
+    * can clip arriving documents against offline-computed thresholds
+    * (percentiles are unaggregatable mid-stream; the split is the same
+    * train-offline/score-in-engine architecture as [[Classifier]]).
+    */
+  def winsorThresholds(df: DataFrame, groupCol: String, scoreCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95,
+      exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     def pct(p: Double) =
       if (exact) expr(s"percentile($scoreCol, $p)")
       else expr(s"approx_percentile($scoreCol, $p, $accuracy)")
-    val thr = df.groupBy(groupCol).agg(
-      floor(pct(pLo) * 10000.0 + 0.5).cast("long").as("__lo_u"),
-      floor(pct(pHi) * 10000.0 + 0.5).cast("long").as("__hi_u"))
-    df.join(broadcast(thr), groupCol)
+    df.groupBy(groupCol).agg(
+      floor(pct(pLo) * 10000.0 + 0.5).cast("long").as("lo_u"),
+      floor(pct(pHi) * 10000.0 + 0.5).cast("long").as("hi_u"))
+  }
+
+  /** The scoring half of [[winsorizedNormalize]]: clip + rescale against
+    * a PROVIDED (groupCol, lo_u, hi_u) frame — always broadcast, works
+    * identically on a batch frame and a stream (stream-static join plus
+    * pure projections).
+    */
+  def winsorizedNormalizeWith(df: DataFrame, groupCol: String,
+      scoreCol: String, thresholds: DataFrame): DataFrame =
+    df.join(broadcast(thresholds.withColumnRenamed("lo_u", "__lo_u")
+        .withColumnRenamed("hi_u", "__hi_u")), groupCol)
       .withColumn("__clip_u",
         least(greatest(col(scoreCol).cast("long") * 10000L, col("__lo_u")),
           col("__hi_u")))
       .withColumn("norm_u",
         expr("((__clip_u - __lo_u) * 10000) div greatest(__hi_u - __lo_u, 1)"))
       .drop("__lo_u", "__hi_u", "__clip_u")
-  }
 }
