@@ -294,6 +294,66 @@ object PipelineOps {
         .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
         .crossJoin(mixed.agg(count(lit(1)).as("n_mixed")))
       manifest.crossJoin(broadcast(stats))
+    },
+
+    // q116: curriculum ordering — the training-ORDER stage between
+    // selection and packing. Difficulty = q85's integer micro-nat mean
+    // NLL; deciles come from nine exact percentile thresholds
+    // (value-based assignment, so ties share a bucket and the rule is
+    // engine-replayable — positional ntile would need a global sort);
+    // within a bucket the order key is a fresh md5 draw, giving the
+    // standard easy→hard curriculum with shuffled bands. The ordering
+    // KEY (bucket, ckey, doc_id) is the deliverable: shard writers
+    // range-partition by it (q81/q93 machinery); no global window
+    // anywhere. Docs with <2 tokens have no perplexity and are
+    // excluded (curriculum needs a difficulty signal). At 100 TB the
+    // nine exact percentiles become approx_percentile (q86's trade).
+    QueryDef.sql(
+      "q116_curriculum_order",
+      s"""WITH toks AS (SELECT doc_id, ${Tk("text")} AS tk FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+         |      i -> [tk[i], tk[i+1]])) AS b
+         |  FROM toks),
+         |pairs AS (SELECT doc_id, b[1] AS w1, b[2] AS w2 FROM bg),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+         |v AS (SELECT count(DISTINCT t) AS v FROM
+         |  (SELECT w1 AS t FROM c12 UNION SELECT w2 AS t FROM c12)),
+         |nll AS (
+         |  SELECT p.doc_id,
+         |    CAST(floor(-ln((c12.c12 + 1) / CAST(c1.c1 + v.v AS DOUBLE))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS nll_u
+         |  FROM pairs p JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(floor(CAST(sum(nll_u) AS DOUBLE) / count(*) / 100.0 + 0.5)
+         |      AS BIGINT) AS nllu
+         |  FROM nll GROUP BY doc_id),
+         |thr AS (SELECT ${(1 to 9).map(i =>
+             s"CAST(floor(quantile_cont(nllu, 0.$i) * 10000.0 + 0.5) AS BIGINT) AS t$i")
+             .mkString(", ")} FROM sc)
+         |SELECT doc_id, nllu,
+         |  CAST(${(1 to 9).map(i => s"CASE WHEN nllu * 10000 > thr.t$i THEN 1 ELSE 0 END")
+             .mkString(" + ")} AS BIGINT) AS bucket,
+         |  md5('cur:' || CAST(doc_id AS VARCHAR)) AS ckey
+         |FROM sc CROSS JOIN thr""".stripMargin) { (s, d) =>
+      val scores = LanguageModel.perplexityScores(
+          Tables.documents(s, d), "doc_id", "text")
+        .select(col("id").as("doc_id"),
+          floor(col("nll_micro_sum").cast("double") / col("n_bigrams") / 100.0
+            + 0.5).cast("long").as("nllu"))
+      val thrExprs = (1 to 9).map(i =>
+        floor(expr(s"percentile(nllu, 0.$i)") * 10000.0 + 0.5)
+          .cast("long").as(s"t$i"))
+      val thr = scores.agg(thrExprs.head, thrExprs.tail: _*)
+      scores.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("nllu"),
+          (1 to 9).map(i =>
+            when(col("nllu") * 10000L > col(s"t$i"), 1).otherwise(0))
+            .reduce(_ + _).cast("long").as("bucket"),
+          md5(concat(lit("cur:"), col("doc_id").cast("string"))).as("ckey"))
     }
   )
 }

@@ -49,4 +49,21 @@ class PipelineSpec extends SparkSpec {
     assert(totTok > (totChunks - 1) * 256 && totTok <= totChunks * 256,
       s"all chunks full except the stream's last: $totTok tokens in $totChunks chunks")
   }
+
+  /** q116 invariants: deciles are value-monotone in difficulty, bucket
+    * range is [0,9], and band sizes are near-uniform (ties may skew).
+    */
+  test("q116: curriculum buckets monotone in nllu, 10 near-even bands") {
+    val rows = SparkEntry.queries("q116_curriculum_order")(spark, sf())
+      .collect()
+      .map(r => (r.getAs[Long]("nllu"), r.getAs[Long]("bucket")))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, b) => b >= 0 && b <= 9 })
+    // monotone: sort by difficulty; bucket sequence must be nondecreasing
+    val byDiff = rows.sortBy(_._1).map(_._2)
+    assert(byDiff.zip(byDiff.tail).forall { case (a, b) => a <= b })
+    // near-even: no band holds more than 3x its fair share
+    val n = rows.length
+    rows.groupBy(_._2).values.foreach(g => assert(g.length <= n * 3 / 10 + 1))
+  }
 }
