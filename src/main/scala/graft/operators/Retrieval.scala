@@ -67,6 +67,17 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: DataFrame, k: Int): DataFrame = {
     val (posting, tot) = corpusPostings(docs, idCol, textCol)
+    bm25FromPostings(posting, tot, queryTerms, k)
+  }
+
+  /** The scoring half of [[bm25TopK]], over an ALREADY-MATERIALIZED
+    * postings frame (doc, dl, term, tf) and 1-row totals (n, total) —
+    * the entry point for a STORED inverted index
+    * ([[graft.streaming.RetrievalStream]] maintains one at ingest;
+    * searching then never re-tokenizes the corpus).
+    */
+  def bm25FromPostings(posting: DataFrame, tot: DataFrame,
+      queryTerms: DataFrame, k: Int): DataFrame = {
     // df over query terms only: semi-join first, then count docs per term
     val qTerms = queryTerms.select("term").distinct()
     val dfT = posting.join(broadcast(qTerms), "term")

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.operators.Retrieval
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Inverted-index maintenance at INGEST — the searchable corpus grows
+  * with the document stream instead of being re-tokenized per search
+  * (the retrieval cousin of [[StreamingDedup]]'s growing LSH index, and
+  * the same durability convention: one parquet partition per micro-batch
+  * id, so a replayed batch OVERWRITES its own partition and the index
+  * stays exactly-once under restarts).
+  *
+  * Layout under `indexDir`:
+  *  - `postings/batch=<id>/` — (doc, dl, term, tf) rows for the batch
+  *  - `docs/batch=<id>/`     — (doc, dl) one row per document, INCLUDING
+  *    token-less docs (they carry no postings but must count toward N
+  *    and avgdl, or scores drift as empty docs arrive)
+  *
+  * Search-time: [[bm25OverIndex]] rebuilds the 1-row totals from
+  * `docs/` and runs [[Retrieval.bm25FromPostings]] — identical math,
+  * identical results to batch [[Retrieval.bm25TopK]] over the union of
+  * all ingested documents ([[RetrievalStreamSpec]] pins the parity and
+  * the replay no-op). At 100 TB the postings dir is the classic
+  * term-partitionable inverted index; compaction (coalescing old batch
+  * partitions) is an offline concern, same as the dedup index.
+  */
+object RetrievalStream {
+
+  /** Tokenize and append one micro-batch to the index — idempotent on
+    * `batchId` (partition overwrite).
+    */
+  def indexBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, indexDir: String): Unit = {
+    val (posting, _) = Retrieval.corpusPostings(batch, idCol, textCol)
+    posting.write.mode("overwrite").parquet(s"$indexDir/postings/batch=$batchId")
+    batch.select(col(idCol).as("doc"),
+        size(graft.functions.TextFunctions.tokens(col(textCol)))
+          .cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$indexDir/docs/batch=$batchId")
+  }
+
+  /** The streaming face: a `foreachBatch` query that indexes every
+    * arriving micro-batch. PRODUCTION MUST pass `checkpointDir` (the
+    * [[StreamingDedup.screeningIngest]] contract — restart-renumbered
+    * batch ids would otherwise overwrite history).
+    */
+  def indexIngest(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        indexBatch(batch, batchId, idCol, textCol, indexDir)
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
+  /** BM25 top-k over the STORED index — never touches document text. */
+  def bm25OverIndex(spark: SparkSession, indexDir: String,
+      queryTerms: DataFrame, k: Int): DataFrame = {
+    val posting = spark.read.parquet(s"$indexDir/postings")
+      .select("doc", "dl", "term", "tf")
+    val docs = spark.read.parquet(s"$indexDir/docs")
+    val tot = docs.agg(count(lit(1)).as("n"), sum("dl").as("total"))
+    Retrieval.bm25FromPostings(posting, tot, queryTerms, k)
+  }
+}

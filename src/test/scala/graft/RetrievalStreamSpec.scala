@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+import graft.operators.Retrieval
+import graft.streaming.RetrievalStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class IndexDoc(doc_id: Long, text: String)
+
+/** The streamed inverted index must answer BM25 queries identically to
+  * batch retrieval over the union of everything ingested, across
+  * micro-batch boundaries, empty docs included; a replayed batch must
+  * be a no-op (partition overwrite idempotence).
+  */
+class RetrievalStreamSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val docs = Seq(
+    IndexDoc(1L, "spark shuffles data between stages"),
+    IndexDoc(2L, "a hash join builds a table"),
+    IndexDoc(3L, ""),                       // token-less: counts toward N
+    IndexDoc(4L, "spark spark spark"),
+    IndexDoc(5L, "the join key decides the shuffle"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame) = df
+    .select("qid", "doc", "score_u", "rnk").collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    .sortBy(t => (t._1, t._4)).toSeq
+
+  test("streamed index answers BM25 identically to batch; replay is a no-op") {
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("bm25idx").toString
+    val q = Seq((1L, "spark"), (2L, "join"), (2L, "shuffle")).toDF("qid", "term")
+
+    val source = MemoryStream[IndexDoc]
+    val sq = RetrievalStream.indexIngest(source.toDF(), "doc_id", "text", dir)
+    try {
+      source.addData(docs.take(3): _*); sq.processAllAvailable()
+      source.addData(docs.drop(3): _*); sq.processAllAvailable()
+    } finally sq.stop()
+
+    val expect = rows(Retrieval.bm25TopK(docs.toDF("doc_id", "text"),
+      "doc_id", "text", q, 10))
+    val got = rows(RetrievalStream.bm25OverIndex(spark, dir, q, 10))
+    assert(got == expect)
+    assert(got.nonEmpty)
+
+    // replay batch 0 (restart re-delivery): same partition, same rows
+    RetrievalStream.indexBatch(docs.take(3).toDF("doc_id", "text"), 0L,
+      "doc_id", "text", dir)
+    assert(rows(RetrievalStream.bm25OverIndex(spark, dir, q, 10)) == expect)
+  }
+
+  test("token-less docs reach the doc stats but not the postings") {
+    val dir = Files.createTempDirectory("bm25idx2").toString
+    RetrievalStream.indexBatch(docs.toDF("doc_id", "text"), 0L,
+      "doc_id", "text", dir)
+    val d = spark.read.parquet(s"$dir/docs")
+    val p = spark.read.parquet(s"$dir/postings")
+    assert(d.count() == 5L)
+    assert(d.filter(col("doc") === 3L).head().getAs[Long]("dl") == 0L)
+    assert(p.filter(col("doc") === 3L).count() == 0L)
+  }
+}
