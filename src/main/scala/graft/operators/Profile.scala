@@ -55,4 +55,32 @@ object Profile {
         countOnlyCols.map(c => rowOf(c, nullD, nullD, nullS, nullS))
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /** Per-source corpus datasheet — the "Datasheets for Datasets"
+    * (Gebru et al.) one-stop card a corpus drop ships with: volumes
+    * (docs/tokens/chars), language spread, exact-duplicate mass
+    * (bag-of-words fingerprint collisions WITHIN the source — the q113
+    * key), and the q97 quality-classifier keep count. All exact
+    * integers, two aggregates over one scored scan: the per-source
+    * rollup and the per-(source, fingerprint) duplicate count, joined
+    * on the ≤|sources|-row result frames.
+    */
+  def corpusDatasheet(docs: DataFrame, sourceCol: String = "source"): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val scored = Classifier.qualityClassify(docs, "text")
+      .withColumn("__fp", md5(array_join(array_sort(array_distinct(
+        tokens(col("text")))), " ")))
+    val base = scored.groupBy(sourceCol).agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tok").as("n_tokens"),
+      sum("n_chars").as("n_chars"),
+      countDistinct("lang").as("n_langs"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality_keep"))
+    val dups = scored.groupBy(sourceCol, "__fp")
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1)
+      .groupBy(sourceCol).agg(sum("__cnt").as("n_dup_docs"))
+    base.join(dups, Seq(sourceCol), "left")
+      .withColumn("n_dup_docs", coalesce(col("n_dup_docs"), lit(0L)))
+  }
 }

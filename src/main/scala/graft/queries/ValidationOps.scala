@@ -38,6 +38,42 @@ object ValidationOps {
 
   val all: Seq[QueryDef] = Seq(
 
+    // q117: per-source corpus datasheet (Gebru et al., "Datasheets for
+    // Datasets") — volumes, language spread, exact-dup mass (q113's
+    // bag-of-words key, within source), q97 classifier keep count.
+    QueryDef.sql(
+      "q117_corpus_datasheet",
+      s"""WITH f AS (
+         |  SELECT doc_id, source, lang, n_chars,
+         |    len($T) AS n_tok, len(list_distinct($T)) AS n_dis,
+         |    len(regexp_replace(text, '\\s', '', 'g')) AS n_ch,
+         |    len(list_filter($T,
+         |      t -> t IN ('the','a','an','of','and','in','to','is','it','that')))
+         |      AS stop_hits,
+         |    md5(list_aggr(list_sort(list_distinct($T)), 'string_agg', ' '))
+         |      AS fp
+         |  FROM documents),
+         |base AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |    count(DISTINCT lang) AS n_langs,
+         |    CAST(sum(CASE WHEN (-3000000 - 40000*n_tok + 200000*n_dis
+         |      + 2000*n_ch + 300000*stop_hits) >= 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_quality_keep
+         |  FROM f GROUP BY source),
+         |dups AS (
+         |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_dup_docs FROM (
+         |    SELECT source, fp, count(*) AS cnt FROM f GROUP BY 1, 2)
+         |  WHERE cnt > 1 GROUP BY source)
+         |SELECT b.source, b.n_docs, b.n_tokens, b.n_chars, b.n_langs,
+         |  b.n_quality_keep, coalesce(d.n_dup_docs, 0) AS n_dup_docs
+         |FROM base b LEFT JOIN dups d USING (source)""".stripMargin) { (s, d) =>
+      Profile.corpusDatasheet(Tables.documents(s, d))
+        .select("source", "n_docs", "n_tokens", "n_chars", "n_langs",
+          "n_quality_keep", "n_dup_docs")
+    },
+
     // q101: whole-doc next-fit packing into 128-token bins, packed per
     // (source, doc_id % 4) lane so the greedy scans parallelize. The
     // oracle's recursive CTE advances one document per lane per step —

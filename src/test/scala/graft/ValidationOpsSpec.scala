@@ -152,4 +152,22 @@ class ValidationOpsSpec extends AnyFunSuite with SparkSpec {
       .head().getLong(0)
     assert(dup === 1L && bad === 1L)
   }
+
+  test("corpus datasheet: totals reconcile, dup mass counts whole collision groups") {
+    val df = Seq(
+      (1L, "a b c", "en", 5L, "s1"), (2L, "c b a", "en", 5L, "s1"),
+      (3L, "a b c d", "fr", 7L, "s1"), (4L, "x y", "en", 3L, "s2"))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+    val ds = graft.operators.Profile.corpusDatasheet(df)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val s1 = ds("s1")
+    // docs 1 and 2 share a bag-of-words fingerprint: BOTH count as dup mass
+    assert(s1.getAs[Long]("n_dup_docs") == 2L)
+    assert(s1.getAs[Long]("n_docs") == 3L && s1.getAs[Long]("n_langs") == 2L)
+    assert(s1.getAs[Long]("n_tokens") == 10L && s1.getAs[Long]("n_chars") == 17L)
+    assert(ds("s2").getAs[Long]("n_dup_docs") == 0L)
+    // keep counts can never exceed doc counts
+    assert(ds.values.forall(r =>
+      r.getAs[Long]("n_quality_keep") <= r.getAs[Long]("n_docs")))
+  }
 }
