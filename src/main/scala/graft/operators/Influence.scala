@@ -37,8 +37,16 @@ import org.apache.spark.sql.functions._
   * BIGINT arithmetic — `contrib = rank div outdeg`, damping
   * `(contrib · 850000) div 10⁶` applied per edge BEFORE the sum — so any
   * engine, any partitioning, any iteration order produces bit-identical
-  * ranks. Per-edge longs stay ≤ total rank mass ≈ N·10⁶: overflow-safe
-  * past 10¹² nodes (and the DuckDB oracle sums in HUGEINT anyway).
+  * ranks. Overflow bound: the per-edge intermediate is
+  * `(rank_u div outdeg) · 850000`, so the math is exact while
+  * `max(rank_u/outdeg) < 2⁶³/850000 ≈ 1.08·10¹³` micro-units (~10⁷ rank
+  * units concentrated on one low-outdeg node). Per-node rank is bounded
+  * by total mass ≈ N·10⁶, so a UNIFORM graph is safe past 10¹² nodes,
+  * but a hub holding a constant fraction of all mass with outdeg 1
+  * crosses the bound near N ≈ 10⁷/fraction — past that, divide the
+  * damping before multiplying (`(rank_u div outdeg) div 10⁶ · 850000`
+  * loses 6 digits; the decimal path keeps them) or damp in smaller
+  * units. (The DuckDB oracle sums in HUGEINT either way.)
   */
 object Influence {
 
@@ -57,6 +65,13 @@ object Influence {
     * [[BaseU]]; dangling nodes (no out-edges) simply contribute nothing
     * (their mass leaks — the standard simplification; the oracle replays
     * it identically).
+    *
+    * The returned frame is EAGERLY materialized (`localCheckpoint`) so
+    * the iteration caches can be released before returning — a session
+    * running PageRank repeatedly must not accumulate cached edge frames
+    * (the r10 leak finding). The one-row-per-node result is the smallest
+    * frame in the computation; materializing it costs one pass the
+    * caller's first action would have paid anyway.
     */
   def pageRankInteger(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
@@ -83,6 +98,9 @@ object Influence {
         .select(col("node"),
           (lit(TeleportU) + coalesce(col("in_u"), lit(0L))).as("rank_u"))
     }
-    rank
+    val out = rank.localCheckpoint(true)
+    linked.unpersist()
+    allNodes.unpersist()
+    out
   }
 }

@@ -34,10 +34,14 @@ import org.apache.spark.sql.functions._
   * `ln(1 + (N−df+0.5)/(df+0.5))` rewritten over integers), and each
   * term's contribution `idf_u·22·tf·total div (…)` is exact BIGINT
   * arithmetic, so per-doc sums are order-free and any engine reproduces
-  * them bit-for-bit. Magnitudes: contribution numerators stay below
-  * idf_u·22·tf·total ≈ 2⁶³ until corpus token counts pass ~10¹²; past
-  * that, compute the term factor in micro-units first (or decimal) —
-  * same plan shape.
+  * them bit-for-bit. Magnitudes: the contribution numerator is
+  * `idf_u·22·tf·total`, which crosses 2⁶³ when `idf_u·tf·total ≈ 4·10¹⁷`
+  * — at a rare term's idf_u ≈ 2·10⁷ micro-nats that is
+  * `tf·total ≲ 2·10¹⁰`, i.e. a ~10¹⁰-token corpus with a term repeated
+  * hundreds of times in one doc, NOT a fixed 10¹² wall: the bound
+  * depends on max tf and idf_u jointly. Past it, compute the rational
+  * term factor first in micro-units (or switch the numerator to
+  * decimal) — same plan shape, one extra division.
   */
 object Retrieval {
 
@@ -58,11 +62,14 @@ object Retrieval {
   }
 
   /** Top-k docs per query under BM25(k1=1.2, b=0.75).
-    * `queryTerms`: (qid, term) — one row per query term, duplicates
-    * allowed but counted once (df/idf are per term; a repeated query
-    * term would double its contribution, matching the bag-of-words
-    * query model). Returns (qid, doc, score_u, rnk) with rnk ≤ k; docs
-    * sharing no term with a query are absent.
+    * `queryTerms`: (qid, term) — one row per query term; duplicate
+    * (qid, term) rows are deduplicated before scoring, so a repeated
+    * query term contributes exactly once (the set-of-terms query model
+    * the classic BM25 formulation uses; a bag-of-words variant would
+    * multiply the contribution by the query-side tf — callers wanting
+    * that weight the fused score downstream). Returns
+    * (qid, doc, score_u, rnk) with rnk ≤ k; docs sharing no term with a
+    * query are absent.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: DataFrame, k: Int): DataFrame = {
@@ -78,8 +85,12 @@ object Retrieval {
     */
   def bm25FromPostings(posting: DataFrame, tot: DataFrame,
       queryTerms: DataFrame, k: Int): DataFrame = {
+    // dedupe (qid, term) up front: the scoring join must see each query
+    // term once or a repeated term silently doubles its contribution
+    // (ADVICE r10 — the docstring promised counted-once, the join didn't)
+    val qt = queryTerms.select("qid", "term").distinct()
     // df over query terms only: semi-join first, then count docs per term
-    val qTerms = queryTerms.select("term").distinct()
+    val qTerms = qt.select("term").distinct()
     val dfT = posting.join(broadcast(qTerms), "term")
       .groupBy("term").agg(count(lit(1)).as("df"))
     val idf = dfT.crossJoin(broadcast(tot))
@@ -87,7 +98,7 @@ object Retrieval {
         floor(log((col("n") * 2 + 2).cast("double") / (col("df") * 2 + 1))
           * 1000000.0 + 0.5).cast("long").as("idf_u"))
     val contrib = posting
-      .join(broadcast(queryTerms), "term")
+      .join(broadcast(qt), "term")
       .join(broadcast(idf), "term")
       .crossJoin(broadcast(tot))
       .select(col("qid"), col("doc"),

@@ -369,11 +369,21 @@ object Sampling {
     * a PROVIDED (groupCol, lo_u, hi_u) frame — always broadcast, works
     * identically on a batch frame and a stream (stream-static join plus
     * pure projections).
+    *
+    * Rows whose group is ABSENT from `thresholds` pass through with
+    * `norm_u` null — a LEFT join, never an inner one: offline thresholds
+    * can lag the live stream (a brand-new source appears mid-stream
+    * before the next offline percentile run), and an inner join would
+    * silently delete every such document rather than gate it. Null
+    * `norm_u` is the explicit "no calibration yet" marker a downstream
+    * policy can route on (hold, pass-raw, or default-band — its
+    * decision, not this operator's). Batch≡stream parity holds for any
+    * coverage because both sides apply the same left join.
     */
   def winsorizedNormalizeWith(df: DataFrame, groupCol: String,
       scoreCol: String, thresholds: DataFrame): DataFrame =
     df.join(broadcast(thresholds.withColumnRenamed("lo_u", "__lo_u")
-        .withColumnRenamed("hi_u", "__hi_u")), groupCol)
+        .withColumnRenamed("hi_u", "__hi_u")), Seq(groupCol), "left")
       .withColumn("__clip_u",
         least(greatest(col(scoreCol).cast("long") * 10000L, col("__lo_u")),
           col("__hi_u")))

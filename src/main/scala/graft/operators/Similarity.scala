@@ -171,20 +171,24 @@ object Similarity {
       .select("qid", "cell", "nid", "cosine", "rank")
   }
 
-  /** Auto-scaled centroid count for [[semanticDedup]]: k = ⌈√n⌉ clamped
-    * to [1, 1024]. SemDeDup's candidate volume is Σ|cell|² — with a FIXED
+  /** Auto-scaled centroid count for [[semanticDedup]]: k = ⌈√n⌉ (≥ 1),
+    * UNCLAMPED. SemDeDup's candidate volume is Σ|cell|² — with a FIXED
     * k it is quadratic in corpus size no matter how good the quantizer
     * is (the paper runs 10⁴–10⁵ clusters for billions of docs for exactly
     * this reason); k ∝ √n keeps expected cell size ≈ √n and candidate
-    * volume ≈ n^1.5. The 1024 ceiling is the literal-argmin contract:
-    * centroids are plan-time literals ([[centroidRanks]]) so assignment
-    * is shuffle-free, which stops paying past a few thousand structs per
-    * expression. Callers passing MORE than [[LiteralAssignLimit]]
-    * explicit centroids are dispatched to [[assignCellsJoin]]'s
-    * broadcast-join argmin instead (same rule, one exchange).
+    * volume ≈ n^1.5 at EVERY scale. How the k centroids are ASSIGNED is
+    * a dispatch concern, not a rule concern: up to
+    * [[LiteralAssignLimit]] they ship as plan-time literals
+    * ([[centroidRanks]], shuffle-free); beyond it (n > ~10⁶ docs)
+    * [[semanticDedup]] routes through [[assignCellsJoin]]'s
+    * broadcast-join argmin — same ‖c‖²−2·x·c rule, one map-side-collapsed
+    * exchange. (Before r11 the AUTO path clamped at 1024, so expected
+    * cell size grew linearly again past ~10⁶ docs and the cellCap
+    * sub-split started costing recall; the clamp was the dispatch limit
+    * leaking into the scaling rule.)
     */
   def autoCentroids(n: Long): Int =
-    math.min(LiteralAssignLimit, math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt))
+    math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
 
   /** Largest centroid count assigned via plan-time literals; beyond it
     * [[semanticDedup]] switches to the broadcast-join argmin.

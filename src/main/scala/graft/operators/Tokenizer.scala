@@ -43,8 +43,13 @@ import org.apache.spark.sql.functions._
   * eagerly `localCheckpoint`s the rewritten frame every few rounds,
   * making wall-clock linear in rounds (ladder in PERF_NOTES r10; a
   * real 30k-merge vocabulary is unreachable without it). The q112
-  * oracle query runs 3 rounds, below the first checkpoint — its plan
-  * stays pure for the plan-dump evidence.
+  * oracle query runs 3 rounds, below the first checkpoint, so the
+  * TRAINING chain stays one pure lazy plan; the returned merge table is
+  * eagerly materialized so the words cache can be released (r11).
+  *
+  * [[bpeMergeTableDelta]] is the same induction with INCREMENTAL pair
+  * counts (per-round cost ∝ words containing the merged pair, not the
+  * whole vocabulary) — merge-for-merge identical output, spec-pinned.
   */
 object Tokenizer {
 
@@ -115,6 +120,12 @@ object Tokenizer {
         merged.localCheckpoint(true)
       else merged
     }
-    steps.reduce(_ unionByName _)
+    // eager result (merges rows — tiny) so the persisted words frame can
+    // be released before returning: repeated training runs must not
+    // accumulate cached word frames for the session's lifetime (the r10
+    // leak finding, same fix as Influence.pageRankInteger)
+    val out = steps.reduce(_ unionByName _).localCheckpoint(true)
+    words.unpersist()
+    out
   }
 }

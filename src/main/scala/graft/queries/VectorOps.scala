@@ -204,8 +204,10 @@ object VectorOps {
 
     // q94: SemDeDup-style semantic dedup ([[graft.operators.Similarity
     // .semanticDedup]]) — IVF-cell clustering with the AUTO-SCALED
-    // centroid count (k = min(1024, max(1, ⌈√n⌉)) — the oracle pins the
-    // scaling rule itself, not a frozen k), the unconditional
+    // centroid count (k = max(1, ⌈√n⌉), UNCLAMPED since r11 — the
+    // oracle pins the scaling rule itself, not a frozen k; past
+    // LiteralAssignLimit the same rule dispatches to the broadcast-join
+    // argmin, cell-identical by spec), the unconditional
     // deterministic cell sub-split (⌈size/4096⌉ sub-cells by md5
     // id-hash — identity at these SFs, but the oracle replays the rule
     // so the guarded shape IS the verified shape), then the
@@ -216,8 +218,8 @@ object VectorOps {
     QueryDef.sql(
       "q94_semantic_dedup",
       """WITH e AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings),
-        |nn AS (SELECT least(1024, greatest(1,
-        |         CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS k
+        |nn AS (SELECT greatest(1,
+        |         CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS k
         |       FROM e),
         |rc AS (
         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce,

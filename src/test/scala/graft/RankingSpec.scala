@@ -179,4 +179,44 @@ class RankingSpec extends SparkSpec {
     assert(out(("c", 7L)) == 0L)        // hi_u == lo_u → denominator guard
     assert(out(("g", 10L)) == 10000L)
   }
+
+  test("winsorizedNormalizeWith passes unknown-group rows through with null norm_u") {
+    // thresholds cover only group g — a NEW source appearing after the
+    // offline percentile run must survive with the explicit
+    // no-calibration marker, never be silently dropped (ADVICE r10)
+    val df = Seq(("g", 5L), ("g", 9L), ("new", 7L)).toDF("grp", "v")
+    val thr = Seq(("g", 50000L, 90000L)).toDF("grp", "lo_u", "hi_u")
+    val out = Sampling.winsorizedNormalizeWith(df, "grp", "v", thr)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out.size == 3, "unknown-group row must not be dropped")
+    assert(out(("new", 7L)).isEmpty, "unknown group gets null norm_u")
+    assert(out(("g", 5L)).contains(0L) && out(("g", 9L)).contains(10000L))
+  }
+
+  test("bm25TopK counts a repeated query term once (set-of-terms model)") {
+    val docs = Seq(
+      (1L, "cat cat filler filler"), (2L, "cat pad"),
+      (3L, "dog pad pad")).toDF("id", "text")
+    val once = Seq((1L, "cat"), (1L, "dog")).toDF("qid", "term")
+    val duped = Seq((1L, "cat"), (1L, "cat"), (1L, "cat"), (1L, "dog"))
+      .toDF("qid", "term")
+    def rows(q: org.apache.spark.sql.DataFrame) =
+      Retrieval.bm25TopK(docs, "id", "text", q, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+    assert(rows(once) == rows(duped))
+  }
+
+  test("pageRankInteger and bpeMergeTable release their iteration caches") {
+    // repeated invocations (the --pr-only/--bpe-only ladders run 13+)
+    // must not accumulate cached frames for the session's lifetime
+    spark.catalog.clearCache()
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    Influence.pageRankInteger(edges, 2).count()
+    val docs = Seq("low lower lowest", "new newer newest").toDF("text")
+    graft.operators.Tokenizer.bpeMergeTable(docs, "text", 2).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "iteration caches must be unpersisted once the result materializes")
+  }
 }
