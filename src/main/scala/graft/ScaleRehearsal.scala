@@ -246,6 +246,18 @@ object ScaleRehearsal {
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         val recall = (adcIds intersect exactIds).size.toDouble /
           math.max(exactIds.size, 1)
+        // r11: the FAISS shortlist-rerank on the same corpus — timed
+        // (the rerank adds one broadcast join over 20 ids; the claim is
+        // recall recovered at ~ADC cost) and scored like ADC
+        val (tRer, _) = timed3 {
+          ProductQuantizer.adcTopKRerank(codes, v, queries, model, 5,
+            shortlistMult = 4).count() }
+        val rerIds = ProductQuantizer.adcTopKRerank(codes, v, queries, model,
+            5, shortlistMult = 4)
+          .select("qid", "nid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recallRer = (rerIds intersect exactIds).size.toDouble /
+          math.max(exactIds.size, 1)
         codes.unpersist(); v.unpersist()
         // recall on PQ's FAVORABLE regime: n/5 well-separated clusters of
         // ~5 vectors each (center + 5% noise) — exact neighbors ARE the
@@ -275,8 +287,14 @@ object ScaleRehearsal {
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         val recallC = (cAdc intersect cExact).size.toDouble /
           math.max(cExact.size, 1)
+        val cRer = ProductQuantizer.adcTopKRerank(cCodes, cv, cQueries,
+            cModel, 5, shortlistMult = 4)
+          .select("qid", "nid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recallCRer = (cRer intersect cExact).size.toDouble /
+          math.max(cExact.size, 1)
         cCodes.unpersist(); cv.unpersist()
-        f"""{"n_vecs":$n,"encode_sec":$tEnc%.2f,"adc_top5_sec":$tAdc%.2f,"exact_top5_sec":$tExact%.2f,"recall_at_5_uniform":$recall%.2f,"recall_at_5_clustered":$recallC%.2f}"""
+        f"""{"n_vecs":$n,"encode_sec":$tEnc%.2f,"adc_top5_sec":$tAdc%.2f,"adc_rerank_top5_sec":$tRer%.2f,"exact_top5_sec":$tExact%.2f,"recall_at_5_uniform":$recall%.2f,"recall_at_5_uniform_rerank":$recallRer%.2f,"recall_at_5_clustered":$recallC%.2f,"recall_at_5_clustered_rerank":$recallCRer%.2f}"""
       }.mkString("[", ",", "]")
       println(s"""{"metric":"pq_rehearsal","scales":$ladder}""")
       spark.stop(); return

@@ -376,6 +376,62 @@ object VectorOps {
         ProductQuantizer.ivfpqTopK(index, queries, model, coarse,
             nProbe = 3, k = 5)
           .select(col("qid"), col("nid"), col("dist_u"), col("rank"))
+    },
+
+    // q118: ADC shortlist + EXACT rerank — the FAISS two-stage search
+    // (shortlist 4·k by ADC over the codes, rescore those 20 rows with
+    // the exact micro-unit distance against the original vectors, keep
+    // top 5 by (exact_u, nid)). Closes the r10 recall ceiling: the
+    // rerank reads |q|·20 vectors — free at any scale. The oracle
+    // replays codebooks, ADC shortlist, and the exact rescore.
+    QueryDef.sql(
+      "q118_pq_adc_rerank",
+      s"""$PqCommonSql,
+         |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+         |      FROM embeddings WHERE vec_id < 3),
+         |qsl AS (
+         |  SELECT qid, mi, j,
+         |    list_slice(qe, 8 * mi + 1, 8 * mi + 8) AS qsub,
+         |    list_slice(ce, 8 * mi + 1, 8 * mi + 8) AS csub
+         |  FROM q CROSS JOIN ms CROSS JOIN cents),
+         |qterms AS (
+         |  SELECT qid, mi, j,
+         |    CAST(floor(((list_dot_product(csub, csub)
+         |           - 2 * list_dot_product(qsub, csub))
+         |           + list_dot_product(qsub, qsub)) * 1000000.0 + 0.5)
+         |      AS BIGINT) AS t
+         |  FROM qsl),
+         |dist AS (
+         |  SELECT qid, nid, CAST(sum(qt.t) AS BIGINT) AS dist_u
+         |  FROM codes JOIN qterms qt ON qt.mi = codes.mi AND qt.j = codes.code
+         |  WHERE nid <> qid GROUP BY qid, nid),
+         |short AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY dist_u, nid) AS r
+         |    FROM dist) WHERE r <= 20),
+         |ex AS (
+         |  SELECT s.qid, s.nid,
+         |    CAST(floor(((list_dot_product(qe, qe)
+         |           - 2 * list_dot_product(ne, qe))
+         |           + list_dot_product(ne, ne)) * 1000000.0 + 0.5)
+         |      AS BIGINT) AS exact_u
+         |  FROM short s JOIN e ON e.nid = s.nid JOIN q ON q.qid = s.qid),
+         |ranked AS (
+         |  SELECT qid, nid, exact_u,
+         |    row_number() OVER (PARTITION BY qid ORDER BY exact_u, nid) AS rank
+         |  FROM ex)
+         |SELECT qid, nid, exact_u, rank FROM ranked WHERE rank <= 5""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding"))
+        val model = ProductQuantizer.fitPortable(emb, dim = Dim, m = 8, ks = 16)
+        val codes = ProductQuantizer.encode(emb, model)
+        val queries = emb.filter(col("id") < 3).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+          .sortBy(_._1)
+        ProductQuantizer.adcTopKRerank(codes, emb, queries, model, k = 5,
+            shortlistMult = 4)
+          .select(col("qid"), col("nid"), col("exact_u"), col("rank"))
     }
   )
 

@@ -115,6 +115,103 @@ class ProductQuantizerSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("exactRerank over a whole-corpus shortlist equals exact search") {
+    // shortlist = every (qid, nid) pair → the rerank IS the exact
+    // brute-force ranking; pins the rerank's distance/ordering contract
+    val queries = emb.filter(col("id") < 3).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val n = emb.count().toInt
+    val got = ProductQuantizer.adcTopKRerank(codes, emb, queries, model,
+        k = 5, shortlistMult = n) // k·mult ≥ corpus → full shortlist
+      .select("qid", "nid", "exact_u", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).toSeq).toMap
+    val vecs = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    queries.foreach { case (qid, q) =>
+      val nq = q.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      val expect = vecs.filter(_._1 != qid).map { case (nid, v) =>
+        val dot = v.zip(q).foldLeft(0.0) { case (a, (x, y)) =>
+          a + x.toDouble * y.toDouble }
+        val nv = v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+        (math.floor(((nq - 2.0 * dot) + nv) * 1e6 + 0.5).toLong, nid)
+      }.sorted.take(5).zipWithIndex
+        .map { case ((d, nid), i) => (qid, nid, d, i + 1) }.toSeq
+      assert(got(qid) == expect, s"qid=$qid")
+    }
+  }
+
+  test("rerank recall on clustered vectors reaches exact-search recall") {
+    // n/5-sized clusters (center + 5% noise): ADC alone loses the 5th
+    // neighbor to the collapsed code tuple (r10 ladder: recall 0.80);
+    // the 4·k rerank must recover the full exact top-5
+    val n = 500L
+    val cv = spark.range(n).select(col("id"),
+      expr(s"""transform(sequence(0, 63), j -> CAST(
+        (CAST(pmod(xxhash64(concat('c', cast(pmod(id, 100) AS string),
+           ':', cast(j AS string))), 2001) AS DOUBLE) / 1000.0 - 1.0)
+        + (CAST(pmod(xxhash64(concat('n', cast(id AS string), ':',
+           cast(j AS string))), 2001) AS DOUBLE) / 1000.0 - 1.0) * 0.05
+        AS FLOAT))""").as("embedding")).cache()
+    val cModel = ProductQuantizer.fitPortable(cv, dim = 64, m = 8, ks = 16)
+    val cCodes = ProductQuantizer.encode(cv, cModel)
+    val queries = cv.filter(col("id") < 3).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val vecs = cv.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def exactTop(qid: Long, q: Array[Float]) = {
+      val nq = q.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      vecs.filter(_._1 != qid).map { case (nid, v) =>
+        val dot = v.zip(q).foldLeft(0.0) { case (a, (x, y)) =>
+          a + x.toDouble * y.toDouble }
+        val nv = v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+        (math.floor(((nq - 2.0 * dot) + nv) * 1e6 + 0.5).toLong, nid)
+      }.sorted.take(5).map(_._2).toSet
+    }
+    def ids(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val adc = ids(ProductQuantizer.adcTopK(cCodes, queries, cModel, k = 5))
+    val rer4 = ids(ProductQuantizer.adcTopKRerank(cCodes, cv, queries, cModel,
+      k = 5, shortlistMult = 4))
+    val rer20 = ids(ProductQuantizer.adcTopKRerank(cCodes, cv, queries, cModel,
+      k = 5, shortlistMult = 20))
+    def recall(got: Map[Long, Set[Long]]) = queries.map { case (qid, q) =>
+      (got(qid) intersect exactTop(qid, q)).size.toDouble / 5
+    }.sum / queries.size
+    // guaranteed invariants (an exact-top-5 member inside the shortlist
+    // always survives the exact rerank, so recall is monotone in the
+    // shortlist and can only improve on raw ADC; the 5th neighbor sits
+    // in the near-uniform inter-cluster background — PQ's documented
+    // worst case — so strict equality with exact search needs the
+    // whole-corpus shortlist, pinned by the previous test)
+    assert(recall(rer4) >= recall(adc),
+      s"rerank@4k recall ${recall(rer4)} < adc recall ${recall(adc)}")
+    assert(recall(rer20) >= recall(rer4),
+      s"recall must be monotone in the shortlist: ${recall(rer20)} < ${recall(rer4)}")
+    // the SIGNAL neighbors — the query's own cluster-mates, the rows
+    // whose exact distances are decisively small — are always recovered
+    queries.foreach { case (qid, _) =>
+      val mates = (1L until 5L).map(i => qid + i * 100).toSet
+      assert(mates.subsetOf(rer4(qid)),
+        s"cluster-mates of qid=$qid missing from the reranked top-5")
+    }
+    cv.unpersist()
+  }
+
+  test("ivfpqTopKRerank at full probe equals adcTopKRerank") {
+    val coarse = graft.operators.Similarity.sampleCentroidsPortable(emb, 8)
+    val index = ProductQuantizer.ivfpqIndex(emb, coarse, model)
+    val queries = emb.filter(col("id") < 3).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "nid", "exact_u", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val a = rows(ProductQuantizer.ivfpqTopKRerank(index, emb, queries, model,
+      coarse, nProbe = 8, k = 5))
+    val b = rows(ProductQuantizer.adcTopKRerank(codes, emb, queries, model, k = 5))
+    assert(a == b)
+  }
+
   test("distortion is zero for codebook members' own sample vectors") {
     // the 16 sampled vectors ARE centroids in every subspace → their
     // distortion is exactly 0 (up to the +0.5 floor, which keeps 0 at 0)
