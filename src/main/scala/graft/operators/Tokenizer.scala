@@ -128,4 +128,60 @@ object Tokenizer {
     words.unpersist()
     out
   }
+
+  /** Collect a [[bpeMergeTable]] result into the ordered merge list the
+    * APPLY side consumes. The merge table IS the trained model — vocab-
+    * sized (≤ tens of thousands of rows), a driver artifact by the same
+    * contract as IVF centroids and PQ codebooks — so this is a bounded
+    * model collect, not a corpus collect.
+    */
+  def collectMerges(mergeTable: DataFrame): Seq[(String, String)] =
+    mergeTable.orderBy("step").select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** The APPLY side of merge-order BPE: tokenize `textCol` into the
+    * TRAINED vocabulary by replaying the merge list, in training order,
+    * over each word — the train→apply round trip that proves the
+    * [[bpeMergeTable]] artifact is usable (before r11 the engine
+    * trained merges and separately applied a static checked-in
+    * vocabulary; nothing connected them).
+    *
+    * Semantics are the TRAINING rewrite's, by construction: the same
+    * boundary-spaced representation, the same left-to-right
+    * `replace(" l r ", " lr ")` per merge (including the documented
+    * every-other-occurrence behavior inside self-overlapping runs), so
+    * applying the merges to the training corpus reproduces the exact
+    * per-word segmentation — and Σ n_tokens equals the final round's
+    * `tokens_after` (spec-pinned).
+    *
+    * Scale shape: pure map-side projection, zero shuffle before the
+    * per-doc sum — the merge list ships as ONE literal array and the
+    * replay is a single `aggregate` higher-order function folding
+    * `replace` over it, so expression depth stays CONSTANT in the merge
+    * count (a 30k-merge chain of nested `replace` calls would blow
+    * codegen; the HOF evaluates the same fold in a loop).
+    *
+    * Output: (`idCol`, n_tokens) — one row per document that has at
+    * least one whitespace token.
+    */
+  def applyMerges(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "applyMerges needs at least one merge")
+    val mergeArr = array(merges.map { case (l, r) =>
+      struct(lit(l).as("lhs"), lit(r).as("rhs")) }: _*)
+    docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .select(col(idCol),
+        aggregate(mergeArr,
+          concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")),
+          (acc, m) => replace(acc,
+            concat(lit(" "), m.getField("lhs"), lit(" "),
+              m.getField("rhs"), lit(" ")),
+            concat(lit(" "), m.getField("lhs"), m.getField("rhs"),
+              lit(" ")))).as("w"))
+      .select(col(idCol),
+        size(filter(split(col("w"), " "), x => length(x) > 0))
+          .cast("long").as("__n"))
+      .groupBy(idCol).agg(sum("__n").as("n_tokens"))
+  }
 }

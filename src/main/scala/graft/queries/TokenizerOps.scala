@@ -59,5 +59,46 @@ object TokenizerOps {
          |SELECT 3, lhs, rhs, f, tokens_after FROM m3 CROSS JOIN a3""".stripMargin) {
       (s, d) => Tokenizer.bpeMergeTable(Tables.documents(s, d), "text", 3)
     },
+
+    // q119: the TRAIN→APPLY round trip — train 3 merges on `documents`
+    // (exactly q112), then tokenize the corpus WITH them
+    // ([[graft.operators.Tokenizer.applyMerges]]): per-doc token counts
+    // under the trained vocabulary. The oracle replays training (the
+    // q112 CTE chain yields m1–m3) and then the apply — the same
+    // boundary-spaced replace per merge, per document word — so the
+    // whole train→apply loop is pinned end to end. Docs with no
+    // whitespace tokens are absent (no words to segment).
+    QueryDef.sql(
+      "q119_bpe_apply",
+      s"""WITH words AS (
+         |  SELECT t AS word, count(*) AS freq
+         |  FROM (SELECT unnest($T) AS t FROM documents) GROUP BY 1),
+         |w0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS w,
+         |              freq FROM words),
+         |${bpeRound(1)},
+         |${bpeRound(2)},
+         |${bpeRound(3)},
+         |dw AS (SELECT doc_id, unnest($T) AS word FROM documents),
+         |ap0 AS (SELECT doc_id,
+         |          ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS w
+         |        FROM dw),
+         |ap1 AS (SELECT doc_id, replace(w, ' ' || m.lhs || ' ' || m.rhs || ' ',
+         |                 ' ' || m.lhs || m.rhs || ' ') AS w
+         |        FROM ap0 CROSS JOIN m1 m),
+         |ap2 AS (SELECT doc_id, replace(w, ' ' || m.lhs || ' ' || m.rhs || ' ',
+         |                 ' ' || m.lhs || m.rhs || ' ') AS w
+         |        FROM ap1 CROSS JOIN m2 m),
+         |ap3 AS (SELECT doc_id, replace(w, ' ' || m.lhs || ' ' || m.rhs || ' ',
+         |                 ' ' || m.lhs || m.rhs || ' ') AS w
+         |        FROM ap2 CROSS JOIN m3 m)
+         |SELECT doc_id,
+         |  CAST(sum(len(list_filter(string_split(w, ' '), x -> len(x) > 0)))
+         |    AS BIGINT) AS n_tokens
+         |FROM ap3 GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = Tokenizer.collectMerges(
+        Tokenizer.bpeMergeTable(docs, "text", 3))
+      Tokenizer.applyMerges(docs, "doc_id", "text", merges)
+    },
   )
 }

@@ -60,6 +60,37 @@ class TokenizerSpec extends SparkSpec {
     assert(lazyT.length == 5)
   }
 
+  test("applyMerges replays training: per-word segmentation and totals agree") {
+    // hug/pug corpus: after the 3 trained merges the words segment as
+    // hug→[hug], hugs→[hug s]→[hugs], pug→[p ug]
+    val docs = Seq((1L, "hug hug hugs"), (2L, "pug")).toDF("id", "text")
+    val mt = Tokenizer.bpeMergeTable(docs, "text", 3)
+    val merges = Tokenizer.collectMerges(mt)
+    assert(merges == Seq(("u", "g"), ("h", "ug"), ("hug", "s")))
+    val got = Tokenizer.applyMerges(docs, "id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 2L)) // [hug][hug][hugs] / [p ug]
+    // train/apply consistency: Σ n_tokens == final round's tokens_after
+    val finalAfter = mt.orderBy(col("step").desc).limit(1)
+      .collect().head.getLong(4)
+    assert(got.values.sum == finalAfter)
+  }
+
+  test("applyMerges keeps the every-other-occurrence boundary semantics") {
+    // same quirk as training: ' a b a b ' merging (a,b) consumes the
+    // separator, so only the first occurrence merges in one pass
+    val docs = Seq((1L, "abab")).toDF("id", "text")
+    val got = Tokenizer.applyMerges(docs, "id", "text", Seq(("a", "b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L)) // [ab][a][b]
+    // a second replay of the same pair (as training round 2 would do)
+    // closes the remaining occurrence
+    val got2 = Tokenizer.applyMerges(docs, "id", "text",
+      Seq(("a", "b"), ("a", "b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 2L)) // [ab][ab]
+  }
+
   test("merge table is invariant to document partitioning") {
     val docs = (1 to 50).map(i =>
       (i.toLong, if (i % 3 == 0) "spark spark sql" else "spark data sql data"))
