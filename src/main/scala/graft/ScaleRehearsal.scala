@@ -389,6 +389,40 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // BPE recount-vs-delta adjudication (r11, VERDICT r10 #3): fixed 1M-
+    // row corpus (250k distinct words), growing merge depth. The recount
+    // path pays one full-vocabulary pair aggregate per round; the delta
+    // path aggregates only words containing the merged pair — expected:
+    // recount wall ~linear in merges with a full-size slope, delta's
+    // per-round cost FALLING as merges descend the frequency curve (at
+    // the cost of ~4 fixed-overhead jobs per round, so tiny corpora
+    // favor recount — this rung is the crossover evidence).
+    if (args.contains("--bpedelta-only")) {
+      import graft.operators.Tokenizer
+      def words(n: Long) = {
+        val pool = math.max(n / 4, 100L)
+        spark.range(n).select(
+          expr(s"""concat_ws(' ', transform(sequence(1, 4), w ->
+            substring(lower(hex(xxhash64(cast(pmod(xxhash64(id * 7 + w),
+              $pool) AS string)))), 1, 8)))""").as("text"))
+      }
+      locally {
+        Tokenizer.bpeMergeTable(words(50000L), "text", 2).count()
+        Tokenizer.bpeMergeTableDelta(words(50000L), "text", 2).count()
+      }
+      val n = 1000000L
+      val ladder = Seq(4, 16, 64).map { m =>
+        val (tR, rR) = timed {
+          Tokenizer.bpeMergeTable(words(n), "text", m).count() }
+        val (tD, rD) = timed {
+          Tokenizer.bpeMergeTableDelta(words(n), "text", m).count() }
+        require(rR == rD, s"delta-shape mismatch at $m merges: $rR vs $rD")
+        f"""{"merges":$m,"recount_ckpt4":{"sec":$tR%.2f},"delta":{"sec":$tD%.2f},"rows":$rD}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"bpe_delta_rehearsal","n_rows":$n,"depth":$ladder}""")
+      spark.stop(); return
+    }
+
     val out = (if (asofOnly || segOnly || capOnly || deconOnly) Seq.empty[Long] else scales).map { n =>
       val docs = corpus(spark, n).cache()
       docs.count() // materialize outside every timed window

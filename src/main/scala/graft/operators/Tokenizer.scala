@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions.tokens
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE tokenizer TRAINING — greedy merge-pair induction over
@@ -127,6 +127,81 @@ object Tokenizer {
     val out = steps.reduce(_ unionByName _).localCheckpoint(true)
     words.unpersist()
     out
+  }
+
+  /** [[bpeMergeTable]] with INCREMENTAL pair counts — the scale path for
+    * real vocabularies. The recount formulation pays one pair-count
+    * aggregate over the WHOLE words frame per round; but a merge only
+    * changes the pair multiset of words CONTAINING the merged pair, so
+    * this variant maintains the (lhs, rhs, f) frame across rounds and
+    * applies a delta per round: subtract the affected words' pairs
+    * before the rewrite, add them after. Per-round aggregate cost is
+    * proportional to the affected words — which SHRINK as training
+    * descends the frequency curve — not the corpus vocabulary; a
+    * 30k-merge train does ~30k small aggregates instead of 30k full
+    * ones. `tokens_after` is maintained the same way (previous total
+    * minus the symbols removed in affected words).
+    *
+    * Every per-round frame (words, pair counts, the 1-row token total)
+    * is EAGERLY localCheckpoint'd: the delta recurrence references each
+    * frame multiple times, so a lazy chain would re-derive exponentially
+    * (the q95 diamond lesson measured on the recount path); eager
+    * truncation also keeps plan depth constant over thousands of
+    * rounds. The trade: ~4 small Spark jobs per round of fixed
+    * overhead, so BELOW a few hundred thousand distinct words the
+    * recount path's single shuffle per round is cheaper — the ladder
+    * locates the crossover ([[graft.ScaleRehearsal]] --bpedelta-only).
+    *
+    * Output and semantics are [[bpeMergeTable]]'s, merge-for-merge
+    * (spec-pinned: same pairs, same frequencies, same trajectory).
+    */
+  def bpeMergeTableDelta(docs: DataFrame, textCol: String,
+      merges: Int): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    var w = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("w"),
+        col("freq"))
+      .localCheckpoint(true)
+    val symCount = (c: Column) =>
+      size(filter(split(c, " "), x => length(x) > 0)).cast("long")
+    var pc = pairCounts(w).localCheckpoint(true)
+    var tok = w.agg(sum(col("freq") * symCount(col("w"))).as("tokens_after"))
+      .localCheckpoint(true)
+    var steps = Vector.empty[DataFrame]
+    for (step <- 1 to merges) {
+      val top1 = pc.orderBy(col("f").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).localCheckpoint(true)
+      val pat = concat(lit(" "), col("lhs"), lit(" "), col("rhs"), lit(" "))
+      val rep = concat(lit(" "), col("lhs"), col("rhs"), lit(" "))
+      // the words whose pair multiset changes this round, with their
+      // rewritten form alongside — the ONLY rows the delta aggregates
+      val aff = w.crossJoin(broadcast(top1))
+        .filter(col("w").contains(pat))
+        .select(col("w"), col("freq"), replace(col("w"), pat, rep).as("w2"))
+        .localCheckpoint(true)
+      val newW = w.crossJoin(broadcast(top1))
+        .select(when(col("w").contains(pat), replace(col("w"), pat, rep))
+          .otherwise(col("w")).as("w"), col("freq"))
+        .localCheckpoint(true)
+      val delta = pairCounts(aff.select(col("w"), (-col("freq")).as("freq")))
+        .unionByName(pairCounts(aff.select(col("w2").as("w"), col("freq"))))
+      val newPc = pc.unionByName(delta)
+        .groupBy("lhs", "rhs").agg(sum("f").as("f"))
+        .filter(col("f") > 0)
+        .localCheckpoint(true)
+      val dTok = aff.agg(coalesce(sum(col("freq") *
+        (symCount(col("w")) - symCount(col("w2")))), lit(0L)).as("__d"))
+      val newTok = tok.crossJoin(dTok)
+        .select((col("tokens_after") - col("__d")).as("tokens_after"))
+        .localCheckpoint(true)
+      steps = steps :+ top1.crossJoin(newTok)
+        .select(lit(step.toLong).as("step"), col("lhs"), col("rhs"),
+          col("f").as("freq"), col("tokens_after"))
+      w = newW; pc = newPc; tok = newTok
+    }
+    steps.reduce(_ unionByName _)
   }
 
   /** Collect a [[bpeMergeTable]] result into the ordered merge list the

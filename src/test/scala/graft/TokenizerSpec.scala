@@ -60,6 +60,24 @@ class TokenizerSpec extends SparkSpec {
     assert(lazyT.length == 5)
   }
 
+  test("delta pair counts equal the recount path merge-for-merge") {
+    // exercises ties, self-overlap runs, and corpus exhaustion — the
+    // regimes where a stale pair count would first diverge
+    val corpora = Seq(
+      (1 to 40).map(i =>
+        (i.toLong, if (i % 2 == 0) "hug hug hugs pug" else "pug pugs hug")),
+      Seq((1L, "aaaa aaaa ab"), (2L, "abab aaaa")),
+      (1 to 30).map(i => (i.toLong, s"spark data sql w${i % 7}")))
+    corpora.foreach { rows =>
+      val docs = rows.toDF("id", "text")
+      val recount = Tokenizer.bpeMergeTable(docs, "text", 8, checkpointEvery = 2)
+        .orderBy("step").collect().map(_.toSeq).toSeq
+      val delta = Tokenizer.bpeMergeTableDelta(docs, "text", 8)
+        .orderBy("step").collect().map(_.toSeq).toSeq
+      assert(delta == recount)
+    }
+  }
+
   test("applyMerges replays training: per-word segmentation and totals agree") {
     // hug/pug corpus: after the 3 trained merges the words segment as
     // hug→[hug], hugs→[hug s]→[hugs], pug→[p ug]
