@@ -300,6 +300,42 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // Index-compaction rung (r11, VERDICT r10 #4): a long-lived ingest
+    // writes one postings partition per micro-batch; 100 batches later
+    // the BM25 read side is file-listing/footer-bound. Measure search
+    // wall + data-file count on the 100-partition store, compact (fold
+    // all closed batches into the term-partitioned batch=-1 store),
+    // re-measure: results identical (spec-pinned), files collapse
+    // ~100× and the read wall drops to the single-store cost.
+    if (args.contains("--compact-only")) {
+      import graft.streaming.{IndexMaintenance, RetrievalStream}
+      val dir = java.nio.file.Files.createTempDirectory("compact_rung")
+        .toString + "/idx"
+      val nBatches = 100
+      val docsPerBatch = 500L
+      (0 until nBatches).foreach { b =>
+        val docs = spark.range(docsPerBatch).select(
+          (col("id") + b * docsPerBatch).as("doc_id"),
+          expr(s"""concat_ws(' ', transform(sequence(0, 19), j ->
+            concat('w', pmod(xxhash64(concat(cast(id AS string), '_$b', '_',
+              cast(j AS string))), 5000))))""").as("text"))
+        RetrievalStream.indexBatch(docs, b.toLong, "doc_id", "text", dir)
+      }
+      val q = spark.range(3).select(col("id").as("qid"),
+        concat(lit("w"), pmod(xxhash64(col("id")), lit(5000))).as("term"))
+      val filesBefore = IndexMaintenance.dataFileCount(spark, s"$dir/postings")
+      val (tBefore, rBefore) = timed3 {
+        RetrievalStream.bm25OverIndex(spark, dir, q, 10).count() }
+      val folded = RetrievalStream.compact(spark, dir, nBatches.toLong)
+      val filesAfter = IndexMaintenance.dataFileCount(spark, s"$dir/postings")
+      val (tAfter, rAfter) = timed3 {
+        RetrievalStream.bm25OverIndex(spark, dir, q, 10).count() }
+      require(rBefore == rAfter,
+        s"compaction changed search cardinality: $rBefore vs $rAfter")
+      println(f"""{"metric":"compact_rehearsal","n_batches":$nBatches,"docs_per_batch":$docsPerBatch,"folded":$folded,"files_before":$filesBefore,"files_after":$filesAfter,"search_sec_before":$tBefore%.2f,"search_sec_after":$tAfter%.2f,"rows":$rBefore}""")
+      spark.stop(); return
+    }
+
     // PageRank hub-skew ladder (r10): the social-graph reality is one
     // celebrity node receiving (and emitting) a constant fraction of all
     // edges. The inbound side is SAFE by construction — contributions

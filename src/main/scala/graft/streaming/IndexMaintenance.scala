@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Compaction for the partition-per-micro-batch index stores
+  * ([[StreamingDedup]]'s LSH/segment-digest indexes, [[RetrievalStream]]'s
+  * postings) — the r10 verdict's deferred storage-layout concern.
+  *
+  * The ingest convention writes one parquet partition directory per
+  * micro-batch id so a replayed batch overwrites exactly its own
+  * partition (exactly-once under foreachBatch's at-least-once contract).
+  * A long-lived ingest therefore accumulates thousands of tiny
+  * directories and the read side goes file-listing-bound. Compaction
+  * coalesces every CLOSED batch partition — ids strictly below the
+  * stream checkpoint's committed id, which can never be replayed — into
+  * the single reserved partition `<prefix>-1`, repartitioned on the
+  * index's join keys (term for postings, (band, bucket) for LSH) so a
+  * search touches few, well-clustered files.
+  *
+  * Why -1: batch ids are non-negative, so the compacted store can live
+  * INSIDE the same partition-discovered layout — readers that filter
+  * `batch_id < currentBatch` keep working unchanged (every compacted row
+  * came from a batch < committed ≤ current), the renumbered-restart
+  * guard (`ids ≤ current`) keeps holding, and a replay of any
+  * still-open batch still overwrites only its own directory.
+  *
+  * Swap protocol: write the coalesced data to a dot-prefixed temp dir
+  * (invisible to partition discovery), then delete the source
+  * directories and rename the temp into place. On a real deployment the
+  * delete+rename window is the usual non-transactional-filesystem
+  * caveat — run compaction from a single maintenance job, not
+  * concurrently with readers, or use a transactional table format; the
+  * replay-correctness argument (only closed batches move) is
+  * independent of that window.
+  */
+object IndexMaintenance {
+
+  /** Compact all batch partitions `<prefix><id>` with `0 ≤ id <
+    * upToBatch` (plus any previously-compacted `<prefix>-1`) under
+    * `dir` into a fresh `<prefix>-1`, shuffled on `shuffleCols` into
+    * `targetPartitions` files. Returns the number of batch directories
+    * compacted (0 = nothing to do; the store is untouched).
+    *
+    * `upToBatch` MUST be ≤ the stream checkpoint's committed batch id:
+    * compacting an id the stream could still replay would let the
+    * replay's partition overwrite duplicate rows already folded into
+    * the compacted store.
+    */
+  def compactBatchStore(spark: SparkSession, dir: String, prefix: String,
+      upToBatch: Long, shuffleCols: Seq[String],
+      targetPartitions: Int = 8): Long = {
+    require(upToBatch >= 0, s"upToBatch must be >= 0, got $upToBatch")
+    require(targetPartitions > 0,
+      s"targetPartitions must be positive, got $targetPartitions")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    val entries = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .map(n => n -> n.stripPrefix(prefix).toLong)
+    val toCompact = entries.filter { case (_, id) => id >= 0 && id < upToBatch }
+    if (toCompact.isEmpty) return 0L
+    val compactedName = s"$prefix-1"
+    val hasPrior = entries.exists(_._2 == -1L)
+    // leaf directories read directly (no common-base discovery), so the
+    // frame holds only file columns — the partition value is re-supplied
+    // by the destination directory name
+    val srcPaths = toCompact.map { case (n, _) => s"$dir/$n" } ++
+      (if (hasPrior) Seq(s"$dir/$compactedName") else Nil)
+    val tmp = new Path(root, ".compact_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(srcPaths: _*)
+      .repartition(targetPartitions, shuffleCols.map(col): _*)
+      .write.mode("overwrite").parquet(tmp.toString)
+    toCompact.foreach { case (n, _) => fs.delete(new Path(root, n), true) }
+    if (hasPrior) fs.delete(new Path(root, compactedName), true)
+    require(fs.rename(tmp, new Path(root, compactedName)),
+      s"failed to move compacted data into $dir/$compactedName")
+    // record how far history is folded: once the numbered directories
+    // are gone, the ingest guards can no longer see that a replayed
+    // low id would duplicate rows already inside batch -1 — the marker
+    // carries that bound ([[requireReplayable]] enforces it)
+    val bound = math.max(upToBatch, compactedThrough(spark, dir).getOrElse(0L))
+    val out = fs.create(new Path(root, MarkerName), true)
+    try out.write(bound.toString.getBytes("UTF-8")) finally out.close()
+    toCompact.size.toLong
+  }
+
+  private val MarkerName = "_compacted_through"
+
+  /** The exclusive upper bound of batch ids folded into `<prefix>-1`,
+    * if this store has ever been compacted.
+    */
+  def compactedThrough(spark: SparkSession, dir: String): Option[Long] = {
+    val p = new Path(dir, MarkerName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Refuse a write of `batchId` into a store whose history is already
+    * folded past it: the batch's own partition no longer exists, so the
+    * overwrite-own-partition idempotence argument breaks (its rows sit
+    * inside `<prefix>-1` AND would land again under the replayed id).
+    * Only a restart with a lost/renumbered checkpoint produces this —
+    * same failure class as the renumbered-restart guard, same loud stop.
+    */
+  def requireReplayable(spark: SparkSession, dir: String, batchId: Long): Unit =
+    compactedThrough(spark, dir).foreach { ct =>
+      require(batchId >= ct,
+        s"batch $batchId replays into $dir whose history is compacted " +
+          s"through $ct — its partition was folded away; run the ingest " +
+          "with a durable checkpointDir (renumbered batch ids)")
+    }
+
+  /** Data files currently under `dir` (recursive, non-hidden) — the
+    * observable compaction payoff for specs and ladders.
+    */
+  def dataFileCount(spark: SparkSession, dir: String): Long = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    val it = fs.listFiles(root, true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+    }
+    n
+  }
+}

@@ -23,8 +23,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * identical results to batch [[Retrieval.bm25TopK]] over the union of
   * all ingested documents ([[RetrievalStreamSpec]] pins the parity and
   * the replay no-op). At 100 TB the postings dir is the classic
-  * term-partitionable inverted index; compaction (coalescing old batch
-  * partitions) is an offline concern, same as the dedup index.
+  * term-partitionable inverted index; [[compact]] folds closed batch
+  * partitions into a term-partitioned store offline (r11), so a
+  * long-lived ingest never goes file-listing-bound.
   */
 object RetrievalStream {
 
@@ -33,6 +34,10 @@ object RetrievalStream {
     */
   def indexBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, indexDir: String): Unit = {
+    // a replay of a batch already folded into the compacted store would
+    // double its rows — only a lost/renumbered checkpoint causes this
+    IndexMaintenance.requireReplayable(batch.sparkSession,
+      s"$indexDir/postings", batchId)
     val (posting, _) = Retrieval.corpusPostings(batch, idCol, textCol)
     posting.write.mode("overwrite").parquet(s"$indexDir/postings/batch=$batchId")
     batch.select(col(idCol).as("doc"),
@@ -64,5 +69,25 @@ object RetrievalStream {
     val docs = spark.read.parquet(s"$indexDir/docs")
     val tot = docs.agg(count(lit(1)).as("n"), sum("dl").as("total"))
     Retrieval.bm25FromPostings(posting, tot, queryTerms, k)
+  }
+
+  /** Compact every CLOSED batch partition (`batch < upToBatch`, which
+    * must be ≤ the stream checkpoint's committed id) of both index
+    * stores into the reserved `batch=-1` partition: postings
+    * repartitioned by TERM (the classic term-partitioned inverted
+    * index — a query's broadcast semi-join then touches few clustered
+    * files), docs by doc id. Search results are identical before and
+    * after, replays of still-open batches keep overwriting their own
+    * partitions, and re-running compaction with the same bound is a
+    * no-op — all spec-pinned. Returns the number of batch partitions
+    * folded in. See [[IndexMaintenance]] for the swap protocol.
+    */
+  def compact(spark: SparkSession, indexDir: String, upToBatch: Long,
+      targetPartitions: Int = 8): Long = {
+    val n = IndexMaintenance.compactBatchStore(spark, s"$indexDir/postings",
+      "batch=", upToBatch, Seq("term"), targetPartitions)
+    IndexMaintenance.compactBatchStore(spark, s"$indexDir/docs",
+      "batch=", upToBatch, Seq("doc"), targetPartitions)
+    n
   }
 }

@@ -113,6 +113,30 @@ object StreamingDedup {
     cands
   }
 
+  /** Compact the CLOSED batch partitions (`batch_id < upToBatch`, which
+    * must be ≤ the stream checkpoint's committed id) of a
+    * [[screenAndIndexBatch]] LSH index into the reserved `batch_id=-1`
+    * partition, repartitioned on (band, bucket) — the storage layout the
+    * screen's equi-join probes. The screen's `batch_id < current` filter
+    * keeps every compacted row visible (−1 < any live id), the
+    * renumbered-restart guard keeps holding (−1 ≤ current), and replays
+    * of still-open batches keep overwriting only their own partitions.
+    * Returns the number of batch partitions folded in.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, upToBatch: Long, targetPartitions: Int = 8): Long =
+    IndexMaintenance.compactBatchStore(spark, indexDir, "batch_id=",
+      upToBatch, Seq("band", "bucket"), targetPartitions)
+
+  /** [[compactIndex]] for a [[screenSegmentsBatch]] seen-digest index:
+    * closed batch partitions fold into `batch_id=-1` repartitioned on
+    * the digest — the anti-join's probe key.
+    */
+  def compactSegmentIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, upToBatch: Long, targetPartitions: Int = 8): Long =
+    IndexMaintenance.compactBatchStore(spark, indexDir, "batch_id=",
+      upToBatch, Seq("__h"), targetPartitions)
+
   /** Batch ids already present in the partition-per-batch index at
     * `indexDir`, with the renumbered-restart guard applied.
     *
@@ -126,6 +150,11 @@ object StreamingDedup {
     */
   private def guardedIndexedBatchIds(batch: DataFrame, batchId: Long,
       indexDir: String): Seq[Long] = {
+    // compacted stores carry their fold bound in a marker: a replay of
+    // a folded batch id (lost/renumbered checkpoint) must stop loudly —
+    // the numbered directories that would have tripped the guard below
+    // no longer exist after compaction
+    IndexMaintenance.requireReplayable(batch.sparkSession, indexDir, batchId)
     val idxPath = new org.apache.hadoop.fs.Path(indexDir)
     val fs = idxPath.getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)

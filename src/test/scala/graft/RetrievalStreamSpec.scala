@@ -52,6 +52,40 @@ class RetrievalStreamSpec extends SparkSpec {
     assert(rows(RetrievalStream.bm25OverIndex(spark, dir, q, 10)) == expect)
   }
 
+  test("compaction preserves search, keeps replay safe, and shrinks files") {
+    import graft.streaming.IndexMaintenance
+    val dir = Files.createTempDirectory("bm25cmp").toString
+    val q = Seq((1L, "spark"), (2L, "join"), (2L, "shuffle")).toDF("qid", "term")
+    // one doc per micro-batch → 5 batch partitions per store
+    docs.zipWithIndex.foreach { case (d, i) =>
+      RetrievalStream.indexBatch(Seq(d).toDF("doc_id", "text"), i.toLong,
+        "doc_id", "text", dir)
+    }
+    val before = rows(RetrievalStream.bm25OverIndex(spark, dir, q, 10))
+    assert(before.nonEmpty)
+    val filesBefore = IndexMaintenance.dataFileCount(spark, s"$dir/postings")
+    // fold the closed batches 0–3 (4 stays open); search is unchanged
+    assert(RetrievalStream.compact(spark, dir, upToBatch = 4,
+      targetPartitions = 1) == 4L)
+    assert(rows(RetrievalStream.bm25OverIndex(spark, dir, q, 10)) == before)
+    // same bound again: nothing left to fold
+    assert(RetrievalStream.compact(spark, dir, upToBatch = 4) == 0L)
+    // replaying the still-open batch stays idempotent after compaction
+    RetrievalStream.indexBatch(Seq(docs(4)).toDF("doc_id", "text"), 4L,
+      "doc_id", "text", dir)
+    assert(rows(RetrievalStream.bm25OverIndex(spark, dir, q, 10)) == before)
+    // a second compaction folds the remainder into the same store
+    assert(RetrievalStream.compact(spark, dir, upToBatch = 5,
+      targetPartitions = 1) == 1L)
+    assert(rows(RetrievalStream.bm25OverIndex(spark, dir, q, 10)) == before)
+    assert(IndexMaintenance.dataFileCount(spark, s"$dir/postings") < filesBefore)
+    // a replay of a FOLDED batch (lost checkpoint) is refused loudly
+    intercept[IllegalArgumentException] {
+      RetrievalStream.indexBatch(Seq(docs(0)).toDF("doc_id", "text"), 0L,
+        "doc_id", "text", dir)
+    }
+  }
+
   test("token-less docs reach the doc stats but not the postings") {
     val dir = Files.createTempDirectory("bm25idx2").toString
     RetrievalStream.indexBatch(docs.toDF("doc_id", "text"), 0L,

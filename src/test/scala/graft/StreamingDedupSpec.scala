@@ -129,6 +129,52 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compacted LSH index screens identically; folded-batch replay refused") {
+    import graft.streaming.IndexMaintenance
+    val dir = java.nio.file.Files.createTempDirectory("sdedup_cmp")
+      .toFile.getAbsolutePath + "/index"
+    val novel = "sphinx of black quartz judge my vow said the typesetter"
+    val batches = Seq(
+      Seq((1L, corpusText),
+        (2L, "completely different content about distributed query planning")),
+      Seq((10L, novel)),
+      Seq((20L, "some other thing entirely about cascading query optimizers")),
+      Seq((30L, "fourth batch content mentioning adaptive join reordering")))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      StreamingDedup.screenAndIndexBatch(rows.toDF("doc_id", "text"),
+        i.toLong, "doc_id", "text", dir).collect()
+    }
+    // a probe batch screened against the FULL history (batch_id < 4)
+    val probe = Seq((100L, corpusText), (101L, novel)).toDF("doc_id", "text")
+    def screen() = StreamingDedup.candidatesAgainstIndex(probe, "doc_id",
+        "text", spark.read.parquet(dir).filter(col("batch_id") < 4)
+          .select("id", "band", "bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val before = screen()
+    assert(before.exists(t => t._1 == 100L && t._2 == 1L))
+    assert(before.exists(t => t._1 == 101L && t._2 == 10L))
+    val filesBefore = IndexMaintenance.dataFileCount(spark, dir)
+    // fold batches 0–2 (3 stays open); screening is unchanged
+    assert(StreamingDedup.compactIndex(spark, dir, upToBatch = 3,
+      targetPartitions = 1) == 3L)
+    assert(screen() == before)
+    assert(StreamingDedup.compactIndex(spark, dir, upToBatch = 3) == 0L)
+    // replay of the still-open batch 3 stays idempotent
+    StreamingDedup.screenAndIndexBatch(batches(3).toDF("doc_id", "text"),
+      3L, "doc_id", "text", dir).collect()
+    assert(screen() == before)
+    // second compaction folds the remainder
+    assert(StreamingDedup.compactIndex(spark, dir, upToBatch = 4,
+      targetPartitions = 1) == 1L)
+    assert(screen() == before)
+    assert(IndexMaintenance.dataFileCount(spark, dir) < filesBefore)
+    // replaying a folded batch id is refused loudly
+    intercept[IllegalArgumentException] {
+      StreamingDedup.screenAndIndexBatch(batches.head.toDF("doc_id", "text"),
+        0L, "doc_id", "text", dir).collect()
+    }
+  }
+
   test("segment screening: stream output equals batch segmentDedup restricted to each batch") {
     implicit val ctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("sdedup_seg")
