@@ -193,7 +193,12 @@ object Packing {
     chunks
       .withColumn("shard_id", chunkOf(col("chunk_id"), chunksPerShard))
       .repartition(col("shard_id"))
-      .sortWithinPartitions("chunk_id")
+      // the sort MUST lead with the partition column: the dynamic-
+      // partition writer otherwise inserts its own sort on shard_id,
+      // which is not stable and scrambles the chunk order inside a
+      // shard (caught by the curriculum round-trip spec); with the
+      // required prefix already sorted the writer keeps our order
+      .sortWithinPartitions("shard_id", "chunk_id")
       .write.mode("overwrite").partitionBy("shard_id").parquet(dir)
   }
 

@@ -310,50 +310,134 @@ object PipelineOps {
     // nine exact percentiles become approx_percentile (q86's trade).
     QueryDef.sql(
       "q116_curriculum_order",
-      s"""WITH toks AS (SELECT doc_id, ${Tk("text")} AS tk FROM documents),
-         |bg AS (
+      s"""WITH $CurriculumCtes
+         |SELECT doc_id, nllu, bucket, ckey FROM cur""".stripMargin) { (s, d) =>
+      curriculumKeyed(s, d)
+    },
+
+    // q120: curriculum-ORDERED shard materialization — closes the loop
+    // q116 opened: its (bucket, ckey, doc_id) ordering key actually
+    // drives the q80/q93 packing machinery. The key serializes as
+    // `bucket:ckey:zero-padded-doc_id` so lexicographic order IS the
+    // curriculum order; the prefix (bucket + first ckey hex char) is
+    // the monotone prefix-sum group, so packing keeps the two-phase
+    // shape with no global window. Chunks then freely span bucket
+    // boundaries (concat-and-chunk over the curriculum stream) and the
+    // 4-chunk shard manifest pins content AND order: a shard_fp only
+    // matches if every chunk holds the right tokens in the right
+    // curriculum position. Docs without a difficulty signal (<2
+    // tokens) are excluded upstream by q116's contract — they carry no
+    // tokens to pack either way. Writing the shards is
+    // [[graft.operators.Packing.writeShards]] over the same chunks
+    // frame (layout + fingerprint round-trip spec-pinned).
+    QueryDef.sql(
+      "q120_curriculum_shards",
+      s"""WITH $CurriculumCtes,
+         |ok AS (
          |  SELECT doc_id,
-         |    unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
-         |      i -> [tk[i], tk[i+1]])) AS b
-         |  FROM toks),
-         |pairs AS (SELECT doc_id, b[1] AS w1, b[2] AS w2 FROM bg),
-         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
-         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
-         |v AS (SELECT count(DISTINCT t) AS v FROM
-         |  (SELECT w1 AS t FROM c12 UNION SELECT w2 AS t FROM c12)),
-         |nll AS (
-         |  SELECT p.doc_id,
-         |    CAST(floor(-ln((c12.c12 + 1) / CAST(c1.c1 + v.v AS DOUBLE))
-         |      * 1000000.0 + 0.5) AS BIGINT) AS nll_u
-         |  FROM pairs p JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
-         |sc AS (
-         |  SELECT doc_id,
-         |    CAST(floor(CAST(sum(nll_u) AS DOUBLE) / count(*) / 100.0 + 0.5)
-         |      AS BIGINT) AS nllu
-         |  FROM nll GROUP BY doc_id),
-         |thr AS (SELECT ${(1 to 9).map(i =>
-             s"CAST(floor(quantile_cont(nllu, 0.$i) * 10000.0 + 0.5) AS BIGINT) AS t$i")
-             .mkString(", ")} FROM sc)
-         |SELECT doc_id, nllu,
-         |  CAST(${(1 to 9).map(i => s"CASE WHEN nllu * 10000 > thr.t$i THEN 1 ELSE 0 END")
-             .mkString(" + ")} AS BIGINT) AS bucket,
-         |  md5('cur:' || CAST(doc_id AS VARCHAR)) AS ckey
-         |FROM sc CROSS JOIN thr""".stripMargin) { (s, d) =>
-      val scores = LanguageModel.perplexityScores(
-          Tables.documents(s, d), "doc_id", "text")
-        .select(col("id").as("doc_id"),
-          floor(col("nll_micro_sum").cast("double") / col("n_bigrams") / 100.0
-            + 0.5).cast("long").as("nllu"))
-      val thrExprs = (1 to 9).map(i =>
-        floor(expr(s"percentile(nllu, 0.$i)") * 10000.0 + 0.5)
-          .cast("long").as(s"t$i"))
-      val thr = scores.agg(thrExprs.head, thrExprs.tail: _*)
-      scores.crossJoin(broadcast(thr))
-        .select(col("doc_id"), col("nllu"),
-          (1 to 9).map(i =>
-            when(col("nllu") * 10000L > col(s"t$i"), 1).otherwise(0))
-            .reduce(_ + _).cast("long").as("bucket"),
-          md5(concat(lit("cur:"), col("doc_id").cast("string"))).as("ckey"))
+         |    CAST(bucket AS VARCHAR) || ':' || ckey || ':' ||
+         |      lpad(CAST(doc_id AS VARCHAR), 10, '0') AS okey
+         |  FROM cur),
+         |dt AS (SELECT ok.okey, ${Tk("d.text")} AS tk
+         |       FROM documents d JOIN ok ON d.doc_id = ok.doc_id),
+         |cn AS (SELECT okey, tk, CAST(len(tk) AS BIGINT) AS n FROM dt),
+         |o AS (
+         |  SELECT okey, tk, n,
+         |    CAST(coalesce(sum(n) OVER (ORDER BY okey
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS off
+         |  FROM cn),
+         |g AS (
+         |  SELECT off, unnest(generate_series(1, n)) AS i, tk
+         |  FROM o WHERE n > 0),
+         |tok AS (SELECT off + i - 1 AS gpos, tk[i] AS tok FROM g),
+         |chunks AS (
+         |  SELECT gpos // 256 AS chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    md5(string_agg(tok, ' ' ORDER BY gpos)) AS chunk_fp
+         |  FROM tok GROUP BY 1)
+         |SELECT chunk_id // 4 AS shard_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(chunk_fp, ' ' ORDER BY chunk_id)) AS shard_fp
+         |FROM chunks GROUP BY 1""".stripMargin) { (s, d) =>
+      Packing.shardManifest(curriculumChunks(s, d), chunksPerShard = 4)
     }
   )
+
+  /** The q116 curriculum key as a reusable frame:
+    * (doc_id, nllu, bucket, ckey). Difficulty = q85's integer micro-nat
+    * mean NLL; deciles from nine exact percentile thresholds
+    * (value-based, engine-replayable); within-bucket order a fresh md5
+    * draw. Docs with <2 tokens have no perplexity and are excluded. At
+    * 100 TB the nine exact percentiles become approx_percentile (q86's
+    * trade).
+    */
+  private def curriculumKeyed(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val scores = LanguageModel.perplexityScores(
+        Tables.documents(s, d), "doc_id", "text")
+      .select(col("id").as("doc_id"),
+        floor(col("nll_micro_sum").cast("double") / col("n_bigrams") / 100.0
+          + 0.5).cast("long").as("nllu"))
+    val thrExprs = (1 to 9).map(i =>
+      floor(expr(s"percentile(nllu, 0.$i)") * 10000.0 + 0.5)
+        .cast("long").as(s"t$i"))
+    val thr = scores.agg(thrExprs.head, thrExprs.tail: _*)
+    scores.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("nllu"),
+        (1 to 9).map(i =>
+          when(col("nllu") * 10000L > col(s"t$i"), 1).otherwise(0))
+          .reduce(_ + _).cast("long").as("bucket"),
+        md5(concat(lit("cur:"), col("doc_id").cast("string"))).as("ckey"))
+  }
+
+  /** q120's chunk frame: curriculum-ordered concat-and-chunk packing of
+    * `documents` (capacity 256). Shared by the query (manifest) and the
+    * writeShards round-trip spec.
+    */
+  def curriculumChunks(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val okey = concat(col("bucket").cast("string"), lit(":"), col("ckey"),
+      lit(":"), lpad(col("doc_id").cast("string"), 10, "0"))
+    val packedIn = curriculumKeyed(s, d)
+      .select(col("doc_id"), okey.as("okey"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("text")), "doc_id")
+      .select(col("okey"), TextFunctions.tokens(col("text")).as("tk"))
+    Packing.packChunks(packedIn, "okey", "tk", capacity = 256,
+      groupOf = substring(col("okey"), 1, 3))
+  }
+
+  /** DuckDB CTE chain ending in `cur (doc_id, nllu, bucket, ckey)` — the
+    * q116 oracle body, shared with q120.
+    */
+  private def CurriculumCtes: String =
+    s"""toks AS (SELECT doc_id, ${Tk("text")} AS tk FROM documents),
+       |bg AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+       |      i -> [tk[i], tk[i+1]])) AS b
+       |  FROM toks),
+       |pairs AS (SELECT doc_id, b[1] AS w1, b[2] AS w2 FROM bg),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+       |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+       |v AS (SELECT count(DISTINCT t) AS v FROM
+       |  (SELECT w1 AS t FROM c12 UNION SELECT w2 AS t FROM c12)),
+       |nll AS (
+       |  SELECT p.doc_id,
+       |    CAST(floor(-ln((c12.c12 + 1) / CAST(c1.c1 + v.v AS DOUBLE))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS nll_u
+       |  FROM pairs p JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CAST(floor(CAST(sum(nll_u) AS DOUBLE) / count(*) / 100.0 + 0.5)
+       |      AS BIGINT) AS nllu
+       |  FROM nll GROUP BY doc_id),
+       |thr AS (SELECT ${(1 to 9).map(i =>
+           s"CAST(floor(quantile_cont(nllu, 0.$i) * 10000.0 + 0.5) AS BIGINT) AS t$i")
+           .mkString(", ")} FROM sc),
+       |cur AS (
+       |  SELECT doc_id, nllu,
+       |    CAST(${(1 to 9).map(i => s"CASE WHEN nllu * 10000 > thr.t$i THEN 1 ELSE 0 END")
+           .mkString(" + ")} AS BIGINT) AS bucket,
+       |    md5('cur:' || CAST(doc_id AS VARCHAR)) AS ckey
+       |  FROM sc CROSS JOIN thr)""".stripMargin
 }

@@ -509,6 +509,34 @@ class OperatorsSpec extends SparkSpec {
       back.select("chunk_id", "n_tokens", "chunk_fp").except(chunks).isEmpty)
   }
 
+  test("curriculum shards: written files round-trip against the manifest, in curriculum order") {
+    import graft.operators.Packing
+    // q120's composed frame on the small sf: write, read back, verify
+    // each shard's chunk fps against the manifest IN ORDER — the
+    // trainer-side audit the manifest exists for
+    val chunks = graft.queries.PipelineOps
+      .curriculumChunks(spark, sf()).localCheckpoint()
+    val manifest = Packing.shardManifest(chunks, chunksPerShard = 4)
+      .collect().map(r => r.getAs[Long]("shard_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[String]("shard_fp")))).toMap
+    assert(manifest.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("curshards")
+      .toFile.getAbsolutePath
+    Packing.writeShards(chunks, dir, chunksPerShard = 4)
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    manifest.foreach { case (sid, (nChunks, fp)) =>
+      val rows = spark.read.parquet(s"$dir/shard_id=$sid")
+        .select("chunk_id", "chunk_fp").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.length.toLong == nChunks, s"shard $sid chunk count")
+      assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq,
+        s"shard $sid rows must be in chunk order")
+      assert(md5s(rows.map(_._2).mkString(" ")) == fp,
+        s"shard $sid fingerprint mismatch — order or content drifted")
+    }
+  }
+
   test("assignCellsJoin: cell-identical to the literal argmin, and semanticDedup dispatches to it past the literal limit") {
     // 60 pseudo-random 8-dim vectors, 9 centroids drawn from them: the
     // broadcast-join argmin must reproduce the literal path's cells
