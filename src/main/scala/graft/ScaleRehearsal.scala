@@ -153,6 +153,52 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // Auto-k past the literal ceiling (r11, VERDICT r10 #6): at
+    // n ≥ 1.05M pseudo-random vectors auto-k = ⌈√n⌉ crosses 1024, so
+    // the AUTO path now dispatches to the broadcast-join argmin instead
+    // of clamping (the pre-r11 behavior, reproduced here as the
+    // comparison shape via nCentroids = 1024). Claim under test: the
+    // join path's one map-side-collapsed exchange costs about the same
+    // as the literal argmin at its ceiling — i.e. un-clamping keeps
+    // √n-cell governance with no cliff at the dispatch boundary.
+    // dim 16 keeps the rung's cosine volume (Σ|cell|²/2 ≈ n^1.5/2
+    // pairs) inside a local-mode budget; the dispatch cost being
+    // adjudicated is dimension-independent.
+    if (args.contains("--semk-only")) {
+      import graft.operators.Similarity
+      def vecs(n: Long) = spark.range(n).select(col("id"),
+        expr("""transform(sequence(0, 15), j -> CAST(
+          CAST(pmod(xxhash64(concat(cast(id AS string), ':',
+            cast(j AS string))), 2001) AS DOUBLE) / 1000.0 - 1.0
+          AS FLOAT))""").as("embedding"))
+      val kScales = if (posArgs.nonEmpty) posArgs.map(_.toLong)
+      else Seq(1200000L)
+      locally { // untimed JIT/codegen warmup on a small corpus
+        val w = vecs(30000L).cache(); w.count()
+        Similarity.semanticDedup(w, tau = 0.99).filter(col("kept")).count()
+        Similarity.semanticDedup(w, tau = 0.99,
+          centroids = Some(Similarity.sampleCentroidsPortable(w, 1030)))
+          .filter(col("kept")).count()
+        w.unpersist()
+      }
+      val ladder = kScales.map { n =>
+        val docs = vecs(n).cache(); docs.count()
+        val autoK = Similarity.autoCentroids(n)
+        val (tAuto, nAuto) = timed3 {
+          Similarity.semanticDedup(docs, tau = 0.99)
+            .filter(col("kept")).count()
+        }
+        val (tClamp, nClamp) = timed3 {
+          Similarity.semanticDedup(docs, tau = 0.99, nCentroids = 1024)
+            .filter(col("kept")).count()
+        }
+        docs.unpersist()
+        f"""{"n_vecs":$n,"auto_k":$autoK,"auto_join_path":{"sec":$tAuto%.2f,"kept":$nAuto},"clamped_1024_literal":{"sec":$tClamp%.2f,"kept":$nClamp}}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"semk_rehearsal","scales":$ladder}""")
+      spark.stop(); return
+    }
+
     // Keep-first DECISION-stage crossover hunt (VERDICT r9 #5): the full
     // hot-segment ladder stopped at 16M docs with the window still ~25%
     // ahead; the two shapes differ only in the first-posting decision,
