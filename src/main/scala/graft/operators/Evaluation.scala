@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ranked-retrieval quality metrics — the EVALUATION layer over the
+  * engine's retrievers ([[Retrieval]] BM25, [[Similarity]] ANN,
+  * [[Retrieval.rrfFuse]] hybrid): given a ranked candidate list and a
+  * relevance set, score each query with the standard IR measures
+  * (Manning, Raghavan & Schütze, "Introduction to Information
+  * Retrieval" ch. 8). A retrieval stack without metrics cannot be
+  * tuned; this closes that loop the same way q117's datasheet closes
+  * the corpus-observability loop. The reference has no counterpart
+  * (its serving layer returns ranked rows, never scores itself).
+  *
+  * Portability (the engine's integer discipline): every metric that is
+  * classically a float ratio is emitted as exact BIGINT micro-units or
+  * as an exact numerator/denominator PAIR —
+  *  - `mrr_u` = 10⁶ div (first relevant rank), 0 when nothing relevant
+  *    was retrieved (the q115 RRF convention);
+  *  - per-rank DCG gain = floor(10⁶·ln 2 / ln(rank+1) + 0.5) — i.e.
+  *    10⁶/log₂(rank+1) quantized BEFORE summation, so `dcg_u` sums are
+  *    order-free and any engine replays them (the micro-nat idf
+  *    precedent);
+  *  - `idcg_u` is the same gain summed over ranks 1..min(n_rel, k), so
+  *    nDCG@k = dcg_u/idcg_u is a ratio of two exact integers the
+  *    caller (or an oracle) divides however it likes.
+  *
+  * Scale shape: the ranked frame is top-k-bounded (|queries|·k rows) by
+  * construction, so every join here is broadcast-sized regardless of
+  * corpus scale; the qrels join and both aggregates are hash
+  * operations keyed on qid. Nothing touches a corpus.
+  */
+object Evaluation {
+
+  /** floor(10⁶·ln2/ln(r+1) + 0.5) — the micro-unit DCG gain at rank r
+    * (= 10⁶/log₂(r+1); rank 1 → 10⁶ exactly).
+    */
+  private def gainU(r: Column): Column =
+    floor(lit(1000000.0) * log(lit(2.0)) / log(r + lit(1L)) + 0.5).cast("long")
+
+  /** Per-query metrics of `ranked` (qid, nid, rank — rank 1-based,
+    * rows beyond `k` ignored) against `qrels` (qid, nid — duplicates
+    * collapsed): one row per DISTINCT qid of `ranked` with
+    * (n_rel, n_hits, mrr_u, dcg_u, idcg_u). Queries absent from
+    * `ranked` (no candidates retrieved at all) are absent here too —
+    * score them as zero upstream if the query set is authoritative.
+    */
+  def rankingMetrics(ranked: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rk = ranked
+      .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"))
+      .filter(col("rank") <= k)
+    val rel = qrels.select("qid", "nid").distinct()
+    val hits = rk.join(rel, Seq("qid", "nid"))
+      .groupBy("qid").agg(
+        count(lit(1)).as("n_hits"),
+        // MRR: 1/first-relevant-rank — smaller rank ⇒ larger reciprocal,
+        // so the max over hit ranks IS the first hit's reciprocal
+        max(expr("1000000 div rank")).as("mrr_u"),
+        sum(gainU(col("rank"))).as("dcg_u"))
+    val nRel = rel.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    val idcg = (n: Column) =>
+      // sequence(1, 0) would generate a DESCENDING series (the q112
+      // pairCounts guard), so zero-relevant queries bypass the fold
+      when(n >= 1,
+        aggregate(sequence(lit(1L), least(n, lit(k.toLong))), lit(0L),
+          (acc, r) => acc + gainU(r)))
+        .otherwise(lit(0L))
+    rk.select("qid").distinct()
+      .join(broadcast(nRel), Seq("qid"), "left")
+      .join(broadcast(hits), Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("mrr_u"), lit(0L)).as("mrr_u"),
+        coalesce(col("dcg_u"), lit(0L)).as("dcg_u"),
+        idcg(coalesce(col("n_rel"), lit(0L))).as("idcg_u"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dsir, Influence, Retrieval, Sampling}
+import graft.operators.{Dsir, Evaluation, Influence, Retrieval, Sampling}
 import org.apache.spark.sql.functions._
 
 /** Ranking & selection operators (beyond-reference, SURVEY §2.11): who
@@ -285,6 +285,95 @@ object RankingOps {
         .bruteForceTopK(emb.filter(col("id") < 3), emb, 20)
         .select(col("qid"), col("nid"), col("rank"))
       Retrieval.rrfFuse(bm, cos, k = 10)
+    },
+
+    // q121: retrieval-quality metrics ([[graft.operators.Evaluation]])
+    // — the evaluation layer over the BM25 retriever: doc-by-example
+    // queries (doc_id < 3) ranked top-10, scored against a
+    // deterministic relevance set (same-source docs, self excluded) in
+    // exact integer units: MRR as 10⁶ div first-relevant-rank, DCG as
+    // per-rank micro-unit gains quantized before summation, and IDCG
+    // as the same gains over ranks 1..min(n_rel, 10) — nDCG is the
+    // exact ratio dcg_u/idcg_u. Self-retrieval (rank 1, excluded from
+    // qrels) is part of what is measured: the raw retriever's rank
+    // budget. The oracle replays ranking, qrels, and every gain.
+    QueryDef.sql(
+      "q121_retrieval_metrics",
+      s"""WITH toks AS (SELECT doc_id, $T AS tk FROM documents),
+         |q AS (SELECT DISTINCT doc_id AS qid, t AS term
+         |      FROM (SELECT doc_id, unnest(tk) AS t FROM toks
+         |            WHERE doc_id < 3)),
+         |posting AS (
+         |  SELECT doc_id, t AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+         |tot AS (SELECT count(*) AS n, CAST(sum(len(tk)) AS BIGINT) AS total
+         |        FROM toks),
+         |dft AS (
+         |  SELECT term, count(*) AS df FROM posting
+         |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1),
+         |idf AS (
+         |  SELECT term,
+         |    CAST(floor(ln(CAST(2 * tot.n + 2 AS DOUBLE) / (2 * df + 1))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS idf_u
+         |  FROM dft CROSS JOIN tot),
+         |contrib AS (
+         |  SELECT q.qid, p.doc_id,
+         |    (idf.idf_u * 22 * p.tf * t.total)
+         |      // (10 * p.tf * t.total + 3 * t.total + 9 * dl.dl * t.n) AS c
+         |  FROM q JOIN posting p USING (term) JOIN idf USING (term)
+         |  JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN tot t),
+         |score AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_u
+         |          FROM contrib GROUP BY 1, 2),
+         |bm AS (
+         |  SELECT qid, doc_id AS nid, rnk AS rank FROM (
+         |    SELECT qid, doc_id,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY score_u DESC, doc_id) AS rnk
+         |    FROM score) WHERE rnk <= 10),
+         |qrels AS (
+         |  SELECT a.doc_id AS qid, b.doc_id AS nid
+         |  FROM documents a JOIN documents b
+         |    ON a.source = b.source AND b.doc_id <> a.doc_id
+         |  WHERE a.doc_id < 3),
+         |hits AS (
+         |  SELECT bm.qid, bm.rank
+         |  FROM bm JOIN qrels ON bm.qid = qrels.qid AND bm.nid = qrels.nid),
+         |agg AS (
+         |  SELECT qid, CAST(count(*) AS BIGINT) AS n_hits,
+         |    CAST(max(1000000 // rank) AS BIGINT) AS mrr_u,
+         |    CAST(sum(CAST(floor(1000000.0 * ln(2.0) / ln(rank + 1) + 0.5)
+         |      AS BIGINT)) AS BIGINT) AS dcg_u
+         |  FROM hits GROUP BY qid),
+         |nrel AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel
+         |         FROM qrels GROUP BY qid),
+         |qs AS (SELECT DISTINCT qid FROM bm)
+         |SELECT qs.qid,
+         |  coalesce(n.n_rel, 0) AS n_rel,
+         |  coalesce(a.n_hits, 0) AS n_hits,
+         |  coalesce(a.mrr_u, 0) AS mrr_u,
+         |  coalesce(a.dcg_u, 0) AS dcg_u,
+         |  CASE WHEN coalesce(n.n_rel, 0) >= 1 THEN
+         |    CAST(list_sum(list_transform(
+         |      generate_series(1, CAST(least(n.n_rel, 10) AS INTEGER)),
+         |      r -> CAST(floor(1000000.0 * ln(2.0) / ln(r + 1) + 0.5)
+         |        AS BIGINT))) AS BIGINT)
+         |  ELSE 0 END AS idcg_u
+         |FROM qs LEFT JOIN nrel n ON qs.qid = n.qid
+         |LEFT JOIN agg a ON qs.qid = a.qid""".stripMargin) { (s, d) =>
+      import graft.functions.TextFunctions.tokens
+      val docs = Tables.documents(s, d)
+      val qt = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), explode(tokens(col("text"))).as("term"))
+        .distinct()
+      val ranked = Retrieval.bm25TopK(docs, "doc_id", "text", qt, 10)
+        .select(col("qid"), col("doc").as("nid"), col("rnk").as("rank"))
+      val qrels = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("source").as("__qsrc"))
+        .join(docs.select(col("doc_id").as("nid"), col("source")),
+          col("__qsrc") === col("source") && col("qid") =!= col("nid"))
+        .select("qid", "nid")
+      Evaluation.rankingMetrics(ranked, qrels, k = 10)
     },
   )
 }

@@ -208,6 +208,35 @@ class RankingSpec extends SparkSpec {
     assert(rows(once) == rows(duped))
   }
 
+  test("rankingMetrics matches hand-computed MRR/DCG/IDCG in micro-units") {
+    import graft.operators.Evaluation
+    // qid 1: hit at rank 2 of 3 relevant → mrr 1e6/2, dcg = gain(2),
+    // idcg = gain(1)+gain(2)+gain(3); qid 2: no hits but 1 relevant;
+    // qid 3: retrieved but absent from qrels entirely
+    val ranked = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (3L, 30L, 1L)).toDF("qid", "nid", "rank")
+    val qrels = Seq((1L, 11L), (1L, 98L), (1L, 99L), (2L, 77L))
+      .toDF("qid", "nid")
+    def gain(r: Long) =
+      math.floor(1e6 * math.log(2.0) / math.log(r + 1.0) + 0.5).toLong
+    val got = Evaluation.rankingMetrics(ranked, qrels, k = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got(1L) == ((3L, 1L, 500000L, gain(2), gain(1) + gain(2) + gain(3))))
+    assert(got(2L) == ((1L, 0L, 0L, 0L, gain(1))))
+    assert(got(3L) == ((0L, 0L, 0L, 0L, 0L)))
+    // rank 1 gain is exactly 1e6 (log2(2) = 1) — the unit anchor
+    assert(gain(1) == 1000000L)
+    // perfect retrieval: dcg == idcg (nDCG exactly 1)
+    val perfect = Evaluation.rankingMetrics(
+      Seq((9L, 1L, 1L), (9L, 2L, 2L)).toDF("qid", "nid", "rank"),
+      Seq((9L, 1L), (9L, 2L)).toDF("qid", "nid"), k = 10)
+      .collect().head
+    assert(perfect.getLong(4) == perfect.getLong(5))
+  }
+
   test("pageRankInteger and bpeMergeTable release their iteration caches") {
     // repeated invocations (the --pr-only/--bpe-only ladders run 13+)
     // must not accumulate cached frames for the session's lifetime
