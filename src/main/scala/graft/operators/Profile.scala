@@ -83,4 +83,52 @@ object Profile {
     base.join(dups, Seq(sourceCol), "left")
       .withColumn("n_dup_docs", coalesce(col("n_dup_docs"), lit(0L)))
   }
+
+  /** Per-source lexical diversity — the datasheet's "is this corpus
+    * slice templated or organic?" signal, the n-gram-statistics cousin
+    * of [[corpusDatasheet]]'s duplicate mass: token/type counts, the
+    * type-token ratio, and distinct-vs-total trigram mass. Low trigram
+    * diversity with a healthy TTR is the boilerplate signature (shared
+    * phrasing over a normal vocabulary); both low is machine-generated
+    * spam; both high is organic text. Self-BLEU-style diversity without
+    * the pairwise cost: one tokens aggregate + one trigram aggregate,
+    * each a map-side-combined hash agg, ratios as exact basis-point
+    * integers (`x · 10⁴ div y`, q111's discipline).
+    *
+    * Trigrams use the q35 shingle convention: per-doc DISTINCT grams,
+    * short docs contributing their full token run as one gram — so
+    * `n_trigrams` is the per-doc-distinct posting count and the
+    * diversity ratio isolates CROSS-document repetition (within-doc
+    * repetition is already collapsed, which is exactly the boilerplate
+    * axis). Output per source: (n_docs, n_tokens, n_types, ttr_bp,
+    * n_trigrams, n_distinct_trigrams, trigram_diversity_bp);
+    * empty-text docs count toward n_docs only.
+    */
+  def lexicalDiversity(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.{shingles, tokens}
+    val toks = docs.select(col(sourceCol),
+      explode(tokens(col(textCol))).as("__t"))
+      .groupBy(sourceCol).agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("__t")).as("n_types"))
+    val grams = docs.select(col(sourceCol),
+      explode(shingles(col(textCol))).as("__g"))
+      .groupBy(sourceCol).agg(
+        count(lit(1)).as("n_trigrams"),
+        countDistinct(col("__g")).as("n_distinct_trigrams"))
+    docs.groupBy(sourceCol).agg(count(lit(1)).as("n_docs"))
+      .join(toks, Seq(sourceCol), "left")
+      .join(grams, Seq(sourceCol), "left")
+      .select(col(sourceCol),
+        col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        expr("coalesce(n_types, 0) * 10000 div greatest(coalesce(n_tokens, 0), 1)")
+          .as("ttr_bp"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_distinct_trigrams"), lit(0L)).as("n_distinct_trigrams"),
+        expr("coalesce(n_distinct_trigrams, 0) * 10000 div " +
+          "greatest(coalesce(n_trigrams, 0), 1)").as("trigram_diversity_bp"))
+  }
 }

@@ -74,6 +74,46 @@ object ValidationOps {
           "n_quality_keep", "n_dup_docs")
     },
 
+    // q122: per-source lexical diversity ([[graft.operators.Profile
+    // .lexicalDiversity]]) — the datasheet's templated-vs-organic
+    // signal: type-token ratio and per-doc-distinct-trigram diversity
+    // (q35's shingle convention), ratios in exact basis points. Low
+    // trigram diversity at healthy TTR = boilerplate; both low =
+    // generated spam.
+    QueryDef.sql(
+      "q122_lexical_diversity",
+      s"""WITH toksrc AS (SELECT source, $T AS tk FROM documents),
+         |tf AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT t) AS BIGINT) AS n_types
+         |  FROM (SELECT source, unnest(tk) AS t FROM toksrc) GROUP BY source),
+         |sh AS (
+         |  SELECT source,
+         |    CASE WHEN len(tk) = 0 THEN []
+         |         ELSE list_distinct(list_transform(
+         |           generate_series(1, greatest(len(tk) - 2, 1)),
+         |           i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS gs
+         |  FROM toksrc),
+         |gf AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |    CAST(count(DISTINCT g) AS BIGINT) AS n_distinct_trigrams
+         |  FROM (SELECT source, unnest(gs) AS g FROM sh) GROUP BY source),
+         |base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |         FROM documents GROUP BY source)
+         |SELECT b.source, b.n_docs,
+         |  coalesce(tf.n_tokens, 0) AS n_tokens,
+         |  coalesce(tf.n_types, 0) AS n_types,
+         |  coalesce(tf.n_types, 0) * 10000 // greatest(coalesce(tf.n_tokens, 0), 1)
+         |    AS ttr_bp,
+         |  coalesce(gf.n_trigrams, 0) AS n_trigrams,
+         |  coalesce(gf.n_distinct_trigrams, 0) AS n_distinct_trigrams,
+         |  coalesce(gf.n_distinct_trigrams, 0) * 10000
+         |    // greatest(coalesce(gf.n_trigrams, 0), 1) AS trigram_diversity_bp
+         |FROM base b LEFT JOIN tf USING (source)
+         |LEFT JOIN gf USING (source)""".stripMargin) { (s, d) =>
+      Profile.lexicalDiversity(Tables.documents(s, d))
+    },
+
     // q101: whole-doc next-fit packing into 128-token bins, packed per
     // (source, doc_id % 4) lane so the greedy scans parallelize. The
     // oracle's recursive CTE advances one document per lane per step —

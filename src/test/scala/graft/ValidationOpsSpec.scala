@@ -170,4 +170,31 @@ class ValidationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(ds.values.forall(r =>
       r.getAs[Long]("n_quality_keep") <= r.getAs[Long]("n_docs")))
   }
+
+  test("lexicalDiversity: hand-computed TTR/trigram ratios, empty and short docs") {
+    import graft.operators.Profile
+    val docs = Seq(
+      // s1: "a b c d" + "a b c d" → 8 tokens, 4 types (ttr 5000);
+      // trigrams per doc (distinct): {a b c, b c d} ×2 → 4 postings,
+      // 2 distinct (diversity 5000)
+      ("s1", "a b c d"), ("s1", "a b c d"),
+      // s2: one short doc (2 tokens → ONE full-run gram) + one empty doc
+      ("s2", "x y"), ("s2", ""),
+      // s3: fully organic single doc
+      ("s3", "p q r s t")).toDF("source", "text")
+    val got = Profile.lexicalDiversity(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = got("s1")
+    assert(s1.getAs[Long]("n_tokens") == 8L && s1.getAs[Long]("n_types") == 4L)
+    assert(s1.getAs[Long]("ttr_bp") == 5000L)
+    assert(s1.getAs[Long]("n_trigrams") == 4L &&
+      s1.getAs[Long]("n_distinct_trigrams") == 2L)
+    assert(s1.getAs[Long]("trigram_diversity_bp") == 5000L)
+    val s2 = got("s2")
+    assert(s2.getAs[Long]("n_docs") == 2L && s2.getAs[Long]("n_tokens") == 2L)
+    assert(s2.getAs[Long]("n_trigrams") == 1L, "short doc yields its full run")
+    val s3 = got("s3")
+    assert(s3.getAs[Long]("ttr_bp") == 10000L &&
+      s3.getAs[Long]("trigram_diversity_bp") == 10000L)
+  }
 }
