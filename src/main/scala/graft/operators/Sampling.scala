@@ -189,6 +189,45 @@ object Sampling {
         1000000) < col("__thr"))
       .drop("__thr")
 
+  /** Mixture-weight solver — the PLANNING half of the mixing family
+    * ([[sqrtTemperatureSample]]/[[mixBySource]] execute rates;
+    * [[epochUpsample]] executes epochs; this computes them): given the
+    * per-group token inventory, a target weight per group, and a total
+    * token budget, emit each group's target token count and the
+    * repetition factor that realizes it — `epochs_bp` =
+    * target·10⁴ div available, read as basis points of one epoch:
+    * below 10⁴ it is the subsample RATE for [[mixBySource]]'s hash
+    * threshold, above it the epoch count for [[epochUpsample]]
+    * (⌈epochs_bp/10⁴⌉ full passes, remainder as a partial-epoch rate).
+    * The standard mixture bookkeeping of pretraining recipes (the
+    * Pile/LLaMA-style "weight × budget vs available, repeat the small
+    * sets" tables), as one exact-integer frame.
+    *
+    * Inputs: `counts` (groupCol, tokensCol — one row per group, e.g. a
+    * [[graft.operators.Profile.corpusDatasheet]] slice) and `weights`
+    * (groupCol, weight_bp); groups missing from either side are
+    * dropped — the caller decides what an unweighted source means.
+    * Everything is `div` arithmetic on BIGINTs over ≤|groups| rows:
+    * broadcast-sized at any corpus scale, replayable by any engine.
+    *
+    * Output: (groupCol, available_tokens, weight_bp, target_tokens,
+    * epochs_bp, mode ∈ upsample|subsample) — `mode` = upsample iff
+    * epochs_bp > 10⁴ (target exceeds inventory).
+    */
+  def mixtureSolve(counts: DataFrame, groupCol: String, tokensCol: String,
+      weights: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    counts.select(col(groupCol), col(tokensCol).cast("long").as("available_tokens"))
+      .join(weights.select(col(groupCol), col("weight_bp").cast("long").as("weight_bp")),
+        groupCol)
+      .withColumn("target_tokens",
+        expr(s"($budgetTokens * weight_bp) div 10000"))
+      .withColumn("epochs_bp",
+        expr("(target_tokens * 10000) div greatest(available_tokens, 1)"))
+      .withColumn("mode",
+        when(col("epochs_bp") > 10000L, lit("upsample")).otherwise(lit("subsample")))
+  }
+
   /** Efraimidis–Spirakis weighted sampling WITHOUT replacement, k items,
     * deterministic: each row draws its uniform from the md5 id-hash
     * (`u = (h + 0.5) / 2³²` — never exactly 0 or 1), and the k rows with

@@ -370,6 +370,49 @@ object CurationOps {
             .as("replica_checksum"))
     },
 
+    // q123: mixture-weight solver ([[graft.operators.Sampling
+    // .mixtureSolve]]) — the PLANNING table the mixing executors
+    // (q57/q88/q96) realize: √-scaled target weights from the
+    // per-source token inventory, a 1M-token budget, and per-source
+    // target tokens + epochs_bp (the subsample rate below 10⁴, the
+    // up-sampling factor above). All ≤|sources|-row exact-integer
+    // arithmetic; IEEE sqrt over integer counts is correctly rounded,
+    // so the weights replay bit-identically (the q88 argument).
+    QueryDef.sql(
+      "q123_mixture_solver",
+      s"""WITH c AS (
+         |  SELECT source, CAST(sum(len($T)) AS BIGINT) AS available_tokens
+         |  FROM documents GROUP BY source),
+         |w0 AS (SELECT source,
+         |         CAST(floor(sqrt(CAST(available_tokens AS DOUBLE))) AS BIGINT)
+         |           AS w
+         |       FROM c),
+         |tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w0),
+         |wt AS (SELECT source, (w * 10000) // tw AS weight_bp
+         |       FROM w0 CROSS JOIN tw),
+         |solved AS (
+         |  SELECT c.source, c.available_tokens, wt.weight_bp,
+         |    (1000000 * wt.weight_bp) // 10000 AS target_tokens
+         |  FROM c JOIN wt USING (source))
+         |SELECT source, available_tokens, weight_bp, target_tokens,
+         |  (target_tokens * 10000) // greatest(available_tokens, 1) AS epochs_bp,
+         |  CASE WHEN (target_tokens * 10000) // greatest(available_tokens, 1)
+         |         > 10000
+         |       THEN 'upsample' ELSE 'subsample' END AS mode
+         |FROM solved""".stripMargin) { (s, d) =>
+      val counts = Tables.documents(s, d)
+        .select(col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("__nt"))
+        .groupBy("source").agg(sum("__nt").as("n_tokens"))
+      val w0 = counts.select(col("source"),
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long").as("__w"))
+      val weights = w0.crossJoin(broadcast(w0.agg(sum("__w").as("__tw"))))
+        .select(col("source"), expr("(__w * 10000) div __tw").as("weight_bp"))
+      Sampling.mixtureSolve(counts, "source", "n_tokens", weights, 1000000L)
+        .select("source", "available_tokens", "weight_bp", "target_tokens",
+          "epochs_bp", "mode")
+    },
+
     // q97: model-based quality filtering ([[graft.operators.Classifier]])
     // — the frozen-linear-model half of the GPT-3/CCNet quality-
     // classifier pattern: integer features, integer micro-weights, one

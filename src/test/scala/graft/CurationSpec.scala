@@ -263,4 +263,26 @@ class CurationSpec extends SparkSpec {
     assert(diffN == Map(1L -> "changed", 2L -> "changed", 3L -> "changed"),
       s"null fingerprints must never masquerade as added/removed: $diffN")
   }
+
+  test("mixtureSolve: targets, epochs and modes from hand-computed inventory") {
+    // s1: 100 tokens at 70% of a 1000-token budget → target 700,
+    // epochs 7.0 (upsample); s2: 900 tokens at 30% → target 300,
+    // rate 0.3333 (subsample); s3 unweighted → dropped
+    val counts = Seq(("s1", 100L), ("s2", 900L), ("s3", 50L))
+      .toDF("source", "n_tokens")
+    val weights = Seq(("s1", 7000L), ("s2", 3000L)).toDF("source", "weight_bp")
+    val got = Sampling.mixtureSolve(counts, "source", "n_tokens",
+        weights, budgetTokens = 1000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))))
+      .toMap
+    assert(got == Map(
+      "s1" -> ((100L, 7000L, 700L, 70000L, "upsample")),
+      "s2" -> ((900L, 3000L, 300L, 3333L, "subsample"))))
+    // a zero-token group never divides by zero
+    val z = Sampling.mixtureSolve(Seq(("z", 0L)).toDF("source", "n_tokens"),
+      "source", "n_tokens", Seq(("z", 10000L)).toDF("source", "weight_bp"), 100L)
+      .collect().head
+    assert(z.getLong(4) == 1000000L && z.getString(5) == "upsample")
+  }
 }
