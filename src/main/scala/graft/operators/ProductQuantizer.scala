@@ -191,6 +191,155 @@ object ProductQuantizer {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  // -------------------------------------------------------------------
+  // Residual IVF-PQ — the REAL FAISS IVFPQ: quantize x − c(cell)
+  // -------------------------------------------------------------------
+
+  /** A fitted RESIDUAL product quantizer: codebooks over integer
+    * micro-unit residual vectors (see [[encodeResiduals]]). Keeping the
+    * residual space integer makes every distance below exact BIGINT
+    * arithmetic — no floating point after the one quantization step, so
+    * cross-engine replay is trivial (the q85/q102 discipline applied to
+    * the vector path itself).
+    */
+  final case class IntModel(dim: Int, m: Int, ks: Int,
+      books: Seq[Seq[Array[Long]]]) {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    require(ks > 1 && (ks & (ks - 1)) == 0, s"ks must be a power of two, got $ks")
+    val subDim: Int = dim / m
+    val bits: Int = java.lang.Integer.numberOfTrailingZeros(ks)
+    require(m * bits <= 63, s"packed code needs ${m * bits} bits > 63")
+  }
+
+  /** Integer micro-unit residual of every vector against its coarse
+    * cell's centroid: (id, cell, rv array<bigint>) with
+    * rv_i = floor((x_i − c_i)·10⁶ + 0.5). Assignment is
+    * [[Similarity.assignCellsJoin]]'s broadcast-join argmin (identical
+    * to the plain-IVFPQ cells, so the two index variants are
+    * comparable cell-for-cell); the residual is a map-side zip_with.
+    */
+  def residualFrame(corpus: DataFrame, coarse: Seq[(Long, Array[Float])],
+      idCol: String = "id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = coarse.map { case (cid, ce) => (cid, ce.toSeq) }
+      .toDF("__rcid", "__rce")
+    Similarity.assignCellsJoin(
+        corpus.select(col(idCol).as("id"), col(vecCol).as("embedding")), coarse)
+      .join(broadcast(cents), col("cell") === col("__rcid"))
+      .select(col("id"), col("cell"),
+        zip_with(col("embedding"), col("__rce"), (a, b) =>
+          floor((a.cast("double") - b.cast("double")) * 1e6 + 0.5)
+            .cast("long")).as("rv"))
+  }
+
+  /** Fit residual codebooks by the portable recipe: the md5-ordered
+    * first `ks` RESIDUAL vectors (each subspace shares the sample rows
+    * — same replayable construction as [[fitPortable]], over the
+    * residual frame). Residuals cluster around 0 within every cell, so
+    * a codebook fit on them resolves much finer structure than one fit
+    * on raw vectors — the reason FAISS IVFPQ encodes residuals.
+    */
+  def fitResidualPortable(corpus: DataFrame, coarse: Seq[(Long, Array[Float])],
+      dim: Int, m: Int, ks: Int): IntModel = {
+    val sampled = residualFrame(corpus, coarse)
+      .orderBy(md5(col("id").cast("string")).asc, col("id").asc)
+      .limit(ks)
+      .collect()
+      .map(r => r.getSeq[Long](2).toArray)
+    require(sampled.length == ks, s"corpus smaller than ks=$ks")
+    val subDim = dim / m
+    val books = (0 until m).map { mi =>
+      sampled.toSeq.map(v => v.slice(mi * subDim, (mi + 1) * subDim))
+    }
+    IntModel(dim, m, ks, books)
+  }
+
+  private def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+
+  private def normSqLong(v: Array[Long]): Long =
+    v.foldLeft(0L)((acc, x) => acc + x * x)
+
+  /** Encode residuals against the fitted integer codebooks: one row per
+    * vector (id, cell, packed_code), all-BIGINT argmin
+    * `‖c‖² − 2·x·c` per subspace with smallest-code tie-break —
+    * bit-exact on any engine by construction (no floats anywhere).
+    * Same pass computes the coarse assignment; map-only after the
+    * assignment's one collapsed exchange.
+    */
+  def encodeResiduals(corpus: DataFrame, coarse: Seq[(Long, Array[Float])],
+      model: IntModel, idCol: String = "id",
+      vecCol: String = "embedding"): DataFrame = {
+    val rf = residualFrame(corpus, coarse, idCol, vecCol)
+    val bests = (0 until model.m).map { mi =>
+      val sub = slice(col("rv"), mi * model.subDim + 1, model.subDim)
+      array_min(array(model.books(mi).zipWithIndex.map { case (c, j) =>
+        struct(
+          (lit(normSqLong(c)) - lit(2L) * dotLong(sub, lit(c))).as("d"),
+          lit(j).as("cid"))
+      }: _*))
+    }
+    val packed = bests.zipWithIndex.map { case (b, mi) =>
+      shiftleft(b.getField("cid").cast("long"), mi * model.bits)
+    }.reduce(_ bitwiseOR _)
+    rf.select(col("id"), col("cell"), packed.as("packed_code"))
+  }
+
+  /** Residual-ADC top-k: each query ranks the coarse centroids
+    * driver-side (the [[ivfpqTopK]] rule), then for every PROBED cell
+    * builds the per-cell lookup table over the QUERY'S OWN residual in
+    * that cell — `‖(q−c_cell)_sub − book_j‖²` in exact integer units —
+    * and scores the cell's code rows with m shift-mask lookups + an
+    * integer sum. The per-cell LUTs ship as one map literal
+    * (nProbe·m·ks longs — driver-sized); scan and ranking are
+    * [[ivfpqTopK]]'s. This is the asymmetric-distance form of true
+    * IVFPQ: within a probed cell, distance(q, x) =
+    * ‖(q−c) − r̂(x)‖² exactly, so finer codebooks (fit on residuals)
+    * buy recall that raw-vector codebooks cannot.
+    */
+  def ivfpqResidualTopK(index: DataFrame, queries: Seq[(Long, Array[Float])],
+      model: IntModel, coarse: Seq[(Long, Array[Float])],
+      nProbe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mask = lit((model.ks - 1).toLong)
+    val scored = queries.map { case (qid, q) =>
+      val probeCells: Seq[Long] = coarse.map { case (cid, c) =>
+        val dot = q.zip(c).foldLeft(0.0) { case (acc, (a, b)) =>
+          acc + a.toDouble * b.toDouble }
+        (normSq(c) - 2.0 * dot, cid)
+      }.sorted.take(nProbe).map(_._2)
+      val centOf = coarse.toMap
+      val lutByCell: Seq[(Long, Array[Long])] = probeCells.map { cell =>
+        val c = centOf(cell)
+        val qr: Array[Long] = q.indices.map(i =>
+          math.floor((q(i).toDouble - c(i).toDouble) * 1e6 + 0.5).toLong).toArray
+        val flat = Array.tabulate(model.m * model.ks) { idx =>
+          val mi = idx / model.ks
+          val j = idx % model.ks
+          val qSub = qr.slice(mi * model.subDim, (mi + 1) * model.subDim)
+          val cj = model.books(mi)(j)
+          qSub.zip(cj).foldLeft(0L) { case (acc, (a, b)) =>
+            acc + (a - b) * (a - b) }
+        }
+        cell -> flat
+      }
+      val lutMap = map(lutByCell.flatMap { case (cell, flat) =>
+        Seq(lit(cell), lit(flat)) }: _*)
+      val dist = (0 until model.m).map { mi =>
+        val code = shiftrightunsigned(col("packed_code"), mi * model.bits)
+          .bitwiseAND(mask)
+        element_at(element_at(lutMap, col("cell")),
+          (lit(mi * model.ks) + code + 1).cast("int"))
+      }.reduce(_ + _)
+      index
+        .where(col("cell").isin(probeCells: _*) && col("id") =!= qid)
+        .select(lit(qid).as("qid"), col("id").as("nid"), dist.as("dist_u"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy("qid").orderBy(col("dist_u"), col("nid"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Exact rerank of a (qid, nid) SHORTLIST against the ORIGINAL
     * vectors — the standard FAISS two-stage pattern (Jégou et al. §V.C):
     * ADC compresses the corpus scan, then the top `m·k` shortlist —

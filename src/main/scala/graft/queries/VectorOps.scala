@@ -432,6 +432,102 @@ object VectorOps {
         ProductQuantizer.adcTopKRerank(codes, emb, queries, model, k = 5,
             shortlistMult = 4)
           .select(col("qid"), col("nid"), col("exact_u"), col("rank"))
+    },
+
+    // q124: RESIDUAL IVF-PQ — the true FAISS IVFPQ: codes quantize
+    // x − c(cell) (residuals cluster near 0, so the same 8×16 codebook
+    // budget resolves much finer structure than raw-vector codes), in
+    // the engine's integer discipline: residuals are micro-unit
+    // BIGINTs, codebooks are md5-sampled residual rows, and every
+    // distance from there on is exact integer arithmetic — no floats
+    // anywhere after the one quantization step. Search probes 3 of 12
+    // cells and scores codes against PER-CELL query-residual LUTs.
+    // The oracle replays assignment, residuals, codebook sampling,
+    // encoding, per-cell LUTs, and ranking end to end.
+    QueryDef.sql(
+      "q124_ivfpq_residual",
+      """WITH e AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings),
+        |cc AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cce
+        |       FROM embeddings
+        |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 12),
+        |cells AS (
+        |  SELECT nid, cid AS cell FROM (
+        |    SELECT nid, cid, row_number() OVER (PARTITION BY nid ORDER BY
+        |      list_dot_product(cce, cce) - 2 * list_dot_product(ne, cce),
+        |      cid) AS rn
+        |    FROM e CROSS JOIN cc) WHERE rn = 1),
+        |resid AS (
+        |  SELECT e.nid, cells.cell,
+        |    list_transform(generate_series(1, 64),
+        |      i -> CAST(floor((ne[i] - cce[i]) * 1000000.0 + 0.5) AS BIGINT))
+        |      AS rv
+        |  FROM e JOIN cells USING (nid) JOIN cc ON cells.cell = cc.cid),
+        |rc AS (
+        |  SELECT rn - 1 AS j, rv AS cv FROM (
+        |    SELECT row_number() OVER (
+        |      ORDER BY md5(CAST(nid AS VARCHAR)), nid) AS rn, rv
+        |    FROM resid) WHERE rn <= 16),
+        |ms AS (SELECT unnest(generate_series(0, 7)) AS mi),
+        |assign AS (
+        |  SELECT nid, cell, mi, j,
+        |    CAST(list_dot_product(csub, csub)
+        |       - 2 * list_dot_product(nsub, csub) AS BIGINT) AS d
+        |  FROM (
+        |    SELECT nid, cell, mi, j,
+        |      CAST(list_slice(rv, 8 * mi + 1, 8 * mi + 8) AS DOUBLE[]) AS nsub,
+        |      CAST(list_slice(cv, 8 * mi + 1, 8 * mi + 8) AS DOUBLE[]) AS csub
+        |    FROM resid CROSS JOIN ms CROSS JOIN rc)),
+        |codes AS (
+        |  SELECT nid, cell, mi, j AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY nid, mi ORDER BY d, j) AS rn
+        |    FROM assign) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |      FROM embeddings WHERE vec_id < 3),
+        |qprobes AS (
+        |  SELECT qid, cid AS cell FROM (
+        |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY
+        |      list_dot_product(cce, cce) - 2 * list_dot_product(qe, cce),
+        |      cid) AS rn
+        |    FROM q CROSS JOIN cc) WHERE rn <= 3),
+        |qresid AS (
+        |  SELECT qid, qp.cell,
+        |    list_transform(generate_series(1, 64),
+        |      i -> CAST(floor((qe[i] - cce[i]) * 1000000.0 + 0.5) AS BIGINT))
+        |      AS qr
+        |  FROM q JOIN qprobes qp USING (qid) JOIN cc ON qp.cell = cc.cid),
+        |qterms AS (
+        |  SELECT qid, cell, mi, j,
+        |    CAST(list_dot_product(qsub, qsub)
+        |       - 2 * list_dot_product(qsub, csub)
+        |       + list_dot_product(csub, csub) AS BIGINT) AS t
+        |  FROM (
+        |    SELECT qid, cell, mi, j,
+        |      CAST(list_slice(qr, 8 * mi + 1, 8 * mi + 8) AS DOUBLE[]) AS qsub,
+        |      CAST(list_slice(cv, 8 * mi + 1, 8 * mi + 8) AS DOUBLE[]) AS csub
+        |    FROM qresid CROSS JOIN ms CROSS JOIN rc)),
+        |dist AS (
+        |  SELECT qt.qid, c.nid, CAST(sum(qt.t) AS BIGINT) AS dist_u
+        |  FROM codes c
+        |  JOIN qterms qt ON qt.cell = c.cell AND qt.mi = c.mi AND qt.j = c.code
+        |  WHERE c.nid <> qt.qid
+        |  GROUP BY qt.qid, c.nid),
+        |ranked AS (
+        |  SELECT qid, nid, dist_u,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dist_u, nid) AS rank
+        |  FROM dist)
+        |SELECT qid, nid, dist_u, rank FROM ranked WHERE rank <= 5""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding"))
+        val coarse = Similarity.sampleCentroidsPortable(emb, 12)
+        val model = ProductQuantizer.fitResidualPortable(emb, coarse,
+          dim = Dim, m = 8, ks = 16)
+        val index = ProductQuantizer.encodeResiduals(emb, coarse, model)
+        val queries = emb.filter(col("id") < 3).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+          .sortBy(_._1)
+        ProductQuantizer.ivfpqResidualTopK(index, queries, model, coarse,
+            nProbe = 3, k = 5)
+          .select(col("qid"), col("nid"), col("dist_u"), col("rank"))
     }
   )
 

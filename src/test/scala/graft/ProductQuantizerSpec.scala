@@ -212,6 +212,62 @@ class ProductQuantizerSpec extends AnyFunSuite with SparkSpec {
     assert(a == b)
   }
 
+  test("residual IVFPQ: recall on clustered vectors >= raw-vector IVFPQ") {
+    // the FAISS argument for encoding residuals: within a cell the
+    // residuals sit near 0, so the same 8x16 codebook budget resolves
+    // noise-scale structure that raw-vector codebooks collapse
+    val n = 500L
+    val cv = spark.range(n).select(col("id"),
+      expr(s"""transform(sequence(0, 63), j -> CAST(
+        (CAST(pmod(xxhash64(concat('c', cast(pmod(id, 100) AS string),
+           ':', cast(j AS string))), 2001) AS DOUBLE) / 1000.0 - 1.0)
+        + (CAST(pmod(xxhash64(concat('n', cast(id AS string), ':',
+           cast(j AS string))), 2001) AS DOUBLE) / 1000.0 - 1.0) * 0.05
+        AS FLOAT))""").as("embedding")).cache()
+    cv.count()
+    val coarse = graft.operators.Similarity.sampleCentroidsPortable(cv, 12)
+    val queries = cv.filter(col("id") < 3).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val vecs = cv.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def exactTop(qid: Long, q: Array[Float]) = {
+      val nq = q.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      vecs.filter(_._1 != qid).map { case (nid, v) =>
+        val dot = v.zip(q).foldLeft(0.0) { case (a, (x, y)) =>
+          a + x.toDouble * y.toDouble }
+        val nv = v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+        ((nq - 2.0 * dot) + nv, nid)
+      }.sorted.take(5).map(_._2).toSet
+    }
+    def ids(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rawModel = ProductQuantizer.fitPortable(cv, dim = 64, m = 8, ks = 16)
+    val raw = ids(ProductQuantizer.ivfpqTopK(
+      ProductQuantizer.ivfpqIndex(cv, coarse, rawModel), queries, rawModel,
+      coarse, nProbe = 12, k = 5))
+    val resModel = ProductQuantizer.fitResidualPortable(cv, coarse, 64, 8, 16)
+    val res = ids(ProductQuantizer.ivfpqResidualTopK(
+      ProductQuantizer.encodeResiduals(cv, coarse, resModel), queries,
+      resModel, coarse, nProbe = 12, k = 5))
+    def recall(got: Map[Long, Set[Long]]) = queries.map { case (qid, q) =>
+      (got(qid) intersect exactTop(qid, q)).size.toDouble / 5
+    }.sum / queries.size
+    assert(recall(res) >= recall(raw),
+      s"residual recall ${recall(res)} < raw recall ${recall(raw)}")
+    cv.unpersist()
+  }
+
+  test("encodeResiduals is deterministic under repartitioning") {
+    val coarse = graft.operators.Similarity.sampleCentroidsPortable(emb, 12)
+    val m = ProductQuantizer.fitResidualPortable(emb, coarse, 64, 8, 16)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val a = rows(ProductQuantizer.encodeResiduals(emb, coarse, m))
+    val b = rows(ProductQuantizer.encodeResiduals(emb.repartition(13), coarse, m))
+    assert(a == b)
+  }
+
   test("distortion is zero for codebook members' own sample vectors") {
     // the 16 sampled vectors ARE centroids in every subspace → their
     // distortion is exactly 0 (up to the +0.5 floor, which keeps 0 at 0)
