@@ -141,13 +141,18 @@ class ProductQuantizerSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("rerank recall on clustered vectors reaches exact-search recall") {
-    // n/5-sized clusters (center + 5% noise): ADC alone loses the 5th
-    // neighbor to the collapsed code tuple (r10 ladder: recall 0.80);
-    // the 4·k rerank must recover the full exact top-5
+    // 50 clusters of 10 (center + 5% noise): the exact top-5 are 5 of
+    // the query's 9 cluster-mates; PQ collapses all 9 to ONE code
+    // tuple, so plain ADC must tie-break by id and picks wrong mates —
+    // while the 4·k shortlist holds the whole tie group and the exact
+    // rerank reorders it perfectly. (Cluster size must EXCEED k: with
+    // size ≈ k the 5th neighbor sits in the uniform background where
+    // no shortlist can find it — a corpus artifact, not a tie-break
+    // one.)
     val n = 500L
     val cv = spark.range(n).select(col("id"),
       expr(s"""transform(sequence(0, 63), j -> CAST(
-        (CAST(pmod(xxhash64(concat('c', cast(pmod(id, 100) AS string),
+        (CAST(pmod(xxhash64(concat('c', cast(pmod(id, 50) AS string),
            ':', cast(j AS string))), 2001) AS DOUBLE) / 1000.0 - 1.0)
         + (CAST(pmod(xxhash64(concat('n', cast(id AS string), ':',
            cast(j AS string))), 2001) AS DOUBLE) / 1000.0 - 1.0) * 0.05
@@ -177,22 +182,20 @@ class ProductQuantizerSpec extends AnyFunSuite with SparkSpec {
     def recall(got: Map[Long, Set[Long]]) = queries.map { case (qid, q) =>
       (got(qid) intersect exactTop(qid, q)).size.toDouble / 5
     }.sum / queries.size
-    // guaranteed invariants (an exact-top-5 member inside the shortlist
-    // always survives the exact rerank, so recall is monotone in the
-    // shortlist and can only improve on raw ADC; the 5th neighbor sits
-    // in the near-uniform inter-cluster background — PQ's documented
-    // worst case — so strict equality with exact search needs the
-    // whole-corpus shortlist, pinned by the previous test)
+    // the tie-break blind spot is REAL: plain ADC cannot reach full
+    // recall (9 identically-coded mates, only 5 slots, id order picks
+    // wrong ones for at least one query)
+    assert(recall(adc) < 1.0, s"corpus failed to expose the ADC tie gap")
+    // monotone-in-shortlist, and the rerank RECOVERS the exact top-5
+    // for every query — the whole tie group fits in the 4·k shortlist
+    // and the exact rescore orders it perfectly
     assert(recall(rer4) >= recall(adc),
       s"rerank@4k recall ${recall(rer4)} < adc recall ${recall(adc)}")
     assert(recall(rer20) >= recall(rer4),
       s"recall must be monotone in the shortlist: ${recall(rer20)} < ${recall(rer4)}")
-    // the SIGNAL neighbors — the query's own cluster-mates, the rows
-    // whose exact distances are decisively small — are always recovered
-    queries.foreach { case (qid, _) =>
-      val mates = (1L until 5L).map(i => qid + i * 100).toSet
-      assert(mates.subsetOf(rer4(qid)),
-        s"cluster-mates of qid=$qid missing from the reranked top-5")
+    queries.foreach { case (qid, q) =>
+      assert(rer4(qid) == exactTop(qid, q),
+        s"rerank must recover the exact top-5 for qid=$qid")
     }
     cv.unpersist()
   }
