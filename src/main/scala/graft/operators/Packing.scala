@@ -128,6 +128,41 @@ object Packing {
           " ")).as("chunk_fp"))
   }
 
+  /** Per-(chunk, document) boundary table under concat-and-chunk — the
+    * attention-mask metadata a trainer needs alongside [[packChunks]]'s
+    * payload: chunks freely span document boundaries, and cross-document
+    * attention must be masked at those boundaries, so every chunk ships
+    * with the spans of the documents inside it. One row per (chunk_id,
+    * doc): where the doc's tokens start inside the chunk and how many
+    * land there; Σ n_in_chunk over a chunk = the chunk's token count
+    * (exactly `capacity` except the stream's last chunk — spec-pinned
+    * against [[packChunks]]).
+    *
+    * Scale shape: the same two-phase prefix sum as placement, then a
+    * pure map-side `sequence(first_chunk, last_chunk)` explode — fan-out
+    * bounded by ⌈n/capacity⌉+1 rows per doc, no extra shuffle.
+    * Zero-token docs occupy no span and are absent.
+    *
+    * Output: every input column + (chunk_id, start_in_chunk,
+    * n_in_chunk).
+    */
+  def chunkBoundaries(df: DataFrame, orderCol: String, countCol: String,
+      capacity: Long, groupOf: Column): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    runningOffset(df, orderCol, countCol, groupOf)
+      .filter(col(countCol) > 0)
+      .select(df.columns.map(col) :+ col("offset") :+
+        explode(sequence(chunkOf(col("offset"), capacity),
+          chunkOf(col("offset") + col(countCol) - 1, capacity)))
+          .as("chunk_id"): _*)
+      .select(df.columns.map(col) :+ col("chunk_id") :+
+        (greatest(col("offset"), col("chunk_id") * capacity)
+          - col("chunk_id") * capacity).as("start_in_chunk") :+
+        (least(col("offset") + col(countCol), (col("chunk_id") + 1) * capacity)
+          - greatest(col("offset"), col("chunk_id") * capacity))
+          .as("n_in_chunk"): _*)
+  }
+
   /** Seeded deterministic corpus shuffle + chunk placement: training
     * order = `md5("<seed>:<id>")` — a pseudorandom but fully
     * reproducible permutation ANY engine can recompute (no RNG, the

@@ -195,6 +195,24 @@ object Similarity {
     */
   val LiteralAssignLimit = 1024
 
+  /** Literal-path cell assignment — the public face of the
+    * [[centroidRanks]] argmin: (id, embedding, cell) with centroids as
+    * plan-time literals, a PURE STATELESS PROJECTION (no join, no
+    * shuffle, no state) — which is what makes it legal on a structured
+    * STREAM ([[graft.streaming.SemanticStream]] assigns arriving
+    * vectors with it). Capped at [[LiteralAssignLimit]]; beyond that
+    * use [[assignCellsJoin]] (batch-only: it aggregates).
+    */
+  def assignCellsLiteral(corpus: DataFrame,
+      cents: Seq[(Long, Array[Float])]): DataFrame = {
+    require(cents.nonEmpty, "assignCellsLiteral needs at least one centroid")
+    require(cents.size <= LiteralAssignLimit,
+      s"${cents.size} centroids exceed the literal-assignment limit " +
+        s"$LiteralAssignLimit — use assignCellsJoin")
+    corpus.select(col("id"), col("embedding"),
+      array_min(centroidRanks(cents, col("embedding"))).getField("cid").as("cell"))
+  }
+
   /** Cell assignment via a broadcast centroid JOIN — the beyond-
     * [[LiteralAssignLimit]] path: the same ‖c‖² − 2·x·c argmin with the
     * same smallest-cid tie-break, but centroids live in a broadcast
@@ -275,9 +293,7 @@ object Similarity {
       sampleCentroidsPortable(corpus, k)
     }
     val sized =
-      if (cents.size <= LiteralAssignLimit)
-        corpus.select(col("id"), col("embedding"),
-          array_min(centroidRanks(cents, col("embedding"))).getField("cid").as("cell"))
+      if (cents.size <= LiteralAssignLimit) assignCellsLiteral(corpus, cents)
       else assignCellsJoin(corpus, cents)
     val sizes = sized.groupBy("cell").agg(count(lit(1)).as("__sz"))
     val assigned = sized.join(broadcast(sizes), Seq("cell"))

@@ -780,6 +780,42 @@ object TextOps {
           TextFunctions.round4hu(avg(col("pieces").cast("double"))).as("avg_pieces"))
     },
 
+    // q125: chunk-boundary table ([[graft.operators.Packing
+    // .chunkBoundaries]]) — the attention-mask metadata for q80's packed
+    // chunks: one row per (chunk, doc) with the doc's span inside the
+    // chunk (chunks cross document boundaries by design; the trainer
+    // masks cross-doc attention at exactly these spans). Same prefix
+    // sum as q75, then a map-side sequence explode; Σ n_in_chunk per
+    // chunk equals q80's chunk token counts (spec-pinned).
+    QueryDef.sql(
+      "q125_chunk_boundaries",
+      s"""WITH t AS (SELECT doc_id, CAST(len($T) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |o AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS off
+         |  FROM t),
+         |s AS (
+         |  SELECT doc_id, n_tokens, off,
+         |    unnest(generate_series(off // 256, (off + n_tokens - 1) // 256))
+         |      AS chunk_id
+         |  FROM o WHERE n_tokens > 0)
+         |SELECT doc_id, n_tokens, chunk_id,
+         |  CAST(greatest(off, chunk_id * 256) - chunk_id * 256 AS BIGINT)
+         |    AS start_in_chunk,
+         |  CAST(least(off + n_tokens, (chunk_id + 1) * 256)
+         |    - greatest(off, chunk_id * 256) AS BIGINT) AS n_in_chunk
+         |FROM s""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.operators.Packing.chunkBoundaries(docs, "doc_id", "n_tokens",
+          capacity = 256, groupOf = expr("doc_id div 64"))
+        .select("doc_id", "n_tokens", "chunk_id", "start_in_chunk", "n_in_chunk")
+    },
+
     // q93: shard manifest ([[graft.operators.Packing.shardManifest]]) —
     // q80's packed chunks grouped into 4-chunk training shards, each
     // shard's content pinned by a fingerprint of its chunk fingerprints

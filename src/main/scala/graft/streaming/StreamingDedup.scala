@@ -148,7 +148,7 @@ object StreamingDedup {
     * overwrite real history. Equal ids are fine (idempotent replay of
     * the same batch).
     */
-  private def guardedIndexedBatchIds(batch: DataFrame, batchId: Long,
+  private[streaming] def guardedIndexedBatchIds(batch: DataFrame, batchId: Long,
       indexDir: String): Seq[Long] = {
     // compacted stores carry their fold bound in a marker: a replay of
     // a folded batch id (lost/renumbered checkpoint) must stop loudly —

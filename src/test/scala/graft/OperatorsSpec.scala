@@ -509,6 +509,38 @@ class OperatorsSpec extends SparkSpec {
       back.select("chunk_id", "n_tokens", "chunk_fp").except(chunks).isEmpty)
   }
 
+  test("chunkBoundaries: spans tile each chunk exactly and reconcile with packChunks") {
+    import graft.operators.Packing
+    val docs = Seq(
+      (0L, Seq("a0", "a1", "a2")),          // offset 0, chunk 0
+      (1L, Seq("b0", "b1", "b2", "b3")),    // offset 3, spans chunks 0-1
+      (2L, Seq.empty[String]),              // zero tokens: absent
+      (4L, Seq("d0", "d1", "d2", "d3", "d4")) // offset 7, spans chunks 1-2
+    ).toDF("id", "tk").withColumn("n", size(col("tk")).cast("long"))
+    val got = Packing.chunkBoundaries(docs.select("id", "n"), "id", "n",
+        capacity = 4, groupOf = expr("id div 2"))
+      .select("id", "chunk_id", "start_in_chunk", "n_in_chunk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._2, t._3)).toSeq
+    assert(got == Seq(
+      (0L, 0L, 0L, 3L), (1L, 0L, 3L, 1L),   // chunk 0: a(3) + b-head(1)
+      (1L, 1L, 0L, 3L), (4L, 1L, 3L, 1L),   // chunk 1: b-tail(3) + d-head(1)
+      (4L, 2L, 0L, 4L)))                    // chunk 2: d-tail(4)
+    // reconciliation: per-chunk span sums equal packChunks' token counts
+    val chunks = Packing.packChunks(docs, "id", "tk", capacity = 4,
+        groupOf = expr("id div 2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val spanSums = got.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    assert(spanSums == chunks)
+    // spans tile: within a chunk, starts are the running sum of spans
+    got.groupBy(_._2).values.foreach { rows =>
+      val sorted = rows.sortBy(_._3)
+      sorted.foldLeft(0L) { case (pos, (_, _, start, n)) =>
+        assert(start == pos, s"gap/overlap at $sorted"); start + n
+      }
+    }
+  }
+
   test("curriculum shards: written files round-trip against the manifest, in curriculum order") {
     import graft.operators.Packing
     // q120's composed frame on the small sf: write, read back, verify
