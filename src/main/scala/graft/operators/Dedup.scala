@@ -1001,6 +1001,68 @@ object Dedup {
   private def segAt(tk: Column, i: Column, width: Int): Column =
     array_join(slice(tk, i * width + 1, lit(width)), " ")
 
+  /** Maximal shared token SPANS between document pairs — the exact-
+    * substring copy-detection primitive (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", done
+    * relationally instead of with suffix arrays): a span of `span`
+    * tokens shared verbatim by two documents is a run of `span − w + 1`
+    * consecutive matching w-gram digests, so the operator grams every
+    * position (stride 1, unlike [[segmentDedup]]'s aligned blocks),
+    * equi-joins digests across documents, and groups matches along
+    * DIAGONALS (pb − pa constant — the alignment): consecutive
+    * positions within a diagonal are one shared span, maximal by
+    * construction (a gap breaks the run id).
+    *
+    * Scale shape: postings ≈ corpus tokens (32-char digest + two
+    * longs); hot digests are df-capped BEFORE the pair join (boilerplate
+    * grams — [[stripBoilerplate]]'s territory; the documented recall
+    * trade, same as [[ngramJaccardPairs]]'s shingle cap) and
+    * single-document digests are dropped (df ≥ 2 — only shareable grams
+    * join). The run grouping is one window per (pair, diagonal),
+    * bounded by the capped per-pair match count. Internal periodicity
+    * yields one maximal span PER alignment (standard for
+    * diagonal-method matchers).
+    *
+    * Output: (id_a, id_b, start_a, start_b, span_tokens) with
+    * id_a < id_b, 0-based token offsets, span_tokens ≥ `minSpan`.
+    */
+  def sharedSpans(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, maxGramDf: Long = 50, minSpan: Int = 12): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    require(minSpan >= w, s"minSpan $minSpan must be >= w $w")
+    require(maxGramDf >= 2, s"maxGramDf must be >= 2, got $maxGramDf")
+    val toks = df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= w)
+    // one digest per POSITION: sequence(0, n-w) is safe under the
+    // filter above (a negative bound would generate descending)
+    val grams = toks.select(col("__id"), explode(
+        transform(sequence(lit(0), size(col("__tk")) - w),
+          i => struct(i.as("pos"),
+            md5(array_join(slice(col("__tk"), i + 1, lit(w)), " ")).as("g"))))
+        .as("p"))
+      .select(col("__id"), col("p.pos").as("pos"), col("p.g").as("g"))
+    val keep = grams.join(
+      grams.groupBy("g").agg(countDistinct("__id").as("__df"))
+        .filter(col("__df") >= 2 && col("__df") <= maxGramDf)
+        .select("g"),
+      Seq("g"))
+    val m = keep.as("a").join(keep.as("b"),
+        col("a.g") === col("b.g") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"),
+        (col("b.pos") - col("a.pos")).as("d"))
+    val run = m.withColumn("__run",
+      col("pa") - row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id_a", "id_b", "d").orderBy("pa")))
+    run.groupBy("id_a", "id_b", "d", "__run")
+      .agg(min("pa").cast("long").as("start_a"),
+        min("pb").cast("long").as("start_b"),
+        (max("pa") - min("pa") + w).cast("long").as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+      .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
+  }
+
   /** Collect kept indices per doc (digests only), rejoin to the token
     * arrays and rebuild the surviving text map-side by re-slicing.
     */

@@ -780,6 +780,41 @@ object TextOps {
           TextFunctions.round4hu(avg(col("pieces").cast("double"))).as("avg_pieces"))
     },
 
+    // q126: maximal shared token spans ([[graft.operators.Dedup
+    // .sharedSpans]]) — exact-substring copy detection, relationally:
+    // stride-1 8-gram digests, df-capped (2..50), pair-joined, grouped
+    // along diagonals (pb − pa) into maximal runs; spans ≥ 12 tokens.
+    // The testdata holds real verbatim copies (93-token spans at
+    // sf0.01) — the hash pins every span's exact offsets and length.
+    QueryDef.sql(
+      "q126_shared_spans",
+      s"""WITH t AS (SELECT doc_id, $T AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    md5(array_to_string(tk[i:i+7], ' ')) AS g
+         |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+         |        FROM t WHERE len(tk) >= 8)),
+         |keep AS (
+         |  SELECT g.doc_id, g.pos, g.g FROM g
+         |  JOIN (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g) f
+         |    ON g.g = f.g WHERE f.df BETWEEN 2 AND 50),
+         |m AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+         |    b.pos AS pb, b.pos - a.pos AS d
+         |  FROM keep a JOIN keep b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |r AS (
+         |  SELECT *, pa - row_number() OVER (
+         |    PARTITION BY id_a, id_b, d ORDER BY pa) AS run
+         |  FROM m)
+         |SELECT id_a, id_b, CAST(min(pa) AS BIGINT) AS start_a,
+         |  CAST(min(pb) AS BIGINT) AS start_b,
+         |  CAST(max(pa) - min(pa) + 8 AS BIGINT) AS span_tokens
+         |FROM r GROUP BY id_a, id_b, d, run
+         |HAVING max(pa) - min(pa) + 8 >= 12""".stripMargin) { (s, d) =>
+      Dedup.sharedSpans(Tables.documents(s, d), "doc_id", "text",
+        w = 8, maxGramDf = 50, minSpan = 12)
+    },
+
     // q125: chunk-boundary table ([[graft.operators.Packing
     // .chunkBoundaries]]) — the attention-mask metadata for q80's packed
     // chunks: one row per (chunk, doc) with the doc's span inside the

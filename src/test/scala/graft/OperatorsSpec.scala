@@ -509,6 +509,49 @@ class OperatorsSpec extends SparkSpec {
       back.select("chunk_id", "n_tokens", "chunk_fp").except(chunks).isEmpty)
   }
 
+  test("sharedSpans finds planted verbatim spans with exact offsets; gaps split runs") {
+    import graft.operators.Dedup
+    def toks(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
+    // doc 2 copies doc 1's tokens 5..16 (12 tokens) starting at its
+    // own position 3; doc 3 copies two DISJOINT 8-token pieces of
+    // doc 1 (0..7 and 12..19) back to back — the gap must yield two
+    // spans (8 < minSpan 8? use minSpan 8), not one 16-token span
+    val d1 = toks(0 until 30, "t")
+    val d2 = toks(100 until 103, "u") + " " + toks(5 to 16, "t") + " " +
+      toks(200 until 205, "v")
+    val d3 = toks(0 until 8, "t") + " " + toks(12 until 20, "t")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("id", "text")
+    val got = Dedup.sharedSpans(docs, "id", "text", w = 4, maxGramDf = 10,
+        minSpan = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // 1-2: tokens t5..t16 = d1[5..16] vs d2[3..14] → span 12
+    assert(got.contains((1L, 2L, 5L, 3L, 12L)), s"got $got")
+    // 1-3: two separate 8-token spans (the gap breaks the diagonal run)
+    assert(got.contains((1L, 3L, 0L, 0L, 8L)), s"got $got")
+    assert(got.contains((1L, 3L, 12L, 8L, 8L)), s"got $got")
+    // no 16-token merged span for the gapped pair
+    assert(!got.exists(t => t._1 == 1L && t._2 == 3L && t._5 > 8L), s"got $got")
+    // spans below minSpan are absent (d2/d3 share t5..t7+t12..t16 pieces
+    // shorter than 5 only via sub-spans — any reported 2-3 span ≥ 5)
+    assert(got.forall(_._5 >= 5L))
+  }
+
+  test("sharedSpans: a hot gram past the df cap cannot anchor a span") {
+    import graft.operators.Dedup
+    // the same 6-token run in SIX docs (df of its grams = 6 > cap 5);
+    // two of those docs also share a rarer 6-token run (df 2)
+    val hot = (0 until 6).map(i => s"h$i").mkString(" ")
+    val rare = (0 until 6).map(i => s"r$i").mkString(" ")
+    val docs = ((1L to 6L).map(i => (i, s"$hot z$i")) ++
+      Seq((7L, s"$rare y7"), (8L, s"$rare y8"))).toDF("id", "text")
+    val got = Dedup.sharedSpans(docs, "id", "text", w = 3, maxGramDf = 5,
+        minSpan = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(got == Set((7L, 8L, 6L)), s"hot grams must be df-capped: $got")
+  }
+
   test("chunkBoundaries: spans tile each chunk exactly and reconcile with packChunks") {
     import graft.operators.Packing
     val docs = Seq(
