@@ -153,6 +153,34 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // Shared-span copy detection at scale (r11): the planted corpus is
+    // adversarial for a stride-1 gram matcher — the exact-copy family
+    // (2% of docs, ALL grams df = n/50) and the boilerplate prefixes
+    // (df = n/20) must die at the df cap BEFORE the pair join, leaving
+    // the near-dup family (pairs sharing their 60-token base, df = 2)
+    // as the signal: ~n/100 spans, so rows AND wall must stay ~linear.
+    if (args.contains("--spans-only")) {
+      val sScales = if (posArgs.nonEmpty) posArgs.map(_.toLong)
+      else Seq(50000L, 150000L, 450000L)
+      locally { // untimed JIT/codegen warmup
+        val w = corpus(spark, 20000L).cache(); w.count()
+        Dedup.sharedSpans(w, "id", "text", w = 8, maxGramDf = 50,
+          minSpan = 12).count()
+        w.unpersist()
+      }
+      val ladder = sScales.map { n =>
+        val docs = corpus(spark, n).cache(); docs.count()
+        val (t, r) = timed3 {
+          Dedup.sharedSpans(docs, "id", "text", w = 8, maxGramDf = 50,
+            minSpan = 12).count()
+        }
+        docs.unpersist()
+        f"""{"n_docs":$n,"spans":{"sec":$t%.2f,"rows":$r}}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"spans_rehearsal","scales":$ladder}""")
+      spark.stop(); return
+    }
+
     // Auto-k past the literal ceiling (r11, VERDICT r10 #6): at
     // n ≥ 1.05M pseudo-random vectors auto-k = ⌈√n⌉ crosses 1024, so
     // the AUTO path now dispatches to the broadcast-join argmin instead
