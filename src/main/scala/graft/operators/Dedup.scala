@@ -1063,6 +1063,70 @@ object Dedup {
       .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
   }
 
+  /** Substring-dedup REMOVAL — the rewrite half of [[sharedSpans]]
+    * (Lee et al. 2022 keep ONE occurrence of every duplicated span and
+    * cut the rest): for each span row the LATER document of the pair
+    * (`id_b` under the `id_a < id_b` convention) loses its
+    * `[start_b, start_b + span_tokens)` token interval; the earlier
+    * document keeps its copy, so one occurrence always survives
+    * corpus-wide. A document cut by many pairs unions its intervals
+    * first (overlaps + adjacency merge — the standard islands pass:
+    * running max of predecessor ends, new island when a start clears
+    * it), then the surviving text is rebuilt MAP-SIDE from the token
+    * array with higher-order builtins (filter positions outside every
+    * merged interval → transform to tokens → array_join) — no
+    * per-token shuffle, no UDF.
+    *
+    * Scale shape: the only shuffles are the islands window (keyed by
+    * doc — interval counts per doc are small, bounded by the span
+    * list) and the left join of merged interval arrays back to the
+    * corpus. The reconstruction scans each doc's tokens once against
+    * its own (tiny) interval array. Documents never appearing as
+    * `id_b` pass through whole via the left join.
+    *
+    * Output: (idCol, n_tokens, n_removed, kept_text), one row per
+    * input document.
+    */
+  def removeSpans(df: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val iv = spans.select(col("id_b").as("__id"),
+      col("start_b").cast("long").as("__s"),
+      (col("start_b") + col("span_tokens")).cast("long").as("__e"))
+    val w = Window.partitionBy("__id").orderBy("__s", "__e")
+    val merged = iv
+      .withColumn("__pmax", max(col("__e"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__isl", sum(
+        when(col("__pmax").isNull || col("__s") > col("__pmax"), 1L)
+          .otherwise(0L)).over(w))
+      .groupBy("__id", "__isl")
+      .agg(min("__s").as("__s"), max("__e").as("__e"))
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__s"), col("__e"))))
+        .as("__cut"))
+    val toks = df.select(col(idCol).as("__id"),
+      tokens(coalesce(col(textCol), lit(""))).as("__tk"))
+    toks.join(merged, Seq("__id"), "left")
+      .withColumn("__cut", coalesce(col("__cut"),
+        array().cast("array<struct<__s:bigint,__e:bigint>>")))
+      .withColumn("__keep",
+        filter(
+          when(size(col("__tk")) > 0,
+            sequence(lit(0L), size(col("__tk")).cast("long") - 1L))
+            .otherwise(array().cast("array<bigint>")),
+          p => !exists(col("__cut"),
+            c => p >= c.getField("__s") && p < c.getField("__e"))))
+      .select(
+        col("__id").as(idCol),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        (size(col("__tk")) - size(col("__keep"))).cast("long")
+          .as("n_removed"),
+        array_join(
+          transform(col("__keep"),
+            p => element_at(col("__tk"), (p + 1L).cast("int"))),
+          " ").as("kept_text"))
+  }
+
   /** Collect kept indices per doc (digests only), rejoin to the token
     * arrays and rebuild the surviving text map-side by re-slicing.
     */

@@ -815,6 +815,70 @@ object TextOps {
         w = 8, maxGramDf = 50, minSpan = 12)
     },
 
+    // q127: span removal ([[graft.operators.Dedup.removeSpans]]) — the
+    // rewrite half of q126 (Lee et al. 2022: keep ONE occurrence of each
+    // duplicated span): every doc appearing as id_b loses its
+    // [start_b, start_b+span) interval, overlapping cuts union per doc
+    // (islands merge), text rebuilt map-side from surviving positions.
+    // The hash pins every doc's exact surviving text + removal counts.
+    QueryDef.sql(
+      "q127_span_removal",
+      s"""WITH t AS (SELECT doc_id, $T AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    md5(array_to_string(tk[i:i+7], ' ')) AS g
+         |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+         |        FROM t WHERE len(tk) >= 8)),
+         |kg AS (
+         |  SELECT g.doc_id, g.pos, g.g FROM g
+         |  JOIN (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g) f
+         |    ON g.g = f.g WHERE f.df BETWEEN 2 AND 50),
+         |m AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+         |    b.pos AS pb, b.pos - a.pos AS d
+         |  FROM kg a JOIN kg b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |r AS (
+         |  SELECT *, pa - row_number() OVER (
+         |    PARTITION BY id_a, id_b, d ORDER BY pa) AS run
+         |  FROM m),
+         |sp AS (
+         |  SELECT id_b, min(pb) AS start_b,
+         |    max(pa) - min(pa) + 8 AS span_tokens
+         |  FROM r GROUP BY id_a, id_b, d, run
+         |  HAVING max(pa) - min(pa) + 8 >= 12),
+         |iv AS (SELECT id_b AS doc_id, start_b AS s,
+         |       start_b + span_tokens AS e FROM sp),
+         |mk AS (
+         |  SELECT doc_id, s, e, max(e) OVER (
+         |    PARTITION BY doc_id ORDER BY s, e
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM iv),
+         |isl AS (
+         |  SELECT doc_id, s, e,
+         |    sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+         |  FROM mk),
+         |mg AS (SELECT doc_id, min(s) AS s, max(e) AS e
+         |       FROM isl GROUP BY doc_id, grp),
+         |pos AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+         |        FROM t WHERE len(tk) > 0),
+         |kp AS (
+         |  SELECT p.doc_id, p.i, p.tk[p.i] AS tok FROM pos p
+         |  WHERE NOT EXISTS (SELECT 1 FROM mg
+         |    WHERE mg.doc_id = p.doc_id AND p.i - 1 >= mg.s AND p.i - 1 < mg.e)),
+         |ag AS (SELECT doc_id, count(*) AS n_kept,
+         |       string_agg(tok, ' ' ORDER BY i) AS kept_text
+         |       FROM kp GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(t.tk) - coalesce(ag.n_kept, 0) AS BIGINT) AS n_removed,
+         |  coalesce(ag.kept_text, '') AS kept_text
+         |FROM t LEFT JOIN ag ON t.doc_id = ag.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.removeSpans(docs, "doc_id", "text",
+        Dedup.sharedSpans(docs, "doc_id", "text",
+          w = 8, maxGramDf = 50, minSpan = 12))
+    },
+
     // q125: chunk-boundary table ([[graft.operators.Packing
     // .chunkBoundaries]]) — the attention-mask metadata for q80's packed
     // chunks: one row per (chunk, doc) with the doc's span inside the

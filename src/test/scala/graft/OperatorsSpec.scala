@@ -552,6 +552,38 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((7L, 8L, 6L)), s"hot grams must be df-capped: $got")
   }
 
+  test("removeSpans: later doc loses the span, earlier keeps it; overlapping+adjacent cuts union") {
+    import graft.operators.Dedup
+    def toks(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
+    val d1 = toks(0 until 30, "t")
+    val d2 = toks(100 until 103, "u") + " " + toks(5 to 16, "t") + " " +
+      toks(200 until 205, "v")
+    val docs = Seq((1L, d1), (2L, d2)).toDF("id", "text")
+    val spans = Dedup.sharedSpans(docs, "id", "text", w = 4,
+      maxGramDf = 10, minSpan = 5)
+    val got = Dedup.removeSpans(docs, "id", "text", spans)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // id 1 (earlier) keeps its copy untouched
+    assert(got(1L) == ((30L, 0L, d1)))
+    // id 2 loses positions [3, 15): the 12 copied tokens
+    assert(got(2L) == ((20L, 12L,
+      toks(100 until 103, "u") + " " + toks(200 until 205, "v"))))
+    // hand-built spans: overlapping [2,6)+[4,8) and adjacent [8,10)
+    // cuts union into ONE [2,10) island; untouched + empty docs pass
+    val manual = Seq((1L, 9L, 0L, 2L, 4L), (1L, 9L, 0L, 4L, 4L),
+      (1L, 9L, 0L, 8L, 2L))
+      .toDF("id_a", "id_b", "start_a", "start_b", "span_tokens")
+    val corpus = Seq((9L, toks(0 until 10, "a")), (10L, "x y z"),
+      (11L, "")).toDF("id", "text")
+    val got2 = Dedup.removeSpans(corpus, "id", "text", manual)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got2(9L) == ((10L, 8L, "a0 a1")))
+    assert(got2(10L) == ((3L, 0L, "x y z")))
+    assert(got2(11L) == ((0L, 0L, "")))
+  }
+
   test("chunkBoundaries: spans tile each chunk exactly and reconcile with packChunks") {
     import graft.operators.Packing
     val docs = Seq(
