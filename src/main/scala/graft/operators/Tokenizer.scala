@@ -242,21 +242,62 @@ object Tokenizer {
   def applyMerges(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     require(merges.nonEmpty, "applyMerges needs at least one merge")
-    val mergeArr = array(merges.map { case (l, r) =>
-      struct(lit(l).as("lhs"), lit(r).as("rhs")) }: _*)
     docs
       .select(col(idCol), explode(tokens(col(textCol))).as("word"))
-      .select(col(idCol),
-        aggregate(mergeArr,
-          concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")),
-          (acc, m) => replace(acc,
-            concat(lit(" "), m.getField("lhs"), lit(" "),
-              m.getField("rhs"), lit(" ")),
-            concat(lit(" "), m.getField("lhs"), m.getField("rhs"),
-              lit(" ")))).as("w"))
-      .select(col(idCol),
-        size(filter(split(col("w"), " "), x => length(x) > 0))
-          .cast("long").as("__n"))
+      .select(col(idCol), pieceCount(col("word"), merges).as("__n"))
       .groupBy(idCol).agg(sum("__n").as("n_tokens"))
+  }
+
+  /** Subword pieces a word segments into under the trained merge list —
+    * the [[applyMerges]] fold (boundary-spaced replay, HOF `aggregate`
+    * so expression depth is constant in the merge count) ending in a
+    * piece count instead of a string.
+    */
+  private def pieceCount(word: Column, merges: Seq[(String, String)]): Column = {
+    val mergeArr = array(merges.map { case (l, r) =>
+      struct(lit(l).as("lhs"), lit(r).as("rhs")) }: _*)
+    size(filter(split(
+      aggregate(mergeArr,
+        concat(lit(" "), regexp_replace(word, "(.)", "$1 ")),
+        (acc, m) => replace(acc,
+          concat(lit(" "), m.getField("lhs"), lit(" "),
+            m.getField("rhs"), lit(" ")),
+          concat(lit(" "), m.getField("lhs"), m.getField("rhs"),
+            lit(" ")))),
+      " "), x => length(x) > 0)).cast("long")
+  }
+
+  /** Tokenizer FERTILITY per group (Rust et al. 2021, "How Good is Your
+    * Tokenizer?"): how well the trained vocabulary fits each slice of
+    * the corpus — mean subword pieces per word (fertility; 1.0 = every
+    * word is one piece) and the share of words split at all
+    * (`pct_split`, the "continued-word rate"). The per-language /
+    * per-source readout that decides whether a tokenizer trained on the
+    * mixture under-serves a slice (high fertility = more compute per
+    * word of that slice at train time).
+    *
+    * Scale shape: same as [[applyMerges]] — map-side explode + the
+    * constant-depth merge fold projected ONCE per word occurrence, then
+    * one hash aggregate on `groupCol`. No shuffle before the aggregate,
+    * no driver work beyond the vocab-sized merge list literal.
+    *
+    * Output: (groupCol, n_words, n_pieces, fertility, pct_split), one
+    * row per group with ≥ 1 whitespace token.
+    */
+  def fertilityByGroup(docs: DataFrame, groupCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "fertilityByGroup needs at least one merge")
+    docs
+      .select(col(groupCol), explode(tokens(col(textCol))).as("word"))
+      .select(col(groupCol), pieceCount(col("word"), merges).as("__p"))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum("__p").as("n_pieces"),
+        graft.functions.TextFunctions.round4hu(
+          sum(col("__p")).cast("double") / count(lit(1)).cast("double"))
+          .as("fertility"),
+        graft.functions.TextFunctions.round4hu(
+          avg(when(col("__p") >= 2L, 1.0).otherwise(0.0))).as("pct_split"))
   }
 }

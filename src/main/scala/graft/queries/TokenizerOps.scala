@@ -100,5 +100,51 @@ object TokenizerOps {
         Tokenizer.bpeMergeTable(docs, "text", 3))
       Tokenizer.applyMerges(docs, "doc_id", "text", merges)
     },
+
+    // q128: tokenizer fertility per language ([[graft.operators
+    // .Tokenizer.fertilityByGroup]], Rust et al. 2021) — train the 3
+    // merges (q112's chain), replay them over every word occurrence,
+    // and roll up per lang: mean pieces per word (fertility) and the
+    // continued-word rate (pct_split). The slice-level readout that
+    // decides whether the trained vocabulary under-serves a language.
+    QueryDef.sql(
+      "q128_tokenizer_fertility",
+      s"""WITH words AS (
+         |  SELECT t AS word, count(*) AS freq
+         |  FROM (SELECT unnest($T) AS t FROM documents) GROUP BY 1),
+         |w0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS w,
+         |              freq FROM words),
+         |${bpeRound(1)},
+         |${bpeRound(2)},
+         |${bpeRound(3)},
+         |dw AS (SELECT lang, unnest($T) AS word FROM documents),
+         |f0 AS (SELECT lang,
+         |          ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS w
+         |        FROM dw),
+         |f1 AS (SELECT lang, replace(w, ' ' || m.lhs || ' ' || m.rhs || ' ',
+         |                 ' ' || m.lhs || m.rhs || ' ') AS w
+         |        FROM f0 CROSS JOIN m1 m),
+         |f2 AS (SELECT lang, replace(w, ' ' || m.lhs || ' ' || m.rhs || ' ',
+         |                 ' ' || m.lhs || m.rhs || ' ') AS w
+         |        FROM f1 CROSS JOIN m2 m),
+         |f3 AS (SELECT lang, replace(w, ' ' || m.lhs || ' ' || m.rhs || ' ',
+         |                 ' ' || m.lhs || m.rhs || ' ') AS w
+         |        FROM f2 CROSS JOIN m3 m),
+         |pieces AS (SELECT lang,
+         |             len(list_filter(string_split(w, ' '), x -> len(x) > 0))
+         |               AS p
+         |           FROM f3)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(p) AS BIGINT) AS n_pieces,
+         |  floor(sum(p) * 1.0 / count(*) * 10000.0 + 0.5) / 10000.0
+         |    AS fertility,
+         |  floor(avg(CASE WHEN p >= 2 THEN 1.0 ELSE 0.0 END) * 10000.0 + 0.5)
+         |    / 10000.0 AS pct_split
+         |FROM pieces GROUP BY lang""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = Tokenizer.collectMerges(
+        Tokenizer.bpeMergeTable(docs, "text", 3))
+      Tokenizer.fertilityByGroup(docs, "lang", "text", merges)
+    },
   )
 }

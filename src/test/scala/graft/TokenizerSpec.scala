@@ -109,6 +109,24 @@ class TokenizerSpec extends SparkSpec {
     assert(got2 == Map(1L -> 2L)) // [ab][ab]
   }
 
+  test("fertilityByGroup: per-slice piece math and the train-total invariant") {
+    // hug/pug corpus with a group split: en = "hug hug hugs" (3 words →
+    // [hug][hug][hugs] = 3 pieces), de = "pug" (1 word → [p ug] = 2)
+    val docs = Seq((1L, "en", "hug hug hugs"), (2L, "de", "pug"))
+      .toDF("id", "lang", "text")
+    val merges = Tokenizer.collectMerges(
+      Tokenizer.bpeMergeTable(docs, "text", 3))
+    val got = Tokenizer.fertilityByGroup(docs, "lang", "text", merges)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("en") == ((3L, 3L, 1.0, 0.0)))   // all three words one piece
+    assert(got("de") == ((1L, 2L, 2.0, 1.0)))   // pug splits: [p][ug]
+    // Σ n_pieces across groups == applyMerges' corpus total
+    val total = Tokenizer.applyMerges(docs, "id", "text", merges)
+      .agg(sum("n_tokens")).collect().head.getLong(0)
+    assert(got.values.map(_._2).sum == total)
+  }
+
   test("merge table is invariant to document partitioning") {
     val docs = (1 to 50).map(i =>
       (i.toLong, if (i % 3 == 0) "spark spark sql" else "spark data sql data"))
