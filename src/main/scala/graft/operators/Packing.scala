@@ -39,11 +39,20 @@ object Packing {
     * totals only (#partitions × #groups rows, broadcast back).
     */
   def runningOffset(df: DataFrame, orderCol: String, countCol: String,
-      groupOf: Column, partitionCols: Seq[String] = Nil): DataFrame = {
+      groupOf: Column, partitionCols: Seq[String] = Nil): DataFrame =
+    runningOffset(df, Seq(col(orderCol)), countCol, groupOf, partitionCols)
+
+  /** [[runningOffset]] under a COMPOSITE order (e.g. quality desc then
+    * id) — `groupOf` must still be a coarse non-decreasing function of
+    * that order within each partition; the single-column form delegates
+    * here.
+    */
+  def runningOffset(df: DataFrame, orderBy: Seq[Column], countCol: String,
+      groupOf: Column, partitionCols: Seq[String]): DataFrame = {
     val part = partitionCols.map(col)
     val grouped = df.withColumn("__g", groupOf)
     // phase 1 (parallel): running sum WITHIN each (partition, group)
-    val wIn = Window.partitionBy(part :+ col("__g"): _*).orderBy(col(orderCol))
+    val wIn = Window.partitionBy(part :+ col("__g"): _*).orderBy(orderBy: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = grouped.withColumn("__local_end", sum(col(countCol)).over(wIn))
     // phase 2 (tiny): exclusive prefix over per-group totals

@@ -228,6 +228,40 @@ object Sampling {
         when(col("epochs_bp") > 10000L, lit("upsample")).otherwise(lit("subsample")))
   }
 
+  /** Execute a mixture plan's SUBSAMPLE side quality-first — the
+    * greedy-by-score realization of [[mixtureSolve]]'s `target_tokens`
+    * (DataComp-style "keep the best documents until the budget"): per
+    * group, rank documents by (`scoreCol` desc, `idCol` asc) and keep
+    * exactly those whose token prefix fits the group's budget (a doc
+    * straddling the boundary is dropped, not split — the
+    * [[Packing.takeTokenBudget]] convention, but with PER-GROUP budgets
+    * from the plan frame instead of one constant).
+    *
+    * Scale shape: the prefix sum is [[Packing.runningOffset]]'s
+    * two-phase form under the composite order — phase 1 parallelizes
+    * over (group, score-bucket), so one giant source never serializes
+    * into a single window partition; the plan joins by broadcast
+    * (≤|groups| rows). `groupOf` coarse-buckets the score
+    * NON-DECREASINGLY along the ranking (default: million-unit
+    * floor-division buckets of the integer score, monotone by
+    * construction — exact for any BIGINT, unlike a double divide).
+    *
+    * Output: every input column + `offset` (the doc's token offset in
+    * its group's quality-ordered stream) and `target_tokens`.
+    */
+  def mixtureTake(docs: DataFrame, groupCol: String, idCol: String,
+      tokensCol: String, scoreCol: String, plan: DataFrame,
+      groupOf: Option[Column] = None): DataFrame = {
+    val bucket = groupOf.getOrElse(
+      -expr(s"(($scoreCol - pmod($scoreCol, 1000000)) div 1000000)"))
+    graft.operators.Packing.runningOffset(docs,
+        Seq(col(scoreCol).desc, col(idCol).asc), tokensCol, bucket,
+        Seq(groupCol))
+      .join(broadcast(plan.select(col(groupCol),
+        col("target_tokens").cast("long").as("target_tokens"))), Seq(groupCol))
+      .filter(col("offset") + col(tokensCol) <= col("target_tokens"))
+  }
+
   /** Efraimidis–Spirakis weighted sampling WITHOUT replacement, k items,
     * deterministic: each row draws its uniform from the md5 id-hash
     * (`u = (h + 0.5) / 2³²` — never exactly 0 or 1), and the k rows with

@@ -413,6 +413,68 @@ object CurationOps {
           "epochs_bp", "mode")
     },
 
+    // q129: mixture EXECUTION ([[graft.operators.Sampling.mixtureTake]])
+    // — close the q123 solver → corpus loop: per-source target_tokens
+    // (sqrt-weights over a budget of total/4) realized by keeping the
+    // highest-scoring docs (q97's exact-integer classifier, desc, doc_id
+    // tiebreak) whose token prefix fits the budget. Two-phase prefix sum
+    // under the composite order; the per-source rollup pins n_kept,
+    // tokens_kept and the effective quality cutoff (min kept score).
+    // The total-tokens budget is a bounded 1-row collect (q95 pattern).
+    QueryDef.sql(
+      "q129_mixture_execute",
+      s"""WITH sc AS (
+         |  SELECT doc_id, source, CAST(len($T) AS BIGINT) AS nt,
+         |    CAST(-3000000 - 40000*len($T) + 200000*len(list_distinct($T))
+         |      + 2000*len(regexp_replace(text, '\\s', '', 'g'))
+         |      + 300000*len(list_filter($T,
+         |          t -> t IN ('the','a','an','of','and','in','to','is','it','that')))
+         |      AS BIGINT) AS s
+         |  FROM documents),
+         |bud AS (SELECT CAST(sum(nt) AS BIGINT) // 4 AS b FROM sc),
+         |c AS (SELECT source, CAST(sum(nt) AS BIGINT) AS available_tokens
+         |      FROM sc GROUP BY source),
+         |w0 AS (SELECT source,
+         |         CAST(floor(sqrt(CAST(available_tokens AS DOUBLE))) AS BIGINT)
+         |           AS w
+         |       FROM c),
+         |tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w0),
+         |wt AS (SELECT source, (w * 10000) // tw AS weight_bp
+         |       FROM w0 CROSS JOIN tw),
+         |pl AS (SELECT c.source, (bud.b * wt.weight_bp) // 10000 AS target_tokens
+         |       FROM c JOIN wt USING (source) CROSS JOIN bud),
+         |ord AS (
+         |  SELECT source, doc_id, nt, s,
+         |    sum(nt) OVER (PARTITION BY source ORDER BY s DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM sc),
+         |kept AS (
+         |  SELECT o.source, o.nt, o.s, p.target_tokens
+         |  FROM ord o JOIN pl p USING (source) WHERE o.cum <= p.target_tokens)
+         |SELECT source, target_tokens, CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(sum(nt) AS BIGINT) AS tokens_kept,
+         |  CAST(min(s) AS BIGINT) AS min_score_micro
+         |FROM kept GROUP BY source, target_tokens""".stripMargin) { (s, d) =>
+      val scored = Classifier.qualityClassify(
+          Tables.documents(s, d).select(col("doc_id"), col("source"),
+            col("text")), "text")
+        .select(col("doc_id"), col("source"), col("score_micro"),
+          col("n_tok").cast("long").as("nt"))
+      val counts = scored.groupBy("source").agg(sum("nt").as("n_tokens"))
+      val budget = counts.agg(sum("n_tokens")).collect().head.getLong(0) / 4
+      val w0 = counts.select(col("source"),
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long").as("__w"))
+      val weights = w0.crossJoin(broadcast(w0.agg(sum("__w").as("__tw"))))
+        .select(col("source"), expr("(__w * 10000) div __tw").as("weight_bp"))
+      val plan = Sampling.mixtureSolve(counts, "source", "n_tokens",
+        weights, budget)
+      Sampling.mixtureTake(scored, "source", "doc_id", "nt",
+          "score_micro", plan)
+        .groupBy("source", "target_tokens")
+        .agg(count(lit(1)).as("n_kept"), sum("nt").as("tokens_kept"),
+          min("score_micro").as("min_score_micro"))
+    },
+
     // q97: model-based quality filtering ([[graft.operators.Classifier]])
     // — the frozen-linear-model half of the GPT-3/CCNet quality-
     // classifier pattern: integer features, integer micro-weights, one

@@ -285,4 +285,34 @@ class CurationSpec extends SparkSpec {
       .collect().head
     assert(z.getLong(4) == 1000000L && z.getString(5) == "upsample")
   }
+
+  test("mixtureTake: per-group budgets, quality-first, boundary and bucket edges") {
+    // source a (target 12): quality order d1(s=3M,5t) → d3(s=2M,5t) →
+    // d2(s=1M,5t); cum 5,10,15 → d2 straddles and is dropped.
+    // source b (target 0): nothing with tokens fits, but the zero-token
+    // doc d6 does (offset 0 + 0 ≤ 0 — the takeTokenBudget convention).
+    // d4/d5 pin NEGATIVE scores across a million-bucket boundary (the
+    // default groupOf floor-division must stay monotone there).
+    val docs = Seq(
+      (1L, "a", 3000000L, 5L), (2L, "a", 1000000L, 5L),
+      (3L, "a", 2000000L, 5L),
+      (4L, "c", -1L, 3L), (5L, "c", -1000001L, 3L),
+      (6L, "b", 5000000L, 0L), (7L, "b", 4000000L, 2L))
+      .toDF("id", "source", "score", "nt")
+    val plan = Seq(("a", 12L), ("b", 0L), ("c", 3L))
+      .toDF("source", "target_tokens")
+    val kept = Sampling.mixtureTake(docs, "source", "id", "nt", "score", plan)
+    val ids = kept.select("id").collect().map(_.getLong(0)).toSet
+    // c: d4 (-1, bucket 1) outranks d5 (-1000001, bucket 2); 3 ≤ 3 fits
+    assert(ids == Set(1L, 3L, 4L, 6L), s"got $ids")
+    // offsets follow the quality order
+    val offs = kept.select("id", "offset").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(offs == Map(1L -> 0L, 3L -> 5L, 4L -> 0L, 6L -> 0L), s"got $offs")
+    // partitioning invariance: the two-phase prefix sum is layout-free
+    val ids2 = Sampling.mixtureTake(docs.repartition(7), "source", "id",
+        "nt", "score", plan)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids2 == ids)
+  }
 }
