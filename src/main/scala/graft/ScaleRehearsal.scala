@@ -181,6 +181,50 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // Mixture-execution skew ladder (r11, q129): the adversary is ONE
+    // source holding the whole corpus — a naive per-source running-sum
+    // window serializes all n rows into a single task, while
+    // mixtureTake's two-phase prefix parallelizes phase 1 over
+    // (source, score-bucket) and only prefixes the ~100 bucket TOTALS.
+    // Same kept set by construction (spec-pinned); only wall differs.
+    if (args.contains("--mix-only")) {
+      import graft.operators.Sampling
+      import org.apache.spark.sql.expressions.{Window => W}
+      def mixCorpus(n: Long) = spark.range(n).select(col("id"),
+        lit("s").as("source"),
+        (pmod(xxhash64(col("id")), lit(100000000L)) - 50000000L).as("score"),
+        (pmod(xxhash64(col("id") + 7), lit(150L)) + 50L).as("nt"))
+      def planOf(n: Long) = Seq(("s", 62L * n)).toDF("source", "target_tokens")
+      val mixScales = if (posArgs.nonEmpty) posArgs.map(_.toLong)
+      else Seq(1000000L, 4000000L, 16000000L)
+      locally { // untimed JIT/codegen warmup
+        val w = mixCorpus(100000L).cache(); w.count()
+        forcedRows(Sampling.mixtureTake(w, "source", "id", "nt", "score",
+          planOf(100000L)), "offset")
+        w.unpersist()
+      }
+      val ladder = mixScales.map { n =>
+        val docs = mixCorpus(n).cache(); docs.count()
+        val plan = planOf(n)
+        val (tTwo, kTwo) = timed3 {
+          forcedRows(Sampling.mixtureTake(docs, "source", "id", "nt",
+            "score", plan), "offset")
+        }
+        val (tOne, kOne) = timed3 {
+          val w = W.partitionBy("source")
+            .orderBy(col("score").desc, col("id"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+          forcedRows(docs.withColumn("__cum", sum(col("nt")).over(w))
+            .join(broadcast(plan), "source")
+            .filter(col("__cum") <= col("target_tokens")), "__cum")
+        }
+        docs.unpersist()
+        f"""{"n_docs":$n,"two_phase":{"sec":$tTwo%.2f,"kept":$kTwo},"single_window":{"sec":$tOne%.2f,"kept":$kOne}}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"mix_rehearsal","scales":$ladder}""")
+      spark.stop(); return
+    }
+
     // Auto-k past the literal ceiling (r11, VERDICT r10 #6): at
     // n ≥ 1.05M pseudo-random vectors auto-k = ⌈√n⌉ crosses 1024, so
     // the AUTO path now dispatches to the broadcast-join argmin instead
