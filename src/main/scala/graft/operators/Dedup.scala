@@ -1127,6 +1127,43 @@ object Dedup {
           " ").as("kept_text"))
   }
 
+  /** The "most duplicated passages" datasheet report: [[sharedSpans]]
+    * instances grouped by their actual CONTENT (the passage text, sliced
+    * from the earlier doc's tokens), ranked by how often the passage is
+    * shared. The human-readable rollup of the span table — boilerplate
+    * that survived the gram df cap, licence blocks, templated intros —
+    * the first thing a curator reads before tuning [[removeSpans]].
+    *
+    * Scale shape: everything downstream of the span table is bounded by
+    * it — the token arrays join in only for ids appearing as `id_a`
+    * (slice + array_join map-side), and the single aggregate counts
+    * span instances (`n_spans` = rows div 2 after the pair explode) and
+    * distinct holders (`n_docs`) in one pass, no diamond over the span
+    * subtree. Top-k is orderBy+limit — `TakeOrderedAndProject`.
+    *
+    * Output: (passage, span_tokens, n_spans, n_docs), the k most-shared
+    * passages by (n_spans desc, passage) — a total order.
+    */
+  def topSharedPassages(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, maxGramDf: Long = 50, minSpan: Int = 12,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spans = sharedSpans(df, idCol, textCol, w, maxGramDf, minSpan)
+    val toks = df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__tk"))
+    spans.join(toks, spans("id_a") === toks("__id"))
+      .select(
+        array_join(slice(col("__tk"), (col("start_a") + 1).cast("int"),
+          col("span_tokens").cast("int")), " ").as("passage"),
+        col("span_tokens"), explode(array(col("id_a"), col("id_b"))).as("__d"))
+      .groupBy("passage")
+      .agg((count(lit(1)) / 2).cast("long").as("n_spans"),
+        max("span_tokens").cast("long").as("span_tokens"),
+        countDistinct("__d").as("n_docs"))
+      .select("passage", "span_tokens", "n_spans", "n_docs")
+      .orderBy(col("n_spans").desc, col("passage"))
+      .limit(k)
+  }
+
   /** Collect kept indices per doc (digests only), rejoin to the token
     * arrays and rebuild the surviving text map-side by re-slicing.
     */

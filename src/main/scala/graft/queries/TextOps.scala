@@ -879,6 +879,51 @@ object TextOps {
           w = 8, maxGramDf = 50, minSpan = 12))
     },
 
+    // q130: top shared passages ([[graft.operators.Dedup
+    // .topSharedPassages]]) — q126's span table rolled up by passage
+    // CONTENT: the k most-duplicated passages with instance and holder
+    // counts, ranked (n_spans desc, passage) — a total order under
+    // LIMIT. The curator-facing datasheet view of the copy mass.
+    QueryDef.sql(
+      "q130_top_passages",
+      s"""WITH t AS (SELECT doc_id, $T AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    md5(array_to_string(tk[i:i+7], ' ')) AS g
+         |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+         |        FROM t WHERE len(tk) >= 8)),
+         |kg AS (
+         |  SELECT g.doc_id, g.pos, g.g FROM g
+         |  JOIN (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g) f
+         |    ON g.g = f.g WHERE f.df BETWEEN 2 AND 50),
+         |m AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+         |    b.pos AS pb, b.pos - a.pos AS d
+         |  FROM kg a JOIN kg b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |r AS (
+         |  SELECT *, pa - row_number() OVER (
+         |    PARTITION BY id_a, id_b, d ORDER BY pa) AS run
+         |  FROM m),
+         |sp AS (
+         |  SELECT id_a, id_b, min(pa) AS start_a,
+         |    max(pa) - min(pa) + 8 AS span_tokens
+         |  FROM r GROUP BY id_a, id_b, d, run
+         |  HAVING max(pa) - min(pa) + 8 >= 12),
+         |px AS (
+         |  SELECT array_to_string(
+         |      t.tk[sp.start_a + 1 : sp.start_a + sp.span_tokens], ' ')
+         |      AS passage,
+         |    sp.span_tokens, unnest([sp.id_a, sp.id_b]) AS d
+         |  FROM sp JOIN t ON t.doc_id = sp.id_a)
+         |SELECT passage, CAST(max(span_tokens) AS BIGINT) AS span_tokens,
+         |  CAST(count(*) // 2 AS BIGINT) AS n_spans,
+         |  CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+         |FROM px GROUP BY passage
+         |ORDER BY n_spans DESC, passage LIMIT 10""".stripMargin) { (s, d) =>
+      Dedup.topSharedPassages(Tables.documents(s, d), "doc_id", "text",
+        w = 8, maxGramDf = 50, minSpan = 12, k = 10)
+    },
+
     // q125: chunk-boundary table ([[graft.operators.Packing
     // .chunkBoundaries]]) — the attention-mask metadata for q80's packed
     // chunks: one row per (chunk, doc) with the doc's span inside the

@@ -584,6 +584,26 @@ class OperatorsSpec extends SparkSpec {
     assert(got2(11L) == ((0L, 0L, "")))
   }
 
+  test("topSharedPassages ranks passages by instance count with holder counts") {
+    import graft.operators.Dedup
+    def toks(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
+    val P = toks(0 until 15, "p"); val Q = toks(0 until 15, "q")
+    // P held by docs 1-3 (3 pairs), Q by docs 4-5 (1 pair)
+    val docs = Seq(
+      (1L, P + " " + toks(0 until 4, "x1")),
+      (2L, P + " " + toks(0 until 4, "x2")),
+      (3L, P + " " + toks(0 until 4, "x3")),
+      (4L, Q + " " + toks(0 until 4, "x4")),
+      (5L, Q + " " + toks(0 until 4, "x5"))).toDF("id", "text")
+    val got = Dedup.topSharedPassages(docs, "id", "text", w = 4,
+        maxGramDf = 10, minSpan = 8, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.length == 2, s"got ${got.toSeq}")
+    assert(got(0) == ((P, 15L, 3L, 3L)), s"got ${got(0)}")
+    assert(got(1) == ((Q, 15L, 1L, 2L)), s"got ${got(1)}")
+  }
+
   test("chunkBoundaries: spans tile each chunk exactly and reconcile with packChunks") {
     import graft.operators.Packing
     val docs = Seq(
