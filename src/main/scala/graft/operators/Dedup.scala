@@ -742,6 +742,32 @@ object Dedup {
       .drop("comp")
   }
 
+  /** Quality-aware [[dedupByPairs]]: keep the BEST document per
+    * duplicate cluster under (`scoreCol` desc, `idCol` asc) instead of
+    * the minimum id — the curation convention (near-dup groups keep the
+    * highest-quality/longest member, not an arbitrary one), with the id
+    * tiebreak keeping the choice deterministic on equal scores.
+    *
+    * Scale shape: one extra hash aggregate over (cluster →
+    * min(struct(-score, id))) and one keyed join vs the min-id form;
+    * clusters and singletons both route through the same argmin (a
+    * singleton is its own cluster), so no special-casing and no window.
+    */
+  def dedupByPairsBest(df: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val labeled = df.join(comps.withColumnRenamed("id", idCol),
+        Seq(idCol), "left")
+      .withColumn("__comp", coalesce(col("comp"), col(idCol)))
+    val best = labeled.groupBy("__comp")
+      .agg(min(struct((col(scoreCol) * -1).as("__ns"),
+        col(idCol).as("__bid"))).as("__b"))
+      .select(col("__comp"), col("__b.__bid").as("__best"))
+    labeled.join(best, "__comp")
+      .filter(col(idCol) === col("__best"))
+      .drop("__comp", "comp", "__best")
+  }
+
   /** Segment-level exact dedup: the line-level dedup of C4/RefinedWeb-style
     * corpus cleaning, here with a fixed `width`-token window segmenter
     * (this corpus has no newline structure; the operator is identical for

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.Dedup
+import graft.operators.{Classifier, Dedup}
 import org.apache.spark.sql.functions._
 
 /** Text / dedup operators for training-data pipelines on the `documents`
@@ -922,6 +922,69 @@ object TextOps {
          |ORDER BY n_spans DESC, passage LIMIT 10""".stripMargin) { (s, d) =>
       Dedup.topSharedPassages(Tables.documents(s, d), "doc_id", "text",
         w = 8, maxGramDf = 50, minSpan = 12, k = 10)
+    },
+
+    // q131: quality-aware dedup representatives ([[graft.operators
+    // .Dedup.dedupByPairsBest]]) — q126's span pairs become clusters
+    // (transitive closure), and each cluster keeps its BEST member by
+    // q97's integer classifier score (id tiebreak) instead of min-id.
+    // Oracle: recursive-CTE closure (q55 precedent) + row_number argmax.
+    QueryDef.sql(
+      "q131_best_rep_dedup",
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $T AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    md5(array_to_string(tk[i:i+7], ' ')) AS g
+         |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+         |        FROM t WHERE len(tk) >= 8)),
+         |kg AS (
+         |  SELECT g.doc_id, g.pos, g.g FROM g
+         |  JOIN (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g) f
+         |    ON g.g = f.g WHERE f.df BETWEEN 2 AND 50),
+         |m AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+         |    b.pos AS pb, b.pos - a.pos AS d
+         |  FROM kg a JOIN kg b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |r AS (
+         |  SELECT *, pa - row_number() OVER (
+         |    PARTITION BY id_a, id_b, d ORDER BY pa) AS run
+         |  FROM m),
+         |sp2 AS (
+         |  SELECT id_a, id_b
+         |  FROM r GROUP BY id_a, id_b, d, run
+         |  HAVING max(pa) - min(pa) + 8 >= 12),
+         |e AS (SELECT DISTINCT id_a AS src, id_b AS dst FROM sp2),
+         |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |reach(id, rr) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT s.dst, reach.rr FROM reach JOIN sym s ON s.src = reach.id),
+         |cmp AS (SELECT id, min(rr) AS comp FROM reach GROUP BY id),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(-3000000 - 40000*len($T) + 200000*len(list_distinct($T))
+         |      + 2000*len(regexp_replace(text, '\\s', '', 'g'))
+         |      + 300000*len(list_filter($T,
+         |          t -> t IN ('the','a','an','of','and','in','to','is','it','that')))
+         |      AS BIGINT) AS s
+         |  FROM documents),
+         |lab AS (
+         |  SELECT sc.doc_id, coalesce(cmp.comp, sc.doc_id) AS comp, sc.s
+         |  FROM sc LEFT JOIN cmp ON sc.doc_id = cmp.id),
+         |rk AS (
+         |  SELECT doc_id, comp, s, row_number() OVER (
+         |    PARTITION BY comp ORDER BY s DESC, doc_id) AS rn
+         |  FROM lab)
+         |SELECT doc_id, CAST(s AS BIGINT) AS score_micro
+         |FROM rk WHERE rn = 1""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val scored = Classifier.qualityClassify(
+          docs.select(col("doc_id"), col("text")), "text")
+        .select(col("doc_id"), col("score_micro"))
+      val pairs = Dedup.sharedSpans(docs, "doc_id", "text",
+        w = 8, maxGramDf = 50, minSpan = 12).select("id_a", "id_b")
+      Dedup.dedupByPairsBest(scored, "doc_id", "score_micro", pairs)
     },
 
     // q125: chunk-boundary table ([[graft.operators.Packing

@@ -584,6 +584,19 @@ class OperatorsSpec extends SparkSpec {
     assert(got2(11L) == ((0L, 0L, "")))
   }
 
+  test("dedupByPairsBest keeps the argmax-score rep, id tiebreak, singletons pass") {
+    import graft.operators.Dedup
+    // cluster {1,2,3} via transitive 1-2, 2-3: best is 3 (score 9, NOT
+    // min id); cluster {10,11} ties on score → 10 wins by id; 20 is a
+    // singleton and keeps itself
+    val docs = Seq((1L, 5L), (2L, 7L), (3L, 9L), (10L, 4L), (11L, 4L),
+      (20L, -2L)).toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByPairsBest(docs, "id", "score", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept == Map(3L -> 9L, 10L -> 4L, 20L -> -2L), s"got $kept")
+  }
+
   test("topSharedPassages ranks passages by instance count with holder counts") {
     import graft.operators.Dedup
     def toks(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
