@@ -248,6 +248,50 @@ object Similarity {
         min(col("__rank")).getField("cid").as("cell"))
   }
 
+  /** Embedding-distribution DRIFT via frozen-cell occupancy — the
+    * population-stability pattern lifted to embedding space: assign two
+    * corpus snapshots to the SAME frozen coarse cells (fit once, e.g.
+    * on the reference snapshot via [[sampleCentroidsPortable]]) and
+    * compare per-cell population shares in basis points. A new crawl
+    * whose topical mix shifted shows up as mass moving between cells
+    * long before any per-dimension moment moves — the embedding
+    * analogue of the q99 source-mix drift report.
+    *
+    * Scale shape: assignment is the pure-projection literal argmin (or
+    * the broadcast-join argmin past [[LiteralAssignLimit]] — same
+    * dispatch as [[semanticDedup]]); each snapshot collapses to ≤k
+    * count rows map-side before any join, and everything after is
+    * ≤k-row arithmetic. Exact integer shares (`·10⁴ div total`), so
+    * the report replays bit-identically on any engine.
+    *
+    * Output: (cell, n_a, n_b, share_bp_a, share_bp_b, delta_bp), one
+    * row per centroid (cells empty on both sides included — an
+    * emptied-out cell IS drift signal).
+    */
+  def cellOccupancyDrift(a: DataFrame, b: DataFrame,
+      cents: Seq[(Long, Array[Float])]): DataFrame = {
+    require(cents.nonEmpty, "cellOccupancyDrift needs at least one centroid")
+    val spark = a.sparkSession
+    import spark.implicits._
+    val assign: DataFrame => DataFrame =
+      if (cents.size <= LiteralAssignLimit) assignCellsLiteral(_, cents)
+      else assignCellsJoin(_, cents)
+    def counts(df: DataFrame, as: String) =
+      assign(df).groupBy("cell").agg(count(lit(1)).as(as))
+    val joined = cents.map(_._1).toDF("cell")
+      .join(counts(a, "__na"), Seq("cell"), "left")
+      .join(counts(b, "__nb"), Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("__na"), lit(0L)).as("n_a"),
+        coalesce(col("__nb"), lit(0L)).as("n_b"))
+    val tot = joined.agg(sum("n_a").as("__ta"), sum("n_b").as("__tb"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_a"), col("n_b"),
+        expr("(n_a * 10000) div greatest(__ta, 1)").as("share_bp_a"),
+        expr("(n_b * 10000) div greatest(__tb, 1)").as("share_bp_b"),
+        abs(expr("(n_a * 10000) div greatest(__ta, 1)") -
+          expr("(n_b * 10000) div greatest(__tb, 1)")).as("delta_bp"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the embedding space with the coarse quantizer, then drop —
     * WITHIN each cluster only — every vector that has ANY smaller-id

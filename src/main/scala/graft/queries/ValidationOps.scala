@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{BinPack, Profile, Quantize}
+import graft.operators.{BinPack, Profile, Quantize, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Corpus admission & layout operators (beyond-reference, SURVEY §2.11):
@@ -286,6 +286,57 @@ object ValidationOps {
         .unionByName(eventsTs)
         .select(col("check_name"), col("violations"),
           (col("violations") === 0L).as("passed"))
+    },
+
+    // q132: embedding-distribution drift via frozen-cell occupancy
+    // ([[graft.operators.Similarity.cellOccupancyDrift]]) — the PSI
+    // pattern in embedding space: even vec_ids are the reference
+    // snapshot (centroids fit there, md5-portable), odd vec_ids the
+    // new one; per frozen cell, populations and exact basis-point
+    // shares with the absolute share delta. The q99 drift report's
+    // embedding analogue.
+    QueryDef.sql(
+      "q132_embedding_drift",
+      """WITH a AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id % 2 = 0),
+        |b AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id % 2 = 1),
+        |cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+        |          FROM embeddings WHERE vec_id % 2 = 0
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 12),
+        |aa AS (
+        |  SELECT id, cid AS cell FROM (
+        |    SELECT a.id, c.cid, row_number() OVER (PARTITION BY a.id
+        |      ORDER BY list_dot_product(ce, ce) - 2 * list_dot_product(v, ce),
+        |        cid) AS rn
+        |    FROM a CROSS JOIN cents c) WHERE rn = 1),
+        |bb AS (
+        |  SELECT id, cid AS cell FROM (
+        |    SELECT b.id, c.cid, row_number() OVER (PARTITION BY b.id
+        |      ORDER BY list_dot_product(ce, ce) - 2 * list_dot_product(v, ce),
+        |        cid) AS rn
+        |    FROM b CROSS JOIN cents c) WHERE rn = 1),
+        |ca AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_a FROM aa GROUP BY cell),
+        |cb AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_b FROM bb GROUP BY cell),
+        |j AS (
+        |  SELECT cents.cid AS cell, coalesce(ca.n_a, 0) AS n_a,
+        |    coalesce(cb.n_b, 0) AS n_b
+        |  FROM cents LEFT JOIN ca ON cents.cid = ca.cell
+        |  LEFT JOIN cb ON cents.cid = cb.cell),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |             CAST(sum(n_b) AS BIGINT) AS tb FROM j)
+        |SELECT cell, n_a, n_b,
+        |  (n_a * 10000) // greatest(ta, 1) AS share_bp_a,
+        |  (n_b * 10000) // greatest(tb, 1) AS share_bp_b,
+        |  abs((n_a * 10000) // greatest(ta, 1)
+        |    - (n_b * 10000) // greatest(tb, 1)) AS delta_bp
+        |FROM j CROSS JOIN t""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val aDf = emb.filter(col("id") % 2 === 0)
+      val bDf = emb.filter(col("id") % 2 === 1)
+      Similarity.cellOccupancyDrift(aDf, bDf,
+        Similarity.sampleCentroidsPortable(aDf, 12))
     },
 
     // q105: per-dimension embedding moments in integer micro-units.

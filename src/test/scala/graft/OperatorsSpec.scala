@@ -677,6 +677,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("cellOccupancyDrift: exact bp shares, empty cells reported, equal snapshots zero-delta") {
+    // 2 axis centroids + 1 far decoy cell: A = 3 docs near c0 + 1 near
+    // c1; B = 1 near c0 + 3 near c1 — mass moved c0 → c1; the decoy
+    // cell is empty on BOTH sides and must still appear (zero row)
+    val cents = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)), (9L, Array(50f, 50f)))
+    val aDf = Seq(
+      (10L, Seq(0.9f, 0.1f)), (11L, Seq(1.1f, 0f)), (12L, Seq(0.8f, 0.2f)),
+      (13L, Seq(0.1f, 0.9f))).toDF("id", "embedding")
+    val bDf = Seq(
+      (20L, Seq(0.9f, 0f)), (21L, Seq(0f, 1.2f)), (22L, Seq(0.2f, 0.8f)),
+      (23L, Seq(0.1f, 1.1f))).toDF("id", "embedding")
+    val got = Similarity.cellOccupancyDrift(aDf, bDf, cents)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got(0L) == ((3L, 1L, 7500L, 2500L, 5000L)), s"got $got")
+    assert(got(1L) == ((1L, 3L, 2500L, 7500L, 5000L)), s"got $got")
+    assert(got(9L) == ((0L, 0L, 0L, 0L, 0L)), s"got $got")
+    // identical snapshots → delta_bp 0 everywhere
+    val same = Similarity.cellOccupancyDrift(aDf, aDf, cents)
+      .agg(max("delta_bp")).collect().head.getLong(0)
+    assert(same == 0L)
+  }
+
   test("assignCellsJoin: cell-identical to the literal argmin, and semanticDedup dispatches to it past the literal limit") {
     // 60 pseudo-random 8-dim vectors, 9 centroids drawn from them: the
     // broadcast-join argmin must reproduce the literal path's cells
