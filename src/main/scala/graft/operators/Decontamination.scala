@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.VectorExpressions
 
 /** Training-corpus decontamination: find corpus documents that CONTAIN a
   * benchmark/eval item, by distinct token n-gram overlap — the classic
@@ -170,5 +171,41 @@ object Decontamination {
       .withColumn("containment", col("n_shared") / col("n_bench_grams"))
       .filter(col("containment") >= minContainment)
       .select("id", "bench_id", "n_shared", "n_bench_grams", "containment")
+  }
+
+  /** SEMANTIC decontamination — the embedding-level overlap screen the
+    * n-gram paths above cannot see (a paraphrased benchmark item shares
+    * no 8-gram with its source but sits next to it in embedding space):
+    * flag every corpus vector whose cosine to ANY benchmark vector
+    * reaches `tau`. The blocking is the frozen coarse-quantizer cell
+    * trick ([[graft.operators.Similarity]]'s argmin, centroids fit on
+    * the BENCH side — it is the small, fixed set): only same-cell
+    * pairs are scored, so the candidate volume is corpus × (bench-per-
+    * cell), never corpus × bench. The recall trade (a near-dup pair
+    * split across a cell boundary is missed) is the same one SemDeDup
+    * ships with, documented there.
+    *
+    * Scale shape: both assignments are pure projections (no shuffle);
+    * the only exchange is the same-cell join keyed on cell, with the
+    * bench side broadcastable (benchmarks are ≤10⁵ rows by
+    * construction). Output rows only for CONTAMINATED corpus ids —
+    * (id, n_bench_hits, max_cos4).
+    */
+  def semanticScreen(corpus: DataFrame, bench: DataFrame, tau: Double,
+      nCentroids: Int): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    val cents = Similarity.sampleCentroidsPortable(bench, nCentroids)
+    val benchCells = Similarity.assignCellsLiteral(bench, cents)
+      .select(col("cell"), col("embedding").as("__bemb"))
+    Similarity.assignCellsLiteral(corpus, cents)
+      .join(broadcast(benchCells), Seq("cell"))
+      .select(col("id"),
+        VectorExpressions.cosineNative(col("embedding"), col("__bemb"))
+          .as("__cos"))
+      .filter(col("__cos") >= tau)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bench_hits"),
+        graft.functions.TextFunctions.round4hu(max(col("__cos")))
+          .as("max_cos4"))
   }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorFunctions
-import graft.operators.{ProductQuantizer, Similarity}
+import graft.operators.{Decontamination, ProductQuantizer, Similarity}
 import graft.functions.TextFunctions.round4hu
 import org.apache.spark.sql.functions._
 
@@ -116,6 +116,48 @@ object VectorOps {
         everyMs = 500)
         .groupBy("media_id")
         .agg(count(lit(1)).as("n_frames"), max("frame_ms").as("max_frame_ms"))
+    },
+
+    // q133: SEMANTIC decontamination ([[graft.operators.Decontamination
+    // .semanticScreen]]) — the embedding-level bench-overlap screen the
+    // n-gram paths (q73/q89) cannot see. Bench = vec_id % 4 == 0 (the
+    // small fixed set, centroids fit there md5-portably), corpus = the
+    // rest; same-cell cosine >= 0.4 flags a hit. Oracle replays fit,
+    // argmin assignment, same-cell join, and the rounded max cosine.
+    QueryDef.sql(
+      "q133_semantic_decontamination",
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |bench AS (SELECT * FROM e WHERE id % 4 = 0),
+        |corp AS (SELECT * FROM e WHERE id % 4 <> 0),
+        |cents AS (SELECT id AS cid, v AS ce FROM bench
+        |          ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8),
+        |bcell AS (
+        |  SELECT id AS bid, v AS bv, cell FROM (
+        |    SELECT bench.id, bench.v, c.cid AS cell,
+        |      row_number() OVER (PARTITION BY bench.id
+        |        ORDER BY list_dot_product(ce, ce) - 2 * list_dot_product(v, ce),
+        |          c.cid) AS rn
+        |    FROM bench CROSS JOIN cents c) WHERE rn = 1),
+        |ccell AS (
+        |  SELECT id, v, cell FROM (
+        |    SELECT corp.id, corp.v, c.cid AS cell,
+        |      row_number() OVER (PARTITION BY corp.id
+        |        ORDER BY list_dot_product(ce, ce) - 2 * list_dot_product(v, ce),
+        |          c.cid) AS rn
+        |    FROM corp CROSS JOIN cents c) WHERE rn = 1),
+        |hits AS (
+        |  SELECT cc.id, list_cosine_similarity(cc.v, b.bv) AS cos
+        |  FROM ccell cc JOIN bcell b USING (cell)
+        |  WHERE list_cosine_similarity(cc.v, b.bv) >= 0.4)
+        |SELECT id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+        |  floor(max(cos) * 10000.0 + 0.5) / 10000.0 AS max_cos4
+        |FROM hits GROUP BY id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding"))
+      Decontamination.semanticScreen(
+        emb.filter(col("id") % 4 =!= 0), emb.filter(col("id") % 4 === 0),
+        tau = 0.4, nCentroids = 8)
     },
 
     QueryDef.sql(

@@ -286,6 +286,28 @@ class CurationSpec extends SparkSpec {
     assert(z.getLong(4) == 1000000L && z.getString(5) == "upsample")
   }
 
+  test("semanticScreen flags same-cell near-dups and misses cross-cell (the documented trade)") {
+    import graft.operators.Decontamination
+    // bench = the two axis vectors → centroids = both (k = |bench|)
+    val bench = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+      .toDF("id", "embedding")
+    val corpus = Seq(
+      (10L, Seq(0.95f, 0.05f)), // cell c0, cos ≈ 0.9986 → hit
+      (11L, Seq(-1f, 0f)),      // cell c1, cos 0 → clean
+      (12L, Seq(0.8f, 0.6f)))   // cell c0: hits c0-bench at 0.8; its
+                                // 0.6 cosine to c1-bench is CROSS-CELL
+                                // and must be missed (the SemDeDup
+                                // blocking trade)
+      .toDF("id", "embedding")
+    val got = Decontamination.semanticScreen(corpus, bench,
+        tau = 0.5, nCentroids = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(10L, 12L), s"got $got")
+    assert(got(10L) == ((1L, 0.9986)), s"got $got")
+    assert(got(12L) == ((1L, 0.8)), s"got $got")
+  }
+
   test("mixtureTake: per-group budgets, quality-first, boundary and bucket edges") {
     // source a (target 12): quality order d1(s=3M,5t) → d3(s=2M,5t) →
     // d2(s=1M,5t); cum 5,10,15 → d2 straddles and is dropped.
