@@ -225,6 +225,46 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // Connected-components ladder (r11, q131's dependency): real
+    // near-dup clusters are tiny-diameter stars (converge in ~2
+    // rounds); the adversary is a long CHAIN, where min-label
+    // propagation alone needs O(diameter) rounds — pointer jumping must
+    // cut that to O(log diameter). The corpus plants 1024-node chains
+    // (0.1% of nodes) in a sea of 5-node stars; rounds are bounded by
+    // the chains, wall by the per-round joins over all edges.
+    if (args.contains("--cc-only")) {
+      val ccScales = if (posArgs.nonEmpty) posArgs.map(_.toLong)
+      else Seq(1000000L, 4000000L, 16000000L)
+      def ccEdges(n: Long) = {
+        val stars = spark.range(n).filter(pmod(col("id"), lit(5)) =!= 0)
+          .select(col("id").as("id_a"),
+            (col("id") - pmod(col("id"), lit(5))).as("id_b"))
+        val chainNodes = n / 1000 // 0.1% of ids, re-linked into chains
+        val chains = spark.range(chainNodes)
+          .filter(pmod(col("id") + 1, lit(1024)) =!= 0)
+          .select((col("id") + n).as("id_a"), (col("id") + n + 1).as("id_b"))
+        stars.unionByName(chains)
+      }
+      locally { // untimed JIT/codegen warmup
+        val w = ccEdges(50000L).cache(); w.count()
+        Dedup.connectedComponents(w).count()
+        w.unpersist()
+      }
+      val ladder = ccScales.map { n =>
+        val edges = ccEdges(n).cache()
+        val nEdges = edges.count()
+        val (t, nodes) = timed {
+          Dedup.connectedComponents(edges).count()
+        }
+        val comps = Dedup.connectedComponents(edges)
+          .select(countDistinct(col("comp"))).head().getLong(0)
+        edges.unpersist()
+        f"""{"n_edges":$nEdges,"cc":{"sec":$t%.2f,"nodes":$nodes,"comps":$comps}}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"cc_rehearsal","scales":$ladder}""")
+      spark.stop(); return
+    }
+
     // Auto-k past the literal ceiling (r11, VERDICT r10 #6): at
     // n ≥ 1.05M pseudo-random vectors auto-k = ⌈√n⌉ crosses 1024, so
     // the AUTO path now dispatches to the broadcast-join argmin instead
