@@ -77,4 +77,23 @@ object Evaluation {
         coalesce(col("dcg_u"), lit(0L)).as("dcg_u"),
         idcg(coalesce(col("n_rel"), lit(0L))).as("idcg_u"))
   }
+
+  /** Hard-negative mining (Karpukhin et al. 2020, DPR §4.2): the
+    * top-ranked candidates that are NOT relevant — exactly the
+    * "retriever confused these with the answer" rows contrastive
+    * training wants as negatives (random negatives are too easy; the
+    * retriever's own near-misses carry the gradient). Self-retrieval
+    * (qid = nid, rank 1 under doc-as-query) is excluded — a document
+    * is never its own negative.
+    *
+    * Both inputs are top-k-bounded, so the anti-join is broadcast-
+    * sized at any corpus scale. Output: (qid, nid, rank), rank 1-based
+    * from the ranking.
+    */
+  def hardNegatives(ranked: DataFrame, qrels: DataFrame): DataFrame =
+    ranked
+      .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"))
+      .filter(col("qid") =!= col("nid"))
+      .join(qrels.select("qid", "nid").distinct(), Seq("qid", "nid"),
+        "left_anti")
 }

@@ -287,6 +287,71 @@ object RankingOps {
       Retrieval.rrfFuse(bm, cos, k = 10)
     },
 
+    // q134: hard-negative mining ([[graft.operators.Evaluation
+    // .hardNegatives]], DPR) — q121's top-10 BM25 ranking minus the
+    // same-source qrels and minus self-retrieval: the retriever's
+    // near-misses, i.e. the contrastive-training negatives. Oracle =
+    // the q121 chain with a NOT-EXISTS final select.
+    QueryDef.sql(
+      "q134_hard_negatives",
+      s"""WITH toks AS (SELECT doc_id, $T AS tk FROM documents),
+         |q AS (SELECT DISTINCT doc_id AS qid, t AS term
+         |      FROM (SELECT doc_id, unnest(tk) AS t FROM toks
+         |            WHERE doc_id < 3)),
+         |posting AS (
+         |  SELECT doc_id, t AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+         |tot AS (SELECT count(*) AS n, CAST(sum(len(tk)) AS BIGINT) AS total
+         |        FROM toks),
+         |dft AS (
+         |  SELECT term, count(*) AS df FROM posting
+         |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1),
+         |idf AS (
+         |  SELECT term,
+         |    CAST(floor(ln(CAST(2 * tot.n + 2 AS DOUBLE) / (2 * df + 1))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS idf_u
+         |  FROM dft CROSS JOIN tot),
+         |contrib AS (
+         |  SELECT q.qid, p.doc_id,
+         |    (idf.idf_u * 22 * p.tf * t.total)
+         |      // (10 * p.tf * t.total + 3 * t.total + 9 * dl.dl * t.n) AS c
+         |  FROM q JOIN posting p USING (term) JOIN idf USING (term)
+         |  JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN tot t),
+         |score AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_u
+         |          FROM contrib GROUP BY 1, 2),
+         |bm AS (
+         |  SELECT qid, doc_id AS nid, rnk AS rank FROM (
+         |    SELECT qid, doc_id,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY score_u DESC, doc_id) AS rnk
+         |    FROM score) WHERE rnk <= 10),
+         |qrels AS (
+         |  SELECT a.doc_id AS qid, b.doc_id AS nid
+         |  FROM documents a JOIN documents b
+         |    ON a.source = b.source AND b.doc_id <> a.doc_id
+         |  WHERE a.doc_id < 3)
+         |SELECT bm.qid, bm.nid, CAST(bm.rank AS BIGINT) AS rank
+         |FROM bm
+         |WHERE bm.qid <> bm.nid
+         |  AND NOT EXISTS (SELECT 1 FROM qrels
+         |    WHERE qrels.qid = bm.qid AND qrels.nid = bm.nid)""".stripMargin) {
+      (s, d) =>
+      import graft.functions.TextFunctions.tokens
+      val docs = Tables.documents(s, d)
+      val qt = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), explode(tokens(col("text"))).as("term"))
+        .distinct()
+      val ranked = Retrieval.bm25TopK(docs, "doc_id", "text", qt, 10)
+        .select(col("qid"), col("doc").as("nid"), col("rnk").as("rank"))
+      val qrels = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("source").as("__qsrc"))
+        .join(docs.select(col("doc_id").as("nid"), col("source")),
+          col("__qsrc") === col("source") && col("qid") =!= col("nid"))
+        .select("qid", "nid")
+      Evaluation.hardNegatives(ranked, qrels)
+    },
+
     // q121: retrieval-quality metrics ([[graft.operators.Evaluation]])
     // — the evaluation layer over the BM25 retriever: doc-by-example
     // queries (doc_id < 3) ranked top-10, scored against a

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dsir, Influence, Retrieval, Sampling}
+import graft.operators.{Dsir, Evaluation, Influence, Retrieval, Sampling}
 import org.apache.spark.sql.functions._
 
 /** Ranking & selection operators: integer PageRank, BM25 retrieval,
@@ -235,6 +235,16 @@ class RankingSpec extends SparkSpec {
       Seq((9L, 1L), (9L, 2L)).toDF("qid", "nid"), k = 10)
       .collect().head
     assert(perfect.getLong(4) == perfect.getLong(5))
+  }
+
+  test("hardNegatives: non-relevant top ranks only, self and qrels excluded") {
+    val ranked = Seq((1L, 1L, 1), (1L, 5L, 2), (1L, 7L, 3), (1L, 8L, 4),
+      (2L, 9L, 1)).toDF("qid", "nid", "rank")
+    val qrels = Seq((1L, 5L), (1L, 5L)).toDF("qid", "nid") // dup collapses
+    val got = Evaluation.hardNegatives(ranked, qrels)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 1→1 is self, 1→5 is relevant; 1→7, 1→8 and the qrel-less 2→9 remain
+    assert(got == Set((1L, 7L, 3L), (1L, 8L, 4L), (2L, 9L, 1L)), s"got $got")
   }
 
   test("pageRankInteger and bpeMergeTable release their iteration caches") {
