@@ -96,4 +96,37 @@ object Evaluation {
       .filter(col("qid") =!= col("nid"))
       .join(qrels.select("qid", "nid").distinct(), Seq("qid", "nid"),
         "left_anti")
+
+  /** Recall@k self-audit: how much of the EXACT top-k an approximate
+    * ranking (IVF, LSH, ADC — anything emitting (qid, nid, rank))
+    * recovers, as an exact basis-point ratio per query. The in-engine
+    * version of the rehearsal ladders' recall column — a production
+    * index deployment runs this on a query sample after every rebuild,
+    * and a recall drop is the alarm that nProbe/centroids need
+    * retuning. Driven from the exact side's query set, so a query the
+    * approximate index returned NOTHING for still reports recall 0.
+    *
+    * Both inputs are top-k-bounded: every join and aggregate here is
+    * broadcast-sized regardless of corpus scale.
+    *
+    * Output: (qid, n_overlap, n_exact, recall_bp) with recall_bp =
+    * n_overlap·10⁴ div n_exact.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = approx.select(col("qid"), col("nid"),
+        col("rank").cast("long").as("rank"))
+      .filter(col("rank") <= k).drop("rank")
+    val e = exact.select(col("qid"), col("nid"),
+        col("rank").cast("long").as("rank"))
+      .filter(col("rank") <= k).drop("rank")
+    val ov = a.join(e, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
+    e.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      .join(broadcast(ov), Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        col("n_exact"),
+        expr("(coalesce(n_overlap, 0) * 10000) div n_exact").as("recall_bp"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorFunctions
-import graft.operators.{Decontamination, ProductQuantizer, Similarity}
+import graft.operators.{Decontamination, Evaluation, ProductQuantizer, Similarity}
 import graft.functions.TextFunctions.round4hu
 import org.apache.spark.sql.functions._
 
@@ -116,6 +116,71 @@ object VectorOps {
         everyMs = 500)
         .groupBy("media_id")
         .agg(count(lit(1)).as("n_frames"), max("frame_ms").as("max_frame_ms"))
+    },
+
+    // q135: ANN recall self-audit ([[graft.operators.Evaluation
+    // .recallAtK]]) — the in-engine version of the rehearsal ladders'
+    // recall column: IVF top-5 at nProbe 3/12 (q56's index) scored
+    // against the exact brute-force top-5 (q36's ranking) per query,
+    // as exact basis-point ratios. The post-rebuild index check a
+    // production deployment alarms on.
+    QueryDef.sql(
+      "q135_ann_recall",
+      """WITH c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ne
+        |           FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+        |          FROM embeddings
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 12),
+        |assign AS (
+        |  SELECT nid, ne, cid,
+        |    list_dot_product(ce, ce) - 2 * list_dot_product(ne, ce) AS dist
+        |  FROM c CROSS JOIN cents),
+        |cells AS (
+        |  SELECT nid, ne, cid AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY nid ORDER BY dist, cid) AS rn
+        |    FROM assign) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |      FROM embeddings WHERE vec_id < 10),
+        |qassign AS (
+        |  SELECT qid, qe, cid,
+        |    list_dot_product(ce, ce) - 2 * list_dot_product(qe, ce) AS dist
+        |  FROM q CROSS JOIN cents),
+        |probes AS (
+        |  SELECT qid, qe, cid AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+        |    FROM qassign) WHERE rn <= 3),
+        |iscored AS (
+        |  SELECT qid, nid, list_cosine_similarity(qe, ne) AS cos
+        |  FROM probes JOIN cells ON probes.cell = cells.cell WHERE qid <> nid),
+        |ivf AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        |    FROM iscored) WHERE rank <= 5),
+        |escored AS (
+        |  SELECT q.qid, c.nid, list_cosine_similarity(qe, ne) AS cos
+        |  FROM q CROSS JOIN c WHERE qid <> nid),
+        |ex AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        |    FROM escored) WHERE rank <= 5),
+        |ov AS (SELECT ivf.qid, CAST(count(*) AS BIGINT) AS n_overlap
+        |       FROM ivf JOIN ex ON ivf.qid = ex.qid AND ivf.nid = ex.nid
+        |       GROUP BY ivf.qid),
+        |ec AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact
+        |       FROM ex GROUP BY qid)
+        |SELECT ec.qid, coalesce(ov.n_overlap, 0) AS n_overlap, ec.n_exact,
+        |  (coalesce(ov.n_overlap, 0) * 10000) // ec.n_exact AS recall_bp
+        |FROM ec LEFT JOIN ov ON ec.qid = ov.qid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val queries = emb.filter(col("id") < 10)
+      val cents = Similarity.sampleCentroidsPortable(emb, 12)
+      Evaluation.recallAtK(
+        Similarity.ivfTopK(queries, emb, k = 5, nProbe = 3,
+          centroids = Some(cents)),
+        Similarity.bruteForceTopK(queries, emb, k = 5), k = 5)
     },
 
     // q133: SEMANTIC decontamination ([[graft.operators.Decontamination

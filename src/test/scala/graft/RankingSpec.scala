@@ -247,6 +247,21 @@ class RankingSpec extends SparkSpec {
     assert(got == Set((1L, 7L, 3L), (1L, 8L, 4L), (2L, 9L, 1L)), s"got $got")
   }
 
+  test("recallAtK: bp ratios, approx-absent queries report zero, ranks beyond k ignored") {
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (3L, 30L, 1)).toDF("qid", "nid", "rank")
+    val approx = Seq((1L, 10L, 1), (1L, 99L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 4)).toDF("qid", "nid", "rank")
+    val got = Evaluation.recallAtK(approx, exact, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((2L, 3L, 6666L)), s"got $got") // 10,12 hit; 99 miss
+    // q2: approx rank 4 for nid 21 is beyond k → only 20 counts
+    assert(got(2L) == ((1L, 2L, 5000L)), s"got $got")
+    // q3: approx returned nothing → recall 0, still reported
+    assert(got(3L) == ((0L, 1L, 0L)), s"got $got")
+  }
+
   test("pageRankInteger and bpeMergeTable release their iteration caches") {
     // repeated invocations (the --pr-only/--bpe-only ladders run 13+)
     // must not accumulate cached frames for the session's lifetime
