@@ -1007,6 +1007,31 @@ object Dedup {
     reassemble(base, kept, idCol, width)
   }
 
+  /** INTRA-document segment dedup — [[segmentDedup]]'s keep-first rule
+    * scoped to each document alone (the C4-style "drop repeated spans
+    * within a page" cleanup): a segment repeated INSIDE a doc keeps its
+    * first occurrence there, but two DIFFERENT docs sharing a segment
+    * both keep it — self-repetition is removed without any cross-doc
+    * coupling, so the operator is embarrassingly parallel by doc.
+    *
+    * Scale shape: the keep decision is one hash aggregate keyed on
+    * (id, digest) — min idx per pair, partial map-side, no window, no
+    * cross-doc shuffle semantics (the digest only ever meets digests of
+    * the same doc). Text rebuilds map-side via the same re-slicing as
+    * [[segmentDedup]].
+    *
+    * Output: idCol, `n_segs`, `n_kept`, `kept_text`.
+    */
+  def segmentDedupIntra(df: DataFrame, idCol: String, textCol: String,
+      width: Int): DataFrame = {
+    require(width > 0, s"segment width must be positive, got $width")
+    val base = segmentBase(df, idCol, textCol, width)
+    val kept = segmentPosts(base, width)
+      .groupBy("__id", "__h").agg(min("__idx").as("__idx"))
+      .select("__id", "__idx")
+    reassemble(base, kept, idCol, width)
+  }
+
   /** Distinct segment digests of `df` — the rows a segment-screening
     * ingest appends to its seen-index per batch.
     */

@@ -576,6 +576,38 @@ object TextOps {
       Dedup.segmentDedup(Tables.documents(s, d), "doc_id", "text", 16)
     },
 
+    // q136: INTRA-document segment dedup ([[graft.operators.Dedup
+    // .segmentDedupIntra]]) — q77's keep-first rule scoped per doc (the
+    // C4 "drop repeated spans within a page" cleanup): self-repetition
+    // goes, cross-doc sharing stays. One hash aggregate on (id, digest),
+    // no window, embarrassingly parallel by doc.
+    QueryDef.sql(
+      "q136_segment_dedup_intra",
+      s"""WITH t AS (SELECT doc_id, $T AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id, tk,
+         |    unnest(generate_series(0, CAST(ceil(len(tk)/16.0) AS BIGINT) - 1)) AS idx
+         |  FROM t WHERE len(tk) > 0),
+         |s AS (
+         |  SELECT doc_id, idx,
+         |    array_to_string(tk[idx*16+1 : idx*16+16], ' ') AS seg
+         |  FROM g),
+         |k AS (
+         |  SELECT doc_id, idx, seg,
+         |    row_number() OVER (PARTITION BY doc_id, md5(seg) ORDER BY idx) AS rn
+         |  FROM s),
+         |a AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    string_agg(seg, ' ' ORDER BY idx) AS kept_text
+         |  FROM k WHERE rn = 1 GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(ceil(len($T)/16.0) AS BIGINT) AS n_segs,
+         |  coalesce(a.n_kept, 0) AS n_kept,
+         |  coalesce(a.kept_text, '') AS kept_text
+         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin) { (s, d) =>
+      Dedup.segmentDedupIntra(Tables.documents(s, d), "doc_id", "text", 16)
+    },
+
     // q78: token-budget source mixing ([[graft.operators.Packing
     // .takeTokenBudget]]) — the first 800 tokens of each source in doc
     // order, truncation-free. The oracle's one-window-per-source running

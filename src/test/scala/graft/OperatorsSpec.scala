@@ -552,6 +552,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((7L, 8L, 6L)), s"hot grams must be df-capped: $got")
   }
 
+  test("segmentDedupIntra: self-repetition goes, cross-doc sharing stays") {
+    import graft.operators.Dedup
+    def seg(p: String) = (0 until 4).map(i => s"$p$i").mkString(" ")
+    // doc 1 repeats segment A internally (positions 0 and 2); doc 2
+    // also holds A — intra-doc dedup drops doc 1's second copy but
+    // BOTH docs keep A (contrast q77's global keep-first)
+    val docs = Seq(
+      (1L, Seq(seg("a"), seg("b"), seg("a")).mkString(" ")),
+      (2L, Seq(seg("a"), seg("c")).mkString(" "))).toDF("id", "text")
+    val got = Dedup.segmentDedupIntra(docs, "id", "text", 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((3L, 2L, seg("a") + " " + seg("b"))), s"got $got")
+    assert(got(2L) == ((2L, 2L, seg("a") + " " + seg("c"))), s"got $got")
+  }
+
   test("removeSpans: later doc loses the span, earlier keeps it; overlapping+adjacent cuts union") {
     import graft.operators.Dedup
     def toks(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
