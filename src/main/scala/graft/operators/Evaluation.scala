@@ -129,4 +129,60 @@ object Evaluation {
         col("n_exact"),
         expr("(coalesce(n_overlap, 0) * 10000) div n_exact").as("recall_bp"))
   }
+
+  /** Classification operating-point sweep — the confusion matrix and
+    * precision/recall/F1 of `scoreCol >= t` against a boolean
+    * `labelCol`, for every threshold t in one corpus pass. This is how
+    * the quality-gate threshold actually gets CHOSEN: [[Classifier]]
+    * emits a score, a curation pipeline needs the cut that trades
+    * precision (how clean is what we keep) against recall (how much
+    * good data we throw away), and sweeping candidate cuts over a
+    * labeled sample is the standard procedure (the PR curve, Manning
+    * et al. ch. 8.4). The ranking metrics above score retrievers; this
+    * scores the binary gates.
+    *
+    * Integer discipline: counts are exact BIGINTs and the ratios are
+    * exact basis points (`x·10⁴ div max(d,1)` — a zero denominator,
+    * e.g. a threshold above every score, reports 0, never NaN), so the
+    * sweep is bit-identical on any engine.
+    *
+    * Scale shape: ONE aggregate over the scored frame with 4·|T|
+    * conditional counters (map-side partials; the shuffle carries a
+    * single row), then the per-threshold rows are exploded from that
+    * one row — no row duplication, no per-threshold scan, no join.
+    * Rows with a null score or label are excluded up front (a silent
+    * `otherwise(0)` would misfile them as true negatives).
+    *
+    * Output: one row per threshold — (thr_micro, tp, fp, fn, tn,
+    * precision_bp, recall_bp, f1_bp).
+    */
+  def thresholdSweep(scored: DataFrame, scoreCol: String, labelCol: String,
+      thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    require(thresholds.distinct.size == thresholds.size,
+      s"duplicate thresholds in $thresholds")
+    val s = col(scoreCol).cast("long")
+    val lab = col(labelCol)
+    val clean = scored.filter(s.isNotNull && lab.isNotNull)
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) => Seq(
+      sum(when(s >= lit(t) && lab, 1L).otherwise(0L)).as(s"__tp$i"),
+      sum(when(s >= lit(t) && !lab, 1L).otherwise(0L)).as(s"__fp$i"),
+      sum(when(s < lit(t) && lab, 1L).otherwise(0L)).as(s"__fn$i"),
+      sum(when(s < lit(t) && !lab, 1L).otherwise(0L)).as(s"__tn$i"))
+    }
+    val one = clean.agg(aggs.head, aggs.tail: _*)
+    val perThr = thresholds.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("thr_micro"),
+        coalesce(col(s"__tp$i"), lit(0L)).as("tp"),
+        coalesce(col(s"__fp$i"), lit(0L)).as("fp"),
+        coalesce(col(s"__fn$i"), lit(0L)).as("fn"),
+        coalesce(col(s"__tn$i"), lit(0L)).as("tn"))
+    }
+    one.select(explode(array(perThr: _*)).as("r"))
+      .select(col("r.*"))
+      .withColumn("precision_bp", expr("(tp * 10000) div greatest(tp + fp, 1)"))
+      .withColumn("recall_bp", expr("(tp * 10000) div greatest(tp + fn, 1)"))
+      .withColumn("f1_bp",
+        expr("(2 * tp * 10000) div greatest(2 * tp + fp + fn, 1)"))
+  }
 }

@@ -246,6 +246,60 @@ object Packing {
       .write.mode("overwrite").partitionBy("shard_id").parquet(dir)
   }
 
+  /** Read-back integrity audit of a [[writeShards]] directory against
+    * its [[shardManifest]]: re-read the shard files, recompute every
+    * shard's chunk count, token count, and order-pinned fingerprint
+    * from what is actually ON DISK, and compare field-by-field with the
+    * manifest the writer recorded. This is the verification half of the
+    * manifest contract — "a trainer verifies a shard byte-for-byte
+    * without re-deriving the packing" is only true if something
+    * performs that verification, and at 100 TB (thousands of shard
+    * files moving through object stores and cache tiers) a post-write /
+    * pre-train audit pass is standard operational hygiene.
+    *
+    * The comparison join is FULL outer on shard_id, so a shard file
+    * that vanished (manifest row, no data) and an orphan file (data, no
+    * manifest row) both surface as mismatch rows instead of silently
+    * dropping out; missing-side counts read as 0.
+    *
+    * Scale shape: one scan of the shard directory + one hash aggregate
+    * keyed on shard_id (bounded at chunksPerShard fingerprints per
+    * group), joined against the manifest (one row per shard — tiny,
+    * broadcast). Shards audit independently; no coordination.
+    *
+    * Output: (shard_id, n_chunks, n_tokens, shard_fp [the manifest's
+    * record], chunks_match, tokens_match, fp_match).
+    */
+  def auditShards(spark: org.apache.spark.sql.SparkSession, dir: String,
+      manifest: DataFrame): DataFrame = {
+    // partition-column inference types shard_id as INT; align with the
+    // manifest's BIGINT before the join
+    val onDisk = spark.read.parquet(dir)
+      .select(col("shard_id").cast("long").as("shard_id"),
+        col("chunk_id"), col("n_tokens"), col("chunk_fp"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("rb_n_chunks"),
+        sum("n_tokens").cast("long").as("rb_n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("chunk_id"), col("chunk_fp")))),
+            x => x.getField("chunk_fp")),
+          " ")).as("rb_shard_fp"))
+    manifest
+      .select(col("shard_id").cast("long").as("shard_id"), col("n_chunks"),
+        col("n_tokens"), col("shard_fp"))
+      .join(onDisk, Seq("shard_id"), "full")
+      .select(col("shard_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("shard_fp"), lit("")).as("shard_fp"),
+        (coalesce(col("n_chunks"), lit(0L)) ===
+          coalesce(col("rb_n_chunks"), lit(0L))).as("chunks_match"),
+        (coalesce(col("n_tokens"), lit(0L)) ===
+          coalesce(col("rb_n_tokens"), lit(0L))).as("tokens_match"),
+        (coalesce(col("shard_fp"), lit("")) ===
+          coalesce(col("rb_shard_fp"), lit("?"))).as("fp_match"))
+  }
+
   /** Sliding-window chunking with overlap — the retrieval/eval-window
     * counterpart of [[packChunks]]: instead of concatenating documents
     * into a global token stream, each document is cut into

@@ -556,6 +556,52 @@ object CurationOps {
       driftOn("source").unionByName(driftOn("lang"))
         .select("dim", "value", "n_old", "n_new", "micro_old", "micro_new",
           "drift_micro", "l1_micro")
+    },
+
+    // q137: classifier operating-point sweep ([[graft.operators
+    // .Evaluation.thresholdSweep]]) — how the q86/q97 gate threshold
+    // gets CHOSEN: the q97 linear score swept over six candidate cuts
+    // against the q33 rule-based label (quality >= 40, i.e. medium or
+    // better), emitting the exact confusion matrix and basis-point
+    // precision/recall/F1 per cut. One corpus pass, 4·|T| conditional
+    // counters, a single-row shuffle — never a per-threshold scan.
+    QueryDef.sql(
+      "q137_threshold_sweep",
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    -3000000 - 40000*len($T) + 200000*len(list_distinct($T))
+         |      + 2000*len(regexp_replace(text, '\\s', '', 'g'))
+         |      + 300000*len(list_filter($T,
+         |          t -> t IN ('the','a','an','of','and','in','to','is','it','that')))
+         |      AS score_micro,
+         |    floor(100.0 * (
+         |      0.4 * least(n_chars / 500.0, 1.0) +
+         |      0.4 * (CAST(len(list_distinct($T)) AS DOUBLE) / greatest(len($T), 1)) +
+         |      0.2 * least((CAST(len(list_filter($T, t -> t IN ('the','a','an','of','and','in','to','is','it','that'))) AS DOUBLE)
+         |                   / greatest(len($T), 1)) * 5.0, 1.0)
+         |    ) * 10000.0 + 0.5) / 10000.0 >= 40.0 AS label
+         |  FROM documents),
+         |t(thr_micro) AS (VALUES (-2000000), (-1000000), (0),
+         |                        (1000000), (2000000), (4000000)),
+         |c AS (
+         |  SELECT thr_micro,
+         |    CAST(sum(CASE WHEN score_micro >= thr_micro AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN score_micro >= thr_micro AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN score_micro < thr_micro AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN score_micro < thr_micro AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM f CROSS JOIN t GROUP BY 1)
+         |SELECT CAST(thr_micro AS BIGINT) AS thr_micro, tp, fp, fn, tn,
+         |  CAST((tp * 10000) // greatest(tp + fp, 1) AS BIGINT) AS precision_bp,
+         |  CAST((tp * 10000) // greatest(tp + fn, 1) AS BIGINT) AS recall_bp,
+         |  CAST((2 * tp * 10000) // greatest(2 * tp + fp + fn, 1) AS BIGINT) AS f1_bp
+         |FROM c""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val scored = Classifier.qualityClassify(
+          docs.select(col("doc_id"), col("text"), col("n_chars")), "text")
+        .withColumn("label",
+          TextFunctions.qualityScore(col("text"), col("n_chars")) >= 40.0)
+      graft.operators.Evaluation.thresholdSweep(scored, "score_micro", "label",
+        Seq(-2000000L, -1000000L, 0L, 1000000L, 2000000L, 4000000L))
     }
   )
 }

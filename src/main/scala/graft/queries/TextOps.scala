@@ -1089,6 +1089,49 @@ object TextOps {
         graft.operators.Packing.packChunks(docs, "doc_id", "tk",
           capacity = 256, groupOf = expr("doc_id div 64")),
         chunksPerShard = 4)
+    },
+
+    // q138: shard read-back integrity audit ([[graft.operators.Packing
+    // .auditShards]]) — the verification half of q93's manifest
+    // contract, exercised end to end: write the q93 shards with
+    // writeShards, re-read the files, recompute each shard's count/
+    // token/fingerprint record from what is on disk, and compare with
+    // the manifest. The oracle replays the manifest from `documents`
+    // alone and asserts every match flag TRUE — so a hash match here
+    // proves the Spark write→read→recompute round trip preserved every
+    // chunk bit-for-bit, not merely that two in-memory frames agree.
+    QueryDef.sql(
+      "q138_shard_audit",
+      s"""WITH t AS (SELECT doc_id, $T AS tk FROM documents),
+         |c AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t),
+         |o AS (
+         |  SELECT doc_id, tk, n,
+         |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS off
+         |  FROM c),
+         |g AS (
+         |  SELECT doc_id, off, unnest(generate_series(1, n)) AS i, tk
+         |  FROM o WHERE n > 0),
+         |tok AS (SELECT off + i - 1 AS gpos, tk[i] AS tok FROM g),
+         |chunks AS (
+         |  SELECT gpos // 256 AS chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    md5(string_agg(tok, ' ' ORDER BY gpos)) AS chunk_fp
+         |  FROM tok GROUP BY 1)
+         |SELECT chunk_id // 4 AS shard_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(chunk_fp, ' ' ORDER BY chunk_id)) AS shard_fp,
+         |  true AS chunks_match, true AS tokens_match, true AS fp_match
+         |FROM chunks GROUP BY 1""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+      val chunks = graft.operators.Packing.packChunks(docs, "doc_id", "tk",
+        capacity = 256, groupOf = expr("doc_id div 64"))
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_shard_audit/" +
+        new java.io.File(d).getName
+      graft.operators.Packing.writeShards(chunks, dir, chunksPerShard = 4)
+      graft.operators.Packing.auditShards(s, dir,
+        graft.operators.Packing.shardManifest(chunks, chunksPerShard = 4))
     }
   )
 

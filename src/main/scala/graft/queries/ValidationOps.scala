@@ -366,6 +366,111 @@ object ValidationOps {
           min(floor(col("v") * 1e6 + 0.5)).as("min_u"),
           max(floor(col("v") * 1e6 + 0.5)).as("max_u"))
     },
+
+    // q139: packing-efficiency datasheet — the layout DECISION the two
+    // packing families feed: concat-and-chunk (q75/q80, zero padding
+    // but documents split across training sequences) vs whole-document
+    // next-fit (q101, boundaries intact but bins padded), compared at
+    // the same capacity in bins used, padding tokens, overflow tokens
+    // (a document longer than the capacity overfills its own next-fit
+    // bin — reported, never hidden), documents split, and basis-point
+    // utilization. Two single-row aggregates over frames the engine
+    // already builds; the oracle replays both layouts (global-window
+    // prefix sum + the recursive-CTE greedy walk) independently.
+    QueryDef.sql(
+      "q139_packing_efficiency",
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, source, doc_id % $LaneBuckets AS lane_bucket,
+         |    CAST(len($T) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |ord AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY source, lane_bucket ORDER BY doc_id) AS rn
+         |  FROM toks),
+         |pack AS (
+         |  SELECT source, lane_bucket, doc_id, n_tok, rn,
+         |    CAST(0 AS BIGINT) AS bin, n_tok AS bin_fill
+         |  FROM ord WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.source, o.lane_bucket, o.doc_id, o.n_tok, o.rn,
+         |    CASE WHEN p.bin_fill > 0 AND p.bin_fill + o.n_tok > $Capacity
+         |         THEN p.bin + 1 ELSE p.bin END,
+         |    CASE WHEN p.bin_fill > 0 AND p.bin_fill + o.n_tok > $Capacity
+         |         THEN o.n_tok ELSE p.bin_fill + o.n_tok END
+         |  FROM pack p JOIN ord o
+         |    ON o.source = p.source AND o.lane_bucket = p.lane_bucket
+         |   AND o.rn = p.rn + 1),
+         |fills AS (
+         |  SELECT source, lane_bucket, bin, CAST(max(bin_fill) AS BIGINT) AS fill
+         |  FROM pack GROUP BY 1, 2, 3),
+         |nf AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_bins,
+         |    CAST(sum(greatest($Capacity - fill, 0)) AS BIGINT) AS padding_tokens,
+         |    CAST(sum(greatest(fill - $Capacity, 0)) AS BIGINT) AS overflow_tokens,
+         |    CAST(sum(fill) AS BIGINT) AS n_tokens
+         |  FROM fills),
+         |o AS (
+         |  SELECT doc_id, n_tok AS n_tokens,
+         |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS "offset"
+         |  FROM toks),
+         |ca AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(coalesce(max(CASE WHEN n_tokens > 0
+         |      THEN ("offset" + n_tokens - 1) // $Capacity END), -1) + 1
+         |      AS BIGINT) AS n_bins,
+         |    CAST(sum(CASE WHEN n_tokens > 0
+         |      AND ("offset" + n_tokens - 1) // $Capacity > "offset" // $Capacity
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_split
+         |  FROM o)
+         |SELECT 'concat_chunk' AS strategy, CAST($Capacity AS BIGINT) AS capacity,
+         |  n_bins, n_tokens,
+         |  CAST(n_bins * $Capacity - n_tokens AS BIGINT) AS padding_tokens,
+         |  CAST(0 AS BIGINT) AS overflow_tokens, n_docs_split,
+         |  CAST((n_tokens * 10000) // greatest(n_bins * $Capacity, 1) AS BIGINT)
+         |    AS utilization_bp
+         |FROM ca
+         |UNION ALL
+         |SELECT 'nextfit_whole_doc', CAST($Capacity AS BIGINT), n_bins, n_tokens,
+         |  padding_tokens, overflow_tokens, CAST(0 AS BIGINT),
+         |  CAST((n_tokens * 10000) // greatest(n_bins * $Capacity, 1) AS BIGINT)
+         |FROM nf""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(
+        col("source"),
+        pmod(col("doc_id"), lit(LaneBuckets.toLong)).as("lane_bucket"),
+        col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+      val placed = graft.operators.Packing.concatChunkPlacement(
+        docs.select(col("doc_id"), col("n_tok").as("n_tokens")),
+        "doc_id", "n_tokens", Capacity, groupOf = expr("doc_id div 64"))
+      val ca = placed.agg(
+          sum("n_tokens").cast("long").as("n_tokens"),
+          (coalesce(max("last_chunk").cast("long"), lit(-1L)) + 1L).as("n_bins"),
+          sum(when(col("n_chunks") > 1, 1L).otherwise(0L)).cast("long")
+            .as("n_docs_split"))
+        .select(lit("concat_chunk").as("strategy"),
+          lit(Capacity).as("capacity"), col("n_bins"), col("n_tokens"),
+          (col("n_bins") * Capacity - col("n_tokens")).as("padding_tokens"),
+          lit(0L).as("overflow_tokens"), col("n_docs_split"))
+      val fills = BinPack.nextFit(docs, Seq("source", "lane_bucket"),
+          "doc_id", "n_tok", Capacity)
+        .groupBy("source", "lane_bucket", "bin")
+        .agg(max("bin_fill").cast("long").as("fill"))
+      val nf = fills.agg(
+          count(lit(1)).as("n_bins"),
+          sum(greatest(lit(Capacity) - col("fill"), lit(0L))).cast("long")
+            .as("padding_tokens"),
+          sum(greatest(col("fill") - lit(Capacity), lit(0L))).cast("long")
+            .as("overflow_tokens"),
+          sum(col("fill")).cast("long").as("n_tokens"))
+        .select(lit("nextfit_whole_doc").as("strategy"),
+          lit(Capacity).as("capacity"), col("n_bins"), col("n_tokens"),
+          col("padding_tokens"), col("overflow_tokens"),
+          lit(0L).as("n_docs_split"))
+      ca.unionByName(nf).withColumn("utilization_bp",
+        expr(s"(n_tokens * 10000) div greatest(n_bins * $Capacity, 1)"))
+    },
   )
 
   /** q103 oracle: one UNION ALL branch per profiled column, types aligned

@@ -509,6 +509,41 @@ class OperatorsSpec extends SparkSpec {
       back.select("chunk_id", "n_tokens", "chunk_fp").except(chunks).isEmpty)
   }
 
+  test("auditShards: clean round trip all-true; tampered manifest and ghost shard surface as mismatches") {
+    import graft.operators.Packing
+    val docs = Seq(
+      (0L, Seq("a0", "a1", "a2")),
+      (1L, Seq("b0", "b1", "b2", "b3")),
+      (2L, Seq("c0", "c1"))
+    ).toDF("id", "tk")
+    val chunks = Packing.packChunks(docs, "id", "tk", capacity = 4,
+      groupOf = expr("id div 2"))
+    val manifest = Packing.shardManifest(chunks, chunksPerShard = 2)
+    val dir = java.nio.file.Files.createTempDirectory("audit").toFile.getAbsolutePath
+    Packing.writeShards(chunks, dir, chunksPerShard = 2)
+    val clean = Packing.auditShards(spark, dir, manifest).collect()
+    assert(clean.nonEmpty && clean.forall(r =>
+      r.getAs[Boolean]("chunks_match") && r.getAs[Boolean]("tokens_match") &&
+        r.getAs[Boolean]("fp_match")), clean.mkString(";"))
+    // a corrupted fingerprint in the manifest must flag ONLY that shard
+    val tampered = manifest.withColumn("shard_fp",
+      when(col("shard_id") === 0L, lit("deadbeef")).otherwise(col("shard_fp")))
+    val t = Packing.auditShards(spark, dir, tampered)
+      .collect().map(r => r.getAs[Long]("shard_id") ->
+        ((r.getAs[Boolean]("chunks_match"), r.getAs[Boolean]("fp_match")))).toMap
+    assert(t(0L) == ((true, false)) && t(1L) == ((true, true)), s"$t")
+    // a manifest row whose shard file does not exist (ghost shard) must
+    // surface as a mismatch row, not silently drop out of the join
+    val ghost = manifest.unionByName(
+      Seq((9L, 2L, 8L, "feedface")).toDF("shard_id", "n_chunks", "n_tokens", "shard_fp"))
+    val g = Packing.auditShards(spark, dir, ghost)
+      .collect().map(r => r.getAs[Long]("shard_id") ->
+        ((r.getAs[Boolean]("chunks_match"), r.getAs[Boolean]("tokens_match"),
+          r.getAs[Boolean]("fp_match")))).toMap
+    assert(g(9L) == ((false, false, false)), s"$g")
+    assert(g(0L) == ((true, true, true)) && g(1L) == ((true, true, true)), s"$g")
+  }
+
   test("sharedSpans finds planted verbatim spans with exact offsets; gaps split runs") {
     import graft.operators.Dedup
     def toks(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")

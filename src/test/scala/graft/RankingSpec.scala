@@ -262,6 +262,24 @@ class RankingSpec extends SparkSpec {
     assert(got(3L) == ((0L, 1L, 0L)), s"got $got")
   }
 
+  test("thresholdSweep: confusion counts, bp ratios, null rows excluded, empty-prediction zero") {
+    val scored = Seq(
+      (1L, Some(100L), Some(true)), (2L, Some(50L), Some(true)),
+      (3L, Some(-10L), Some(false)), (4L, Some(200L), Some(false)),
+      (5L, Some(-100L), Some(true)),
+      // null score / null label rows must not be misfiled as tn
+      (6L, None, Some(true)), (7L, Some(5L), None))
+      .toDF("id", "score", "label")
+    val got = Evaluation.thresholdSweep(scored, "score", "label", Seq(0L, 1000L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // t=0: pred {1,2,4} → tp=2 fp=1; rest {3,5} → fn=1 tn=1
+    assert(got(0L) == ((2L, 1L, 1L, 1L, 6666L, 6666L, 6666L)), s"got $got")
+    // t=1000: nothing predicted → zero ratios, never NaN/divide-by-zero
+    assert(got(1000L) == ((0L, 0L, 3L, 2L, 0L, 0L, 0L)), s"got $got")
+  }
+
   test("pageRankInteger and bpeMergeTable release their iteration caches") {
     // repeated invocations (the --pr-only/--bpe-only ladders run 13+)
     // must not accumulate cached frames for the session's lifetime
