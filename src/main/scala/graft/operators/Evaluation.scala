@@ -185,4 +185,52 @@ object Evaluation {
       .withColumn("f1_bp",
         expr("(2 * tp * 10000) div greatest(2 * tp + fp + fn, 1)"))
   }
+
+  /** Exact ROC-AUC per group — the threshold-free companion of
+    * [[thresholdSweep]]: where the sweep scores a handful of candidate
+    * cuts, AUC scores the classifier's whole ranking at once, via the
+    * rank-sum identity AUC = U / (n_pos·n_neg) with the Mann-Whitney
+    * statistic U = #{(p,n) pairs with score_p > score_n} + ½·#{ties}
+    * (Fawcett, "An introduction to ROC analysis", 2006). The ½ makes U
+    * fractional, so the engine carries `u2` = 2·U — an exact BIGINT:
+    * grouping rows by distinct score with (pos_s, neg_s) counts and an
+    * exclusive running sum `cumneg_s` of negatives at strictly lower
+    * scores, u2 = Σ_s pos_s·(2·cumneg_s + neg_s). `auc_bp` =
+    * u2·10⁴ div (2·n_pos·n_neg) — 5000 bp = chance, 10000 = perfect.
+    *
+    * Degenerate groups (no positives or no negatives — AUC undefined)
+    * report u2 = 0 and auc_bp = 0 via the div-by-greatest guard rather
+    * than NaN; callers filter on n_pos/n_neg. Null score/label rows
+    * are excluded up front, as in [[thresholdSweep]]. Exact while
+    * 2·n_pos·n_neg < 2⁶³ — i.e. any labeled group under ~2·10⁹ rows a
+    * side, far past any real labeled calibration sample (AUC is
+    * computed on labeled holdouts, not the raw corpus).
+    *
+    * Scale shape: one hash aggregate collapses the corpus to one row
+    * per (group, distinct score); the exclusive negative prefix is
+    * [[Packing.runningOffset]]'s two-phase sum (phase-1 parallelism
+    * from monotone million-unit score buckets, phase 2 over per-bucket
+    * totals only) — no unpartitioned window over the score axis; then
+    * one more hash aggregate back to one row per group.
+    *
+    * Output: one row per group — groupCols + (n_pos, n_neg, u2,
+    * auc_bp).
+    */
+  def rocAuc(scored: DataFrame, scoreCol: String, labelCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val s = col(scoreCol).cast("long")
+    val lab = col(labelCol)
+    val gcols = groupCols.map(col)
+    val byScore = scored.filter(s.isNotNull && lab.isNotNull)
+      .groupBy(gcols :+ s.as("__score"): _*)
+      .agg(sum(when(lab, 1L).otherwise(0L)).as("__pos"),
+        sum(when(!lab, 1L).otherwise(0L)).as("__neg"))
+    val withCum = Packing.runningOffset(byScore, Seq(col("__score")), "__neg",
+      groupOf = expr("__score div 1000000"), partitionCols = groupCols)
+    withCum.groupBy(gcols: _*)
+      .agg(sum("__pos").as("n_pos"), sum("__neg").as("n_neg"),
+        sum(col("__pos") * (lit(2L) * col("offset") + col("__neg"))).as("u2"))
+      .withColumn("auc_bp",
+        expr("(u2 * 10000) div greatest(2 * n_pos * n_neg, 1)"))
+  }
 }

@@ -602,6 +602,57 @@ object CurationOps {
           TextFunctions.qualityScore(col("text"), col("n_chars")) >= 40.0)
       graft.operators.Evaluation.thresholdSweep(scored, "score_micro", "label",
         Seq(-2000000L, -1000000L, 0L, 1000000L, 2000000L, 4000000L))
+    },
+
+    // q140: exact per-source ROC-AUC ([[graft.operators.Evaluation
+    // .rocAuc]]) — q137's threshold-free companion: the q97 classifier
+    // ranked against the q33 rule label via the Mann-Whitney rank-sum
+    // identity, u2 = 2·U carried as an exact BIGINT (ties count once
+    // in u2), auc_bp = u2·10⁴ div (2·n_pos·n_neg). Per source, so a
+    // source whose label is one-sided reports the documented 0. The
+    // oracle replays the (score → pos/neg counts → exclusive cumneg)
+    // chain with a plain window; the engine's prefix is the two-phase
+    // runningOffset — no unpartitioned window over the score axis.
+    QueryDef.sql(
+      "q140_roc_auc",
+      s"""WITH f AS (
+         |  SELECT doc_id, source,
+         |    -3000000 - 40000*len($T) + 200000*len(list_distinct($T))
+         |      + 2000*len(regexp_replace(text, '\\s', '', 'g'))
+         |      + 300000*len(list_filter($T,
+         |          t -> t IN ('the','a','an','of','and','in','to','is','it','that')))
+         |      AS score_micro,
+         |    floor(100.0 * (
+         |      0.4 * least(n_chars / 500.0, 1.0) +
+         |      0.4 * (CAST(len(list_distinct($T)) AS DOUBLE) / greatest(len($T), 1)) +
+         |      0.2 * least((CAST(len(list_filter($T, t -> t IN ('the','a','an','of','and','in','to','is','it','that'))) AS DOUBLE)
+         |                   / greatest(len($T), 1)) * 5.0, 1.0)
+         |    ) * 10000.0 + 0.5) / 10000.0 >= 40.0 AS label
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, score_micro,
+         |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         |    CAST(sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT) AS neg
+         |  FROM f GROUP BY 1, 2),
+         |o AS (
+         |  SELECT *, coalesce(sum(neg) OVER (PARTITION BY source
+         |    ORDER BY score_micro
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+         |  FROM g)
+         |SELECT source, CAST(sum(pos) AS BIGINT) AS n_pos,
+         |  CAST(sum(neg) AS BIGINT) AS n_neg,
+         |  CAST(sum(pos * (2 * cumneg + neg)) AS BIGINT) AS u2,
+         |  CAST(sum(pos * (2 * cumneg + neg)) * 10000
+         |    // greatest(2 * sum(pos) * sum(neg), 1) AS BIGINT) AS auc_bp
+         |FROM o GROUP BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val scored = Classifier.qualityClassify(
+          docs.select(col("doc_id"), col("source"), col("text"), col("n_chars")),
+          "text")
+        .withColumn("label",
+          TextFunctions.qualityScore(col("text"), col("n_chars")) >= 40.0)
+      graft.operators.Evaluation.rocAuc(scored, "score_micro", "label",
+        Seq("source"))
     }
   )
 }

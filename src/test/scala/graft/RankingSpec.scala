@@ -280,6 +280,28 @@ class RankingSpec extends SparkSpec {
     assert(got(1000L) == ((0L, 0L, 3L, 2L, 0L, 0L, 0L)), s"got $got")
   }
 
+  test("rocAuc: rank-sum with ties, perfect separation, degenerate group, null rows") {
+    val scored = Seq(
+      // group a: pos at {10, 5, 5}, neg at {5, 1} → U = 5 (one tie pair
+      // per pos-at-5), u2 = 10, AUC = 5/6 → 8333 bp
+      ("a", Some(10L), Some(true)), ("a", Some(5L), Some(true)),
+      ("a", Some(5L), Some(true)), ("a", Some(5L), Some(false)),
+      ("a", Some(1L), Some(false)),
+      // group b: all positive → AUC undefined, documented 0
+      ("b", Some(1L), Some(true)), ("b", Some(2L), Some(true)),
+      // group c: perfect separation → 10000 bp
+      ("c", Some(100L), Some(true)), ("c", Some(1L), Some(false)),
+      // null label / null score rows must be excluded, not counted
+      ("a", Some(999L), None), ("a", None, Some(false)))
+      .toDF("src", "score", "label")
+    val got = Evaluation.rocAuc(scored, "score", "label", Seq("src"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") == ((3L, 2L, 10L, 8333L)), s"got $got")
+    assert(got("b") == ((2L, 0L, 0L, 0L)), s"got $got")
+    assert(got("c") == ((1L, 1L, 2L, 10000L)), s"got $got")
+  }
+
   test("pageRankInteger and bpeMergeTable release their iteration caches") {
     // repeated invocations (the --pr-only/--bpe-only ladders run 13+)
     // must not accumulate cached frames for the session's lifetime
