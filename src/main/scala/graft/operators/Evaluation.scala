@@ -233,4 +233,43 @@ object Evaluation {
       .withColumn("auc_bp",
         expr("(u2 * 10000) div greatest(2 * n_pos * n_neg, 1)"))
   }
+
+  /** Reliability (calibration) table — the third leg of the
+    * classifier-eval triptych: [[thresholdSweep]] picks the operating
+    * point, [[rocAuc]] scores the ranking, this answers "when the
+    * score says X, how often is the label actually positive?"
+    * (Niculescu-Mizil & Caruana, ICML 2005). A classifier can have
+    * high AUC and still be badly calibrated; a curation pipeline that
+    * INTERPRETS the score (weighting documents by predicted quality
+    * rather than gating) needs this table.
+    *
+    * Scores are bucketed by integral division `score div bucketMicro`
+    * — BOTH engines truncate integer division toward zero (Spark
+    * `div`, DuckDB `//`), so bucket edges are bit-identical, including
+    * for negative scores (the spec pins a negative-score bucket). Per
+    * bucket: doc count, positive count, and the empirical positive
+    * rate in exact basis points. Null score/label rows are excluded up
+    * front, as in [[thresholdSweep]].
+    *
+    * Scale shape: one projection + one hash aggregate on the bucket
+    * key (map-side partials; result rows = #occupied buckets).
+    *
+    * Output: (bucket, score_lo_micro [= bucket·bucketMicro], n,
+    * n_pos, pos_rate_bp).
+    */
+  def calibrationTable(scored: DataFrame, scoreCol: String, labelCol: String,
+      bucketMicro: Long): DataFrame = {
+    require(bucketMicro > 0, s"bucketMicro must be positive, got $bucketMicro")
+    val s = col(scoreCol).cast("long")
+    val lab = col(labelCol)
+    scored.filter(s.isNotNull && lab.isNotNull)
+      .select(expr(s"cast($scoreCol as bigint) div $bucketMicro").as("bucket"),
+        lab.as("__lab"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__lab"), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("score_lo_micro", col("bucket") * bucketMicro)
+      .withColumn("pos_rate_bp", expr("(n_pos * 10000) div greatest(n, 1)"))
+      .select("bucket", "score_lo_micro", "n", "n_pos", "pos_rate_bp")
+  }
 }

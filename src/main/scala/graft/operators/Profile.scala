@@ -131,4 +131,42 @@ object Profile {
         expr("coalesce(n_distinct_trigrams, 0) * 10000 div " +
           "greatest(coalesce(n_trigrams, 0), 1)").as("trigram_diversity_bp"))
   }
+
+  /** Log2-bucketed token-length histogram per source — the length
+    * DISTRIBUTION behind [[corpusDatasheet]]'s totals, and the input
+    * the packing-capacity decision (q139) actually needs: how much
+    * document mass sits above/below a candidate sequence length, and
+    * whether a source is dominated by snippets or long-form. Log2
+    * buckets because document lengths are heavy-tailed — linear bins
+    * put everything in two rows.
+    *
+    * The bucket is the exact integer ⌊log2 n⌋ computed WITHOUT floats:
+    * `length(bin(n)) - 1` (binary-digit count; both Spark and DuckDB
+    * render bin() without leading zeros), so bucket edges are
+    * bit-exact on any engine — a float log2 would misfile exact powers
+    * of two on rounding. Zero-token docs get the sentinel bucket -1
+    * with bucket_lo 0 (reported, never dropped — empty-doc mass is a
+    * data-quality signal in its own right).
+    *
+    * Scale shape: one projection + one hash aggregate on
+    * (source, bucket) — ≤ |sources|·64 result rows, map-side partials
+    * collapse each input partition first.
+    *
+    * Output: (source, bucket, bucket_lo [= 2^bucket tokens], n_docs,
+    * n_tokens).
+    */
+  def tokenLengthHistogram(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val n = size(tokens(col(textCol))).cast("long")
+    docs.select(col(sourceCol), n.as("__n"))
+      .withColumn("bucket", when(col("__n") <= 0L, lit(-1L))
+        .otherwise(length(bin(col("__n"))).cast("long") - 1L))
+      .groupBy(sourceCol, "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("__n").as("n_tokens"))
+      .withColumn("bucket_lo", when(col("bucket") < 0L, lit(0L))
+        .otherwise(expr("shiftleft(cast(1 as bigint), cast(bucket as int))")))
+      .select(col(sourceCol), col("bucket"), col("bucket_lo"),
+        col("n_docs"), col("n_tokens"))
+  }
 }

@@ -653,6 +653,47 @@ object CurationOps {
           TextFunctions.qualityScore(col("text"), col("n_chars")) >= 40.0)
       graft.operators.Evaluation.rocAuc(scored, "score_micro", "label",
         Seq("source"))
+    },
+
+    // q142: calibration (reliability) table ([[graft.operators
+    // .Evaluation.calibrationTable]]) — the triptych's third leg after
+    // q137 (operating point) and q140 (ranking): per million-unit
+    // score bucket, how often the q33 rule label is actually positive.
+    // Bucketing is integral `div` — toward-zero truncation on BOTH
+    // engines (spec-pinned for negatives), so edges are bit-identical.
+    // One projection + one hash aggregate on the bucket key.
+    QueryDef.sql(
+      "q142_calibration",
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    -3000000 - 40000*len($T) + 200000*len(list_distinct($T))
+         |      + 2000*len(regexp_replace(text, '\\s', '', 'g'))
+         |      + 300000*len(list_filter($T,
+         |          t -> t IN ('the','a','an','of','and','in','to','is','it','that')))
+         |      AS score_micro,
+         |    floor(100.0 * (
+         |      0.4 * least(n_chars / 500.0, 1.0) +
+         |      0.4 * (CAST(len(list_distinct($T)) AS DOUBLE) / greatest(len($T), 1)) +
+         |      0.2 * least((CAST(len(list_filter($T, t -> t IN ('the','a','an','of','and','in','to','is','it','that'))) AS DOUBLE)
+         |                   / greatest(len($T), 1)) * 5.0, 1.0)
+         |    ) * 10000.0 + 0.5) / 10000.0 >= 40.0 AS label
+         |  FROM documents),
+         |c AS (
+         |  SELECT score_micro // 1000000 AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+         |  FROM f GROUP BY 1)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(bucket * 1000000 AS BIGINT) AS score_lo_micro, n, n_pos,
+         |  CAST((n_pos * 10000) // greatest(n, 1) AS BIGINT) AS pos_rate_bp
+         |FROM c""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val scored = Classifier.qualityClassify(
+          docs.select(col("doc_id"), col("text"), col("n_chars")), "text")
+        .withColumn("label",
+          TextFunctions.qualityScore(col("text"), col("n_chars")) >= 40.0)
+      graft.operators.Evaluation.calibrationTable(scored, "score_micro",
+        "label", 1000000L)
     }
   )
 }

@@ -471,6 +471,29 @@ object ValidationOps {
       ca.unionByName(nf).withColumn("utilization_bp",
         expr(s"(n_tokens * 10000) div greatest(n_bins * $Capacity, 1)"))
     },
+
+    // q141: log2 token-length histogram ([[graft.operators.Profile
+    // .tokenLengthHistogram]]) — the length distribution behind the
+    // q117 datasheet totals and the input the q139 capacity decision
+    // needs. The bucket is the bit-exact integer ⌊log2 n⌋ via
+    // `length(bin(n)) - 1` (no float log2 — exact powers of two cannot
+    // misfile on rounding); empty docs keep the -1 sentinel row. One
+    // hash aggregate, ≤ |sources|·64 rows out.
+    QueryDef.sql(
+      "q141_length_histogram",
+      s"""WITH f AS (
+         |  SELECT source, CAST(len($T) AS BIGINT) AS n FROM documents)
+         |SELECT source,
+         |  CAST(CASE WHEN n <= 0 THEN -1 ELSE len(bin(n)) - 1 END
+         |    AS BIGINT) AS bucket,
+         |  CAST(CASE WHEN n <= 0 THEN 0
+         |    ELSE (CAST(1 AS BIGINT) << (len(bin(n)) - 1)) END
+         |    AS BIGINT) AS bucket_lo,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS n_tokens
+         |FROM f GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      Profile.tokenLengthHistogram(Tables.documents(s, d))
+    },
   )
 
   /** q103 oracle: one UNION ALL branch per profiled column, types aligned

@@ -302,6 +302,29 @@ class RankingSpec extends SparkSpec {
     assert(got("c") == ((1L, 1L, 2L, 10000L)), s"got $got")
   }
 
+  test("calibrationTable: bucket edges (incl. negative truncation), rates, null exclusion") {
+    val scored = Seq(
+      // bucket 0 (scores 0..9 at width 10): 2 rows, 1 pos
+      (Some(0L), Some(true)), (Some(9L), Some(false)),
+      // bucket 1: 1 row, 1 pos
+      (Some(10L), Some(true)),
+      // negative scores: -5 div 10 = 0 under BOTH engines' toward-zero
+      // truncation (NOT floor's -1) — pinned here so the oracle
+      // convention can never drift
+      (Some(-5L), Some(false)),
+      // bucket -1: -10 div 10
+      (Some(-10L), Some(true)),
+      (None, Some(true)), (Some(3L), None))
+      .toDF("score", "label")
+    val got = Evaluation.calibrationTable(scored, "score", "label", 10L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(0L) == ((0L, 3L, 1L, 3333L)), s"got $got")
+    assert(got(1L) == ((10L, 1L, 1L, 10000L)), s"got $got")
+    assert(got(-1L) == ((-10L, 1L, 1L, 10000L)), s"got $got")
+    assert(got.size == 3, s"got $got")
+  }
+
   test("pageRankInteger and bpeMergeTable release their iteration caches") {
     // repeated invocations (the --pr-only/--bpe-only ladders run 13+)
     // must not accumulate cached frames for the session's lifetime

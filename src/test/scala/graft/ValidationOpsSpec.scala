@@ -197,4 +197,24 @@ class ValidationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(s3.getAs[Long]("ttr_bp") == 10000L &&
       s3.getAs[Long]("trigram_diversity_bp") == 10000L)
   }
+
+  test("tokenLengthHistogram: exact log2 buckets, power-of-two edges, empty-doc sentinel") {
+    // lengths 0,1,2,3,4,8 → buckets -1,0,1,1,2,3 with lo 0,1,2,4,8
+    val docs = Seq(
+      ("s1", ""), ("s1", "t1"), ("s1", "t1 t2"), ("s1", "t1 t2 t3"),
+      ("s1", "t1 t2 t3 t4"), ("s2", "t1 t2 t3 t4 t5 t6 t7 t8"))
+      .toDF("source", "text")
+    val got = Profile.tokenLengthHistogram(docs)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("bucket")) ->
+        ((r.getAs[Long]("bucket_lo"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_tokens")))).toMap
+    assert(got(("s1", -1L)) == ((0L, 1L, 0L)), s"got $got")
+    assert(got(("s1", 0L)) == ((1L, 1L, 1L)), s"got $got")
+    assert(got(("s1", 1L)) == ((2L, 2L, 5L)), s"got $got")
+    // length 4 is EXACTLY 2^2 — must land in bucket 2, not 1 (the
+    // float-log2 misfile this operator's integer bin() path avoids)
+    assert(got(("s1", 2L)) == ((4L, 1L, 4L)), s"got $got")
+    assert(got(("s2", 3L)) == ((8L, 1L, 8L)), s"got $got")
+    assert(got.size == 5, s"got $got")
+  }
 }
