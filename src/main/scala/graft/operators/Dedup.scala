@@ -197,6 +197,31 @@ object Dedup {
       .select("block", "id_a", "id_b", "n_a", "n_b", "n_shared", "jaccard")
   }
 
+  /** Similarity-band histogram over a [[ngramJaccardPairs]] frame — the
+    * view that CHOOSES the near-dup threshold, the dedup counterpart
+    * of the classifier's operating-point sweep: how much candidate-pair
+    * mass sits in each Jaccard band, so "dedup at 0.5 vs 0.8" becomes a
+    * read of two rows instead of a guess. Band edges are EXACT
+    * integers: band = (n_shared·10) div (n_a + n_b − n_shared) — band b
+    * covers j ∈ [b/10, (b+1)/10), band 10 is exactly j = 1 — computed
+    * from the pair frame's integer counts, never from the float
+    * `jaccard` column (a float band would misfile boundary pairs like
+    * 3/6 on representation error).
+    *
+    * Scale shape: one hash aggregate on (block, band) over the
+    * already-df-capped pair frame — ≤ |blocks|·11 result rows,
+    * map-side partials. The expensive part (the pair join) is the
+    * input, shared with every other consumer of the candidates.
+    *
+    * Output: (block, band, band_lo_bp [= band·1000], n_pairs).
+    */
+  def jaccardBandHistogram(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("block"),
+        expr("(n_shared * 10) div (n_a + n_b - n_shared)").as("band"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("band_lo_bp", col("band") * 1000L)
+      .select("block", "band", "band_lo_bp", "n_pairs")
+
   /** Winnowing fingerprints (MOSS local fingerprinting): one (id, fp) row
     * per distinct window-min k-gram hash per doc, via the one-pass
     * [[graft.plans.WinnowFingerprints]] kernel. Unlike MinHash/SimHash —

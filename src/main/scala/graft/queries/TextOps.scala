@@ -1132,6 +1132,50 @@ object TextOps {
       graft.operators.Packing.writeShards(chunks, dir, chunksPerShard = 4)
       graft.operators.Packing.auditShards(s, dir,
         graft.operators.Packing.shardManifest(chunks, chunksPerShard = 4))
+    },
+
+    // q143: Jaccard similarity-band histogram ([[graft.operators.Dedup
+    // .jaccardBandHistogram]]) — the view that CHOOSES the near-dup
+    // threshold (q35 reports pair counts at a FIXED 0.5 cut; this
+    // shows the whole distribution). Band edges are exact integers
+    // from the pair frame's counts — (n_shared·10) div union — never
+    // the float jaccard; band 10 is exactly j = 1. One hash aggregate
+    // over the df-capped candidate pairs.
+    QueryDef.sql(
+      "q143_jaccard_bands",
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, $T AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN len(tk) = 0 THEN []
+         |         ELSE list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
+         |           i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS shingles
+         |  FROM toks),
+         |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+         |postings AS (SELECT doc_id, source, unnest(shingles) AS shingle FROM sh),
+         |rare AS (
+         |  SELECT source, shingle FROM postings
+         |  GROUP BY source, shingle HAVING count(*) <= 1000),
+         |kept AS (SELECT p.* FROM postings p JOIN rare r USING (source, shingle)),
+         |pairs AS (
+         |  SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM kept a JOIN kept b
+         |    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3),
+         |banded AS (
+         |  SELECT p.source,
+         |    CAST((p.n_shared * 10) // (sa.n_sh + sb.n_sh - p.n_shared)
+         |      AS BIGINT) AS band
+         |  FROM pairs p
+         |  JOIN sizes sa ON p.id_a = sa.doc_id
+         |  JOIN sizes sb ON p.id_b = sb.doc_id)
+         |SELECT source AS block, band, CAST(band * 1000 AS BIGINT) AS band_lo_bp,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM banded GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      graft.operators.Dedup.jaccardBandHistogram(
+        graft.operators.Dedup.ngramJaccardPairs(
+          Tables.documents(s, d), "doc_id", "text", "source"))
     }
   )
 

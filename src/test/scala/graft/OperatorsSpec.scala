@@ -544,6 +544,25 @@ class OperatorsSpec extends SparkSpec {
     assert(g(0L) == ((true, true, true)) && g(1L) == ((true, true, true)), s"$g")
   }
 
+  test("jaccardBandHistogram: integer band edges — j=1 in band 10, j=0.5 exactly in band 5") {
+    import graft.operators.Dedup
+    val pairs = Seq(
+      ("s", 1L, 2L, 5L, 5L, 5L, 1.0),    // j = 5/5 → band 10
+      ("s", 1L, 3L, 4L, 4L, 2L, 2.0 / 6), // 20 div 6 → band 3
+      ("s", 2L, 3L, 3L, 3L, 3L, 1.0),    // j = 3/3 → band 10
+      ("s", 4L, 5L, 3L, 6L, 3L, 0.5),    // 30 div 6 → band 5 (boundary)
+      ("t", 1L, 2L, 10L, 10L, 1L, 1.0 / 19)) // 10 div 19 → band 0
+      .toDF("block", "id_a", "id_b", "n_a", "n_b", "n_shared", "jaccard")
+    val got = Dedup.jaccardBandHistogram(pairs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("s", 10L)) == ((10000L, 2L)), s"got $got")
+    assert(got(("s", 3L)) == ((3000L, 1L)), s"got $got")
+    assert(got(("s", 5L)) == ((5000L, 1L)), s"got $got")
+    assert(got(("t", 0L)) == ((0L, 1L)), s"got $got")
+    assert(got.size == 4, s"got $got")
+  }
+
   test("sharedSpans finds planted verbatim spans with exact offsets; gaps split runs") {
     import graft.operators.Dedup
     def toks(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
