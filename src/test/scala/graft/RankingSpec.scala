@@ -302,6 +302,33 @@ class RankingSpec extends SparkSpec {
     assert(got("c") == ((1L, 1L, 2L, 10000L)), s"got $got")
   }
 
+  test("rocAuc equals brute-force pairwise counting on seeded random frames") {
+    // the rank-sum identity u2 = Σ pos·(2·cumneg + neg) must equal the
+    // DEFINITION — 2·#{p>n} + #{p==n} over all (pos, neg) pairs — on
+    // frames with heavy ties, negatives, and one-sided groups
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val n = 30 + rnd.nextInt(40)
+      val rows = (1 to n).map { _ =>
+        ("g" + rnd.nextInt(3), rnd.nextInt(11).toLong - 5L, rnd.nextBoolean())
+      }
+      val got = Evaluation.rocAuc(rows.toDF("g", "score", "label"),
+          "score", "label", Seq("g"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val pos = rs.filter(_._3).map(_._2)
+        val neg = rs.filterNot(_._3).map(_._2)
+        val u2 = (for (p <- pos; q <- neg)
+          yield if (p > q) 2L else if (p == q) 1L else 0L).sum
+        val aucBp = (u2 * 10000L) / math.max(2L * pos.size * neg.size, 1L)
+        assert(got(g) ==
+          ((pos.size.toLong, neg.size.toLong, u2, aucBp)),
+          s"trial $trial group $g: got ${got(g)}")
+      }
+    }
+  }
+
   test("calibrationTable: bucket edges (incl. negative truncation), rates, null exclusion") {
     val scored = Seq(
       // bucket 0 (scores 0..9 at width 10): 2 rows, 1 pos
