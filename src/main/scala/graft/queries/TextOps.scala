@@ -1125,8 +1125,15 @@ object TextOps {
          |FROM chunks GROUP BY 1""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+      // TWO consumers (writeShards + shardManifest) — checkpoint the
+      // packed chunks once so the prefix-sum subtree computes once (the
+      // q95/BPE/CC diamond rule). Measured PARITY at sf0.1 (5.4 s both
+      // ways — the per-shard-directory write overhead dominates at toy
+      // scale, stage profile in PERF_NOTES), but at corpus scale the
+      // packing subtree is the corpus-sized cost and the write
+      // amortizes, so the bounded shape is the right default.
       val chunks = graft.operators.Packing.packChunks(docs, "doc_id", "tk",
-        capacity = 256, groupOf = expr("doc_id div 64"))
+        capacity = 256, groupOf = expr("doc_id div 64")).localCheckpoint()
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_shard_audit/" +
         new java.io.File(d).getName
       graft.operators.Packing.writeShards(chunks, dir, chunksPerShard = 4)
