@@ -158,7 +158,10 @@ object Profile {
   def tokenLengthHistogram(docs: DataFrame, sourceCol: String = "source",
       textCol: String = "text"): DataFrame = {
     import graft.functions.TextFunctions.tokens
-    val n = size(tokens(col(textCol))).cast("long")
+    // size(tokens(NULL)) is NULL, which would slip past the <= 0 guard
+    // into bin(NULL) and yield a NULL bucket row — fold null text into
+    // the empty-doc sentinel instead
+    val n = coalesce(size(tokens(col(textCol))).cast("long"), lit(0L))
     docs.select(col(sourceCol), n.as("__n"))
       .withColumn("bucket", when(col("__n") <= 0L, lit(-1L))
         .otherwise(length(bin(col("__n"))).cast("long") - 1L))

@@ -482,7 +482,8 @@ object ValidationOps {
     QueryDef.sql(
       "q141_length_histogram",
       s"""WITH f AS (
-         |  SELECT source, CAST(len($T) AS BIGINT) AS n FROM documents)
+         |  SELECT source, CAST(coalesce(len($T), 0) AS BIGINT) AS n
+         |  FROM documents)
          |SELECT source,
          |  CAST(CASE WHEN n <= 0 THEN -1 ELSE len(bin(n)) - 1 END
          |    AS BIGINT) AS bucket,

@@ -199,11 +199,13 @@ class ValidationOpsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("tokenLengthHistogram: exact log2 buckets, power-of-two edges, empty-doc sentinel") {
-    // lengths 0,1,2,3,4,8 → buckets -1,0,1,1,2,3 with lo 0,1,2,4,8
+    // lengths 0,1,2,3,4,8 → buckets -1,0,1,1,2,3 with lo 0,1,2,4,8;
+    // a NULL text folds into the empty-doc sentinel, never a NULL bucket
     val docs = Seq(
       ("s1", ""), ("s1", "t1"), ("s1", "t1 t2"), ("s1", "t1 t2 t3"),
       ("s1", "t1 t2 t3 t4"), ("s2", "t1 t2 t3 t4 t5 t6 t7 t8"))
       .toDF("source", "text")
+      .unionByName(Seq(("s2", Option.empty[String])).toDF("source", "text"))
     val got = Profile.tokenLengthHistogram(docs)
       .collect().map(r => (r.getString(0), r.getAs[Long]("bucket")) ->
         ((r.getAs[Long]("bucket_lo"), r.getAs[Long]("n_docs"),
@@ -215,6 +217,7 @@ class ValidationOpsSpec extends AnyFunSuite with SparkSpec {
     // float-log2 misfile this operator's integer bin() path avoids)
     assert(got(("s1", 2L)) == ((4L, 1L, 4L)), s"got $got")
     assert(got(("s2", 3L)) == ((8L, 1L, 8L)), s"got $got")
-    assert(got.size == 5, s"got $got")
+    assert(got(("s2", -1L)) == ((0L, 1L, 0L)), s"got $got")
+    assert(got.size == 6, s"got $got")
   }
 }
