@@ -72,4 +72,79 @@ object Classifier {
       .withColumn("score_micro", score)
       .withColumn("keep", col("score_micro") >= 0)
   }
+
+  /** The double-arithmetic half of [[trainLinear2]], as SQL strings the
+    * Spark side (`selectExpr`) and a DuckDB oracle interpolate
+    * VERBATIM — both engines then evaluate the identical IEEE-754
+    * expression DAG over the identical exact-integer sums, so the
+    * quantized weights match bit-for-bit (the q33/q35 precedent:
+    * deterministic double arithmetic behind an integer quantizer).
+    * Stage 1: centered second moments over the sums frame
+    * (n, sx1, sx2, sy, sx11, sx22, sx12, sx1y, sx2y, syy);
+    * stage 2: the 2×2 determinant; stage 3: Cramer slopes with a
+    * det=0 degenerate guard; stage 4: micro-unit weights (intercept
+    * from the means), basis-point R².
+    */
+  val FitMomentExprs: Seq[String] = Seq(
+    "CAST(sx11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS c11",
+    "CAST(sx22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE) AS c22",
+    "CAST(sx12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE) AS c12",
+    "CAST(sx1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS b1",
+    "CAST(sx2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS b2",
+    "CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS sst")
+  val FitSolveExprs: Seq[String] = Seq(
+    "c11 * c22 - c12 * c12 AS det")
+  val FitWeightExprs: Seq[String] = Seq(
+    "CASE WHEN det = 0.0 THEN 0.0 ELSE (b1 * c22 - b2 * c12) / det END AS w1",
+    "CASE WHEN det = 0.0 THEN 0.0 ELSE (b2 * c11 - b1 * c12) / det END AS w2")
+  val FitOutputExprs: Seq[String] = Seq(
+    "n",
+    "CAST(floor((CAST(sy AS DOUBLE) - w1 * CAST(sx1 AS DOUBLE) - w2 * CAST(sx2 AS DOUBLE)) / CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS w0_u",
+    "CAST(floor(w1 * 1000000.0 + 0.5) AS BIGINT) AS w1_u",
+    "CAST(floor(w2 * 1000000.0 + 0.5) AS BIGINT) AS w2_u",
+    "CASE WHEN sst <= 0.0 OR det = 0.0 THEN 0 ELSE CAST(floor((w1 * b1 + w2 * b2) / sst * 10000.0 + 0.5) AS BIGINT) END AS r2_bp")
+
+  /** TRAIN a 2-feature linear model at corpus scale — the training half
+    * of the classifier story this object's scoring half applies
+    * ([[qualityClassify]] ships frozen weights; q119 closed the same
+    * train→apply loop for BPE). Ordinary least squares by exact normal
+    * equations: ONE hash aggregate over the corpus produces the ten
+    * sufficient statistics as exact BIGINTs (the only corpus-sized
+    * work — this is the at-scale shape gradient descent converges
+    * toward, without iteration), then the centered 2×2 system solves in
+    * ten double expressions over that single row. A standard use: fit a
+    * cheap 2-feature proxy of a richer score (model distillation), or
+    * refresh weights against a rule-based label.
+    *
+    * Degenerate inputs stay defined: collinear/constant features give
+    * det = 0 → slopes 0 and the intercept falls back to mean(y) (the
+    * intercept-only model); constant y gives R² = 0 via the sst guard;
+    * null feature/label rows are excluded up front. Exactness bounds:
+    * the statistics are exact while each sum < 2⁶³ — the binding one is
+    * Σy² (n·max(y)² < 2⁶³, e.g. 10⁹ docs at |y| ≤ 3·10⁶ micro-units);
+    * past that, pre-scale y. The double solve carries ~15 significant
+    * digits; both engines evaluate the SAME expression strings
+    * ([[FitMomentExprs]] …), so the quantized output is
+    * engine-identical even where the last bits are inexact.
+    *
+    * Output: one row — (n, w0_u, w1_u, w2_u [micro-units], r2_bp).
+    */
+  def trainLinear2(df: DataFrame, x1Col: String, x2Col: String,
+      yCol: String): DataFrame = {
+    val x1 = col(x1Col).cast("long")
+    val x2 = col(x2Col).cast("long")
+    val y = col(yCol).cast("long")
+    val sums = df.filter(x1.isNotNull && x2.isNotNull && y.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(x1).as("sx1"), sum(x2).as("sx2"), sum(y).as("sy"),
+        sum(x1 * x1).as("sx11"), sum(x2 * x2).as("sx22"),
+        sum(x1 * x2).as("sx12"),
+        sum(x1 * y).as("sx1y"), sum(x2 * y).as("sx2y"),
+        sum(y * y).as("syy"))
+    sums
+      .selectExpr("*" +: FitMomentExprs: _*)
+      .selectExpr("*" +: FitSolveExprs: _*)
+      .selectExpr("*" +: FitWeightExprs: _*)
+      .selectExpr(FitOutputExprs: _*)
+  }
 }

@@ -694,6 +694,46 @@ object CurationOps {
           TextFunctions.qualityScore(col("text"), col("n_chars")) >= 40.0)
       graft.operators.Evaluation.calibrationTable(scored, "score_micro",
         "label", 1000000L)
+    },
+
+    // q144: TRAIN a linear model at corpus scale ([[graft.operators
+    // .Classifier.trainLinear2]]) — the training half of the q97 story
+    // (q97 applies frozen weights; this fits them): OLS by exact normal
+    // equations, distilling the 4-feature frozen score into a 2-feature
+    // proxy (n_tok, n_dis). One hash aggregate yields ten exact-BIGINT
+    // sufficient statistics (the only corpus-sized work); the centered
+    // 2×2 Cramer solve runs as double expression strings interpolated
+    // VERBATIM into both this oracle and the Spark selectExpr, so the
+    // micro-unit weights and bp R² are engine-identical.
+    QueryDef.sql(
+      "q144_train_classifier",
+      s"""WITH f AS (
+         |  SELECT CAST(len($T) AS BIGINT) AS x1,
+         |    CAST(len(list_distinct($T)) AS BIGINT) AS x2,
+         |    CAST(-3000000 - 40000*len($T) + 200000*len(list_distinct($T))
+         |      + 2000*len(regexp_replace(text, '\\s', '', 'g'))
+         |      + 300000*len(list_filter($T,
+         |          t -> t IN ('the','a','an','of','and','in','to','is','it','that')))
+         |      AS BIGINT) AS y
+         |  FROM documents),
+         |s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x1 * x1) AS BIGINT) AS sx11,
+         |    CAST(sum(x2 * x2) AS BIGINT) AS sx22,
+         |    CAST(sum(x1 * x2) AS BIGINT) AS sx12,
+         |    CAST(sum(x1 * y) AS BIGINT) AS sx1y,
+         |    CAST(sum(x2 * y) AS BIGINT) AS sx2y,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM f),
+         |m AS (SELECT *, ${Classifier.FitMomentExprs.mkString(", ")} FROM s),
+         |d AS (SELECT *, ${Classifier.FitSolveExprs.mkString(", ")} FROM m),
+         |w AS (SELECT *, ${Classifier.FitWeightExprs.mkString(", ")} FROM d)
+         |SELECT ${Classifier.FitOutputExprs.mkString(", ")} FROM w""".stripMargin) { (s, d) =>
+      val scored = Classifier.qualityClassify(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), "text")
+      Classifier.trainLinear2(scored, "n_tok", "n_dis", "score_micro")
     }
   )
 }

@@ -31,6 +31,29 @@ class LayoutAndDriftSpec extends SparkSpec {
     }
   }
 
+  test("trainLinear2: recovers an exact planted linear law; degenerate features fall back to intercept-only") {
+    // y = 3 + 2*x1 - x2 on four non-collinear points; n = 4 is a power
+    // of two, so every /n in the centered moments is exact in binary
+    // and the recovered weights quantize exactly
+    val planted = Seq((0L, 0L, 3L), (1L, 0L, 5L), (0L, 1L, 2L), (2L, 1L, 6L))
+      .toDF("x1", "x2", "y")
+    val w = Classifier.trainLinear2(planted, "x1", "x2", "y").collect()(0)
+    assert((w.getLong(0), w.getLong(1), w.getLong(2), w.getLong(3), w.getLong(4)) ==
+      ((4L, 3000000L, 2000000L, -1000000L, 10000L)), s"got $w")
+    // constant features: det = 0 -> slopes 0, intercept = mean(y), R2 0
+    val flat = Seq((1L, 1L, 10L), (1L, 1L, 20L)).toDF("x1", "x2", "y")
+    val f = Classifier.trainLinear2(flat, "x1", "x2", "y").collect()(0)
+    assert((f.getLong(0), f.getLong(1), f.getLong(2), f.getLong(3), f.getLong(4)) ==
+      ((2L, 15000000L, 0L, 0L, 0L)), s"got $f")
+    // null rows excluded, not zero-filled
+    val withNull = Seq((Some(0L), Some(0L), Some(3L)), (Some(1L), Some(0L), Some(5L)),
+      (Some(0L), Some(1L), Some(2L)), (Some(2L), Some(1L), Some(6L)),
+      (None, Some(9L), Some(99L)), (Some(9L), Some(9L), None))
+      .toDF("x1", "x2", "y")
+    val n = Classifier.trainLinear2(withNull, "x1", "x2", "y").collect()(0)
+    assert((n.getLong(0), n.getLong(2), n.getLong(3)) == ((4L, 2000000L, -1000000L)), s"got $n")
+  }
+
   test("qualityClassify: keep boundary is score >= 0, both classes occur on testdata") {
     val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
     val out = Classifier.qualityClassify(docs, "text")
