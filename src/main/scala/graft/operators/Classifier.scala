@@ -147,4 +147,25 @@ object Classifier {
       .selectExpr("*" +: FitWeightExprs: _*)
       .selectExpr(FitOutputExprs: _*)
   }
+
+  /** Score with a [[trainLinear2]] weight row — the apply side of the
+    * trained artifact, closing train→apply the way q119 closed it for
+    * BPE. The 1-row weights frame broadcasts; the fitted label comes
+    * back in the label's own units via one exact integer projection,
+    * `(w0_u + w1_u·x1 + w2_u·x2) div 10⁶` (w_u are micro-units of
+    * label-per-feature, so the product is micro-label; the `div`
+    * truncates toward zero identically on both engines). Pure
+    * scan-rate work — no shuffle beyond the broadcast.
+    *
+    * Adds `score_fit_micro` (sic: label units — the engine's labels
+    * are themselves micro-unit scores). Overflow-exact while
+    * |w_u|·max(x) < 2⁶² per term.
+    */
+  def applyLinear2(df: DataFrame, x1Col: String, x2Col: String,
+      weights: DataFrame): DataFrame =
+    df.crossJoin(broadcast(weights.select("w0_u", "w1_u", "w2_u")))
+      .withColumn("score_fit_micro",
+        expr(s"(w0_u + w1_u * cast($x1Col as bigint) + " +
+          s"w2_u * cast($x2Col as bigint)) div 1000000"))
+      .drop("w0_u", "w1_u", "w2_u")
 }

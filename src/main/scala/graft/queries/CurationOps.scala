@@ -734,6 +734,72 @@ object CurationOps {
       val scored = Classifier.qualityClassify(
         Tables.documents(s, d).select(col("doc_id"), col("text")), "text")
       Classifier.trainLinear2(scored, "n_tok", "n_dis", "score_micro")
+    },
+
+    // q145: apply the TRAINED weights back to the corpus ([[graft
+    // .operators.Classifier.applyLinear2]]) — the q144 artifact proven
+    // usable end to end (the q119 train→apply pattern): fit the
+    // 2-feature proxy, score every document with it via one exact
+    // integer projection under a broadcast of the 1-row weights, and
+    // report per source how the proxy gate agrees with the frozen
+    // 4-feature gate (keep counts, agreement, exact absolute error
+    // mass). Two corpus passes total — the train aggregate and the
+    // apply scan; nothing else is corpus-sized.
+    QueryDef.sql(
+      "q145_apply_trained",
+      s"""WITH f AS (
+         |  SELECT source, CAST(len($T) AS BIGINT) AS x1,
+         |    CAST(len(list_distinct($T)) AS BIGINT) AS x2,
+         |    CAST(-3000000 - 40000*len($T) + 200000*len(list_distinct($T))
+         |      + 2000*len(regexp_replace(text, '\\s', '', 'g'))
+         |      + 300000*len(list_filter($T,
+         |          t -> t IN ('the','a','an','of','and','in','to','is','it','that')))
+         |      AS BIGINT) AS y
+         |  FROM documents),
+         |s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x1 * x1) AS BIGINT) AS sx11,
+         |    CAST(sum(x2 * x2) AS BIGINT) AS sx22,
+         |    CAST(sum(x1 * x2) AS BIGINT) AS sx12,
+         |    CAST(sum(x1 * y) AS BIGINT) AS sx1y,
+         |    CAST(sum(x2 * y) AS BIGINT) AS sx2y,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM f),
+         |m AS (SELECT *, ${Classifier.FitMomentExprs.mkString(", ")} FROM s),
+         |d AS (SELECT *, ${Classifier.FitSolveExprs.mkString(", ")} FROM m),
+         |w AS (SELECT *, ${Classifier.FitWeightExprs.mkString(", ")} FROM d),
+         |wq AS (SELECT ${Classifier.FitOutputExprs.mkString(", ")} FROM w),
+         |a AS (
+         |  SELECT f.source, f.y,
+         |    CAST((wq.w0_u + wq.w1_u * f.x1 + wq.w2_u * f.x2) // 1000000
+         |      AS BIGINT) AS fit
+         |  FROM f CROSS JOIN wq)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN y >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_keep_frozen,
+         |  CAST(sum(CASE WHEN fit >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_keep_fit,
+         |  CAST(sum(CASE WHEN (y >= 0) = (fit >= 0) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_agree,
+         |  CAST(sum(abs(y - fit)) AS BIGINT) AS abs_err_micro
+         |FROM a GROUP BY source""".stripMargin) { (s, d) =>
+      val scored = Classifier.qualityClassify(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          col("text")), "text")
+      val w = Classifier.trainLinear2(scored, "n_tok", "n_dis", "score_micro")
+      Classifier.applyLinear2(scored, "n_tok", "n_dis", w)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("score_micro") >= 0, 1L).otherwise(0L))
+            .as("n_keep_frozen"),
+          sum(when(col("score_fit_micro") >= 0, 1L).otherwise(0L))
+            .as("n_keep_fit"),
+          sum(when((col("score_micro") >= 0) === (col("score_fit_micro") >= 0),
+            1L).otherwise(0L)).as("n_agree"),
+          sum(abs(col("score_micro") - col("score_fit_micro")))
+            .as("abs_err_micro"))
     }
   )
 }

@@ -54,6 +54,17 @@ class LayoutAndDriftSpec extends SparkSpec {
     assert((n.getLong(0), n.getLong(2), n.getLong(3)) == ((4L, 2000000L, -1000000L)), s"got $n")
   }
 
+  test("applyLinear2: trained weights reproduce a planted law exactly on the training frame") {
+    val planted = Seq((0L, 0L, 3L), (1L, 0L, 5L), (0L, 1L, 2L), (2L, 1L, 6L))
+      .toDF("x1", "x2", "y")
+    val w = Classifier.trainLinear2(planted, "x1", "x2", "y")
+    val fit = Classifier.applyLinear2(planted, "x1", "x2", w)
+      .select("y", "score_fit_micro").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // perfect linear data + exact quantized weights → fit == y on every row
+    assert(fit.nonEmpty && fit.forall { case (y, f) => f == y }, fit.mkString(","))
+  }
+
   test("qualityClassify: keep boundary is score >= 0, both classes occur on testdata") {
     val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
     val out = Classifier.qualityClassify(docs, "text")
