@@ -800,6 +800,94 @@ object CurationOps {
             1L).otherwise(0L)).as("n_agree"),
           sum(abs(col("score_micro") - col("score_fit_micro")))
             .as("abs_err_micro"))
+    },
+
+    // q146: held-out evaluation — the ML-hygiene loop the three
+    // classifier pieces compose into: fit q144's proxy on the q57
+    // hash-split TRAIN fold only, then score ALL folds with the
+    // trained weights and report per fold: gate agreement with the
+    // frozen model, the trained gate's F1 against the frozen gate, and
+    // mean absolute error — so train-vs-test deltas (generalization)
+    // are a two-row read. Metrics are exact integers (the fit is the
+    // q145 integer projection; the split is the portable md5 bucket),
+    // so the whole loop hash-verifies.
+    QueryDef.sql(
+      "q146_holdout_eval",
+      s"""WITH f AS (
+         |  SELECT CASE
+         |      WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+         |      WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+         |      ELSE 'test' END AS split,
+         |    CAST(len($T) AS BIGINT) AS x1,
+         |    CAST(len(list_distinct($T)) AS BIGINT) AS x2,
+         |    CAST(-3000000 - 40000*len($T) + 200000*len(list_distinct($T))
+         |      + 2000*len(regexp_replace(text, '\\s', '', 'g'))
+         |      + 300000*len(list_filter($T,
+         |          t -> t IN ('the','a','an','of','and','in','to','is','it','that')))
+         |      AS BIGINT) AS y
+         |  FROM documents),
+         |s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x1 * x1) AS BIGINT) AS sx11,
+         |    CAST(sum(x2 * x2) AS BIGINT) AS sx22,
+         |    CAST(sum(x1 * x2) AS BIGINT) AS sx12,
+         |    CAST(sum(x1 * y) AS BIGINT) AS sx1y,
+         |    CAST(sum(x2 * y) AS BIGINT) AS sx2y,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM f WHERE split = 'train'),
+         |m AS (SELECT *, ${Classifier.FitMomentExprs.mkString(", ")} FROM s),
+         |d AS (SELECT *, ${Classifier.FitSolveExprs.mkString(", ")} FROM m),
+         |w AS (SELECT *, ${Classifier.FitWeightExprs.mkString(", ")} FROM d),
+         |wq AS (SELECT ${Classifier.FitOutputExprs.mkString(", ")} FROM w),
+         |a AS (
+         |  SELECT f.split, f.y,
+         |    CAST((wq.w0_u + wq.w1_u * f.x1 + wq.w2_u * f.x2) // 1000000
+         |      AS BIGINT) AS fit
+         |  FROM f CROSS JOIN wq),
+         |c AS (
+         |  SELECT split, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN (y >= 0) = (fit >= 0) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS agr,
+         |    CAST(sum(CASE WHEN y >= 0 AND fit >= 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN y < 0 AND fit >= 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN y >= 0 AND fit < 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fn,
+         |    CAST(sum(abs(y - fit)) AS BIGINT) AS abserr
+         |  FROM a GROUP BY split)
+         |SELECT split, n,
+         |  CAST((agr * 10000) // greatest(n, 1) AS BIGINT) AS agree_bp,
+         |  CAST((2 * tp * 10000) // greatest(2 * tp + fp + fn, 1) AS BIGINT)
+         |    AS f1_bp,
+         |  CAST(abserr // greatest(n, 1) AS BIGINT) AS mae_micro
+         |FROM c""".stripMargin) { (s, d) =>
+      val scored = Classifier.qualityClassify(
+          Tables.documents(s, d).select(col("doc_id"), col("text")), "text")
+        .withColumn("split",
+          graft.operators.Sampling.splitLabel(col("doc_id")))
+      val w = Classifier.trainLinear2(scored.filter(col("split") === "train"),
+        "n_tok", "n_dis", "score_micro")
+      Classifier.applyLinear2(scored, "n_tok", "n_dis", w)
+        .withColumn("agree",
+          (col("score_micro") >= 0) === (col("score_fit_micro") >= 0))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("agree"), 1L).otherwise(0L)).as("agr"),
+          sum(when(col("score_micro") >= 0 && col("score_fit_micro") >= 0, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("score_micro") < 0 && col("score_fit_micro") >= 0, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("score_micro") >= 0 && col("score_fit_micro") < 0, 1L)
+            .otherwise(0L)).as("fn"),
+          sum(abs(col("score_micro") - col("score_fit_micro"))).as("abserr"))
+        .select(col("split"), col("n"),
+          expr("(agr * 10000) div greatest(n, 1)").as("agree_bp"),
+          expr("(2 * tp * 10000) div greatest(2 * tp + fp + fn, 1)")
+            .as("f1_bp"),
+          expr("abserr div greatest(n, 1)").as("mae_micro"))
     }
   )
 }
