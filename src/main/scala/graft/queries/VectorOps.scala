@@ -635,6 +635,62 @@ object VectorOps {
         ProductQuantizer.ivfpqResidualTopK(index, queries, model, coarse,
             nProbe = 3, k = 5)
           .select(col("qid"), col("nid"), col("dist_u"), col("rank"))
+    },
+
+    // q147: Rocchio nearest-centroid pseudo-labeling ([[graft.operators
+    // .Similarity.labelCentroidsMicro]] + [[graft.operators.Similarity
+    // .nearestCentroidAssign]]) — the cheap label propagator a curation
+    // pipeline uses to spread a small labeled set over an unlabeled
+    // corpus: per-label micro-unit centroids fit on the hash-split
+    // TRAIN fold, every vector assigned to its nearest centroid by
+    // exact integer squared L2 (a pure HOF projection under a 1-row
+    // broadcast of the whole model — no join explosion, no shuffle),
+    // and the per-fold confusion matrix (true label × predicted label)
+    // read out so held-out pseudo-label quality is visible. Ties break
+    // to the smaller label on both engines.
+    QueryDef.sql(
+      "q147_pseudo_label",
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CASE WHEN CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+        |         WHEN CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    embedding
+        |  FROM embeddings),
+        |xu AS (
+        |  SELECT vec_id,
+        |    unnest(generate_series(1, len(embedding))) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS u
+        |  FROM e),
+        |cv AS (
+        |  SELECT e.label AS clabel, x.pos,
+        |    CAST(sum(x.u) AS BIGINT) // CAST(count(*) AS BIGINT) AS cu
+        |  FROM xu x JOIN e USING (vec_id) WHERE e.split = 'train'
+        |  GROUP BY 1, 2),
+        |dist AS (
+        |  SELECT x.vec_id, c.clabel,
+        |    CAST(sum((x.u - c.cu) * (x.u - c.cu)) AS BIGINT) AS d2
+        |  FROM xu x JOIN cv c USING (pos) GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT vec_id, clabel AS pred FROM (
+        |    SELECT vec_id, clabel,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel)
+        |        AS rn
+        |    FROM dist) WHERE rn = 1)
+        |SELECT e.split, e.label, p.pred, CAST(count(*) AS BIGINT) AS n
+        |FROM e JOIN pred p USING (vec_id)
+        |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding"))
+        .withColumn("split",
+          graft.operators.Sampling.splitLabel(col("vec_id")))
+      val cents = Similarity.labelCentroidsMicro(
+        emb.filter(col("split") === "train"), "label", "embedding")
+      Similarity.nearestCentroidAssign(emb, cents, "embedding")
+        .groupBy(col("split"), col("label"), col("pred_label").as("pred"))
+        .agg(count(lit(1)).as("n"))
     }
   )
 

@@ -198,4 +198,33 @@ class SkewAndIvfSpec extends SparkSpec {
     assert(q.length == 1 && q.head.getAs[String]("kol_id") == "bad")
     assert(q.head.getAs[String]("payload") == "NOT JSON") // raw preserved for replay
   }
+
+  test("nearestCentroidAssign: planted clusters recovered, truncating centroid, equidistant tie to smaller label") {
+    import graft.operators.Similarity
+    // label 0 around (0, 0); label 1 around (10, 10); one point that a
+    // float mean would place differently: label 0 train = {(0,0),(1,0)}
+    // → exact centroid (su div n) = (0.5e6 div 2... ) = (500000, 0)
+    val train = Seq(
+      (0L, Array(0f, 0f)), (0L, Array(1f, 0f)),
+      (1L, Array(10f, 10f)), (1L, Array(12f, 10f)))
+      .toDF("label", "embedding")
+    val cents = Similarity.labelCentroidsMicro(train, "label", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(cents(0L) == Seq(500000L, 0L), s"got $cents")
+    assert(cents(1L) == Seq(11000000L, 10000000L), s"got $cents")
+    val probe = Seq(
+      (100L, Array(0.4f, 0.1f)),   // near label 0
+      (101L, Array(11f, 9f)),      // near label 1
+      // equidistant from both centroids on the axis midline:
+      // (5.75, 5) is 5.25e6/5e6 from c0 and 5.25e6/5e6 from c1 → tie
+      // → smaller label wins
+      (102L, Array(5.75f, 5f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.nearestCentroidAssign(probe,
+        Similarity.labelCentroidsMicro(train, "label", "embedding"),
+        "embedding")
+      .select("vec_id", "pred_label").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(100L -> 0L, 101L -> 1L, 102L -> 0L), s"got $got")
+  }
 }
