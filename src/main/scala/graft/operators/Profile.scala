@@ -172,4 +172,61 @@ object Profile {
       .select(col(sourceCol), col("bucket"), col("bucket_lo"),
         col("n_docs"), col("n_tokens"))
   }
+
+  /** Top-k collocations by pointwise mutual information — the classic
+    * corpus-linguistics view (Church & Hanks 1990; Manning & Schütze
+    * ch. 5) of which adjacent word pairs co-occur far more than chance:
+    * multiword terms, templated phrases, named entities. For a curation
+    * pipeline this is a datasheet signal (an out-of-place top
+    * collocation list flags scraped boilerplate or a domain shift) and
+    * the phrase-vocabulary input for tokenizer planning.
+    *
+    * PMI = ln(p(x,y) / (p(x)·p(y))) with p(x,y) = c_xy/Nb over adjacent
+    * bigram occurrences and p(x) = c_x/Nu over unigram occurrences.
+    * Quantization follows the BM25 idf convention: the probability
+    * ratio is formed from EXACT BIGINT counts, one double `ln`, then
+    * `floor(·10⁶ + 0.5)` micro-nats — identical arithmetic text on both
+    * engines. `minCount` floors c_xy BEFORE the unigram joins (a
+    * hapax pair has unreliable PMI and would dominate the top-k), which
+    * also bounds the join input. The k-row result is totally ordered
+    * (pmi desc, w1, w2) so LIMIT is deterministic.
+    *
+    * Scale shape: two hash aggregates over one tokenized scan (bigram
+    * occurrences map-side from each doc's token array — docs under two
+    * tokens contribute nothing), two keyed joins of the FLOORED bigram
+    * table against the vocabulary counts, and a TakeOrdered top-k.
+    * Count-product bound: c_xy·Nu² < 2⁵³ keeps the double ratio exact
+    * to the unit; far past that the micro-nat is still stable (ln
+    * compresses), but document corpus sums past ~10¹⁵ tokens.
+    *
+    * Output: (w1, w2, n_pair, pmi_u).
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String = "text",
+      minCount: Long = 5, k: Int = 50): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    require(minCount >= 1 && k >= 1, s"bad minCount=$minCount k=$k")
+    val tk = docs.select(tokens(col(textCol)).as("__tk"))
+    val uni = tk.select(explode(col("__tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val biAll = tk.select(explode(expr(
+        "CASE WHEN size(__tk) < 2 THEN array() " +
+          "ELSE transform(sequence(1, size(__tk) - 1), " +
+          "i -> struct(element_at(__tk, i) AS w1, element_at(__tk, i + 1) AS w2)) END"))
+        .as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    // Nb is the total over ALL bigram occurrences — computed BEFORE the
+    // min-count floor, or p(x,y) would be biased by what the floor drops
+    val nb = biAll.agg(sum("n_pair").as("nb"))
+    val bi = biAll.filter(col("n_pair") >= minCount)
+    val nu = uni.agg(sum("c").as("nu"))
+    bi.join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+      .selectExpr("w1", "w2", "n_pair",
+        "cast(floor(ln((cast(n_pair as double) * cast(nu as double) * cast(nu as double)) / " +
+          "(cast(nb as double) * cast(c1 as double) * cast(c2 as double))) * 1000000.0 + 0.5) as bigint) as pmi_u")
+      .orderBy(col("pmi_u").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

@@ -1183,6 +1183,41 @@ object TextOps {
       graft.operators.Dedup.jaccardBandHistogram(
         graft.operators.Dedup.ngramJaccardPairs(
           Tables.documents(s, d), "doc_id", "text", "source"))
+    },
+
+    // q148: top collocations by PMI ([[graft.operators.Profile
+    // .pmiCollocations]]) — which adjacent pairs co-occur far beyond
+    // chance (Church & Hanks 1990): the datasheet's multiword-term /
+    // templated-phrase view, and phrase-vocabulary input for tokenizer
+    // planning. Exact BIGINT counts feed ONE double ln quantized to
+    // micro-nats (the BM25 idf convention, identical arithmetic text on
+    // both engines); Nb totals are taken BEFORE the min-count floor;
+    // top-50 under the total order (pmi desc, w1, w2).
+    QueryDef.sql(
+      "q148_pmi_collocations",
+      s"""WITH tk AS (SELECT $T AS t FROM documents),
+         |uc AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+         |bc AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair FROM (
+         |    SELECT t[i] AS w1, t[i + 1] AS w2
+         |    FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+         |          FROM tk WHERE len(t) >= 2))
+         |  GROUP BY 1, 2),
+         |nb AS (SELECT CAST(sum(n_pair) AS BIGINT) AS nb FROM bc),
+         |nu AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM uc),
+         |j AS (
+         |  SELECT b.w1, b.w2, b.n_pair,
+         |    CAST(floor(ln((CAST(b.n_pair AS DOUBLE) * CAST(nu.nu AS DOUBLE) * CAST(nu.nu AS DOUBLE))
+         |        / (CAST(nb.nb AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS pmi_u
+         |  FROM bc b JOIN uc u1 ON b.w1 = u1.w JOIN uc u2 ON b.w2 = u2.w
+         |  CROSS JOIN nb CROSS JOIN nu
+         |  WHERE b.n_pair >= 5)
+         |SELECT w1, w2, n_pair, pmi_u FROM j
+         |ORDER BY pmi_u DESC, w1, w2 LIMIT 50""".stripMargin) { (s, d) =>
+      graft.operators.Profile.pmiCollocations(Tables.documents(s, d))
     }
   )
 

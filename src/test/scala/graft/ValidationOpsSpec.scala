@@ -220,4 +220,21 @@ class ValidationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(("s2", -1L)) == ((0L, 1L, 0L)), s"got $got")
     assert(got.size == 6, s"got $got")
   }
+
+  test("pmiCollocations: hand-computed micro-nat PMI, min-count floor, Nb before the floor") {
+    // unigrams: p=4 q=2 z=2 (Nu=8); bigrams: (p,q)x2 (p,z)x1 (z,p)x1
+    // (Nb=4). minCount=2 keeps only (p,q):
+    // PMI = ln(2*8*8 / (4*4*2)) = ln 4 -> 1386294 micro-nats — only
+    // correct if Nb=4 counts the pairs the floor drops
+    val docs = Seq("p q", "p q", "p z", "z p").toDF("text")
+    val got = Profile.pmiCollocations(docs, minCount = 2, k = 10).collect()
+    assert(got.length == 1, got.mkString(";"))
+    val r = got(0)
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)) ==
+      (("p", "q", 2L, 1386294L)), s"got ${got.mkString(";")}")
+    // single-token and empty docs contribute no bigrams and never crash
+    val tiny = Seq("solo", "", "a b", "a b").toDF("text")
+    val t = Profile.pmiCollocations(tiny, minCount = 2, k = 10).collect()
+    assert(t.length == 1 && t(0).getString(0) == "a", t.mkString(";"))
+  }
 }
