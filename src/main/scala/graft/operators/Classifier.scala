@@ -148,6 +148,117 @@ object Classifier {
       .selectExpr(FitOutputExprs: _*)
   }
 
+  /** The 2×2 chi-squared statistic in micro-units, as ONE SQL expression
+    * string both engines interpolate VERBATIM (the [[FitMomentExprs]]
+    * discipline). Contingency cells derive from four BIGINT columns:
+    * a = n_pos (label-positive docs containing the token), b =
+    * n_pos_docs − a, c = n_all − a, d = (n_docs − n_pos_docs) − c; then
+    * `chi² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))`. The difference
+    * ad − bc is computed ONCE as exact BIGINT and squared in doubles.
+    * Degenerate margins (constant label, token in every doc) guard to 0
+    * — in each case the numerator is 0 or the statistic undefined.
+    * Exact to the micro-unit while chi²·10⁶ < 2⁵³ (chi² ≤ N, so ~9·10⁹
+    * docs); past that coarsen the unit.
+    */
+  val ChiSqExprSql: String =
+    "CAST(CASE WHEN n_pos_docs = 0 OR n_pos_docs = n_docs OR n_all = n_docs THEN 0 " +
+      "ELSE floor(CAST(n_docs AS DOUBLE) " +
+      "* CAST(n_pos * ((n_docs - n_pos_docs) - (n_all - n_pos)) - (n_pos_docs - n_pos) * (n_all - n_pos) AS DOUBLE) " +
+      "* CAST(n_pos * ((n_docs - n_pos_docs) - (n_all - n_pos)) - (n_pos_docs - n_pos) * (n_all - n_pos) AS DOUBLE) " +
+      "/ (CAST(n_pos_docs AS DOUBLE) * CAST(n_docs - n_pos_docs AS DOUBLE) " +
+      "* CAST(n_all AS DOUBLE) * CAST(n_docs - n_all AS DOUBLE)) " +
+      "* 1000000.0 + 0.5) END AS BIGINT) AS chi2_u"
+
+  /** Chi-squared feature selection over document-level token presence —
+    * the classic discriminative-vocabulary step before training a domain
+    * or quality classifier (Manning & Schütze ch. 5; the fastText/CCNet
+    * pipelines select exactly such token features): for every token, a
+    * 2×2 presence-vs-label contingency table and its chi² statistic;
+    * high chi² = the token's presence strongly predicts the label either
+    * way. Output: top `k` tokens by (chi2_u desc, token), with the
+    * positive/negative document counts.
+    *
+    * Shape: one map-side `array_distinct` per doc (presence, not
+    * frequency — a token repeated in one doc is one observation), one
+    * hash aggregate keyed by token, a 1-row label-margin broadcast, and
+    * a TakeOrdered top-k. No corpus-sized join, no window; the token
+    * aggregate partial-combines map-side, so the shuffle carries one row
+    * per distinct (token, partition). `minCount` floors rare tokens
+    * (chi² is unstable below ~5 expected observations — the standard
+    * validity rule).
+    */
+  def chiSquaredTokens(docs: DataFrame, labelCol: String,
+      textCol: String = "text", minCount: Long = 5, k: Int = 50): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"bad minCount=$minCount k=$k")
+    val pres = docs.select(col(labelCol).cast("boolean").as("__pos"),
+      array_distinct(TextFunctions.tokens(col(textCol))).as("__tk"))
+    val margins = pres.agg(
+      sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos_docs"),
+      count(lit(1)).as("n_docs"))
+    pres.select(col("__pos"), explode(col("__tk")).as("token"))
+      .groupBy("token")
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"),
+        count(lit(1)).as("n_all"))
+      .filter(col("n_all") >= minCount)
+      .crossJoin(broadcast(margins))
+      .selectExpr("token", "n_pos",
+        "CAST(n_all - n_pos AS BIGINT) AS n_neg", ChiSqExprSql)
+      .orderBy(col("chi2_u").desc, col("token").asc)
+      .limit(k)
+  }
+
+  /** Leave-one-group-out [[trainLinear2]] — the leave-one-out data
+    * valuation baseline (the LOO half of Ghorbani & Zou's "Data Shapley",
+    * ICML 2019, at group granularity): for every group g, the OLS model
+    * trained on EVERYTHING EXCEPT g. Because OLS is determined by ten
+    * additive sufficient statistics, all |G| models come from ONE corpus
+    * pass: aggregate the statistics per group, total them, and each
+    * holdout's statistics are the exact BIGINT difference total − group
+    * — no re-scan per model, which is what makes per-domain valuation
+    * viable at 100 TB (|G| passes would not be).
+    *
+    * Output: one row per group — (group, n, w0_u, w1_u, w2_u, r2_bp)
+    * where n and the fit describe the COMPLEMENT of the group. Groups
+    * whose complement is empty or degenerate resolve by the same
+    * det = 0 / sst ≤ 0 guards as [[trainLinear2]].
+    */
+  def trainLinear2LeaveOneOut(df: DataFrame, groupCol: String, x1Col: String,
+      x2Col: String, yCol: String): DataFrame = {
+    val x1 = col(x1Col).cast("long")
+    val x2 = col(x2Col).cast("long")
+    val y = col(yCol).cast("long")
+    val perGroup = df.filter(x1.isNotNull && x2.isNotNull && y.isNotNull)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("gn"),
+        sum(x1).as("gsx1"), sum(x2).as("gsx2"), sum(y).as("gsy"),
+        sum(x1 * x1).as("gsx11"), sum(x2 * x2).as("gsx22"),
+        sum(x1 * x2).as("gsx12"),
+        sum(x1 * y).as("gsx1y"), sum(x2 * y).as("gsx2y"),
+        sum(y * y).as("gsyy"))
+    val totals = perGroup.agg(
+      sum("gn").as("tn"), sum("gsx1").as("tsx1"), sum("gsx2").as("tsx2"),
+      sum("gsy").as("tsy"), sum("gsx11").as("tsx11"),
+      sum("gsx22").as("tsx22"), sum("gsx12").as("tsx12"),
+      sum("gsx1y").as("tsx1y"), sum("gsx2y").as("tsx2y"),
+      sum("gsyy").as("tsyy"))
+    perGroup.crossJoin(broadcast(totals))
+      .selectExpr("grp",
+        "CAST(tn - gn AS BIGINT) AS n",
+        "CAST(tsx1 - gsx1 AS BIGINT) AS sx1",
+        "CAST(tsx2 - gsx2 AS BIGINT) AS sx2",
+        "CAST(tsy - gsy AS BIGINT) AS sy",
+        "CAST(tsx11 - gsx11 AS BIGINT) AS sx11",
+        "CAST(tsx22 - gsx22 AS BIGINT) AS sx22",
+        "CAST(tsx12 - gsx12 AS BIGINT) AS sx12",
+        "CAST(tsx1y - gsx1y AS BIGINT) AS sx1y",
+        "CAST(tsx2y - gsx2y AS BIGINT) AS sx2y",
+        "CAST(tsyy - gsyy AS BIGINT) AS syy")
+      .selectExpr("*" +: FitMomentExprs: _*)
+      .selectExpr("*" +: FitSolveExprs: _*)
+      .selectExpr("*" +: FitWeightExprs: _*)
+      .selectExpr("grp" +: FitOutputExprs: _*)
+  }
+
   /** Score with a [[trainLinear2]] weight row — the apply side of the
     * trained artifact, closing train→apply the way q119 closed it for
     * BPE. The 1-row weights frame broadcasts; the fitted label comes

@@ -103,4 +103,61 @@ object Influence {
     allNodes.unpersist()
     out
   }
+
+  /** `iters` rounds of HITS (Kleinberg, "Authoritative Sources in a
+    * Hyperlinked Environment", JACM 1999) over DIRECTED `edges(src,
+    * dst)`, in exact integer arithmetic: authority(v) = Σ hub(u) over
+    * in-edges, hub(u) = Σ authority(v) over out-edges, each half
+    * renormalized so the maximum score is [[BaseU]] — the mutual
+    * reinforcement PageRank's single score collapses (a great CURATOR
+    * and a great AUTHORITY are different roles; on a purchase graph:
+    * discerning buyers vs sought-after suppliers).
+    *
+    * Returns one row per node: (node, auth_u, hub_u).
+    *
+    * Shape: per iteration, two shuffle-joins of a one-row-per-node score
+    * frame against the static cached edge frame and two hash aggregates
+    * keyed by node — identical scale posture to [[pageRankInteger]]
+    * (the score side broadcasts at ~10⁸ nodes; AQE absorbs hub skew);
+    * the max-renormalizer is a 1-row broadcast. Like there, the result
+    * is eagerly materialized so the iteration caches release before
+    * returning.
+    *
+    * Portability: max-normalization in integers —
+    * `score = (raw · 10⁶) div max(raw)` — keeps every step exact BIGINT,
+    * so any partitioning replays bit-identically. Overflow bound: raw
+    * sums of ≤10⁶-unit scores times the 10⁶ renormalizer need
+    * `max(indeg)·10¹² < 2⁶³`, i.e. degrees to ~9·10⁶; past that,
+    * pre-divide raw by its own unit before renormalizing (one decimal
+    * digit of the statistic per 10× of degree headroom).
+    */
+  def hitsInteger(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select("src", "dst").distinct().persist()
+    val allNodes = nodes(e).persist()
+    def renorm(raw: DataFrame, key: String, out: String): DataFrame = {
+      val mx = raw.agg(max("raw").as("mx"))
+      allNodes
+        .join(raw.withColumnRenamed(key, "node"), Seq("node"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("node"),
+          coalesce(expr("(raw * 1000000) div mx"), lit(0L)).as(out))
+    }
+    var hub = allNodes.withColumn("hub_u", lit(BaseU))
+    var auth = allNodes.withColumn("auth_u", lit(0L))
+    for (_ <- 1 to iters) {
+      auth = renorm(
+        e.join(hub.withColumnRenamed("node", "src"), "src")
+          .groupBy("dst").agg(sum("hub_u").as("raw")),
+        "dst", "auth_u")
+      hub = renorm(
+        e.join(auth.withColumnRenamed("node", "dst"), "dst")
+          .groupBy("src").agg(sum("auth_u").as("raw")),
+        "src", "hub_u")
+    }
+    val out = auth.join(hub, "node").localCheckpoint(true)
+    e.unpersist()
+    allNodes.unpersist()
+    out
+  }
 }

@@ -67,6 +67,68 @@ object LanguageModel {
     c12.join(c1, "w1").crossJoin(broadcast(vocab))
   }
 
+  /** The interpolated Kneser-Ney per-bigram probability, as ONE SQL
+    * expression string both the Spark side (`selectExpr`) and the DuckDB
+    * oracle interpolate VERBATIM (the q144 FitExprs discipline: identical
+    * IEEE-754 expression DAG over identical exact-integer counts, so the
+    * micro-nat quantization below can never part ways). Columns it
+    * reads: c12 (bigram count), c1 (context total), n1fw (distinct
+    * continuations of w1), n1bw (distinct contexts preceding w2), tt
+    * (total distinct bigram types). D = 0.75 — Chen & Goodman's fixed
+    * discount.
+    */
+  val KnProbSql: String =
+    "(greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) + " +
+      "(0.75 * CAST(n1fw AS DOUBLE) * CAST(n1bw AS DOUBLE)) / CAST(tt AS DOUBLE)) " +
+      "/ CAST(c1 AS DOUBLE)"
+
+  /** Interpolated Kneser-Ney bigram model (Kneser & Ney 1995; Chen &
+    * Goodman 1999's interpolated form with fixed discount D = 0.75) over
+    * the postings — the standard upgrade from add-one smoothing:
+    * `p(w2|w1) = (max(c12−D, 0) + D·N1+(w1,·)·pcont(w2)) / c1` with the
+    * CONTINUATION probability `pcont(w2) = N1+(·,w2) / |bigram types|` —
+    * a word scores by how many distinct contexts it follows, not how
+    * often (the "San Francisco" correction: "Francisco" is frequent but
+    * glued to one context, so its continuation mass is tiny).
+    *
+    * Everything derives from the distinct-bigram count table — three
+    * small aggregates over it (by w1, by w2, global type count), never a
+    * second corpus scan; the model frame is (w1, w2, c12, c1, n1fw,
+    * n1bw, tt), broadcast-able whenever distinct bigrams fit.
+    */
+  def knBigramModel(postings: DataFrame): DataFrame = {
+    val c12 = postings.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val byW1 = c12.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1fw"))
+    val byW2 = c12.groupBy("w2").agg(count(lit(1)).as("n1bw"))
+    val types = c12.agg(count(lit(1)).as("tt"))
+    c12.join(byW1, "w1").join(byW2, "w2").crossJoin(broadcast(types))
+  }
+
+  /** Per-document mean NLL under the corpus's own interpolated
+    * Kneser-Ney bigram model: (id, n_bigrams, nll_kn_micro_sum) — the
+    * q85 shape with the better-smoothed model. Per-bigram NLLs are
+    * quantized to integer micro-nats BEFORE the per-document sum (the
+    * module's portability contract), and the probability expression is
+    * [[KnProbSql]] verbatim. Scoring the training corpus itself means
+    * every scored bigram exists in the model (c12 ≥ 1), so the discount
+    * max() never floors a seen bigram to the pure continuation term —
+    * but the interpolation still redistributes D of each context's mass
+    * by continuation diversity, which is exactly the signal that
+    * separates templated repetition from organic prose.
+    */
+  def knPerplexityScores(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val postings = bigramPostings(df, idCol, textCol)
+    val model = knBigramModel(postings)
+    postings
+      .join(model, Seq("w1", "w2"))
+      .withColumn("nll_u",
+        expr(s"CAST(floor(-ln($KnProbSql) * 1000000.0 + 0.5) AS BIGINT)"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("nll_u").as("nll_kn_micro_sum"))
+  }
+
   /** Per-document mean NLL under the corpus's own bigram model:
     * (id, n_bigrams, nll_micro_sum) — `nll_micro_sum` is the exact
     * integer sum of per-bigram micro-nat NLLs; mean NLL in nats is

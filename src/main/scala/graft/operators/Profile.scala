@@ -229,4 +229,46 @@ object Profile {
       .orderBy(col("pmi_u").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): run
+    * [[Influence.pageRankInteger]] over the corpus's word-adjacency
+    * graph — nodes are tokens, with an undirected edge wherever two
+    * distinct tokens appear adjacent anywhere in the corpus — and read
+    * the top-`k` ranks as the corpus keyword list. Centrality in the
+    * co-occurrence graph finds the hub vocabulary the counting views
+    * (tf, PMI) each miss: a keyword is a token many DIFFERENT tokens
+    * attach to, not merely a frequent one.
+    *
+    * Graph build is [[pmiCollocations]]'s adjacency transform with
+    * `distinct` instead of counts (unweighted edges — the paper's base
+    * form), self-loops dropped, both directions materialized so the
+    * directed PageRank kernel walks the undirected graph. Distinct
+    * adjacent PAIRS are vocabulary-sized, not corpus-sized, so the
+    * iteration cost is independent of document count — the corpus is
+    * touched once to enumerate pairs.
+    *
+    * Output: (token, rank_u), top `k` by (rank_u desc, token).
+    */
+  def textRankKeywords(docs: DataFrame, textCol: String = "text",
+      iters: Int = 3, k: Int = 30): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    require(k >= 1, s"bad k=$k")
+    val tk = docs.select(tokens(col(textCol)).as("__tk"))
+    val e0 = tk.select(explode(expr(
+        "CASE WHEN size(__tk) < 2 THEN array() " +
+          "ELSE transform(sequence(1, size(__tk) - 1), " +
+          "i -> struct(element_at(__tk, i) AS w1, element_at(__tk, i + 1) AS w2)) END"))
+        .as("b"))
+      .select(col("b.w1").as("src"), col("b.w2").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    // re-distinct after mirroring: text can contain BOTH orders of a
+    // pair, and a duplicate edge row would double its PageRank weight
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    Influence.pageRankInteger(edges, iters)
+      .select(col("node").as("token"), col("rank_u"))
+      .orderBy(col("rank_u").desc, col("token"))
+      .limit(k)
+  }
 }

@@ -888,6 +888,142 @@ object CurationOps {
           expr("(2 * tp * 10000) div greatest(2 * tp + fp + fn, 1)")
             .as("f1_bp"),
           expr("abserr div greatest(n, 1)").as("mae_micro"))
+    },
+
+    // q150: interpolated Kneser-Ney bigram perplexity ([[graft
+    // .operators.LanguageModel.knPerplexityScores]]) — q85's CCNet
+    // signal with the standard smoothing upgrade (Kneser & Ney 1995;
+    // Chen & Goodman 1999, D = 0.75): discounted bigram mass
+    // redistributed by CONTINUATION diversity, so templated repetition
+    // (frequent but context-glued transitions) separates from organic
+    // prose. The probability expression is [[LanguageModel.KnProbSql]]
+    // VERBATIM on both engines; per-bigram NLLs quantize to micro-nats
+    // before the exact-integer per-doc sum.
+    QueryDef.sql(
+      "q150_kneser_ney",
+      s"""WITH toks AS (SELECT doc_id, $T AS tk FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+         |      i -> [tk[i], tk[i+1]])) AS b
+         |  FROM toks),
+         |pairs AS (SELECT doc_id, b[1] AS w1, b[2] AS w2 FROM bg),
+         |c12t AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |         FROM pairs GROUP BY w1, w2),
+         |byw1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         |           CAST(count(*) AS BIGINT) AS n1fw
+         |         FROM c12t GROUP BY w1),
+         |byw2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1bw
+         |         FROM c12t GROUP BY w2),
+         |ty AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM c12t),
+         |nll AS (
+         |  SELECT p.doc_id,
+         |    CAST(floor(-ln(${LanguageModel.KnProbSql})
+         |      * 1000000.0 + 0.5) AS BIGINT) AS nll_u
+         |  FROM pairs p JOIN c12t USING (w1, w2) JOIN byw1 USING (w1)
+         |  JOIN byw2 USING (w2) CROSS JOIN ty),
+         |sc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(nll_u) AS BIGINT) AS s
+         |  FROM nll GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(sc.s, 0) AS nll_kn_micro
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val scores = LanguageModel.knPerplexityScores(docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+      docs.select("doc_id").join(scores, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("nll_kn_micro_sum"), lit(0L)).as("nll_kn_micro"))
+    },
+
+    // q153: leave-one-source-out data valuation ([[graft.operators
+    // .Classifier.trainLinear2LeaveOneOut]]) — the LOO baseline of Data
+    // Shapley (Ghorbani & Zou 2019) at domain granularity: for every
+    // source, the q144 proxy trained WITHOUT it (all models from ONE
+    // pass — OLS statistics are additive, so each holdout is the exact
+    // BIGINT difference total − group), then applied back to the
+    // held-out source: high agreement = the domain is redundant, low =
+    // it carries signal no other domain supplies. Weight solve is the
+    // q144 FitExprs chain verbatim; the apply is the q145 integer
+    // projection.
+    QueryDef.sql(
+      "q153_loo_valuation",
+      s"""WITH f AS (
+         |  SELECT source, CAST(len($T) AS BIGINT) AS x1,
+         |    CAST(len(list_distinct($T)) AS BIGINT) AS x2,
+         |    CAST(-3000000 - 40000*len($T) + 200000*len(list_distinct($T))
+         |      + 2000*len(regexp_replace(text, '\\s', '', 'g'))
+         |      + 300000*len(list_filter($T,
+         |          t -> t IN ('the','a','an','of','and','in','to','is','it','that')))
+         |      AS BIGINT) AS y
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS gn,
+         |    CAST(sum(x1) AS BIGINT) AS gsx1, CAST(sum(x2) AS BIGINT) AS gsx2,
+         |    CAST(sum(y) AS BIGINT) AS gsy,
+         |    CAST(sum(x1 * x1) AS BIGINT) AS gsx11,
+         |    CAST(sum(x2 * x2) AS BIGINT) AS gsx22,
+         |    CAST(sum(x1 * x2) AS BIGINT) AS gsx12,
+         |    CAST(sum(x1 * y) AS BIGINT) AS gsx1y,
+         |    CAST(sum(x2 * y) AS BIGINT) AS gsx2y,
+         |    CAST(sum(y * y) AS BIGINT) AS gsyy
+         |  FROM f GROUP BY source),
+         |t AS (
+         |  SELECT CAST(sum(gn) AS BIGINT) AS tn,
+         |    CAST(sum(gsx1) AS BIGINT) AS tsx1, CAST(sum(gsx2) AS BIGINT) AS tsx2,
+         |    CAST(sum(gsy) AS BIGINT) AS tsy,
+         |    CAST(sum(gsx11) AS BIGINT) AS tsx11,
+         |    CAST(sum(gsx22) AS BIGINT) AS tsx22,
+         |    CAST(sum(gsx12) AS BIGINT) AS tsx12,
+         |    CAST(sum(gsx1y) AS BIGINT) AS tsx1y,
+         |    CAST(sum(gsx2y) AS BIGINT) AS tsx2y,
+         |    CAST(sum(gsyy) AS BIGINT) AS tsyy
+         |  FROM g),
+         |loo AS (
+         |  SELECT g.source AS grp,
+         |    CAST(t.tn - g.gn AS BIGINT) AS n,
+         |    CAST(t.tsx1 - g.gsx1 AS BIGINT) AS sx1,
+         |    CAST(t.tsx2 - g.gsx2 AS BIGINT) AS sx2,
+         |    CAST(t.tsy - g.gsy AS BIGINT) AS sy,
+         |    CAST(t.tsx11 - g.gsx11 AS BIGINT) AS sx11,
+         |    CAST(t.tsx22 - g.gsx22 AS BIGINT) AS sx22,
+         |    CAST(t.tsx12 - g.gsx12 AS BIGINT) AS sx12,
+         |    CAST(t.tsx1y - g.gsx1y AS BIGINT) AS sx1y,
+         |    CAST(t.tsx2y - g.gsx2y AS BIGINT) AS sx2y,
+         |    CAST(t.tsyy - g.gsyy AS BIGINT) AS syy
+         |  FROM g CROSS JOIN t),
+         |m AS (SELECT *, ${Classifier.FitMomentExprs.mkString(", ")} FROM loo),
+         |d2 AS (SELECT *, ${Classifier.FitSolveExprs.mkString(", ")} FROM m),
+         |w AS (SELECT *, ${Classifier.FitWeightExprs.mkString(", ")} FROM d2),
+         |wq AS (SELECT grp, ${Classifier.FitOutputExprs.mkString(", ")} FROM w),
+         |a AS (
+         |  SELECT f.source, f.y, wq.n, wq.w0_u, wq.w1_u, wq.w2_u, wq.r2_bp,
+         |    CAST((wq.w0_u + wq.w1_u * f.x1 + wq.w2_u * f.x2) // 1000000
+         |      AS BIGINT) AS fit
+         |  FROM f JOIN wq ON f.source = wq.grp)
+         |SELECT source, n AS n_train, w0_u, w1_u, w2_u, r2_bp,
+         |  CAST(count(*) AS BIGINT) AS n_holdout,
+         |  CAST(sum(CASE WHEN (y >= 0) = (fit >= 0) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_agree,
+         |  CAST(sum(abs(y - fit)) AS BIGINT) AS abs_err_micro
+         |FROM a GROUP BY source, n, w0_u, w1_u, w2_u, r2_bp""".stripMargin) { (s, d) =>
+      val scored = Classifier.qualityClassify(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          col("text")), "text")
+      val w = Classifier.trainLinear2LeaveOneOut(scored, "source",
+        "n_tok", "n_dis", "score_micro")
+      scored
+        .join(broadcast(w.withColumnRenamed("grp", "source")), "source")
+        .withColumn("fit",
+          expr("(w0_u + w1_u * n_tok + w2_u * n_dis) div 1000000"))
+        .groupBy(col("source"), col("n").as("n_train"), col("w0_u"),
+          col("w1_u"), col("w2_u"), col("r2_bp"))
+        .agg(count(lit(1)).as("n_holdout"),
+          sum(when((col("score_micro") >= 0) === (col("fit") >= 0), 1L)
+            .otherwise(0L)).as("n_agree"),
+          sum(abs(col("score_micro") - col("fit"))).as("abs_err_micro"))
     }
   )
 }

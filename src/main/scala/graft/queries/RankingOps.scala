@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dsir, Evaluation, Influence, Retrieval, Sampling}
+import graft.operators.{Classifier, Dsir, Evaluation, Influence, Profile, Retrieval, Sampling}
 import org.apache.spark.sql.functions._
 
 /** Ranking & selection operators (beyond-reference, SURVEY §2.11): who
@@ -440,5 +440,143 @@ object RankingOps {
         .select("qid", "nid")
       Evaluation.rankingMetrics(ranked, qrels, k = 10)
     },
+
+    // q149: chi-squared target-domain vocabulary ([[graft.operators
+    // .Classifier.chiSquaredTokens]]) — the token-level counterpart of
+    // q110's DSIR doc weights: which tokens' PRESENCE most separates
+    // the target domain (source 'src0') from the rest, by the 2×2
+    // document-presence chi² (Manning & Schütze ch. 5's feature
+    // selection). The statistic text is [[Classifier.ChiSqExprSql]]
+    // VERBATIM on both sides over exact BIGINT counts; min-count 5
+    // floors unstable cells; top-50 under (chi2_u desc, token).
+    QueryDef.sql(
+      "q149_chi2_tokens",
+      s"""WITH pres AS (
+         |  SELECT (source = 'src0') AS pos, list_distinct($T) AS tk
+         |  FROM documents),
+         |m AS (
+         |  SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_pos_docs,
+         |    CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM pres),
+         |tc AS (
+         |  SELECT token,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(count(*) AS BIGINT) AS n_all
+         |  FROM (SELECT pos, unnest(tk) AS token FROM pres)
+         |  GROUP BY token),
+         |f AS (
+         |  SELECT token, n_pos, CAST(n_all - n_pos AS BIGINT) AS n_neg,
+         |    ${Classifier.ChiSqExprSql}
+         |  FROM tc CROSS JOIN m WHERE n_all >= 5)
+         |SELECT token, n_pos, n_neg, chi2_u FROM f
+         |ORDER BY chi2_u DESC, token LIMIT 50""".stripMargin) { (s, d) =>
+      Classifier.chiSquaredTokens(
+        Tables.documents(s, d)
+          .withColumn("is_target", col("source") === "src0"),
+        "is_target")
+    },
+
+    // q151: HITS hubs & authorities ([[graft.operators.Influence
+    // .hitsInteger]]) over the DIRECTED customer→supplier purchase
+    // graph — the two-role centrality PageRank's single score collapses
+    // (Kleinberg 1999): discerning buyers (hubs) vs sought-after
+    // suppliers (authorities). Two exact-integer iterations with
+    // max-renormalization each half-step; output is the top-25 of each
+    // role under one total order (role, score desc, key).
+    QueryDef.sql(
+      "q151_hits_centrality",
+      s"""WITH e AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+         |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub_u FROM n),
+         |${hitsIter("h0", "a1", "h1")},
+         |${hitsIter("h1", "a2", "h2")},
+         |sup AS (
+         |  SELECT 'supplier' AS role, (node - 1) // 2 AS entity_key,
+         |    auth_u AS score_u
+         |  FROM a2 WHERE node % 2 = 1
+         |  ORDER BY auth_u DESC, node LIMIT 25),
+         |cust AS (
+         |  SELECT 'customer' AS role, node // 2 AS entity_key,
+         |    hub_u AS score_u
+         |  FROM h2 WHERE node % 2 = 0
+         |  ORDER BY hub_u DESC, node LIMIT 25)
+         |SELECT role, CAST(entity_key AS BIGINT) AS entity_key, score_u
+         |FROM (SELECT * FROM sup UNION ALL SELECT * FROM cust)
+         |ORDER BY role, score_u DESC, entity_key""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      val e0 = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val res = Influence.hitsInteger(e0, 2)
+      val sup = res.filter(pmod(col("node"), lit(2)) === 1)
+        .select(lit("supplier").as("role"),
+          expr("(node - 1) div 2").as("entity_key"),
+          col("auth_u").as("score_u"))
+        .orderBy(col("score_u").desc, col("entity_key")).limit(25)
+      val cust = res.filter(pmod(col("node"), lit(2)) === 0)
+        .select(lit("customer").as("role"),
+          expr("node div 2").as("entity_key"),
+          col("hub_u").as("score_u"))
+        .orderBy(col("score_u").desc, col("entity_key")).limit(25)
+      sup.unionByName(cust)
+        .orderBy(col("role"), col("score_u").desc, col("entity_key"))
+    },
+
+    // q152: TextRank corpus keywords ([[graft.operators.Profile
+    // .textRankKeywords]]) — PageRank over the word-adjacency graph
+    // (Mihalcea & Tarau 2004): tokens many DIFFERENT tokens attach to,
+    // the hub vocabulary neither tf nor q148's PMI surfaces. Reuses the
+    // q108 integer-PageRank kernel verbatim (the oracle chains the same
+    // prIter CTEs over string nodes); edges are distinct adjacent
+    // pairs, self-loops dropped, mirrored then re-distincted.
+    QueryDef.sql(
+      "q152_textrank_keywords",
+      s"""WITH tk AS (SELECT $T AS t FROM documents),
+         |e0 AS (
+         |  SELECT DISTINCT w1 AS src, w2 AS dst FROM (
+         |    SELECT t[i] AS w1, t[i + 1] AS w2
+         |    FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+         |          FROM tk WHERE len(t) >= 2))
+         |  WHERE w1 <> w2),
+         |e AS (SELECT src, dst FROM e0
+         |      UNION SELECT dst AS src, src AS dst FROM e0),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_u FROM n),
+         |${prIter("r0", "r1")},
+         |${prIter("r1", "r2")},
+         |${prIter("r2", "r3")}
+         |SELECT node AS token, rank_u FROM r3
+         |ORDER BY rank_u DESC, token LIMIT 30""".stripMargin) { (s, d) =>
+      Profile.textRankKeywords(Tables.documents(s, d))
+    },
   )
+
+  /** One HITS half-iteration pair as DuckDB CTEs: authorities `aCur`
+    * from hubs `hPrev`, then hubs `hCur` from `aCur`, each
+    * max-renormalized to 10⁶ — the exact integer update
+    * [[Influence.hitsInteger]] runs, over the shared `e`/`n` CTEs.
+    */
+  private def hitsIter(hPrev: String, aCur: String, hCur: String): String =
+    s"""${aCur}r AS (
+       |  SELECT e.dst AS node, CAST(sum(h.hub_u) AS BIGINT) AS raw
+       |  FROM e JOIN $hPrev h ON h.node = e.src GROUP BY e.dst),
+       |${aCur}m AS (SELECT max(raw) AS mx FROM ${aCur}r),
+       |$aCur AS (
+       |  SELECT n.node,
+       |    CAST(coalesce((r.raw * 1000000) // m.mx, 0) AS BIGINT) AS auth_u
+       |  FROM n LEFT JOIN ${aCur}r r ON n.node = r.node CROSS JOIN ${aCur}m m),
+       |${hCur}r AS (
+       |  SELECT e.src AS node, CAST(sum(a.auth_u) AS BIGINT) AS raw
+       |  FROM e JOIN $aCur a ON a.node = e.dst GROUP BY e.src),
+       |${hCur}m AS (SELECT max(raw) AS mx FROM ${hCur}r),
+       |$hCur AS (
+       |  SELECT n.node,
+       |    CAST(coalesce((r.raw * 1000000) // m.mx, 0) AS BIGINT) AS hub_u
+       |  FROM n LEFT JOIN ${hCur}r r ON n.node = r.node CROSS JOIN ${hCur}m m)""".stripMargin
 }

@@ -337,4 +337,50 @@ class CurationSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(ids2 == ids)
   }
+
+  test("kneser-ney: hand-computed NLL and the continuation correction") {
+    // corpus: "a b", "a b", "a c" → c12(a,b)=2, c12(a,c)=1;
+    // c1(a)=3, N1+(a,·)=2; N1+(·,b)=1, N1+(·,c)=1; types T=2
+    // p(b|a) = (2−.75 + .75·2·(1/2)) / 3 = 2/3
+    // p(c|a) = (1−.75 + .75·2·(1/2)) / 3 = 1/3
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("id", "text")
+    val got = LanguageModel.knPerplexityScores(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def u(p: Double) = math.floor(-math.log(p) * 1e6 + 0.5).toLong
+    assert(got == Map(1L -> ((1L, u(2.0 / 3))), 2L -> ((1L, u(2.0 / 3))),
+      3L -> ((1L, u(1.0 / 3)))), s"got $got")
+    // the San-Francisco correction: a frequent but context-glued token
+    // scores BELOW a rarer token that follows many contexts
+    // corpus2: "x f", "y f", "z f", "w g w g w g" — f follows 3 contexts
+    // (n1bw=3), g only follows w (n1bw=1) though (w,g) is frequent
+    val docs2 = Seq((1L, "x f"), (2L, "y f"), (3L, "z f"),
+      (4L, "w g w g w g")).toDF("id", "text")
+    val model = LanguageModel.knBigramModel(
+      LanguageModel.bigramPostings(docs2, "id", "text"))
+      .collect().map(r => (r.getString(r.fieldIndex("w1")),
+        r.getString(r.fieldIndex("w2"))) ->
+        r.getLong(r.fieldIndex("n1bw"))).toMap
+    assert(model(("x", "f")) == 3L && model(("w", "g")) == 1L)
+  }
+
+  test("trainLinear2LeaveOneOut equals a direct refit on each complement") {
+    val rows = Seq(
+      ("g1", 1L, 2L, 10L), ("g1", 2L, 1L, 14L), ("g1", 3L, 5L, 30L),
+      ("g2", 4L, 2L, 25L), ("g2", 5L, 7L, 61L),
+      ("g3", 6L, 1L, 33L), ("g3", 7L, 3L, 47L), ("g3", 8L, 8L, 80L))
+    val df = rows.toDF("g", "x1", "x2", "y")
+    val loo = graft.operators.Classifier
+      .trainLinear2LeaveOneOut(df, "g", "x1", "x2", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    for (g <- Seq("g1", "g2", "g3")) {
+      val direct = graft.operators.Classifier
+        .trainLinear2(df.filter(col("g") =!= g), "x1", "x2", "y")
+        .collect().head
+      assert(loo(g) == ((direct.getLong(0), direct.getLong(1),
+        direct.getLong(2), direct.getLong(3), direct.getLong(4))),
+        s"group $g: loo=${loo(g)} direct=$direct")
+    }
+  }
 }

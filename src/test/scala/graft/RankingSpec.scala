@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dsir, Evaluation, Influence, Retrieval, Sampling}
+import graft.operators.{Classifier, Dsir, Evaluation, Influence, Retrieval, Sampling}
 import org.apache.spark.sql.functions._
 
 /** Ranking & selection operators: integer PageRank, BM25 retrieval,
@@ -362,5 +362,92 @@ class RankingSpec extends SparkSpec {
     graft.operators.Tokenizer.bpeMergeTable(docs, "text", 2).count()
     assert(spark.sharedState.cacheManager.isEmpty,
       "iteration caches must be unpersisted once the result materializes")
+  }
+
+  test("hitsInteger matches hand-computed scores on a tiny bipartite graph") {
+    // customers 10, 20 → suppliers 1, 2: 10→1, 10→2, 20→1
+    val edges = Seq((10L, 1L), (10L, 2L), (20L, 1L)).toDF("src", "dst")
+    // iter1 auth: raw s1 = 2e6, s2 = 1e6, max 2e6 → s1 = 1e6, s2 = 5e5
+    //       hub: raw c10 = 1.5e6, c20 = 1e6, max 1.5e6
+    //            → c10 = 1e6, c20 = 1e12 div 1.5e6 = 666666
+    // iter2 auth: raw s1 = 1666666, s2 = 1e6 → s1 = 1e6,
+    //            s2 = 1e12 div 1666666 = 600000
+    //       hub: raw c10 = 1.6e6, c20 = 1e6 → c10 = 1e6, c20 = 625000
+    val got = Influence.hitsInteger(edges, 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((1000000L, 0L)), 2L -> ((600000L, 0L)),
+      10L -> ((0L, 1000000L)), 20L -> ((0L, 625000L))), s"got $got")
+  }
+
+  test("hitsInteger is invariant to partitioning and releases its caches") {
+    spark.catalog.clearCache()
+    val e = Seq((1L, 4L), (1L, 5L), (2L, 4L), (3L, 5L), (2L, 6L))
+    val a = Influence.hitsInteger(e.toDF("src", "dst"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val b = Influence.hitsInteger(e.toDF("src", "dst").repartition(7), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(a == b)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "hits must unpersist its edge/node caches once the result materializes")
+  }
+
+  test("chiSquaredTokens matches a brute-force 2x2 chi-squared") {
+    val docs = Seq(
+      (true, "apple apple banana"), (true, "apple cherry"),
+      (true, "apple banana"), (false, "banana cherry"),
+      (false, "cherry date"), (false, "banana date"))
+      .toDF("pos", "text")
+    val got = Classifier.chiSquaredTokens(docs, "pos", minCount = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // brute force: presence counts over 6 docs, 3 positive
+    def chi(a: Long, c: Long): Long = {
+      val (n, np) = (6.0, 3.0)
+      val all = a + c
+      if (all == 6) 0L
+      else {
+        val (b, d) = (3.0 - a, 3.0 - c)
+        val diff = a * d - b * c
+        math.floor(n * diff * diff /
+          (np * (n - np) * all * (n - all)) * 1e6 + 0.5).toLong
+      }
+    }
+    // apple: a=3 c=0; banana: a=2 c=2; cherry: a=1 c=2; date: a=0 c=2
+    assert(got("apple") == ((3L, 0L, chi(3, 0))), s"got $got")
+    assert(got("banana") == ((2L, 2L, chi(2, 2))), s"got $got")
+    assert(got("cherry") == ((1L, 2L, chi(1, 2))), s"got $got")
+    assert(got("date") == ((0L, 2L, chi(0, 2))), s"got $got")
+    // repeated token in one doc counts once (presence, not frequency):
+    // apple's a is 3, not 4
+    assert(got("apple")._1 == 3L)
+  }
+
+  test("chiSquaredTokens guards degenerate margins to zero") {
+    // constant label → every chi2 is 0, not NaN/error
+    val allPos = Seq((true, "x y"), (true, "x z")).toDF("pos", "text")
+    val g1 = Classifier.chiSquaredTokens(allPos, "pos", minCount = 1)
+      .collect().map(_.getLong(3)).toSet
+    assert(g1 == Set(0L))
+    // token present in EVERY doc (x) → 0 via the n_all = n_docs guard
+    val mixed = Seq((true, "x a"), (false, "x b")).toDF("pos", "text")
+    val g2 = Classifier.chiSquaredTokens(mixed, "pos", minCount = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(g2("x") == 0L)
+  }
+
+  test("textRankKeywords ranks hub tokens above leaf tokens") {
+    // path graph a–b–c–d from two docs; b and c have degree 2, a and d
+    // degree 1 — centrality must put {b, c} strictly above {a, d}
+    val docs = Seq("a b c", "b c d").toDF("text")
+    val got = graft.operators.Profile.textRankKeywords(docs, "text", 3, 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.map(_._1).toSet == Set("a", "b", "c", "d"))
+    val rank = got.toMap
+    assert(rank("b") > rank("a") && rank("b") > rank("d"), s"got $rank")
+    assert(rank("c") > rank("a") && rank("c") > rank("d"), s"got $rank")
+    // duplicate adjacency (both orders in text) must not double an edge:
+    // symmetric graph keeps b and c tied
+    assert(rank("b") == rank("c"), s"got $rank")
   }
 }
