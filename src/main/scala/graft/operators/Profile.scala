@@ -271,4 +271,99 @@ object Profile {
       .orderBy(col("rank_u").desc, col("token"))
       .limit(k)
   }
+
+  /** The Zipf-slope OLS over (ln rank, ln freq) micro-nat sums, as SQL
+    * expression text both engines interpolate VERBATIM (the q144
+    * FitExprs discipline). Reads BIGINT columns n, sx, sy, sxx, sxy;
+    * the closed-form 1-feature slope `(n·Σxy − Σx·Σy)/(n·Σxx − Σx²)`
+    * evaluates in doubles CAST per operand (never multiplied as BIGINT
+    * — n·Σxy would cross 2⁶³ first), quantized to micro-units.
+    * Fewer than two fit points, or a degenerate x spread, guards to 0.
+    */
+  val ZipfSlopeExprSql: String =
+    "CAST(CASE WHEN n < 2 OR CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0 THEN 0 " +
+      "ELSE floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) " +
+      "/ (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000.0 + 0.5) " +
+      "END AS BIGINT) AS zipf_slope_micro"
+
+  /** Per-source Zipf slope — the corpus-health number the datasheet
+    * reads off the rank-frequency law (Zipf 1949): natural language fits
+    * `ln f ≈ −s·ln r + c` with slope s ≈ 1; templated or synthetic text
+    * bends the line (flat head = few repeated phrases dominating; steep
+    * tail = vocabulary collapse). Fit by exact-integer OLS over the
+    * top-`k` tokens per source: x = ln(rank)·10⁶, y = ln(freq)·10⁶,
+    * both floored to micro-nats so the per-source sums are exact BIGINTs
+    * and the one double division ([[ZipfSlopeExprSql]]) is
+    * engine-identical.
+    *
+    * Scale shape: token counts hash-aggregate map-side; the top-k cut
+    * uses a bounded-heap `topn_min_agg` THRESHOLD per source (the k-th
+    * largest frequency) so no window ever sorts a full per-source
+    * vocabulary — the rank window runs only over the ≤ k + ties
+    * survivors. Output: (source, n_fit, zipf_slope_micro) — slope
+    * ≈ −1,000,000 for Zipfian text.
+    */
+  def zipfSlope(docs: DataFrame, textCol: String = "text",
+      sourceCol: String = "source", k: Int = 256): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"bad k=$k")
+    val counts = docs
+      .select(col(sourceCol).as("source"), explode(tokens(col(textCol))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("freq"))
+    // k-th largest per-source frequency from the bounded heap: the
+    // negated top-k ascending ends at −(k-th largest)
+    val thr = counts.groupBy("source")
+      .agg(graft.plans.TopNAgg.topnMinAgg(-col("freq"), k).as("negs"))
+      .select(col("source"),
+        (-element_at(col("negs"), size(col("negs")))).as("thr"))
+    val byRank = Window.partitionBy("source")
+      .orderBy(col("freq").desc, col("t"))
+    counts.join(thr, "source")
+      .where(col("freq") >= col("thr"))
+      .withColumn("rnk", row_number().over(byRank))
+      .where(col("rnk") <= k)
+      .selectExpr("source",
+        "CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x",
+        "CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+      .selectExpr("source", "n AS n_fit", ZipfSlopeExprSql)
+  }
+
+  /** Per-document trigram novelty — the inverse-boilerplate signal: the
+    * fraction of a document's distinct 3-word shingles that appear in NO
+    * other document (corpus-unique), in basis points. Boilerplate,
+    * mirrored pages and templated spam share shingles and score low;
+    * organic prose scores high — the complement of what the q77/q130
+    * shared-passage views count, folded to one number per document.
+    *
+    * Shape: shingles are [[graft.functions.TextFunctions.shingles]]'
+    * distinct-per-doc arrays (so df is a plain count), one hash
+    * aggregate keyed by shingle, one join back keyed the same way (the
+    * exchange is reused), one per-doc aggregate. Documents without
+    * shingles (empty text) report 0/0/0 via the left join.
+    * Output: (id, n_tri, n_unique, novelty_bp).
+    */
+  def trigramNovelty(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.shingles
+    val post = docs.select(col(idCol).as("id"),
+        explode(shingles(col(textCol))).as("s"))
+    val dfc = post.groupBy("s").agg(count(lit(1)).as("df"))
+    val per = post.join(dfc, "s")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    docs.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        expr("coalesce(n_unique, 0) * 10000 div greatest(coalesce(n_tri, 0), 1)")
+          .as("novelty_bp"))
+  }
 }

@@ -1218,7 +1218,70 @@ object TextOps {
          |SELECT w1, w2, n_pair, pmi_u FROM j
          |ORDER BY pmi_u DESC, w1, w2 LIMIT 50""".stripMargin) { (s, d) =>
       graft.operators.Profile.pmiCollocations(Tables.documents(s, d))
-    }
+    },
+
+    // q154: per-source Zipf slope ([[graft.operators.Profile
+    // .zipfSlope]]) — the datasheet's rank-frequency-law health number
+    // (slope ≈ −10⁶ micro-units for natural text; flat = templated
+    // head, steep = vocabulary collapse). Exact-integer OLS over the
+    // top-256 tokens per source: ln(rank)/ln(freq) floored to
+    // micro-nats, BIGINT sums, ONE double division via
+    // [[Profile.ZipfSlopeExprSql]] verbatim on both engines. The Spark
+    // side cuts top-k by a bounded-heap frequency THRESHOLD (no
+    // full-vocabulary window); the oracle's plain row_number produces
+    // the identical set.
+    QueryDef.sql(
+      "q154_zipf_slope",
+      s"""WITH tc AS (
+         |  SELECT source, t AS token, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT source, unnest($T) AS t FROM documents)
+         |  GROUP BY source, t),
+         |rk AS (
+         |  SELECT source, freq,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY freq DESC, token) AS rnk
+         |  FROM tc),
+         |f AS (
+         |  SELECT source,
+         |    CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+         |    CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y
+         |  FROM rk WHERE rnk <= 256),
+         |s AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy
+         |  FROM f GROUP BY source)
+         |SELECT source, n AS n_fit, ${graft.operators.Profile.ZipfSlopeExprSql}
+         |FROM s""".stripMargin) { (s, d) =>
+      graft.operators.Profile.zipfSlope(Tables.documents(s, d))
+    },
+
+    // q155: per-document trigram novelty ([[graft.operators.Profile
+    // .trigramNovelty]]) — the fraction of a doc's distinct 3-shingles
+    // appearing in NO other document, in basis points: the
+    // inverse-boilerplate number (q77/q130 count what's shared; this
+    // folds what ISN'T to one per-doc signal). Same shingle convention
+    // as the MinHash family (distinct per doc, so df is a plain count);
+    // empty docs report zeros via the left join.
+    QueryDef.sql(
+      "q155_trigram_novelty",
+      s"""WITH toks AS (SELECT doc_id, $T AS tk FROM documents),
+         |sh AS (SELECT doc_id, $ShinglesSql AS shingles FROM toks),
+         |post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |dfc AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY s),
+         |per AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+         |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+         |  FROM post JOIN dfc USING (s) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(p.n_tri, 0) AS n_tri,
+         |  coalesce(p.n_unique, 0) AS n_unique,
+         |  CAST(coalesce(p.n_unique, 0) * 10000
+         |    // greatest(coalesce(p.n_tri, 0), 1) AS BIGINT) AS novelty_bp
+         |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Profile.trigramNovelty(Tables.documents(s, d))
+        .withColumnRenamed("id", "doc_id")
+    },
   )
 
   /** DuckDB twin of the shingle construction (matches

@@ -237,4 +237,72 @@ class ValidationOpsSpec extends AnyFunSuite with SparkSpec {
     val t = Profile.pmiCollocations(tiny, minCount = 2, k = 10).collect()
     assert(t.length == 1 && t(0).getString(0) == "a", t.mkString(";"))
   }
+
+  /** Brute-force twin of [[Profile.ZipfSlopeExprSql]] over (rank, freq)
+    * pairs — same micro-nat floors, same double OLS.
+    */
+  private def zipfBrute(pairs: Seq[(Int, Long)]): Long = {
+    val pts = pairs.map { case (r, f) =>
+      (math.floor(math.log(r.toDouble) * 1e6 + 0.5).toLong,
+        math.floor(math.log(f.toDouble) * 1e6 + 0.5).toLong) }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum.toDouble, pts.map(_._2).sum.toDouble)
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val den = n * sxx - sx * sx
+    if (pts.size < 2 || den == 0.0) 0L
+    else math.floor((n * sxy - sx * sy) / den * 1e6 + 0.5).toLong
+  }
+
+  test("zipfSlope: exact 1/r corpus fits slope ~ -1e6; matches the brute twin") {
+    // token freqs exactly 120/r for r = 1..6 → ln f = ln 120 − ln r
+    val freqs = Seq("a" -> 120, "b" -> 60, "c" -> 40, "d" -> 30,
+      "e" -> 24, "f" -> 20)
+    val text = freqs.map { case (t, n) => Seq.fill(n)(t).mkString(" ") }
+      .mkString(" ")
+    val docs = Seq(("s1", text)).toDF("source", "text")
+    val got = Profile.zipfSlope(docs).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == 6L)
+    val slope = got(0).getLong(2)
+    assert(math.abs(slope + 1000000L) <= 5, s"slope $slope")
+    assert(slope == zipfBrute(freqs.zipWithIndex.map {
+      case ((_, f), i) => (i + 1, f.toLong) }), s"slope $slope")
+  }
+
+  test("zipfSlope: threshold cut equals plain top-k under boundary ties") {
+    // freqs a:5, b:3, c:3, d:3, e:1 with k=3 — the bounded-heap
+    // threshold admits the d tie, the rank cut must still keep exactly
+    // (a,1) (b,2) (c,3) in (freq desc, token) order
+    val text = "a a a a a b b b c c c d d d e"
+    val docs = Seq(("s1", text)).toDF("source", "text")
+    val got = Profile.zipfSlope(docs, k = 3).collect()
+    assert(got.length == 1 && got(0).getLong(1) == 3L, got.mkString(";"))
+    assert(got(0).getLong(2) ==
+      zipfBrute(Seq((1, 5L), (2, 3L), (3, 3L))), got.mkString(";"))
+    // degenerate: a single distinct token has no spread → slope 0
+    val one = Seq(("s1", "x x x")).toDF("source", "text")
+    val g1 = Profile.zipfSlope(one).collect()
+    assert(g1(0).getLong(1) == 1L && g1(0).getLong(2) == 0L)
+  }
+
+  test("trigramNovelty: unique-fraction bp, intra-doc dups once, empty doc zeros") {
+    val docs = Seq(
+      (1L, "a b c d"),   // shingles {a b c, b c d} — first shared with d2
+      (2L, "a b c x"),   // {a b c, b c x}
+      (3L, "q r s"),     // {q r s} unique
+      (4L, ""),          // none
+      (5L, "a b c a b c a b c")) // distinct {a b c, b c a, c a b}
+      .toDF("doc_id", "text")
+    val got = Profile.trigramNovelty(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 5000L)), s"got $got")
+    assert(got(2L) == ((2L, 1L, 5000L)), s"got $got")
+    assert(got(3L) == ((1L, 1L, 10000L)), s"got $got")
+    assert(got(4L) == ((0L, 0L, 0L)), s"got $got")
+    // doc 5's repeated "a b c" is one observation AND it is corpus-shared
+    // (docs 1, 2 carry it) → 2 of 3 shingles unique
+    assert(got(5L) == ((3L, 2L, 6666L)), s"got $got")
+  }
 }
