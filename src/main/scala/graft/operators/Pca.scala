@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Top principal component of an embedding collection by POWER ITERATION
+  * (von Mises & Pollaczek-Geiringer 1929; PCA per Pearson 1901) — the
+  * direction of maximum variance, the building block of embedding
+  * whitening/compression diagnostics (a collection whose mass collapses
+  * onto few directions is exactly where PQ codebooks and cosine scores
+  * degrade — see the r10 ADC ladder's clustered-vs-uniform gap).
+  *
+  * All arithmetic is EXACT INTEGER so any engine, any partitioning, any
+  * iteration order replays bit-identically (the PageRank/HITS
+  * discipline, applied to linear algebra):
+  *  - embeddings quantize once to milli-units
+  *    (`xq_i = floor(x_i·10³ + 0.5)` BIGINT);
+  *  - the matvec runs in two exact steps per iteration: per-row score
+  *    `s = Σ_i xq_i·v_i` (a fold over one array — order-free), then
+  *    per-dimension `w_i = Σ_rows (xq_i·s) div 1024` — the div-1024
+  *    damping is applied PER ROW (deterministic under any partitioning)
+  *    and keeps the running sums inside 2⁶³;
+  *  - renormalization `v'_i = (w_i·10³) div max(|w|)` pins ‖v‖∞ at 10³
+  *    milli-units.
+  *
+  * Only the 64-element `v` crosses the driver between iterations (the
+  * bounded-collect convention of the ADC LUT builds: O(dim), never
+  * O(rows)). Overflow bound: with |x| ≤ 8 (milli 8·10³) and dim 64,
+  * per-row |xq_i·s| div 1024 ≤ ~2·10⁹, so the per-dimension sum is
+  * exact to ~4·10⁹ rows; past that raise the damping shift.
+  *
+  * Scale shape: one quantization scan (cached across iterations), per
+  * iteration one map-side fold for `s` and one posexplode +
+  * hash-aggregate into ≤ dim rows (partial aggregation collapses each
+  * partition to dim rows before the shuffle). Nothing corpus-sized ever
+  * sits in one task.
+  */
+object Pca {
+
+  private def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+
+  /** (id, xq array<bigint>) — embeddings quantized to exact milli-units. */
+  def quantized(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      expr(s"transform($vecCol, e -> " +
+        "CAST(floor(CAST(e AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))").as("xq"))
+
+  /** The top component after `iters` power iterations, as a milli-unit
+    * integer vector (‖v‖∞ = 1000; sign follows the iteration from the
+    * all-ones start — deterministic, not canonicalized). Driver-side
+    * result is O(dim).
+    */
+  def topComponentVector(corpus: DataFrame, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Long] = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val q = quantized(corpus, idCol, vecCol).persist()
+    try {
+      val dim = q.select(size(col("xq"))).first().getInt(0)
+      var v = Array.fill(dim)(1000L)
+      for (_ <- 1 to iters) {
+        val w = q
+          .withColumn("s", dotLong(col("xq"), typedLit(v.toSeq)))
+          .select(posexplode(col("xq")).as(Seq("i", "e")), col("s"))
+          .groupBy("i").agg(sum(expr("(e * s) div 1024")).as("w"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val mx = math.max(v.indices.map(i => math.abs(w.getOrElse(i, 0L))).max, 1L)
+        v = v.indices.map(i => w.getOrElse(i, 0L) * 1000L / mx).toArray
+      }
+      v
+    } finally q.unpersist()
+  }
+
+  /** One frame holding the component AND the extreme projections:
+    * (kind, key, value) — kind 'component' rows carry (dimension 1-based,
+    * v_milli); kind 'projection' rows the top-`k` vectors by absolute
+    * projection `Σ xq_i·v_i` (micro-scale: milli·milli), ties to the
+    * smaller id. The projections are the "what lies along this axis"
+    * readout — at 100 TB a pure scan over the quantized frame under a
+    * dim-sized literal, then a TakeOrdered k.
+    */
+  def topComponentWithProjections(corpus: DataFrame, iters: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"bad k=$k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v = topComponentVector(corpus, iters, idCol, vecCol)
+    val comp = v.zipWithIndex
+      .map { case (vi, i) => ("component", (i + 1).toLong, vi) }.toSeq
+      .toDF("kind", "key", "value")
+    val proj = quantized(corpus, idCol, vecCol)
+      .select(lit("projection").as("kind"), col("id").as("key"),
+        dotLong(col("xq"), typedLit(v.toSeq)).as("value"))
+      .orderBy(abs(col("value")).desc, col("key"))
+      .limit(k)
+    comp.unionByName(proj).orderBy(col("kind"), col("key"))
+  }
+}

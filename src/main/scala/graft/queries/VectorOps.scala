@@ -691,8 +691,60 @@ object VectorOps {
       Similarity.nearestCentroidAssign(emb, cents, "embedding")
         .groupBy(col("split"), col("label"), col("pred_label").as("pred"))
         .agg(count(lit(1)).as("n"))
+    },
+
+    // q156: top principal component by exact-integer power iteration
+    // ([[graft.operators.Pca.topComponentWithProjections]]) — the
+    // variance-axis readout of the embedding collection (collapsed
+    // mass on few directions is where PQ/cosine degrade, per the r10
+    // ADC ladder) plus the top-10 vectors by absolute projection. All
+    // BIGINT: milli-unit quantization, per-row div-1024 damping inside
+    // the matvec sums, max-renormalization to 1000 — the oracle unrolls
+    // all three iterations as CTEs with identical arithmetic.
+    QueryDef.sql(
+      "q156_pca_power_iteration",
+      s"""WITH q AS (
+         |  SELECT vec_id, i,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5)
+         |      AS BIGINT) AS e
+         |  FROM (SELECT vec_id, embedding,
+         |          unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings)),
+         |v0 AS (SELECT DISTINCT i, CAST(1000 AS BIGINT) AS v FROM q),
+         |${pcaIter("v0", "v1")},
+         |${pcaIter("v1", "v2")},
+         |${pcaIter("v2", "v3")},
+         |p AS (
+         |  SELECT q.vec_id, CAST(sum(q.e * v.v) AS BIGINT) AS score
+         |  FROM q JOIN v3 v USING (i) GROUP BY q.vec_id),
+         |top AS (
+         |  SELECT vec_id, score FROM p
+         |  ORDER BY abs(score) DESC, vec_id LIMIT 10)
+         |SELECT kind, CAST(key AS BIGINT) AS key, value FROM (
+         |  SELECT 'component' AS kind, i AS key, v AS value FROM v3
+         |  UNION ALL SELECT 'projection', vec_id, score FROM top)
+         |ORDER BY kind, key""".stripMargin) { (s, d) =>
+      graft.operators.Pca.topComponentWithProjections(
+        Tables.embeddings(s, d), iters = 3, k = 10)
     }
   )
+
+  /** One exact-integer power iteration as DuckDB CTEs: per-vector score
+    * s = Σ e·v, per-dimension damped sum w = Σ (e·s) div 1024,
+    * max-renormalization to 1000 milli-units — the arithmetic of
+    * [[graft.operators.Pca.topComponentVector]] verbatim.
+    */
+  private def pcaIter(prev: String, cur: String): String =
+    s"""s$cur AS (
+       |  SELECT q.vec_id, CAST(sum(q.e * v.v) AS BIGINT) AS s
+       |  FROM q JOIN $prev v USING (i) GROUP BY q.vec_id),
+       |w$cur AS (
+       |  SELECT q.i, CAST(sum((q.e * s.s) // 1024) AS BIGINT) AS w
+       |  FROM q JOIN s$cur s USING (vec_id) GROUP BY q.i),
+       |m$cur AS (SELECT greatest(max(abs(w)), 1) AS mx FROM w$cur),
+       |$cur AS (
+       |  SELECT i, CAST((w * 1000) // m.mx AS BIGINT) AS v
+       |  FROM w$cur CROSS JOIN m$cur m)""".stripMargin
 
   /** Shared PQ replay for q106/q107: md5-sampled 16-row codebook, 8
     * dimension slices, per-(vector, subspace) argmin with (dist, code)

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Pca
+import org.apache.spark.sql.functions._
+
+/** Exact-integer power iteration: planted dominant direction, brute
+  * replay of the integer recurrence, partitioning invariance.
+  */
+class PcaSpec extends SparkSpec {
+  import sqlImplicits._
+
+  /** Brute scala replay of [[Pca.topComponentVector]]'s recurrence over
+    * already-quantized rows (milli BIGINTs) — same fold order-free
+    * sums, same per-row div-1024 damping, same max renormalization.
+    */
+  private def brute(rows: Seq[Array[Long]], iters: Int): Array[Long] = {
+    val dim = rows.head.length
+    var v = Array.fill(dim)(1000L)
+    for (_ <- 1 to iters) {
+      val w = Array.fill(dim)(0L)
+      rows.foreach { x =>
+        val s = x.indices.map(i => x(i) * v(i)).sum
+        x.indices.foreach(i => w(i) += (x(i) * s) / 1024L)
+      }
+      val mx = math.max(w.map(math.abs).max, 1L)
+      v = w.map(_ * 1000L / mx)
+    }
+    v
+  }
+
+  private def toDf(rows: Seq[(Long, Array[Float])]) =
+    rows.map { case (id, a) => (id, a.toSeq) }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+
+  test("power iteration recovers a planted dominant direction") {
+    // variance concentrated on dim 1 (values ±4), noise on dim 3 (±0.1)
+    val rows = (0 until 40).map { i =>
+      val a = Array.fill(4)(0.0f)
+      a(1) = if (i % 2 == 0) 4.0f else -4.0f
+      a(3) = if (i % 3 == 0) 0.1f else -0.1f
+      (i.toLong, a)
+    }
+    val v = Pca.topComponentVector(toDf(rows), iters = 3)
+    assert(math.abs(v(1)) == 1000L, v.mkString(","))
+    assert(v(0) == 0L && v(2) == 0L, v.mkString(","))
+    assert(math.abs(v(3)) < 50L, v.mkString(","))
+  }
+
+  test("integer recurrence matches the brute replay and ignores partitioning") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Array.fill(6)((rnd.nextDouble() * 4 - 2).toFloat)))
+    val expected = brute(
+      rows.map(_._2.map(x => math.floor(x.toDouble * 1000.0 + 0.5).toLong)), 3)
+    val a = Pca.topComponentVector(toDf(rows), 3)
+    val b = Pca.topComponentVector(toDf(rows).repartition(7), 3)
+    assert(a.toSeq == expected.toSeq, s"a=${a.mkString(",")}")
+    assert(b.toSeq == expected.toSeq, s"b=${b.mkString(",")}")
+  }
+
+  test("topComponentWithProjections: component rows + top-k extremes, caches released") {
+    spark.catalog.clearCache()
+    val rows = (0 until 20).map { i =>
+      val a = Array.fill(3)(0.0f); a(0) = i.toFloat - 10f
+      (i.toLong, a)
+    }
+    val out = Pca.topComponentWithProjections(toDf(rows), iters = 2, k = 4)
+      .collect()
+    val comp = out.filter(_.getString(0) == "component")
+    val proj = out.filter(_.getString(0) == "projection")
+    assert(comp.length == 3 && proj.length == 4)
+    // the extreme ids are those furthest from zero along dim 0:
+    // |−10| (id 0), then the |9| tie resolved by id (1 before 19),
+    // then |−8| (id 2 beats id 18 on the tie)
+    assert(proj.map(_.getLong(1)).toSet == Set(0L, 1L, 19L, 2L),
+      proj.mkString(";"))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "pca must unpersist its quantized frame")
+  }
+}
