@@ -229,6 +229,67 @@ object Windows {
           round(when(col("prev").isNull, 0.0)
             .otherwise(greatest(col("eng") - col("prev"), lit(0.0))), 2))
         .drop("prev")
+    },
+
+    // q157: ordered-step conversion funnel ([[graft.operators.Funnel
+    // .stages]]) — view → click → purchase, each stage the user's
+    // earliest qualifying event STRICTLY AFTER their previous stage
+    // time. Per stage: users reaching it and the exact integral sum of
+    // time-to-convert in µs (mean = sum/n). Times compare as
+    // epoch-microsecond BIGINTs on both engines; no raw timestamps in
+    // the output.
+    QueryDef.sql(
+      "q157_conversion_funnel",
+      """WITH s1 AS (
+        |  SELECT user_id AS u, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id AS u, s1.t1,
+        |    MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS tk
+        |  FROM events e JOIN s1 ON e.user_id = s1.u
+        |  WHERE e.event_type = 'click'
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s1.t1
+        |  GROUP BY 1, 2),
+        |s3 AS (
+        |  SELECT e.user_id AS u, s2.t1,
+        |    MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS tk
+        |  FROM events e JOIN s2 ON e.user_id = s2.u
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s2.tk
+        |  GROUP BY 1, 2)
+        |SELECT stage, step, n_users, sum_lag_us FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step,
+        |    CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(0 AS BIGINT) AS sum_lag_us FROM s1
+        |  UNION ALL
+        |  SELECT 2, 'click', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(tk - t1), 0) AS BIGINT) FROM s2
+        |  UNION ALL
+        |  SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(tk - t1), 0) AS BIGINT) FROM s3)
+        |ORDER BY stage""".stripMargin) { (s, d) =>
+      graft.operators.Funnel.stages(Tables.events(s, d),
+        Seq("view", "click", "purchase"))
+    },
+
+    // q158: cohort retention triangle ([[graft.operators.Funnel
+    // .retentionCohorts]]) — users bucketed by the integral epoch-week
+    // of their first event; for every (cohort, offset) pair the number
+    // of that cohort's users active `offset` weeks later. Integer
+    // `div` bucketing on epoch-µs — bit-identical edges on both
+    // engines.
+    QueryDef.sql(
+      "q158_retention_cohorts",
+      """WITH w AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS w
+        |  FROM events),
+        |c AS (SELECT u, MIN(w) AS cohort_w FROM w GROUP BY u)
+        |SELECT CAST(c.cohort_w AS BIGINT) AS cohort_w,
+        |  CAST(w.w - c.cohort_w AS BIGINT) AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM w JOIN c USING (u) GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      graft.operators.Funnel.retentionCohorts(Tables.events(s, d))
     }
   )
 }

@@ -67,4 +67,66 @@ class SessionWindowSpec extends SparkSpec {
       assert(ids.sameElements(Array("dup1", "e2")), s"got ${ids.mkString(",")}")
     } finally q.stop()
   }
+
+  private def evRow(u: Long, t: String, tpe: String) = (u, ts(t), tpe)
+
+  test("funnel stages: sequenced conversion, out-of-order events don't convert") {
+    import org.apache.spark.sql.functions._
+    val events = Seq(
+      // u1 converts fully: view 10:00, click 10:01, purchase 10:03
+      evRow(1, "2024-01-01 10:00:00", "view"),
+      evRow(1, "2024-01-01 10:01:00", "click"),
+      evRow(1, "2024-01-01 10:03:00", "purchase"),
+      // u2's click PRECEDES their first view → stops at stage 1
+      evRow(2, "2024-01-01 09:00:00", "click"),
+      evRow(2, "2024-01-01 10:00:00", "view"),
+      evRow(2, "2024-01-01 09:30:00", "purchase"),
+      // u3: purchase before click ignored; later purchase converts
+      evRow(3, "2024-01-01 10:00:00", "view"),
+      evRow(3, "2024-01-01 10:05:00", "purchase"),
+      evRow(3, "2024-01-01 10:02:00", "click"),
+      evRow(3, "2024-01-01 10:06:00", "purchase"),
+      // u4 never views → absent from every stage
+      evRow(4, "2024-01-01 10:00:00", "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got = graft.operators.Funnel
+      .stages(events, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("view", 3L, 0L)), s"got $got")
+    // u1 lag 60 s, u3 lag 120 s (µs units)
+    assert(got(2L) == (("click", 2L, 180000000L)), s"got $got")
+    // u1 purchase at +180 s; u3's qualifying purchase is 10:05 (+300 s)
+    // — strictly after the 10:02 click, the 10:06 one is not needed
+    assert(got(3L) == (("purchase", 2L, 480000000L)), s"got $got")
+  }
+
+  test("funnel stages: empty downstream stage reports zero, not a crash") {
+    val events = Seq(evRow(1, "2024-01-01 10:00:00", "view"))
+      .toDF("user_id", "ts", "event_type")
+    val got = graft.operators.Funnel
+      .stages(events, Seq("view", "click"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set((1L, "view", 1L, 0L), (2L, "click", 0L, 0L)), s"$got")
+  }
+
+  test("retentionCohorts: first-bucket cohorts and offset counts") {
+    // 1-second buckets so the arithmetic is readable
+    val events = Seq(
+      evRow(1, "2024-01-01 00:00:00.1", "view"), // u1 cohort b0
+      evRow(1, "2024-01-01 00:00:01.5", "view"), // active b1
+      evRow(1, "2024-01-01 00:00:03.0", "view"), // active b3
+      evRow(2, "2024-01-01 00:00:01.2", "view"), // u2 cohort b1
+      evRow(2, "2024-01-01 00:00:01.9", "view"), // same bucket — once
+      evRow(2, "2024-01-01 00:00:02.0", "view")) // active b2
+      .toDF("user_id", "ts", "event_type")
+    val got = graft.operators.Funnel
+      .retentionCohorts(events, bucketUs = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // cohorts are ABSOLUTE epoch buckets (2024-01-01 = 1704067200 s)
+    val b = 1704067200L
+    assert(got == Map((b, 0L) -> 1L, (b, 1L) -> 1L, (b, 3L) -> 1L,
+      (b + 1, 0L) -> 1L, (b + 1, 1L) -> 1L), s"got $got")
+  }
 }
