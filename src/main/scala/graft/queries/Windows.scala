@@ -290,6 +290,56 @@ object Windows {
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM w JOIN c USING (u) GROUP BY 1, 2""".stripMargin) { (s, d) =>
       graft.operators.Funnel.retentionCohorts(Tables.events(s, d))
+    },
+
+    // q159: last-touch attribution — every purchase credited to the
+    // user's latest view/click at-or-before it ([[graft.operators
+    // .AsofJoin]] composed over the event log; DuckDB's native ASOF is
+    // the cross-engine oracle, the q66 pattern). The "campaign" rides
+    // the props payload (regexp-extracted digits mod 5 — identical text
+    // both engines); touches dedupe per (user, time) by lexicographic
+    // min (the asofJoin build-uniqueness contract); unattributed
+    // purchases group under null campaign/touch.
+    QueryDef.sql(
+      "q159_last_touch_attribution",
+      """WITH touches0 AS (
+        |  SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
+        |    event_type AS touch_type,
+        |    CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) % 5
+        |      AS campaign
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |touches AS (
+        |  SELECT u, tu, touch_type, campaign FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY u, tu
+        |      ORDER BY touch_type, campaign) AS rn
+        |    FROM touches0) WHERE rn = 1),
+        |p AS (
+        |  SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS pu, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT t.touch_type, t.campaign,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  round(sum(p.value), 2) AS attributed_value
+        |FROM p ASOF LEFT JOIN touches t
+        |  ON p.u = t.u AND t.tu <= p.pu
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+          struct(col("event_type").as("touch_type"),
+            expr("cast(regexp_extract(props, '([0-9]+)', 1) as bigint) % 5")
+              .as("campaign")).as("tc"))
+        .groupBy("user_id", "tu").agg(min("tc").as("tc"))
+        .select(col("user_id"), col("tu"),
+          col("tc.touch_type").as("touch_type"),
+          col("tc.campaign").as("campaign"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("pu"), col("value"))
+      graft.operators.AsofJoin
+        .asofJoin(purchases, "user_id", "pu", touches, "user_id", "tu",
+          Seq("touch_type", "campaign"))
+        .groupBy("touch_type", "campaign")
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum("value"), 2).as("attributed_value"))
     }
   )
 }

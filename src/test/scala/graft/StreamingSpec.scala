@@ -339,4 +339,49 @@ class StreamingSpec extends SparkSpec {
       assert(!q1.isActive && q2.isActive)
     } finally { q1.stop(); q2.stop() }
   }
+
+  test("funnel stream: stage transitions equal the batch funnel on in-order input") {
+    import graft.streaming.FunnelStream
+    import graft.streaming.FunnelStream.FunnelEvent
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[FunnelEvent]
+    val out = FunnelStream.funnelStream(source.toDS(),
+      Seq("view", "click", "purchase"))
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      // batch 1: u1 views+clicks; u2's click arrives BEFORE any view
+      source.addData(
+        FunnelEvent(1L, 100L, "view"), FunnelEvent(1L, 200L, "click"),
+        FunnelEvent(2L, 50L, "click"))
+      q.processAllAvailable()
+      // batch 2: u1 purchases; u2 finally views then clicks (same batch,
+      // out of arrival order — the per-batch event-time sort fixes it)
+      source.addData(
+        FunnelEvent(1L, 300L, "purchase"),
+        FunnelEvent(2L, 400L, "click"), FunnelEvent(2L, 350L, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_out").as[FunnelStream.StageOut]
+        .collect().sortBy(r => (r.userId, r.stage))
+      assert(rows.map(r => (r.userId, r.stage, r.step, r.lagUs)).toSeq == Seq(
+        (1L, 1, "view", 0L), (1L, 2, "click", 100L), (1L, 3, "purchase", 200L),
+        (2L, 1, "view", 0L), (2L, 2, "click", 50L)), rows.mkString(";"))
+      // state carried the stage across batches: u1's purchase advanced
+      // from the batch-1 click without re-seeing it
+    } finally q.stop()
+  }
+
+  test("funnel stream advance() is the batch semantic on a full in-order replay") {
+    import graft.streaming.FunnelStream
+    import graft.streaming.FunnelStream.{FunnelEvent, FunnelState}
+    // same fixture as the batch FunnelSpec case: u3's early purchase is
+    // skipped, the later one converts
+    val evs = Seq(
+      FunnelEvent(3L, 100L, "view"), FunnelEvent(3L, 500L, "purchase"),
+      FunnelEvent(3L, 200L, "click"), FunnelEvent(3L, 600L, "purchase"))
+    val (st, out) = FunnelStream.advance(Seq("view", "click", "purchase"),
+      FunnelState(0, 0L, 0L), evs)
+    assert(st == FunnelState(3, 100L, 500L))
+    assert(out.map(o => (o.stage, o.tkUs)) == Seq((1, 100L), (2, 200L), (3, 500L)))
+  }
 }
