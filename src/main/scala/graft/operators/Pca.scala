@@ -47,6 +47,24 @@ object Pca {
       expr(s"transform($vecCol, e -> " +
         "CAST(floor(CAST(e AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))").as("xq"))
 
+  /** The shared power-iteration loop over a prepared (id, xq) frame —
+    * the caller owns the frame's lifecycle (persist/unpersist).
+    */
+  private def iterate(q: DataFrame, iters: Int): Array[Long] = {
+    val dim = q.select(size(col("xq"))).first().getInt(0)
+    var v = Array.fill(dim)(1000L)
+    for (_ <- 1 to iters) {
+      val w = q
+        .withColumn("s", dotLong(col("xq"), typedLit(v.toSeq)))
+        .select(posexplode(col("xq")).as(Seq("i", "e")), col("s"))
+        .groupBy("i").agg(sum(expr("(e * s) div 1024")).as("w"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val mx = math.max(v.indices.map(i => math.abs(w.getOrElse(i, 0L))).max, 1L)
+      v = v.indices.map(i => w.getOrElse(i, 0L) * 1000L / mx).toArray
+    }
+    v
+  }
+
   /** The top component after `iters` power iterations, as a milli-unit
     * integer vector (‖v‖∞ = 1000; sign follows the iteration from the
     * all-ones start — deterministic, not canonicalized). Driver-side
@@ -56,20 +74,60 @@ object Pca {
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[Long] = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val q = quantized(corpus, idCol, vecCol).persist()
+    try iterate(q, iters) finally q.unpersist()
+  }
+
+  /** The SECOND principal direction by exact deflation then power
+    * iteration (Hotelling deflation): with v₁ fixed, every row projects
+    * to its orthogonal residual `r = ‖v₁‖²·x − (x·v₁)·v₁` — exact
+    * BIGINT, and EXACTLY orthogonal (r·v₁ = 0 with no rounding, because
+    * the projection is scaled by ‖v₁‖² instead of divided by it) — then
+    * scales back by an elementwise `div ‖v₁‖²` so the residual frame
+    * re-enters the iteration at the original milli-unit magnitude (the
+    * one truncation in the pipeline, per-element and
+    * partitioning-independent). Power iteration on the residuals
+    * converges to the second component.
+    *
+    * Returns (v1, v2) — both milli-unit integer vectors. The residual
+    * truncation means v2 is the exact second component of the TRUNCATED
+    * residual frame (the oracle replays the same truncation); its
+    * alignment with v₁ is near-zero but not identically zero, which
+    * [[secondComponentWithAlignment]] surfaces as a row.
+    */
+  def deflatedComponents(corpus: DataFrame, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): (Array[Long], Array[Long]) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val q = quantized(corpus, idCol, vecCol).persist()
     try {
-      val dim = q.select(size(col("xq"))).first().getInt(0)
-      var v = Array.fill(dim)(1000L)
-      for (_ <- 1 to iters) {
-        val w = q
-          .withColumn("s", dotLong(col("xq"), typedLit(v.toSeq)))
-          .select(posexplode(col("xq")).as(Seq("i", "e")), col("s"))
-          .groupBy("i").agg(sum(expr("(e * s) div 1024")).as("w"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        val mx = math.max(v.indices.map(i => math.abs(w.getOrElse(i, 0L))).max, 1L)
-        v = v.indices.map(i => w.getOrElse(i, 0L) * 1000L / mx).toArray
-      }
-      v
+      val v1 = iterate(q, iters)
+      val vn = v1.foldLeft(0L)((acc, x) => acc + x * x)
+      val v1Sql = s"array(${v1.mkString("L,") + "L"})"
+      val r = q
+        .withColumn("s", dotLong(col("xq"), typedLit(v1.toSeq)))
+        .select(col("id"),
+          expr(s"zip_with(xq, $v1Sql, (x, v) -> ($vn * x - s * v) div $vn)")
+            .as("xq"))
+        .localCheckpoint(true)
+      val v2 = iterate(r, iters)
+      (v1, v2)
     } finally q.unpersist()
+  }
+
+  /** (kind, key, value) frame: 64 'component2' rows (the deflated
+    * second direction, milli-units) plus one 'alignment' row — the
+    * exact integer dot v₁·v₂, whose smallness certifies the deflation
+    * (≈0; bounded by the residual truncation, not by float noise).
+    */
+  def secondComponentWithAlignment(corpus: DataFrame, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (v1, v2) = deflatedComponents(corpus, iters, idCol, vecCol)
+    val align = v1.zip(v2).foldLeft(0L) { case (acc, (a, b)) => acc + a * b }
+    (v2.zipWithIndex.map { case (vi, i) => ("component2", (i + 1).toLong, vi) }
+      :+ (("alignment", 0L, align))).toSeq
+      .toDF("kind", "key", "value")
+      .orderBy(col("kind"), col("key"))
   }
 
   /** One frame holding the component AND the extreme projections:

@@ -703,7 +703,7 @@ object VectorOps {
     // all three iterations as CTEs with identical arithmetic.
     QueryDef.sql(
       "q156_pca_power_iteration",
-      s"""WITH q AS (
+      s"""WITH q AS MATERIALIZED (
          |  SELECT vec_id, i,
          |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5)
          |      AS BIGINT) AS e
@@ -726,6 +726,50 @@ object VectorOps {
          |ORDER BY kind, key""".stripMargin) { (s, d) =>
       graft.operators.Pca.topComponentWithProjections(
         Tables.embeddings(s, d), iters = 3, k = 10)
+    },
+
+    // q160: the SECOND principal direction by exact Hotelling deflation
+    // ([[graft.operators.Pca.deflatedComponents]]): residual
+    // r = ‖v₁‖²·x − (x·v₁)·v₁ is exact BIGINT and exactly orthogonal
+    // (scaled by ‖v₁‖², never divided), then one elementwise div ‖v₁‖²
+    // re-enters milli scale and the same power iteration runs on the
+    // residuals. Output = the 64 component2 rows + the exact v₁·v₂
+    // alignment dot (near-zero, bounded by the residual truncation) —
+    // the oracle replays deflation and both iteration chains as CTEs.
+    QueryDef.sql(
+      "q160_pca_second_component",
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id, i,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5)
+         |      AS BIGINT) AS e
+         |  FROM (SELECT vec_id, embedding,
+         |          unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings)),
+         |v0 AS (SELECT DISTINCT i, CAST(1000 AS BIGINT) AS v FROM q),
+         |${pcaIter("v0", "v1")},
+         |${pcaIter("v1", "v2")},
+         |${pcaIter("v2", "v3")},
+         |vn AS MATERIALIZED (SELECT CAST(sum(v * v) AS BIGINT) AS vn FROM v3),
+         |sp AS MATERIALIZED (
+         |  SELECT q.vec_id, CAST(sum(q.e * v.v) AS BIGINT) AS s
+         |  FROM q JOIN v3 v USING (i) GROUP BY q.vec_id),
+         |r AS MATERIALIZED (
+         |  SELECT q.vec_id, q.i,
+         |    CAST((vn.vn * q.e - sp.s * v.v) // vn.vn AS BIGINT) AS e
+         |  FROM q JOIN v3 v USING (i) JOIN sp USING (vec_id) CROSS JOIN vn),
+         |u0 AS (SELECT DISTINCT i, CAST(1000 AS BIGINT) AS v FROM r),
+         |${pcaIter("u0", "u1", "r")},
+         |${pcaIter("u1", "u2", "r")},
+         |${pcaIter("u2", "u3", "r")},
+         |al AS (
+         |  SELECT CAST(sum(a.v * b.v) AS BIGINT) AS a
+         |  FROM v3 a JOIN u3 b USING (i))
+         |SELECT kind, CAST(key AS BIGINT) AS key, value FROM (
+         |  SELECT 'component2' AS kind, i AS key, v AS value FROM u3
+         |  UNION ALL SELECT 'alignment', 0, a FROM al)
+         |ORDER BY kind, key""".stripMargin) { (s, d) =>
+      graft.operators.Pca.secondComponentWithAlignment(
+        Tables.embeddings(s, d), iters = 3)
     }
   )
 
@@ -733,16 +777,22 @@ object VectorOps {
     * s = Σ e·v, per-dimension damped sum w = Σ (e·s) div 1024,
     * max-renormalization to 1000 milli-units — the arithmetic of
     * [[graft.operators.Pca.topComponentVector]] verbatim.
+    *
+    * Every CTE is MATERIALIZED: DuckDB 1.0 inlines multiply-referenced
+    * CTEs, so a chained iteration (each `cur` referenced by the next
+    * round's s AND w) re-expands the whole prefix ~4× per round —
+    * q160's 6-round chain ran minutes un-hinted, sub-second hinted
+    * (the SQL twin of the q95/q112 Spark diamond lesson).
     */
-  private def pcaIter(prev: String, cur: String): String =
-    s"""s$cur AS (
-       |  SELECT q.vec_id, CAST(sum(q.e * v.v) AS BIGINT) AS s
-       |  FROM q JOIN $prev v USING (i) GROUP BY q.vec_id),
-       |w$cur AS (
-       |  SELECT q.i, CAST(sum((q.e * s.s) // 1024) AS BIGINT) AS w
-       |  FROM q JOIN s$cur s USING (vec_id) GROUP BY q.i),
-       |m$cur AS (SELECT greatest(max(abs(w)), 1) AS mx FROM w$cur),
-       |$cur AS (
+  private def pcaIter(prev: String, cur: String, data: String = "q"): String =
+    s"""s$cur AS MATERIALIZED (
+       |  SELECT $data.vec_id, CAST(sum($data.e * v.v) AS BIGINT) AS s
+       |  FROM $data JOIN $prev v USING (i) GROUP BY $data.vec_id),
+       |w$cur AS MATERIALIZED (
+       |  SELECT $data.i, CAST(sum(($data.e * s.s) // 1024) AS BIGINT) AS w
+       |  FROM $data JOIN s$cur s USING (vec_id) GROUP BY $data.i),
+       |m$cur AS MATERIALIZED (SELECT greatest(max(abs(w)), 1) AS mx FROM w$cur),
+       |$cur AS MATERIALIZED (
        |  SELECT i, CAST((w * 1000) // m.mx AS BIGINT) AS v
        |  FROM w$cur CROSS JOIN m$cur m)""".stripMargin
 

@@ -58,6 +58,40 @@ class PcaSpec extends SparkSpec {
     assert(b.toSeq == expected.toSeq, s"b=${b.mkString(",")}")
   }
 
+  test("deflation recovers a planted SECOND direction, exactly orthogonal pre-truncation") {
+    // dim 1 dominates (±4), dim 2 is the clear second direction (±2),
+    // dim 0/3 carry only tiny noise — v1 must lock onto dim 1, v2 onto
+    // dim 2, and the v1·v2 alignment must be tiny (bounded by the one
+    // residual div-‖v₁‖² truncation, not float noise)
+    val rows = (0 until 48).map { i =>
+      val a = Array.fill(4)(0.0f)
+      a(1) = if (i % 2 == 0) 4.0f else -4.0f
+      a(2) = if (i % 3 == 0) 2.0f else -2.0f
+      a(3) = if (i % 5 == 0) 0.05f else -0.05f
+      (i.toLong, a)
+    }
+    val (v1, v2) = Pca.deflatedComponents(toDf(rows), iters = 3)
+    assert(math.abs(v1(1)) == 1000L, s"v1=${v1.mkString(",")}")
+    assert(math.abs(v2(2)) == 1000L, s"v2=${v2.mkString(",")}")
+    assert(math.abs(v2(1)) < 50L, s"v2=${v2.mkString(",")}")
+    val align = v1.zip(v2).map { case (a, b) => a * b }.sum
+    // milli-unit vectors: |v1·v2| ≤ dim·1000 would be parallel-ish;
+    // the deflation must hold it to truncation scale
+    assert(math.abs(align) < 20000L, s"align=$align")
+  }
+
+  test("deflatedComponents is partitioning-invariant and releases caches") {
+    spark.catalog.clearCache()
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 50).map(i =>
+      (i.toLong, Array.fill(5)((rnd.nextDouble() * 4 - 2).toFloat)))
+    val (a1, a2) = Pca.deflatedComponents(toDf(rows), 2)
+    val (b1, b2) = Pca.deflatedComponents(toDf(rows).repartition(7), 2)
+    assert(a1.toSeq == b1.toSeq && a2.toSeq == b2.toSeq)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "deflation must unpersist the quantized frame")
+  }
+
   test("topComponentWithProjections: component rows + top-k extremes, caches released") {
     spark.catalog.clearCache()
     val rows = (0 until 20).map { i =>
