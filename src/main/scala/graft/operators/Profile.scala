@@ -280,14 +280,22 @@ object Profile {
     * — n·Σxy would cross 2⁶³ first), quantized to micro-units.
     * Fewer than two fit points, or a degenerate x spread, guards to 0.
     */
-  val ZipfSlopeExprSql: String =
+  /** OLS slope over (x, y) sufficient sums (n, sx, sy, sxx, sxy) in
+    * micro-units, degenerate inputs → 0 — one double division whose
+    * expression text is interpolated VERBATIM into both engines (the
+    * q144 FitExprs convention). Shared by the Zipf (q154) and Herdan
+    * (q162) law fits.
+    */
+  def olsSlopeMicroSql(alias: String): String =
     "CAST(CASE WHEN n < 2 OR CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
       "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0 THEN 0 " +
       "ELSE floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
       "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) " +
       "/ (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
       "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000.0 + 0.5) " +
-      "END AS BIGINT) AS zipf_slope_micro"
+      s"END AS BIGINT) AS $alias"
+
+  val ZipfSlopeExprSql: String = olsSlopeMicroSql("zipf_slope_micro")
 
   /** Per-source Zipf slope — the corpus-health number the datasheet
     * reads off the rank-frequency law (Zipf 1949): natural language fits
@@ -333,6 +341,41 @@ object Profile {
       .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
         sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
       .selectExpr("source", "n AS n_fit", ZipfSlopeExprSql)
+  }
+
+  /** Per-source Herdan/Heaps' law exponent — the OTHER side of the q154
+    * Zipf diagnosis: vocabulary growth `V ≈ K·N^β` (Herdan 1960; Heaps
+    * 1978), fit per source as exact-integer OLS over PER-DOCUMENT
+    * (ln n_tokens, ln n_types) points. Natural text sits at β ≈
+    * 0.5–0.8; β → 1 means every token is novel (random strings, ids,
+    * hashes — tokenizer poison); β → 0 means vocabulary collapse
+    * (templated spam repeating one phrase). Zipf reads the frequency
+    * law of the aggregate vocabulary; Herdan reads how the vocabulary
+    * SCALES — a source can fake one but rarely both.
+    *
+    * Shape: n_tokens/n_types are pure per-doc array projections
+    * (`size(tokens)` / `size(array_distinct(tokens))` — no explode, no
+    * shuffle per token), then ONE hash aggregate per source over the
+    * five micro-nat sufficient sums; the slope division is
+    * [[olsSlopeMicroSql]], engine-identical. Empty docs are excluded
+    * (ln undefined — they carry no scaling information). Output:
+    * (source, n_fit, herdan_slope_micro), slope in micro-units.
+    */
+  def herdanSlope(docs: DataFrame, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    docs
+      .select(col(sourceCol).as("source"),
+        size(tokens(col(textCol))).cast("long").as("nt"),
+        size(array_distinct(tokens(col(textCol)))).cast("long").as("nv"))
+      .where(col("nt") >= 1)
+      .selectExpr("source",
+        "CAST(floor(ln(CAST(nt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x",
+        "CAST(floor(ln(CAST(nv AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+      .selectExpr("source", "n AS n_fit", olsSlopeMicroSql("herdan_slope_micro"))
   }
 
   /** Per-document trigram novelty — the inverse-boilerplate signal: the

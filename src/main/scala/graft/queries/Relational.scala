@@ -416,6 +416,31 @@ object Relational {
           (max("x") - min("x") + 1).cast("long").as("part_span"),
           min("y").as("min_supp"), max("y").as("max_supp"),
           (max("y") - min("y") + 1).cast("long").as("supp_span"))
+    },
+
+    // q161: fuzzy entity linkage over part names ([[graft.operators
+    // .Linkage.fuzzyNamePairs]]) — canonicalize-then-link (Fellegi &
+    // Sunter 1969): one hash aggregate to the distinct-name frame
+    // (orders smaller than the record table — ALL pairwise work happens
+    // there), block on the last name token (the head noun), within-block
+    // self-join under name_a < name_b with levenshtein ≤ 2. Both
+    // engines implement unit-cost edit distance, so pairs + member
+    // counts hash-match exactly. Downstream these pairs feed
+    // connectedComponents like near-dup pairs (q131).
+    QueryDef.sql(
+      "q161_fuzzy_name_linkage",
+      """WITH canon AS (
+        |  SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_members,
+        |    string_split(p_name, ' ')[-1] AS block
+        |  FROM part WHERE p_name IS NOT NULL AND len(p_name) > 0
+        |  GROUP BY p_name)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+        |  a.n_members AS n_a, b.n_members AS n_b
+        |FROM canon a JOIN canon b
+        |  ON a.block = b.block AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin) { (s, d) =>
+      graft.operators.Linkage.fuzzyNamePairs(Tables.part(s, d), "p_name", 2)
     }
   )
 }

@@ -1282,6 +1282,38 @@ object TextOps {
       graft.operators.Profile.trigramNovelty(Tables.documents(s, d))
         .withColumnRenamed("id", "doc_id")
     },
+
+    // q162: per-source Herdan/Heaps' law exponent ([[graft.operators
+    // .Profile.herdanSlope]]) — q154's companion: Zipf reads the
+    // aggregate vocabulary's frequency law, this reads how vocabulary
+    // SCALES with document length (V ≈ K·N^β; β→1 = id/hash noise,
+    // β→0 = templated collapse). Per-doc token/type counts are pure
+    // array projections (no explode), ONE hash aggregate per source
+    // over micro-nat OLS sums, slope via [[Profile.olsSlopeMicroSql]]
+    // verbatim on both engines.
+    QueryDef.sql(
+      "q162_herdan_exponent",
+      s"""WITH c AS (
+         |  SELECT source,
+         |    CAST(len($T) AS BIGINT) AS nt,
+         |    CAST(len(list_distinct($T)) AS BIGINT) AS nv
+         |  FROM documents),
+         |f AS (
+         |  SELECT source,
+         |    CAST(floor(ln(CAST(nt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+         |    CAST(floor(ln(CAST(nv AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y
+         |  FROM c WHERE nt >= 1),
+         |s AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy
+         |  FROM f GROUP BY source)
+         |SELECT source, n AS n_fit,
+         |  ${graft.operators.Profile.olsSlopeMicroSql("herdan_slope_micro")}
+         |FROM s""".stripMargin) { (s, d) =>
+      graft.operators.Profile.herdanSlope(Tables.documents(s, d))
+    },
   )
 
   /** DuckDB twin of the shingle construction (matches

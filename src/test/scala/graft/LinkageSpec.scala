@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{Linkage, Profile}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computable pins for the record-linkage operator (q161) and the
+  * Herdan vocabulary-scaling fit (q162).
+  */
+class LinkageSpec extends AnyFunSuite with SparkSpec {
+
+  import sqlImplicits._
+
+  test("fuzzyNamePairs: within-block edit distance, each pair once, counts carried") {
+    val df = Seq(
+      (1L, "blue bolt"), (2L, "blue bolt"),
+      (3L, "blue bol"),  // blocks under "bol", not "bolt"
+      (4L, "blu bolt"),  // block "bolt", dist to "blue bolt" = 1
+      (5L, "red bolt"),  // dist to "blue bolt" = 3 (>2, dropped)
+      (6L, "blue ring"), // different block entirely
+      (7L, null), (8L, "")
+    ).toDF("id", "name")
+    val out = Linkage.fuzzyNamePairs(df, "name", maxDist = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    // "blue bol" blocks under "bol" — blocking MISSES it vs "blue bolt"
+    // (the documented recall trade of single-key blocking);
+    // "blu bolt" ↔ "blue bolt" share block "bolt" at dist 1;
+    // "red bolt" ↔ "blu bolt" dist 3 and "red bolt" ↔ "blue bolt" dist 3 drop
+    assert(out.toSeq == Seq(("blu bolt", "blue bolt", 1L, 1L, 2L)), out.mkString(";"))
+  }
+
+  test("fuzzyNamePairs: duplicate names collapse before pairing (dist >= 1 always)") {
+    val df = Seq((1L, "hot gear"), (2L, "hot gear"), (3L, "hot gear"))
+      .toDF("id", "name")
+    assert(Linkage.fuzzyNamePairs(df, "name", 2).count() == 0)
+    val canon = Linkage.canonicalNames(df, "name").collect()
+    assert(canon.length == 1 && canon.head.getLong(1) == 3L)
+  }
+
+  test("blockStats surfaces the per-block name counts") {
+    val df = Seq((1L, "a bolt"), (2L, "b bolt"), (3L, "c ring"))
+      .toDF("id", "name")
+    val m = Linkage.blockStats(df, "name").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("bolt" -> 2L, "ring" -> 1L))
+  }
+
+  test("herdanSlope recovers a planted exponent and guards degenerates") {
+    // construct docs where n_types = n_tokens^(1/2) exactly on a log
+    // grid: doc k has 4^k tokens drawn from 2^k distinct words, so
+    // ln V = 0.5 * ln N exactly — slope must be 500000 micro-units
+    val docs = (1 to 4).map { k =>
+      val types = 1 << k            // 2^k distinct words
+      val total = types * types     // 4^k tokens
+      val words = (0 until total).map(i => s"w${i % types}")
+      ("s", words.mkString(" "))
+    }.toDF("source", "text")
+    val out = Profile.herdanSlope(docs).collect()
+    assert(out.length == 1)
+    val slope = out.head.getLong(2)
+    assert(math.abs(slope - 500000L) <= 2L, s"slope=$slope")
+    // degenerate: a single doc (n=1) and an all-empty source → slope 0
+    val one = Seq(("s", "a b c"), ("t", ""), ("t", "   ")).toDF("source", "text")
+    val m = Profile.herdanSlope(one).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(m("s") == 0L)          // n < 2 guard
+    assert(!m.contains("t"))      // empty docs carry no scaling info
+  }
+}
