@@ -146,5 +146,120 @@ object TokenizerOps {
         Tokenizer.bpeMergeTable(docs, "text", 3))
       Tokenizer.fertilityByGroup(docs, "lang", "text", merges)
     },
+
+    // q163: the unigram-LM seeded vocabulary ([[graft.operators
+    // .UnigramLm.seedVocab]], Kudo 2018 / SentencePiece) — the OTHER
+    // tokenizer family next to q112's BPE: occurrence-weighted substring
+    // candidates over the distinct-word frame, ALL single chars kept
+    // (character coverage) + the top-64 multi-char pieces with freq ≥ 2
+    // under the (freq desc, piece) total order, costs = exact micro-nat
+    // −ln p over the selected vocabulary's mass. Output rows are the
+    // MODEL (bounded: alphabet + 64 at any corpus scale).
+    QueryDef.sql(
+      "q163_unigram_vocab",
+      s"""WITH $UnigramVocabCtes
+         |SELECT piece, freq, cost_u FROM vocab""".stripMargin) { (s, d) =>
+      graft.operators.UnigramLm.seedVocab(
+        graft.operators.UnigramLm.wordFrame(Tables.documents(s, d), "text"),
+        maxPieceLen = 6, vocabSize = 64, minCount = 2L)
+    },
+
+    // q164: Viterbi segmentation under the q163 model ([[graft.operators
+    // .UnigramLm.segmentStats]]) — exact packed-BIGINT DP (64·cost +
+    // n_pieces, so one integer min is "min cost then fewest pieces")
+    // over each DISTINCT word, rolled up per source over occurrences:
+    // words, over-cap exclusions (reported, never dropped), pieces, and
+    // the corpus NLL in micro-nats (the tokenizer-side twin of the
+    // q85/q150 perplexities). The oracle unrolls the DP as 16
+    // MATERIALIZED CTE rounds — reachable cells only, so the Spark
+    // side's Inf sentinel never needs an oracle twin.
+    QueryDef.sql(
+      "q164_unigram_segment",
+      s"""WITH $UnigramVocabCtes,
+         |sstarts AS (
+         |  SELECT word, unnest(generate_series(1, len(word))) AS i
+         |  FROM words WHERE len(word) <= 16),
+         |sp0 AS (
+         |  SELECT word, i, unnest(generate_series(i, least(len(word), i + 15))) AS e
+         |  FROM sstarts),
+         |wp AS MATERIALIZED (
+         |  SELECT s.word, s.i - 1 AS s, s.e AS e, v.cost_u AS c
+         |  FROM sp0 s JOIN vocab v
+         |    ON substring(s.word, CAST(s.i AS INTEGER),
+         |                 CAST(s.e - s.i + 1 AS INTEGER)) = v.piece),
+         |vall0 AS (
+         |  SELECT word, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS b
+         |  FROM words WHERE len(word) <= 16),
+         |${(1 to 16).map(vitRound).mkString(",\n")},
+         |seg AS MATERIALIZED (
+         |  SELECT w.word, v.b // 64 AS cost_u, v.b % 64 AS n_pieces
+         |  FROM words w JOIN vall16 v
+         |    ON v.word = w.word AND v.j = len(w.word)),
+         |occ AS (
+         |  SELECT source, word, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT source, unnest($T) AS word FROM documents)
+         |  GROUP BY source, word)
+         |SELECT source,
+         |  CAST(sum(CASE WHEN s.n_pieces IS NOT NULL THEN o.n ELSE 0 END)
+         |    AS BIGINT) AS n_words,
+         |  CAST(sum(CASE WHEN s.n_pieces IS NULL THEN o.n ELSE 0 END)
+         |    AS BIGINT) AS n_excluded,
+         |  CAST(sum(CASE WHEN s.n_pieces IS NOT NULL THEN o.n * s.n_pieces
+         |    ELSE 0 END) AS BIGINT) AS n_pieces,
+         |  CAST(sum(CASE WHEN s.cost_u IS NOT NULL THEN o.n * s.cost_u
+         |    ELSE 0 END) AS BIGINT) AS nll_micro_nats
+         |FROM occ o LEFT JOIN seg s USING (word)
+         |GROUP BY source""".stripMargin) { (s, d) =>
+      graft.operators.UnigramLm.segmentStats(
+        Tables.documents(s, d), "text", "source",
+        maxPieceLen = 6, vocabSize = 64, minCount = 2L)
+    },
   )
+
+  /** Shared q163/q164 CTE prefix: distinct words → occurrence-weighted
+    * substring candidates (two lateral-unnest stages — a single SELECT
+    * with two unnests would ZIP them) → char + top-64 vocabulary with
+    * [[graft.operators.UnigramLm.CostExprSql]] costs.
+    */
+  private def UnigramVocabCtes: String =
+    s"""words AS MATERIALIZED (
+       |  SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($T) AS t FROM documents) GROUP BY 1),
+       |cstarts AS (
+       |  SELECT word, freq, unnest(generate_series(1, len(word))) AS i
+       |  FROM words),
+       |cand0 AS (
+       |  SELECT word, freq, i,
+       |    unnest(generate_series(1, least(6, len(word) - i + 1))) AS l
+       |  FROM cstarts),
+       |cands AS MATERIALIZED (
+       |  SELECT substring(word, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece,
+       |    CAST(sum(freq) AS BIGINT) AS freq
+       |  FROM cand0 GROUP BY 1),
+       |chars AS (SELECT piece, freq FROM cands WHERE len(piece) = 1),
+       |topv AS (
+       |  SELECT piece, freq FROM (
+       |    SELECT piece, freq,
+       |      row_number() OVER (ORDER BY freq DESC, piece) AS rnk
+       |    FROM cands WHERE len(piece) >= 2 AND freq >= 2)
+       |  WHERE rnk <= 64),
+       |vocab0 AS (SELECT * FROM chars UNION ALL SELECT * FROM topv),
+       |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM vocab0),
+       |vocab AS MATERIALIZED (
+       |  SELECT piece, freq, ${graft.operators.UnigramLm.CostExprSql}
+       |  FROM vocab0 CROSS JOIN tot)""".stripMargin
+
+  /** One Viterbi round: cells reachable at position j from any reachable
+    * cell at a span start (min over packed costs), accumulated into
+    * `vall$j` — the pcaIter unroll pattern, MATERIALIZED throughout.
+    */
+  private def vitRound(j: Int): String =
+    s"""vit$j AS MATERIALIZED (
+       |  SELECT p.word, CAST($j AS BIGINT) AS j,
+       |    min(pr.b + p.c * 64 + 1) AS b
+       |  FROM wp p JOIN vall${j - 1} pr
+       |    ON p.word = pr.word AND pr.j = p.s
+       |  WHERE p.e = $j GROUP BY p.word),
+       |vall$j AS MATERIALIZED (
+       |  SELECT * FROM vall${j - 1} UNION ALL SELECT * FROM vit$j)""".stripMargin
 }
