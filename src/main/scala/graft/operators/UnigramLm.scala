@@ -154,6 +154,87 @@ object UnigramLm {
         expr("b % 64").as("n_pieces"))
   }
 
+  /** The pieces ON the Viterbi best path, per distinct word:
+    * (word, piece, cnt) — the statistic the hard-EM M-step recounts.
+    * Two folds: the forward DP of [[viterbiSegment]] kept as the FULL
+    * best array, then a backward walk from position n choosing, at each
+    * position, the piece that ACHIEVES the cell value (equality against
+    * the packed cell; ties broken to the smallest start = the longest
+    * achieving piece — deterministic, and exactly what the oracle's
+    * `min(p.s)` replays). The walk is O(len·pieces) arithmetic inside
+    * codegen; nothing leaves the row until the final explode.
+    */
+  def viterbiPieces(words: DataFrame, vocab: DataFrame): DataFrame = {
+    val spans = words
+      .where(length(col("word")) <= MaxWordLen)
+      .select(col("word"), col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), i ->
+           |  transform(sequence(i, least(length(word), i + ${MaxWordLen - 1})),
+           |    e -> struct(i - 1 AS s, e AS e, substring(word, i, e - i + 1) AS piece))))""".stripMargin))
+        .as("sp"))
+      .select(col("word"), col("freq"), col("sp.s").as("s"), col("sp.e").as("e"),
+        col("sp.piece").as("piece"))
+      .join(vocab.select(col("piece"), col("cost_u")), "piece")
+      .groupBy("word")
+      .agg(first(col("freq")).as("freq"),
+        collect_list(struct(col("s"), col("e"), col("cost_u").as("c")))
+          .as("ps"))
+    spans
+      .withColumn("best", expr(
+        s"""aggregate(
+           |  sequence(1, length(word)),
+           |  concat(array(CAST(0 AS BIGINT)),
+           |         array_repeat(CAST($Inf AS BIGINT), length(word))),
+           |  (acc, j) -> transform(acc, (v, k) ->
+           |    CASE WHEN k = j THEN coalesce(
+           |      array_min(transform(filter(ps, p -> p.e = j),
+           |        p -> element_at(acc, p.s + 1) + p.c * 64 + 1)),
+           |      CAST($Inf AS BIGINT))
+           |    ELSE v END))""".stripMargin))
+      .where(expr(s"element_at(best, length(word) + 1) < ${Inf}L"))
+      .withColumn("cuts", expr(
+        s"""aggregate(
+           |  sequence(1, length(word)),
+           |  array(length(word)),
+           |  (cuts, x) -> CASE WHEN element_at(cuts, size(cuts)) = 0 THEN cuts
+           |    ELSE concat(cuts, array(array_min(transform(
+           |      filter(ps, p -> p.e = element_at(cuts, size(cuts)) AND
+           |        element_at(best, p.s + 1) + p.c * 64 + 1
+           |          = element_at(best, element_at(cuts, size(cuts)) + 1)),
+           |      p -> p.s)))) END)""".stripMargin))
+      .withColumn("pieces", expr(
+        """transform(sequence(1, size(cuts) - 1), i ->
+          |  substring(word, element_at(cuts, i + 1) + 1,
+          |    element_at(cuts, i) - element_at(cuts, i + 1)))""".stripMargin))
+      .select(col("word"), col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy("word", "piece").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** One HARD-EM round (Viterbi-EM / segmental k-means): recount piece
+    * frequencies along the current best paths (occurrence-weighted),
+    * drop multi-char pieces the paths no longer use, floor the
+    * single-char alphabet at 1 (character coverage must survive — the
+    * one deviation from pure MLE, documented), renormalize costs over
+    * the new mass. By Gibbs' inequality the corpus NLL under the new
+    * costs with re-segmentation cannot exceed the old one (up to the
+    * micro-nat quantization and the alphabet floor) — the spec pins the
+    * decrease on real corpora.
+    */
+  def emRound(words: DataFrame, vocab: DataFrame): DataFrame = {
+    val counts = viterbiPieces(words, vocab)
+      .join(words.select(col("word"), col("freq").as("wfreq")), "word")
+      .groupBy("piece").agg(sum(col("cnt") * col("wfreq")).as("c"))
+    val vocab1 = vocab.select("piece")
+      .join(counts, Seq("piece"), "left")
+      .where(length(col("piece")) === 1 || coalesce(col("c"), lit(0L)) >= 1L)
+      .select(col("piece"),
+        when(length(col("piece")) === 1, greatest(coalesce(col("c"), lit(0L)), lit(1L)))
+          .otherwise(col("c")).as("freq"))
+    val total = vocab1.agg(sum("freq").as("total"))
+    vocab1.crossJoin(broadcast(total))
+      .selectExpr("piece", "freq", CostExprSql)
+  }
+
   /** The corpus readout: train the seeded vocabulary corpus-globally,
     * Viterbi-segment the distinct words once, then roll up per
     * `groupCol` over OCCURRENCES: (group, n_words, n_excluded,
@@ -171,6 +252,10 @@ object UnigramLm {
     val occ = docs
       .select(col(groupCol).as("group"), explode(tokens(col(textCol))).as("word"))
       .groupBy("group", "word").agg(count(lit(1)).as("n"))
+    rollup(occ, seg).withColumnRenamed("group", groupCol)
+  }
+
+  private def rollup(occ: DataFrame, seg: DataFrame): DataFrame =
     occ.join(seg, Seq("word"), "left")
       .groupBy("group")
       .agg(
@@ -182,6 +267,35 @@ object UnigramLm {
           .otherwise(0L)).as("n_pieces"),
         sum(when(col("cost_u").isNotNull, col("n") * col("cost_u"))
           .otherwise(0L)).as("nll_micro_nats"))
-      .withColumnRenamed("group", groupCol)
+
+  /** [[segmentStats]] across `emRounds` hard-EM refinements: one row per
+    * (group, round) — round 0 is the seeded model, round r the model
+    * after r [[emRound]]s, each re-segmented from scratch. The NLL
+    * column is the training curve: non-increasing per round (Gibbs),
+    * modulo the documented micro-nat quantization and alphabet floor.
+    * Each round's vocabulary is eagerly materialized (`localCheckpoint`)
+    * — the E-step references it across two folds and the M-step again,
+    * the q95/q112 diamond lesson.
+    */
+  def segmentStatsEm(docs: DataFrame, textCol: String, groupCol: String,
+      emRounds: Int, maxPieceLen: Int = 6, vocabSize: Int = 512,
+      minCount: Long = 2L): DataFrame = {
+    require(emRounds >= 0, s"bad emRounds=$emRounds")
+    val words = wordFrame(docs, textCol).localCheckpoint(true)
+    val occ = docs
+      .select(col(groupCol).as("group"), explode(tokens(col(textCol))).as("word"))
+      .groupBy("group", "word").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    var vocab = seedVocab(words, maxPieceLen, vocabSize, minCount)
+      .localCheckpoint(true)
+    var out = Vector.empty[DataFrame]
+    for (r <- 0 to emRounds) {
+      out = out :+ rollup(occ, viterbiSegment(words, vocab))
+        .withColumn("round", lit(r.toLong))
+      if (r < emRounds) vocab = emRound(words, vocab).localCheckpoint(true)
+    }
+    out.reduce(_ unionByName _)
+      .select(col("group").as(groupCol), col("round"), col("n_words"),
+        col("n_excluded"), col("n_pieces"), col("nll_micro_nats"))
   }
 }

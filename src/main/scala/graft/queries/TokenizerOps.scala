@@ -176,45 +176,113 @@ object TokenizerOps {
     QueryDef.sql(
       "q164_unigram_segment",
       s"""WITH $UnigramVocabCtes,
-         |sstarts AS (
-         |  SELECT word, unnest(generate_series(1, len(word))) AS i
-         |  FROM words WHERE len(word) <= 16),
-         |sp0 AS (
-         |  SELECT word, i, unnest(generate_series(i, least(len(word), i + 15))) AS e
-         |  FROM sstarts),
-         |wp AS MATERIALIZED (
-         |  SELECT s.word, s.i - 1 AS s, s.e AS e, v.cost_u AS c
-         |  FROM sp0 s JOIN vocab v
-         |    ON substring(s.word, CAST(s.i AS INTEGER),
-         |                 CAST(s.e - s.i + 1 AS INTEGER)) = v.piece),
-         |vall0 AS (
-         |  SELECT word, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS b
-         |  FROM words WHERE len(word) <= 16),
-         |${(1 to 16).map(vitRound).mkString(",\n")},
-         |seg AS MATERIALIZED (
-         |  SELECT w.word, v.b // 64 AS cost_u, v.b % 64 AS n_pieces
-         |  FROM words w JOIN vall16 v
-         |    ON v.word = w.word AND v.j = len(w.word)),
-         |occ AS (
-         |  SELECT source, word, CAST(count(*) AS BIGINT) AS n
-         |  FROM (SELECT source, unnest($T) AS word FROM documents)
-         |  GROUP BY source, word)
-         |SELECT source,
-         |  CAST(sum(CASE WHEN s.n_pieces IS NOT NULL THEN o.n ELSE 0 END)
-         |    AS BIGINT) AS n_words,
-         |  CAST(sum(CASE WHEN s.n_pieces IS NULL THEN o.n ELSE 0 END)
-         |    AS BIGINT) AS n_excluded,
-         |  CAST(sum(CASE WHEN s.n_pieces IS NOT NULL THEN o.n * s.n_pieces
-         |    ELSE 0 END) AS BIGINT) AS n_pieces,
-         |  CAST(sum(CASE WHEN s.cost_u IS NOT NULL THEN o.n * s.cost_u
-         |    ELSE 0 END) AS BIGINT) AS nll_micro_nats
-         |FROM occ o LEFT JOIN seg s USING (word)
-         |GROUP BY source""".stripMargin) { (s, d) =>
+         |${dpChain("", "vocab")},
+         |$OccCte
+         |${rollupSql("seg", round = -1)}""".stripMargin) { (s, d) =>
       graft.operators.UnigramLm.segmentStats(
         Tables.documents(s, d), "text", "source",
         maxPieceLen = 6, vocabSize = 64, minCount = 2L)
     },
+
+    // q165: one HARD-EM round over the q163 model ([[graft.operators
+    // .UnigramLm.segmentStatsEm]], Viterbi-EM / segmental k-means):
+    // recover the best-path PIECES by a backward walk (at each position
+    // the piece ACHIEVING the packed cell value, smallest start on
+    // ties), recount piece frequencies along those paths, drop unused
+    // multi-char pieces, floor the alphabet at 1, renormalize, and
+    // re-segment. Output = the (source, round) training curve; Gibbs'
+    // inequality makes the NLL column non-increasing (spec-pinned).
+    // The oracle replays BOTH DP unrolls and the 16-step walk —
+    // equality against the vall16 cells, min(s) tie-break — then the
+    // M-step recount in plain SQL.
+    QueryDef.sql(
+      "q165_unigram_em",
+      s"""WITH $UnigramVocabCtes,
+         |${dpChain("", "vocab")},
+         |walk0 AS (
+         |  SELECT word, CAST(len(word) AS BIGINT) AS pos
+         |  FROM words WHERE len(word) <= 16),
+         |${(1 to 16).map(walkRound).mkString(",\n")},
+         |chosen AS MATERIALIZED (
+         |  SELECT word, substring(word, CAST(s + 1 AS INTEGER),
+         |    CAST(e - s AS INTEGER)) AS piece
+         |  FROM (${(1 to 16).map(j => s"SELECT * FROM step$j")
+                     .mkString(" UNION ALL ")})),
+         |pcnt AS (
+         |  SELECT c.piece, CAST(sum(w.freq) AS BIGINT) AS c
+         |  FROM chosen c JOIN words w USING (word) GROUP BY c.piece),
+         |vocab1_0 AS (
+         |  SELECT v.piece,
+         |    CASE WHEN len(v.piece) = 1 THEN greatest(coalesce(p.c, 0), 1)
+         |         ELSE p.c END AS freq
+         |  FROM vocab v LEFT JOIN pcnt p USING (piece)
+         |  WHERE len(v.piece) = 1 OR coalesce(p.c, 0) >= 1),
+         |tot1 AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM vocab1_0),
+         |vocab1 AS MATERIALIZED (
+         |  SELECT piece, freq, ${graft.operators.UnigramLm.CostExprSql}
+         |  FROM vocab1_0 CROSS JOIN tot1),
+         |${dpChain("r1", "vocab1")},
+         |$OccCte
+         |${rollupSql("seg", round = 0)}
+         |UNION ALL
+         |${rollupSql("r1seg", round = 1)}""".stripMargin) { (s, d) =>
+      graft.operators.UnigramLm.segmentStatsEm(
+        Tables.documents(s, d), "text", "source", emRounds = 1,
+        maxPieceLen = 6, vocabSize = 64, minCount = 2L)
+    },
   )
+
+  /** Per-(source, word) occurrence counts — the rollup's left side. */
+  private def OccCte: String =
+    s"""occ AS MATERIALIZED (
+       |  SELECT source, word, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT source, unnest($T) AS word FROM documents)
+       |  GROUP BY source, word)""".stripMargin
+
+  /** The per-source rollup over a segmentation CTE; `round = -1` omits
+    * the round column (q164's shape).
+    */
+  private def rollupSql(seg: String, round: Int): String = {
+    val roundCol =
+      if (round < 0) "" else s"CAST($round AS BIGINT) AS round,\n  "
+    s"""SELECT source, $roundCol
+       |  CAST(sum(CASE WHEN s.n_pieces IS NOT NULL THEN o.n ELSE 0 END)
+       |    AS BIGINT) AS n_words,
+       |  CAST(sum(CASE WHEN s.n_pieces IS NULL THEN o.n ELSE 0 END)
+       |    AS BIGINT) AS n_excluded,
+       |  CAST(sum(CASE WHEN s.n_pieces IS NOT NULL THEN o.n * s.n_pieces
+       |    ELSE 0 END) AS BIGINT) AS n_pieces,
+       |  CAST(sum(CASE WHEN s.cost_u IS NOT NULL THEN o.n * s.cost_u
+       |    ELSE 0 END) AS BIGINT) AS nll_micro_nats
+       |FROM occ o LEFT JOIN $seg s USING (word)
+       |GROUP BY source""".stripMargin
+  }
+
+  /** The full Viterbi DP as CTEs under a name prefix: in-vocab spans,
+    * the 16 unrolled rounds, and the decoded `${pfx}seg` — so the EM
+    * query can run the chain twice (seed vocab, then the re-estimated
+    * one) without name collisions.
+    */
+  private def dpChain(pfx: String, vocab: String): String =
+    s"""${pfx}sstarts AS (
+       |  SELECT word, unnest(generate_series(1, len(word))) AS i
+       |  FROM words WHERE len(word) <= 16),
+       |${pfx}sp0 AS (
+       |  SELECT word, i, unnest(generate_series(i, least(len(word), i + 15))) AS e
+       |  FROM ${pfx}sstarts),
+       |${pfx}wp AS MATERIALIZED (
+       |  SELECT s.word, s.i - 1 AS s, s.e AS e, v.cost_u AS c
+       |  FROM ${pfx}sp0 s JOIN $vocab v
+       |    ON substring(s.word, CAST(s.i AS INTEGER),
+       |                 CAST(s.e - s.i + 1 AS INTEGER)) = v.piece),
+       |${pfx}vall0 AS (
+       |  SELECT word, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS b
+       |  FROM words WHERE len(word) <= 16),
+       |${(1 to 16).map(j => vitRound(pfx, j)).mkString(",\n")},
+       |${pfx}seg AS MATERIALIZED (
+       |  SELECT w.word, v.b // 64 AS cost_u, v.b % 64 AS n_pieces
+       |  FROM words w JOIN ${pfx}vall16 v
+       |    ON v.word = w.word AND v.j = len(w.word))""".stripMargin
 
   /** Shared q163/q164 CTE prefix: distinct words → occurrence-weighted
     * substring candidates (two lateral-unnest stages — a single SELECT
@@ -251,15 +319,36 @@ object TokenizerOps {
 
   /** One Viterbi round: cells reachable at position j from any reachable
     * cell at a span start (min over packed costs), accumulated into
-    * `vall$j` — the pcaIter unroll pattern, MATERIALIZED throughout.
+    * `${pfx}vall$j` — the pcaIter unroll pattern, MATERIALIZED
+    * throughout.
     */
-  private def vitRound(j: Int): String =
-    s"""vit$j AS MATERIALIZED (
+  private def vitRound(pfx: String, j: Int): String =
+    s"""${pfx}vit$j AS MATERIALIZED (
        |  SELECT p.word, CAST($j AS BIGINT) AS j,
        |    min(pr.b + p.c * 64 + 1) AS b
-       |  FROM wp p JOIN vall${j - 1} pr
+       |  FROM ${pfx}wp p JOIN ${pfx}vall${j - 1} pr
        |    ON p.word = pr.word AND pr.j = p.s
        |  WHERE p.e = $j GROUP BY p.word),
-       |vall$j AS MATERIALIZED (
-       |  SELECT * FROM vall${j - 1} UNION ALL SELECT * FROM vit$j)""".stripMargin
+       |${pfx}vall$j AS MATERIALIZED (
+       |  SELECT * FROM ${pfx}vall${j - 1} UNION ALL SELECT * FROM ${pfx}vit$j)""".stripMargin
+
+  /** One backward-walk step over the round-0 DP: from every position a
+    * walk currently occupies, the piece ACHIEVING the packed cell value
+    * (pr.b + 64·c + 1 = cur.b) with the smallest start — exactly
+    * [[graft.operators.UnigramLm.viterbiPieces]]' tie-break. Walks at
+    * position 0 are done and carry forward unchanged.
+    */
+  private def walkRound(k: Int): String =
+    s"""step$k AS MATERIALIZED (
+       |  SELECT w.word, w.pos AS e, min(p.s) AS s
+       |  FROM walk${k - 1} w
+       |  JOIN vall16 cur ON cur.word = w.word AND cur.j = w.pos
+       |  JOIN wp p ON p.word = w.word AND p.e = w.pos
+       |  JOIN vall16 pr ON pr.word = p.word AND pr.j = p.s
+       |  WHERE w.pos > 0 AND pr.b + p.c * 64 + 1 = cur.b
+       |  GROUP BY w.word, w.pos),
+       |walk$k AS MATERIALIZED (
+       |  SELECT word, CAST(s AS BIGINT) AS pos FROM step$k
+       |  UNION ALL
+       |  SELECT word, pos FROM walk${k - 1} WHERE pos = 0)""".stripMargin
 }

@@ -80,6 +80,83 @@ class UnigramLmSpec extends AnyFunSuite with SparkSpec {
       out.mkString(";"))
   }
 
+  /** Brute backward walk over the brute DP — same equality test, same
+    * smallest-start tie-break.
+    */
+  private def brutePieces(word: String, cost: Map[String, Long]): Seq[String] = {
+    val n = word.length
+    val b = Array.fill(n + 1)(UnigramLm.Inf)
+    b(0) = 0L
+    for (j <- 1 to n; i <- 0 until j) {
+      cost.get(word.substring(i, j)).foreach { c =>
+        b(j) = math.min(b(j), b(i) + 64L * c + 1L)
+      }
+    }
+    if (b(n) >= UnigramLm.Inf) return Seq.empty
+    var pos = n
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (pos > 0) {
+      val s = (0 until pos).find { i =>
+        cost.get(word.substring(i, pos))
+          .exists(c => b(i) + 64L * c + 1L == b(pos))
+      }.get
+      out += word.substring(s, pos)
+      pos = s
+    }
+    out.toSeq
+  }
+
+  test("viterbiPieces recovers the exact best-path pieces (brute replay)") {
+    val rnd = new scala.util.Random(29)
+    val alpha = "abc"
+    val wordsSeq = (0 until 50).map { _ =>
+      val n = 1 + rnd.nextInt(9)
+      (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    }.distinct
+    val docs = Seq(wordsSeq.mkString(" ")).toDF("text")
+    val words = UnigramLm.wordFrame(docs, "text")
+    val vocab = UnigramLm.seedVocab(words, maxPieceLen = 3,
+      vocabSize = 6, minCount = 2L)
+    val cost = vocab.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val got = UnigramLm.viterbiPieces(words, vocab).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    wordsSeq.foreach { w =>
+      val exp = brutePieces(w, cost)
+        .groupBy(identity).map { case (p, xs) => (w, p) -> xs.length.toLong }
+      val gotW = got.view.filterKeys(_._1 == w).toMap
+      assert(gotW == exp, s"word=$w got=$gotW exp=$exp")
+    }
+  }
+
+  test("one hard-EM round does not increase the corpus NLL") {
+    // a corpus with real segmentation ambiguity: repeated bigrams and
+    // trigrams with overlapping pieces
+    val docs = Seq(
+      ("s", "abcabc abcabc abab ababab bcbc abc ab bc cab cabcab"),
+      ("s", "abcabc abab cab abc abc bc bc ab")
+    ).toDF("source", "text")
+    val out = UnigramLm.segmentStatsEm(docs, "text", "source",
+      emRounds = 2, maxPieceLen = 4, vocabSize = 6, minCount = 2L)
+      .collect()
+      .map(r => r.getLong(1) -> r.getLong(5)).toMap  // round -> nll
+    assert(out.size == 3)
+    assert(out(1L) <= out(0L), out.toString)
+    assert(out(2L) <= out(1L), out.toString)
+  }
+
+  test("emRound drops unused multi-char pieces but keeps the alphabet") {
+    // "ab" dominates: the best path never uses "a"+"b" separately, and
+    // never uses any other multi piece — EM must keep chars anyway
+    val docs = Seq("ab ab ab ab").toDF("text")
+    val words = UnigramLm.wordFrame(docs, "text")
+    val v0 = UnigramLm.seedVocab(words, maxPieceLen = 2,
+      vocabSize = 4, minCount = 2L)
+    val v1 = UnigramLm.emRound(words, v0).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    // paths: every "ab" → one "ab" piece (4 occurrences); chars floored at 1
+    assert(v1.toSeq == Seq(("a", 1L), ("ab", 4L), ("b", 1L)), v1.mkString(";"))
+  }
+
   test("segmentStats rolls up occurrences and reports over-cap words") {
     val long = "x" * (UnigramLm.MaxWordLen + 1)
     val docs = Seq(
