@@ -555,6 +555,60 @@ object RankingOps {
          |ORDER BY rank_u DESC, token LIMIT 30""".stripMargin) { (s, d) =>
       Profile.textRankKeywords(Tables.documents(s, d))
     },
+
+    // q166: exact triangle counts + clustering coefficients over the
+    // part co-purchase graph ([[graft.operators.Influence
+    // .triangleStats]], Suri & Vassilvitskii WWW'11 degree orientation)
+    // — the community-structure statistic the centralities miss: at
+    // equal degree, a part bought in cohesive baskets (high cc) vs one
+    // bridging unrelated ones. Every edge orients (deg, id)-low → high,
+    // so each triangle closes from exactly ONE wedge and hub fan-out is
+    // O(m^1.5) total — no reducer sees a hub's full quadratic. Top-25
+    // under the (n_tri desc, node) total order.
+    QueryDef.sql(
+      "q166_triangle_clustering",
+      """WITH und AS MATERIALIZED (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+        |                  greatest(a.l_partkey, b.l_partkey) AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS MATERIALIZED (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+        |  GROUP BY node),
+        |dir AS MATERIALIZED (
+        |  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS src,
+        |         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS dst
+        |  FROM (SELECT u.a, u.b, x.degree AS da, y.degree AS db
+        |        FROM und u JOIN deg x ON u.a = x.node
+        |                   JOIN deg y ON u.b = y.node)),
+        |tri AS MATERIALIZED (
+        |  SELECT w.src, w.x, w.y
+        |  FROM (SELECT e1.src, e1.dst AS x, e2.dst AS y
+        |        FROM dir e1 JOIN dir e2
+        |          ON e1.src = e2.src AND e1.dst < e2.dst) w
+        |  JOIN und ON w.x = und.a AND w.y = und.b),
+        |per AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |    SELECT src AS node FROM tri
+        |    UNION ALL SELECT x AS node FROM tri
+        |    UNION ALL SELECT y AS node FROM tri) GROUP BY node)
+        |SELECT d.node, d.degree,
+        |  CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CAST(CASE WHEN d.degree < 2 THEN 0
+        |    ELSE (2 * coalesce(p.n_tri, 0) * 10000)
+        |         // (d.degree * (d.degree - 1)) END AS BIGINT) AS cc_bp
+        |FROM deg d LEFT JOIN per p USING (node)
+        |ORDER BY n_tri DESC, node LIMIT 25""".stripMargin) { (s, d) =>
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val r = l.select(col("ok"), col("pk").as("pk2"))
+      val edges = l.join(r, Seq("ok"))
+        .where(col("pk") =!= col("pk2"))
+        .select(col("pk").as("u"), col("pk2").as("v"))
+      Influence.triangleStats(edges)
+        .orderBy(col("n_tri").desc, col("node")).limit(25)
+    },
   )
 
   /** One HITS half-iteration pair as DuckDB CTEs: authorities `aCur`

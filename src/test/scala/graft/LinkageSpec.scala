@@ -46,6 +46,28 @@ class LinkageSpec extends AnyFunSuite with SparkSpec {
     assert(m == Map("bolt" -> 2L, "ring" -> 1L))
   }
 
+  test("triangleStats: hand graph, orientation counts each triangle once") {
+    import graft.operators.Influence
+    // K4 on {1,2,3,4} (4 triangles, every node in 3 of them, cc = 1)
+    // plus a pendant 5—1 (degree 1, no triangle) and a duplicate +
+    // reversed edge to exercise canonicalization
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (1L, 2L), // duplicates
+      (5L, 1L)
+    ).toDF("u", "v")
+    val out = Influence.triangleStats(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((4L, 3L, 2 * 3 * 10000L / (4 * 3))), out.toString) // deg 4: K4 + pendant
+    assert(out(2L) == ((3L, 3L, 10000L)), out.toString)
+    assert(out(3L) == ((3L, 3L, 10000L)), out.toString)
+    assert(out(4L) == ((3L, 3L, 10000L)), out.toString)
+    assert(out(5L) == ((1L, 0L, 0L)), out.toString)
+    // total triangle mass: 4 triangles x 3 nodes
+    assert(out.values.map(_._2).sum == 12L)
+  }
+
   test("herdanSlope recovers a planted exponent and guards degenerates") {
     // construct docs where n_types = n_tokens^(1/2) exactly on a log
     // grid: doc k has 4^k tokens drawn from 2^k distinct words, so
