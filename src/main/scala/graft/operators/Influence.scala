@@ -153,20 +153,36 @@ object Influence {
     * wedge source, one semi-shaped join against the edge set keyed on
     * the canonical pair, one explode-to-3 + hash aggregate for
     * per-node counts. All keys are node ids / id pairs — AQE absorbs
-    * residual skew.
+    * residual skew. The canonical edge list and the degree table are
+    * cached for the computation (four and three consumers respectively
+    * — uncached, each re-derives the caller's edge construction from
+    * the source scans) and released once the per-node result is
+    * eagerly materialized.
     *
     * Output: (node, degree, n_tri, cc_bp) — clustering coefficient in
     * exact basis points, `2·t·10⁴ div (d·(d−1))`, 0 for degree < 2.
     */
   def triangleStats(edges: DataFrame): DataFrame = {
+    // the canonical edge list is referenced by FOUR consumers (degree
+    // count, orientation, the triangle-closing join, and transitively
+    // the wedge build) — without the cache each consumer re-derives the
+    // upstream edge construction (for a co-purchase graph: the order
+    // self-join + distinct, the expensive part) from the source scans,
+    // the same re-derivation class the r11 connectedComponents fix
+    // closed. Released before returning; the per-node result is eagerly
+    // materialized so the release is safe (the r10 PageRank discipline).
     val und = edges
       .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
+      .persist()
+    // degree table is read three times (both orientation attaches + the
+    // final rollup); one row per node, cheap to hold
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      .persist()
     val dir = und
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
@@ -186,12 +202,16 @@ object Influence {
     val perNode = tris
       .select(explode(array(col("src"), col("x"), col("y"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
-    deg.join(perNode, Seq("node"), "left")
+    val out = deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("deg").as("degree"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
       .withColumn("cc_bp",
         expr("CASE WHEN degree < 2 THEN 0 " +
           "ELSE (2 * n_tri * 10000) div (degree * (degree - 1)) END"))
+      .localCheckpoint(true)
+    und.unpersist()
+    deg.unpersist()
+    out
   }
 
   def hitsInteger(edges: DataFrame, iters: Int): DataFrame = {

@@ -112,6 +112,75 @@ object Retrieval {
       .filter(col("rnk") <= k)
   }
 
+  /** Top-k docs per query under the Dirichlet-smoothed query-likelihood
+    * model (Zhai & Lafferty, SIGIR'01) — the language-modeling
+    * alternative to BM25 (same index, different scoring family; LM
+    * scoring wins on short queries / verbose corpora and is the
+    * standard second lexical leg under RRF fusion). Uses the
+    * rank-equivalent decomposition so only MATCHED postings are
+    * scored:
+    *
+    *   score(q,d) = Σ_{t ∈ q∩d} ln(1 + tf·total / (μ·cf_t))
+    *                + |q| · ln(μ / (dl + μ))
+    *
+    * (the dropped Σ ln p_c(t) term is constant per query). Docs
+    * sharing no term with a query are absent, like [[bm25TopK]].
+    *
+    * Portability: each matched contribution quantizes to micro-nats —
+    * `floor(ln((μ·cf + tf·total)/(μ·cf)) · 10⁶ + 0.5)` with the
+    * ratio's numerator/denominator exact BIGINTs — summed as BIGINT,
+    * plus `|q| · floor(ln(μ/(dl+μ)) · 10⁶ + 0.5)`; ties break on doc.
+    * Overflow: `μ·cf + tf·total < 2⁶³` — with μ=2000 that is
+    * `cf ≲ 4.6·10¹⁵` and `tf·total ≲ 9.2·10¹⁸` jointly, far past any
+    * real corpus before the micro-unit path needs decimals.
+    *
+    * Shape — identical scale posture to BM25: cf exists only for query
+    * terms (broadcast semi-join), dl rides the posting grouping key
+    * (never a corpus-side lengths join), the per-query term count is a
+    * ≤|q|-row broadcast, top-k is WindowGroupLimit partial+final.
+    */
+  def queryLikelihoodTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: DataFrame, k: Int, mu: Int = 2000): DataFrame = {
+    val (posting, tot) = corpusPostings(docs, idCol, textCol)
+    qlFromPostings(posting, tot, queryTerms, k, mu)
+  }
+
+  /** The scoring half of [[queryLikelihoodTopK]] over an
+    * already-materialized postings frame — the stored-index entry
+    * point, mirroring [[bm25FromPostings]]. Duplicate (qid, term) rows
+    * deduplicate before scoring (set-of-terms query model).
+    */
+  def qlFromPostings(posting: DataFrame, tot: DataFrame,
+      queryTerms: DataFrame, k: Int, mu: Int): DataFrame = {
+    require(mu >= 1, s"mu must be >= 1, got $mu")
+    val qt = queryTerms.select("qid", "term").distinct()
+    val qTerms = qt.select("term").distinct()
+    // corpus frequency over query terms only
+    val cf = posting.join(broadcast(qTerms), "term")
+      .groupBy("term").agg(sum("tf").as("cf"))
+    val nq = qt.groupBy("qid").agg(count(lit(1)).as("nq"))
+    val matched = posting
+      .join(broadcast(qt), "term")
+      .join(broadcast(cf), "term")
+      .crossJoin(broadcast(tot))
+      .select(col("qid"), col("doc"), col("dl"),
+        expr(s"cast(floor(ln(cast($mu * cf + tf * total as double) " +
+          s"/ cast($mu * cf as double)) * 1000000.0 + 0.5) as bigint)")
+          .as("m_u"))
+    val scored = matched.groupBy("qid", "doc", "dl")
+      .agg(sum("m_u").as("m_sum"))
+      .join(broadcast(nq), "qid")
+      .select(col("qid"), col("doc"),
+        (col("m_sum") + col("nq") *
+          expr(s"cast(floor(ln($mu / cast(dl + $mu as double)) " +
+            "* 1000000.0 + 0.5) as bigint)")).as("score_u"))
+    scored
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("score_u").desc, col("doc").asc)).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two ranked
     * candidate lists — the standard hybrid-retrieval combiner (BM25 ⊕
     * embedding cosine is the RAG default: lexical recall where the

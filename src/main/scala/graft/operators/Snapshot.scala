@@ -99,4 +99,51 @@ object Snapshot {
       .withColumn("l1_micro",
         sum(col("drift_micro")).over(Window.partitionBy()))
   }
+
+  /** Slowly-changing-dimension Type-2 compression of a change log
+    * (Kimball's warehouse-dimension pattern): collapse an append-only
+    * event stream `(key, attr, ts)` into validity intervals — one row
+    * per (key, consecutive-run-of-equal-attr) with
+    * `[from_us, to_us)` effective bounds, `to_us` null for the open
+    * current version. The reference keeps only latest-state dimensions
+    * (its serving tables overwrite per kol id); SCD2 is the standard
+    * warehouse answer to "what was the attribute WHEN the fact
+    * happened" — the as-of join ([[AsofJoin]]) then consumes these
+    * intervals directly.
+    *
+    * Determinism: input rows first collapse to one per (key, µs) by
+    * MIN attr — same-timestamp collisions otherwise make run boundaries
+    * partitioning-dependent. Versions number from 1 per key in time
+    * order.
+    *
+    * Shape: everything is partitioned by `key` — the collision
+    * collapse is one hash aggregate, run detection is one lag + running
+    * sum window, the interval rollup is one hash aggregate, and the
+    * open/close stitch is one lead window. No global window, no join;
+    * at 100 TB the only exchange is the key hash partitioning, reused
+    * across all four steps.
+    */
+  def scd2Intervals(df: DataFrame, keyCol: String, attrCol: String,
+      tsUsCol: String): DataFrame = {
+    val byTime = Window.partitionBy("key").orderBy("ts_us")
+    val dedup = df
+      .select(col(keyCol).as("key"), col(attrCol).as("attr"),
+        col(tsUsCol).cast("long").as("ts_us"))
+      .groupBy("key", "ts_us").agg(min("attr").as("attr"))
+    // null-safe change test, with the first row per key forced to open
+    // version 1 (lag's no-previous-row null is indistinguishable from a
+    // genuinely-null previous attr, and a null→null run must NOT split)
+    val runs = dedup
+      .withColumn("__chg",
+        when(row_number().over(byTime) === 1, 1L)
+          .when(not(lag("attr", 1).over(byTime) <=> col("attr")), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum("__chg").over(byTime))
+    val byVersion = Window.partitionBy("key").orderBy("version")
+    runs.groupBy("key", "version")
+      .agg(max("attr").as("value"), min("ts_us").as("from_us"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("to_us", lead("from_us", 1).over(byVersion))
+      .select("key", "version", "value", "from_us", "to_us", "n_rows")
+  }
 }

@@ -122,6 +122,58 @@ object RankingOps {
         .select(col("qid"), col("doc").as("doc_id"), col("score_u"), col("rnk"))
     },
 
+    // q168: Dirichlet query-likelihood retrieval (Zhai & Lafferty
+    // SIGIR'01, μ=2000) — the language-modeling leg next to q109's
+    // BM25 over the SAME queries and index shape: matched-postings-only
+    // scoring via the rank-equivalent decomposition
+    // Σ ln(1 + tf·total/(μ·cf)) + |q|·ln(μ/(dl+μ)), each piece
+    // micro-nat-quantized before the BIGINT sum. A second lexical
+    // scorer is what RRF fusion (q115) actually wants to fuse.
+    QueryDef.sql(
+      "q168_query_likelihood",
+      s"""WITH q AS (SELECT CAST(a AS BIGINT) AS qid, b AS term
+         |  FROM (VALUES (1,'hash'),(1,'join'),(2,'window'),(2,'agg'),
+         |               (3,'spark'),(3,'stream'),(3,'data')) v(a, b)),
+         |toks AS (SELECT doc_id, $T AS tk FROM documents),
+         |posting AS (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, t AS term,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, tk, unnest(tk) AS t FROM toks)
+         |  GROUP BY 1, 2, 3),
+         |tot AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS total FROM toks),
+         |cf AS (
+         |  SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM posting
+         |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1),
+         |nq AS (SELECT qid, CAST(count(*) AS BIGINT) AS nq FROM q GROUP BY 1),
+         |m AS (
+         |  SELECT q.qid, p.doc_id, p.dl,
+         |    CAST(floor(ln(CAST(2000 * cf.cf + p.tf * t.total AS DOUBLE)
+         |      / CAST(2000 * cf.cf AS DOUBLE)) * 1000000.0 + 0.5)
+         |      AS BIGINT) AS m_u
+         |  FROM q JOIN posting p USING (term) JOIN cf USING (term)
+         |  CROSS JOIN tot t),
+         |score AS (
+         |  SELECT m.qid, m.doc_id,
+         |    CAST(sum(m.m_u) AS BIGINT)
+         |      + max(nq.nq) * CAST(floor(ln(2000
+         |          / CAST(max(m.dl) + 2000 AS DOUBLE))
+         |          * 1000000.0 + 0.5) AS BIGINT) AS score_u
+         |  FROM m JOIN nq USING (qid) GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT qid, doc_id, score_u,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY score_u DESC, doc_id) AS rnk
+         |  FROM score)
+         |SELECT qid, doc_id, score_u, CAST(rnk AS BIGINT) AS rnk
+         |FROM ranked WHERE rnk <= 10""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val qt = Seq((1L, "hash"), (1L, "join"), (2L, "window"), (2L, "agg"),
+        (3L, "spark"), (3L, "stream"), (3L, "data")).toDF("qid", "term")
+      Retrieval.queryLikelihoodTopK(
+          Tables.documents(s, d), "doc_id", "text", qt, 10)
+        .select(col("qid"), col("doc").as("doc_id"), col("score_u"), col("rnk"))
+    },
+
     // q110: DSIR log importance weights with target = source 'src0',
     // 256 hashed-bigram buckets; top-50 docs by weight. Docs with < 2
     // tokens have no features and are absent (paper's formulation

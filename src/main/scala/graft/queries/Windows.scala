@@ -340,6 +340,56 @@ object Windows {
         .groupBy("touch_type", "campaign")
         .agg(count(lit(1)).as("n_purchases"),
           round(sum("value"), 2).as("attributed_value"))
+    },
+
+    // q167: SCD Type-2 compression of the event log ([[graft.operators
+    // .Snapshot.scd2Intervals]], the Kimball warehouse-dimension
+    // pattern): each user's event-type stream collapses into validity
+    // intervals — one row per consecutive run with [from_us, to_us)
+    // bounds, to_us null for the open current version. Same-µs
+    // collisions collapse by MIN attr first (determinism), versions
+    // number from 1 per key in time order. Top-100 longest CLOSED
+    // intervals under the (duration desc, key, version) total order —
+    // bounded output over the full interval table.
+    QueryDef.sql(
+      "q167_scd2_intervals",
+      """WITH dedup AS (
+        |  SELECT user_id AS key, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    min(event_type) AS attr
+        |  FROM events GROUP BY 1, 2),
+        |runs AS (
+        |  SELECT key, ts_us, attr,
+        |    CASE WHEN row_number() OVER w = 1 THEN 1
+        |         WHEN NOT (lag(attr) OVER w IS NOT DISTINCT FROM attr) THEN 1
+        |         ELSE 0 END AS chg
+        |  FROM dedup WINDOW w AS (PARTITION BY key ORDER BY ts_us)),
+        |v AS (
+        |  SELECT key, ts_us, attr,
+        |    sum(chg) OVER (PARTITION BY key ORDER BY ts_us) AS version
+        |  FROM runs),
+        |iv AS (
+        |  SELECT key, CAST(version AS BIGINT) AS version,
+        |    max(attr) AS value, min(ts_us) AS from_us,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM v GROUP BY key, version),
+        |st AS (
+        |  SELECT key, version, value, from_us,
+        |    lead(from_us) OVER (PARTITION BY key ORDER BY version) AS to_us,
+        |    n_rows
+        |  FROM iv)
+        |SELECT key, version, value, from_us, to_us, n_rows,
+        |  CAST(to_us - from_us AS BIGINT) AS dur_us
+        |FROM st WHERE to_us IS NOT NULL
+        |ORDER BY dur_us DESC, key, version LIMIT 100""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      graft.operators.Snapshot
+        .scd2Intervals(ev, "user_id", "event_type", "ts_us")
+        .where(col("to_us").isNotNull)
+        .withColumn("dur_us", (col("to_us") - col("from_us")).cast("long"))
+        .orderBy(col("dur_us").desc, col("key"), col("version"))
+        .limit(100)
     }
   )
 }

@@ -264,6 +264,39 @@ class CurationSpec extends SparkSpec {
       s"null fingerprints must never masquerade as added/removed: $diffN")
   }
 
+  test("scd2Intervals: runs compress, open version, collisions, null attrs") {
+    import graft.operators.Snapshot
+    // key 1: a,a,b,a → 3 versions; key 2: x only → 1 open version;
+    // ts 40 collides (c vs a → MIN a keeps the run going)
+    val log = Seq(
+      (1L, "a", 10L), (1L, "a", 20L), (1L, "b", 30L),
+      (1L, "a", 40L), (1L, "c", 40L),
+      (2L, "x", 5L)).toDF("k", "v", "t")
+    val got = Snapshot.scd2Intervals(log, "k", "v", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got == Map(
+      (1L, 1L) -> (("a", 10L, 30L, 2L)),
+      (1L, 2L) -> (("b", 30L, 40L, 1L)),
+      (1L, 3L) -> (("a", 40L, -1L, 1L)),
+      (2L, 1L) -> (("x", 5L, -1L, 1L))), got.toString)
+    // null attr: null→null continues one run; value→null splits; the
+    // first row per key opens version 1 even when its attr is null
+    val nul = Seq((9L, null: String, 1L), (9L, null: String, 2L),
+      (9L, "z", 3L), (9L, null: String, 4L)).toDF("k", "v", "t")
+    val gn = Snapshot.scd2Intervals(nul, "k", "v", "t")
+      .collect().map(r => r.getLong(1) ->
+        ((Option(r.getString(2)), r.getLong(5)))).toMap
+    assert(gn == Map(1L -> ((None, 2L)), 2L -> ((Some("z"), 1L)),
+      3L -> ((None, 1L))), gn.toString)
+    // partitioning invariance
+    val rep = Snapshot.scd2Intervals(log.repartition(7), "k", "v", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rep == got.keys.toSeq.sorted)
+  }
+
   test("mixtureSolve: targets, epochs and modes from hand-computed inventory") {
     // s1: 100 tokens at 70% of a 1000-token budget → target 700,
     // epochs 7.0 (upsample); s2: 900 tokens at 30% → target 300,

@@ -66,6 +66,9 @@ class LinkageSpec extends AnyFunSuite with SparkSpec {
     assert(out(5L) == ((1L, 0L, 0L)), out.toString)
     // total triangle mass: 4 triangles x 3 nodes
     assert(out.values.map(_._2).sum == 12L)
+    // eager result + released iteration caches (the r10 PageRank rule)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "triangleStats must release its edge/degree caches")
   }
 
   test("herdanSlope recovers a planted exponent and guards degenerates") {

@@ -208,6 +208,40 @@ class RankingSpec extends SparkSpec {
     assert(rows(once) == rows(duped))
   }
 
+  test("queryLikelihoodTopK matches the exact-quantization brute replay") {
+    val docs = Seq(
+      (1L, "cat cat pad"), (2L, "cat pad pad pad pad pad"),
+      (3L, "dog pad"), (4L, "other stuff")).toDF("id", "text")
+    // total = 3 + 6 + 2 + 2 = 13; cf(cat) = 3, cf(dog) = 1
+    val q = Seq((1L, "cat"), (2L, "dog")).toDF("qid", "term")
+    def mU(tf: Long, cf: Long, total: Long, mu: Long = 2000L) =
+      math.floor(math.log((mu * cf + tf * total).toDouble /
+        (mu * cf).toDouble) * 1e6 + 0.5).toLong
+    def dU(dl: Long, mu: Long = 2000L) =
+      math.floor(math.log(mu / (dl + mu).toDouble) * 1e6 + 0.5).toLong
+    val got = Retrieval.queryLikelihoodTopK(docs, "id", "text", q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 1L)) == mU(2, 3, 13) + 1 * dU(3))
+    assert(got((1L, 2L)) == mU(1, 3, 13) + 1 * dU(6))
+    assert(got((2L, 3L)) == mU(1, 1, 13) + 1 * dU(2))
+    // higher tf + shorter doc outranks; no-term docs absent
+    assert(got((1L, 1L)) > got((1L, 2L)))
+    assert(!got.contains((1L, 4L)) && !got.contains((2L, 4L)))
+  }
+
+  test("queryLikelihoodTopK counts a repeated query term once and caps at k") {
+    val docs = (1L to 6L).map(i => (i, "term pad")).toDF("id", "text")
+    val once = Seq((1L, "term")).toDF("qid", "term")
+    val duped = Seq((1L, "term"), (1L, "term")).toDF("qid", "term")
+    def rows(q: org.apache.spark.sql.DataFrame, k: Int) =
+      Retrieval.queryLikelihoodTopK(docs, "id", "text", q, k)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+    assert(rows(once, 10) == rows(duped, 10))
+    // ties (same tf, dl, cf) break by doc id; k caps the list
+    assert(rows(once, 3).map(_._1) == Seq(1L, 2L, 3L))
+  }
+
   test("rankingMetrics matches hand-computed MRR/DCG/IDCG in micro-units") {
     import graft.operators.Evaluation
     // qid 1: hit at rank 2 of 3 relevant → mrr 1e6/2, dcg = gain(2),
