@@ -104,6 +104,77 @@ object Influence {
     out
   }
 
+  /** `iters` rounds of PERSONALIZED PageRank (Page et al. 1999 §6;
+    * Haveliwala, "Topic-Sensitive PageRank", WWW'02): the teleport
+    * mass concentrates on a SEED set instead of spreading uniformly,
+    * so ranks measure proximity-weighted influence relative to the
+    * seeds — the curation use is domain-trust propagation (seed the
+    * known-good domains/authors, rank everything by how much trusted
+    * mass flows to it) and seed-conditioned recommendation.
+    *
+    * Integer kernel, same discipline as [[pageRankInteger]]: total
+    * teleport mass is conserved at `0.15·N·10⁶` micro-units but paid
+    * only to seeds — each seed receives `(150000·N) div nS` per round
+    * (the div remainder leaks, deterministically — same class as the
+    * documented dangling-mass leak). Rank starts at `(10⁶·N) div nS`
+    * on seeds, 0 elsewhere. Non-seed nodes can only hold flowed-in
+    * mass; a node unreachable from every seed ranks exactly 0.
+    *
+    * Shape: identical to [[pageRankInteger]] plus one broadcast join
+    * of the seed flag onto the node frame — the seed/count frames are
+    * 1-row or ≤N-row, never corpus-sized. Result eagerly materialized,
+    * caches released.
+    *
+    * Overflow: seed ranks start at `10⁶·N/nS`, so the per-edge
+    * intermediate bound tightens to `(10⁶·N/nS) · 850000 < 2⁶³` for a
+    * seed with outdeg 1 holding all mass — safe while
+    * `N/nS ≲ 1.08·10¹³/10⁶ ≈ 10⁷` (a million-node graph with ONE seed
+    * is fine; a 10⁹-node graph needs ≥100 seeds or smaller damp units).
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val linked = edges.join(outdeg, "src").persist()
+    val allNodes = nodes(edges).persist()
+    // seeds outside the graph are ignored (they could neither receive
+    // nor pass mass); nS counts in-graph seeds only so no teleport mass
+    // silently vanishes on a stale seed list
+    val seedSet = seeds.select(col("node")).distinct().join(allNodes, "node")
+    // teleport per node: (150000 * N) div nS to seeds, 0 elsewhere —
+    // N and nS ride 1-row broadcast frames, never the driver
+    val counts = allNodes.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(seedSet.agg(count(lit(1)).as("n_seeds")))
+    val tele = allNodes
+      .join(seedSet.withColumn("__seed", lit(1L)), Seq("node"), "left")
+      .crossJoin(broadcast(counts))
+      .select(col("node"),
+        when(col("__seed").isNotNull,
+          expr(s"($TeleportU * n_nodes) div n_seeds")).otherwise(0L)
+          .as("tele_u"),
+        when(col("__seed").isNotNull,
+          expr(s"($BaseU * n_nodes) div n_seeds")).otherwise(0L)
+          .as("rank0_u"))
+      .persist()
+    var rank = tele.select(col("node"), col("rank0_u").as("rank_u"))
+    for (_ <- 1 to iters) {
+      val contribs = linked
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"),
+          expr(s"((rank_u div outdeg) * $DampNum) div $BaseU").as("c"))
+        .groupBy("dst").agg(sum("c").as("in_u"))
+      rank = tele
+        .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (col("tele_u") + coalesce(col("in_u"), lit(0L))).as("rank_u"))
+    }
+    val out = rank.localCheckpoint(true)
+    linked.unpersist()
+    allNodes.unpersist()
+    tele.unpersist()
+    out
+  }
+
   /** `iters` rounds of HITS (Kleinberg, "Authoritative Sources in a
     * Hyperlinked Environment", JACM 1999) over DIRECTED `edges(src,
     * dst)`, in exact integer arithmetic: authority(v) = Σ hub(u) over

@@ -34,6 +34,20 @@ object RankingOps {
     * shared `e` (edges), `deg` (out-degrees), and `n` (nodes) CTEs —
     * the exact integer update [[Influence.pageRankInteger]] runs.
     */
+  /** One PERSONALIZED PageRank iteration as a DuckDB CTE — teleport
+    * comes from the shared `tele` CTE (per-node tele_u) instead of the
+    * uniform 150000, otherwise identical arithmetic to [[prIter]].
+    */
+  private def pprIter(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT t.node,
+       |    CAST(t.tele_u + coalesce(c.in_u, 0) AS BIGINT) AS rank_u
+       |  FROM tele t LEFT JOIN (
+       |    SELECT e.dst,
+       |      CAST(sum(((r.rank_u // d.outdeg) * 850000) // 1000000) AS BIGINT) AS in_u
+       |    FROM e JOIN deg d ON e.src = d.src JOIN $prev r ON r.node = e.src
+       |    GROUP BY e.dst) c ON t.node = c.dst)""".stripMargin
+
   private def prIter(prev: String, cur: String): String =
     s"""$cur AS (
        |  SELECT n.node,
@@ -172,6 +186,61 @@ object RankingOps {
       Retrieval.queryLikelihoodTopK(
           Tables.documents(s, d), "doc_id", "text", qt, 10)
         .select(col("qid"), col("doc").as("doc_id"), col("score_u"), col("rnk"))
+    },
+
+    // q169: 3 rounds of PERSONALIZED PageRank over the q108 bipartite
+    // customer↔supplier graph, teleport seeded on nation-0 customers
+    // ([[graft.operators.Influence.personalizedPageRank]], Haveliwala
+    // WWW'02) — domain-trust propagation: suppliers rank by how much
+    // trusted-customer mass flows to them, not by raw connectivity.
+    // Seeds restrict to in-graph nodes (customers with no orders carry
+    // no mass); top-25 suppliers under (rank_u desc, s_suppkey).
+    QueryDef.sql(
+      "q169_personalized_pagerank",
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT src, dst FROM e0
+         |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+         |sd AS (
+         |  SELECT DISTINCT c_custkey * 2 AS node FROM customer
+         |  WHERE c_nationkey = 0),
+         |sg AS (SELECT sd.node FROM sd JOIN n USING (node)),
+         |ct AS (SELECT (SELECT count(*) FROM n) AS n_nodes,
+         |              (SELECT count(*) FROM sg) AS n_seeds),
+         |tele AS (
+         |  SELECT n.node,
+         |    CASE WHEN sg.node IS NOT NULL
+         |      THEN CAST((150000 * ct.n_nodes) // ct.n_seeds AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS tele_u,
+         |    CASE WHEN sg.node IS NOT NULL
+         |      THEN CAST((1000000 * ct.n_nodes) // ct.n_seeds AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS rank_u
+         |  FROM n LEFT JOIN sg ON n.node = sg.node CROSS JOIN ct),
+         |r0 AS (SELECT node, rank_u FROM tele),
+         |${pprIter("r0", "r1")},
+         |${pprIter("r1", "r2")},
+         |${pprIter("r2", "r3")}
+         |SELECT (node - 1) // 2 AS s_suppkey, rank_u
+         |FROM r3 WHERE node % 2 = 1
+         |ORDER BY rank_u DESC, s_suppkey LIMIT 25""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      val e0 = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.customer(s, d)
+        .filter(col("c_nationkey") === 0)
+        .select((col("c_custkey") * 2).as("node"))
+      Influence.personalizedPageRank(edges, seeds, 3)
+        .filter(pmod(col("node"), lit(2)) === 1)
+        .select(expr("(node - 1) div 2").as("s_suppkey"), col("rank_u"))
+        .orderBy(col("rank_u").desc, col("s_suppkey").asc)
+        .limit(25)
     },
 
     // q110: DSIR log importance weights with target = source 'src0',

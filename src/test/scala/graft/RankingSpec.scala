@@ -45,6 +45,39 @@ class RankingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("personalizedPageRank: hand chain, unreachable ranks 0, stale seeds ignored") {
+    // chain 1→2→3 plus isolated 4→5; seeds = {1}: N = 5, nS = 1,
+    // rank0(1) = 5e6, tele(1) = 750000.
+    // iter1: 2 gets (5e6 div 1)*0.85 = 4.25e6; ranks (750000, 4250000, 0, 0, 0)
+    // iter2: 2 gets (750000*0.85) = 637500; 3 gets (4.25e6*0.85) = 3612500
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r2 = Influence.personalizedPageRank(edges, seeds, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 750000L, 2L -> 637500L, 3L -> 3612500L,
+      4L -> 0L, 5L -> 0L), r2.toString)
+    // a seed absent from the graph is ignored: nS stays 1, ranks identical
+    val r2stale = Influence.personalizedPageRank(edges,
+      Seq(1L, 99L).toDF("node"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2stale == r2)
+    // caches released (the r10 rule)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "personalizedPageRank must release its caches")
+  }
+
+  test("personalizedPageRank is invariant to input partitioning") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 2L), (2L, 1L))
+    val s = Seq(2L, 3L)
+    val a = Influence.personalizedPageRank(e.toDF("src", "dst"),
+        s.toDF("node"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Influence.personalizedPageRank(
+        e.toDF("src", "dst").repartition(7), s.toDF("node").repartition(3), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
+  }
+
   test("bm25TopK ranks the matching doc first and respects doc-length penalty") {
     // two docs contain 'cat'; the shorter doc has the same tf so BM25's
     // length normalization must rank it higher. 'dog' appears in one doc.
