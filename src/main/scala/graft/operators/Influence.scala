@@ -285,6 +285,77 @@ object Influence {
     out
   }
 
+  /** `rounds` of k-core peeling (Seidman 1983; the distributed
+    * formulation of Montresor et al., "Distributed k-Core
+    * Decomposition", PODC'11) over an UNDIRECTED edge list `(u, v)`:
+    * repeatedly remove nodes of degree < k along with their edges. The
+    * k-core is the standard "dense cohesive backbone" extractor — on a
+    * co-purchase graph it isolates the always-bought-together cluster
+    * from the long tail the centralities smear over.
+    *
+    * Semantics are BOUNDED-ROUND (exactly `rounds` peels, a
+    * deterministic function of the input at any scale factor), not
+    * run-to-fixpoint — the returned profile shows convergence when the
+    * counts stop moving. `k` self-scales to `(2·|E| div |V|) + 1`
+    * (strictly above the average degree) unless overridden, so the
+    * peel stays informative as the graph densifies with corpus scale.
+    *
+    * Returns the peel curve: one row per round —
+    * (round, k, n_nodes, n_edges) with counts AFTER that round's peel.
+    *
+    * Shape: per round one degree aggregate (node-keyed) and two
+    * semi-joins of the edge list against the ≤|V|-row survivor frame;
+    * the k threshold rides a 1-row broadcast (never a driver value).
+    * The surviving edge list is eagerly checkpointed each round —
+    * the loop re-reads it twice per subsequent round, and an un-truncated
+    * chain re-derives all prior peels per reference (the BPE
+    * checkpoint-every-round lesson; peeled frames shrink
+    * monotonically, so each checkpoint is cheaper than the last).
+    * Per-round 1-row count frames union into the ≤rounds-row result.
+    */
+  def kCorePeelProfile(edges: DataFrame, rounds: Int,
+      kOverride: Option[Long] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und0 = edges
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val kFrame = kOverride match {
+      case Some(k) =>
+        und0.sparkSession.range(1).select(lit(k).as("k"))
+      case None =>
+        val nN = nodes(und0.select(col("a").as("src"), col("b").as("dst")))
+          .agg(count(lit(1)).as("n_nodes"))
+        val nE = und0.agg(count(lit(1)).as("n_edges"))
+        nE.crossJoin(nN)
+          .select(expr("(2 * n_edges) div n_nodes + 1").as("k"))
+    }
+    var cur = und0
+    var profile: DataFrame = null
+    for (r <- 1 to rounds) {
+      val deg = cur.select(col("a").as("node"))
+        .union(cur.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val surv = deg.crossJoin(broadcast(kFrame))
+        .filter(col("deg") >= col("k"))
+        .select("node")
+      cur = cur
+        .join(surv.withColumnRenamed("node", "a"), "a")
+        .join(surv.withColumnRenamed("node", "b"), "b")
+        .select("a", "b")
+        .localCheckpoint(true)
+      val row = surv.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(cur.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(broadcast(kFrame))
+        .select(lit(r.toLong).as("round"), col("k"),
+          col("n_nodes"), col("n_edges"))
+      profile = if (profile == null) row else profile.unionByName(row)
+    }
+    profile
+  }
+
   def hitsInteger(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select("src", "dst").distinct().persist()

@@ -48,6 +48,22 @@ object RankingOps {
        |    FROM e JOIN deg d ON e.src = d.src JOIN $prev r ON r.node = e.src
        |    GROUP BY e.dst) c ON t.node = c.dst)""".stripMargin
 
+  /** One k-core peel round as DuckDB CTEs: degrees over e(r-1),
+    * survivors vs the shared `kf` threshold, surviving edge list er —
+    * the exact loop body of [[Influence.kCorePeelProfile]].
+    */
+  private def kcoreRound(r: Int): String = {
+    val prev = if (r == 1) "e0" else s"e${r - 1}"
+    s"""deg$r AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev)
+       |  GROUP BY node),
+       |s$r AS (SELECT node FROM deg$r CROSS JOIN kf WHERE deg >= kf.k),
+       |e$r AS MATERIALIZED (
+       |  SELECT e.a, e.b FROM $prev e
+       |  JOIN s$r x ON e.a = x.node JOIN s$r y ON e.b = y.node)""".stripMargin
+  }
+
   private def prIter(prev: String, cur: String): String =
     s"""$cur AS (
        |  SELECT n.node,
@@ -241,6 +257,43 @@ object RankingOps {
         .select(expr("(node - 1) div 2").as("s_suppkey"), col("rank_u"))
         .orderBy(col("rank_u").desc, col("s_suppkey").asc)
         .limit(25)
+    },
+
+    // q170: the k-core peel curve of the part co-purchase graph
+    // ([[graft.operators.Influence.kCorePeelProfile]], Seidman 1983 /
+    // Montresor PODC'11) — 4 bounded peel rounds with k self-scaled to
+    // avg-degree+1, reporting (round, k, n_nodes, n_edges) after each
+    // peel. The curve separates the cohesive always-bought-together
+    // backbone from the long tail; counts going to zero IS the finding
+    // (this graph is near-regular — nothing sits far above average
+    // cohesion). Bounded rounds keep the semantics a deterministic
+    // function of the input at every scale factor.
+    QueryDef.sql(
+      "q170_kcore_peel",
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+         |                  greatest(a.l_partkey, b.l_partkey) AS b
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         |kf AS (
+         |  SELECT CAST((2 * (SELECT count(*) FROM e0))
+         |    // (SELECT count(*) FROM (
+         |        SELECT a AS node FROM e0 UNION SELECT b FROM e0))
+         |    + 1 AS BIGINT) AS k),
+         |${(1 to 4).map(r => kcoreRound(r)).mkString(",\n")}
+         |${(1 to 4).map(r =>
+             s"""SELECT CAST($r AS BIGINT) AS round, kf.k,
+                |  CAST((SELECT count(*) FROM s$r) AS BIGINT) AS n_nodes,
+                |  CAST((SELECT count(*) FROM e$r) AS BIGINT) AS n_edges
+                |FROM kf""".stripMargin).mkString("\nUNION ALL\n")}
+         |ORDER BY round""".stripMargin) { (s, d) =>
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val r = l.select(col("ok"), col("pk").as("pk2"))
+      val edges = l.join(r, Seq("ok"))
+        .where(col("pk") =!= col("pk2"))
+        .select(col("pk").as("u"), col("pk2").as("v"))
+      Influence.kCorePeelProfile(edges, 4).orderBy("round")
     },
 
     // q110: DSIR log importance weights with target = source 'src0',

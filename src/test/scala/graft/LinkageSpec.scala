@@ -71,6 +71,26 @@ class LinkageSpec extends AnyFunSuite with SparkSpec {
       "triangleStats must release its edge/degree caches")
   }
 
+  test("kCorePeelProfile: clique survives, pendants peel, fixpoint visible") {
+    import graft.operators.Influence
+    // K4 on {1,2,3,4} + pendant chain 4—5—6 (+ a reversed duplicate):
+    // 8 edges, 6 nodes → k = 16 div 6 + 1 = 3
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 5L)).toDF("u", "v")
+    val got = Influence.kCorePeelProfile(edges, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // round 1 drops 5 (deg 2) and 6 (deg 1); K4 is the stable 3-core
+    assert(got == Seq((1L, 3L, 4L, 6L), (2L, 3L, 4L, 6L), (3L, 3L, 4L, 6L)),
+      got.toString)
+    // explicit k above the clique degree peels everything
+    val hard = Influence.kCorePeelProfile(edges, 2, kOverride = Some(4L))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(hard == Seq((1L, 1L, 0L), (2L, 0L, 0L)), hard.toString)
+  }
+
   test("herdanSlope recovers a planted exponent and guards degenerates") {
     // construct docs where n_types = n_tokens^(1/2) exactly on a log
     // grid: doc k has 4^k tokens drawn from 2^k distinct words, so
