@@ -272,4 +272,43 @@ object Evaluation {
       .withColumn("pos_rate_bp", expr("(n_pos * 10000) div greatest(n, 1)"))
       .select("bucket", "score_lo_micro", "n", "n_pos", "pos_rate_bp")
   }
+
+  /** Cohen's kappa (Cohen 1960) between two binary raters — the
+    * chance-corrected agreement statistic. The curation use: quantify
+    * whether a cheap heuristic gate can stand in for a trained
+    * classifier (raw agreement is inflated whenever both raters mostly
+    * say "keep"; kappa subtracts the agreement two independent raters
+    * with the same marginals would reach by chance).
+    *
+    * One aggregate over the corpus → a 1-row result:
+    * (n, n11, n10, n01, n00, po_u, pe_u, kappa_u), all exact integers.
+    * po_u = raw agreement in micro-units; pe_u = chance agreement from
+    * the per-rater marginals, each divided by n BEFORE the product so
+    * the intermediate stays ≤ 10¹² (overflow-safe to ~9·10¹² rows);
+    * kappa_u = ((po_u − pe_u)·10⁶) div (10⁶ − pe_u), 0 by convention
+    * when pe_u = 10⁶ (degenerate unanimous marginals). Integer division
+    * truncates toward zero in BOTH engines (verified: DuckDB's `//`
+    * and Spark's `div` agree on negatives), so negative kappa —
+    * systematic disagreement — replays exactly.
+    *
+    * Null handling: rows where either rater is null are excluded (a
+    * rater that abstains expresses no agreement either way).
+    */
+  def agreementKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol)
+    val b = col(bCol)
+    df.filter(a.isNotNull && b.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(a && b, 1L).otherwise(0L)).as("n11"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("n10"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("n01"),
+        sum(when(!a && !b, 1L).otherwise(0L)).as("n00"))
+      .selectExpr("n", "n11", "n10", "n01", "n00",
+        "((n11 + n00) * 1000000) div n AS po_u",
+        "((((n11 + n10) * 1000000) div n) * (((n11 + n01) * 1000000) div n)) div 1000000" +
+          " + ((((n01 + n00) * 1000000) div n) * (((n10 + n00) * 1000000) div n)) div 1000000 AS pe_u")
+      .selectExpr("*",
+        "CASE WHEN pe_u >= 1000000 THEN CAST(0 AS BIGINT) " +
+          "ELSE ((po_u - pe_u) * 1000000) div (1000000 - pe_u) END AS kappa_u")
+  }
 }

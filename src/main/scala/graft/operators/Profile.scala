@@ -409,4 +409,48 @@ object Profile {
         expr("coalesce(n_unique, 0) * 10000 div greatest(coalesce(n_tri, 0), 1)")
           .as("novelty_bp"))
   }
+
+  /** Per-group robust outlier statistics via the median absolute
+    * deviation (Hampel's rule, the 3-MAD flag) — the data-quality
+    * anomaly detector mean/stddev cannot be: one planted 10⁹-token doc
+    * drags a source's mean past half its corpus, while the median and
+    * MAD ignore it. Over an integer value column (token counts, byte
+    * sizes, timestamps).
+    *
+    * Exactness trick: medians of integers interpolate at most to .5,
+    * so DOUBLED medians are exact BIGINTs on both engines —
+    * `med2 = 2·median(x)`, per-row deviation `dev2 = |2x − med2|`,
+    * `mad4 = 2·median(dev2)` (quadruple scale), and the 3-MAD flag is
+    * the pure-integer `2·dev2 > 3·mad4`. A group whose MAD is 0 (over
+    * half the values identical) flags every off-median row — the
+    * standard MAD degeneracy, and the right answer for near-constant
+    * columns.
+    *
+    * Shape: two exact-percentile aggregates (ObjectHashAggregate value
+    * buffering — the small-sf twin of the q60 sketch path, same
+    * convention as q41) and one counting aggregate, all keyed on the
+    * group; the ≤|groups|-row median frames broadcast back.
+    *
+    * Output per group: (group, n, med2, mad4, n_outliers).
+    */
+  def madOutlierStats(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = df.select(col(groupCol).as("grp"),
+        col(valueCol).cast("long").as("x"))
+      .filter(col("x").isNotNull)
+    val med = v.groupBy("grp")
+      .agg(expr("cast(2 * percentile(x, 0.5) as bigint)").as("med2"))
+    val dev = v.join(broadcast(med), "grp")
+      .withColumn("dev2", abs(col("x") * 2 - col("med2")))
+    val mad = dev.groupBy("grp")
+      .agg(expr("cast(2 * percentile(dev2, 0.5) as bigint)").as("mad4"))
+    dev.join(broadcast(mad), "grp")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        max("med2").as("med2"), max("mad4").as("mad4"),
+        sum(when(col("dev2") * 2 > col("mad4") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("grp").as(groupCol), col("n"), col("med2"), col("mad4"),
+        col("n_outliers"))
+  }
 }

@@ -655,6 +655,56 @@ object CurationOps {
         Seq("source"))
     },
 
+    // q171: Cohen's kappa between the heuristic quality gate
+    // (qualityScore ≥ 40, the q95 pipeline rule) and the frozen linear
+    // classifier's keep (q97) — [[graft.operators.Evaluation
+    // .agreementKappa]]: can the cheap rule stand in for the model?
+    // Chance agreement comes from the per-rater marginals (each
+    // divided by n before the product — overflow-safe to ~9·10¹²
+    // rows); integer division truncates toward zero on BOTH engines,
+    // so a negative kappa replays exactly. One aggregate, 1-row
+    // result.
+    QueryDef.sql(
+      "q171_gate_agreement_kappa",
+      s"""WITH f AS (
+         |  SELECT
+         |    floor(100.0 * (
+         |      0.4 * least(n_chars / 500.0, 1.0) +
+         |      0.4 * (CAST(len(list_distinct($T)) AS DOUBLE) / greatest(len($T), 1)) +
+         |      0.2 * least((CAST(len(list_filter($T, t -> t IN ('the','a','an','of','and','in','to','is','it','that'))) AS DOUBLE)
+         |                   / greatest(len($T), 1)) * 5.0, 1.0)
+         |    ) * 10000.0 + 0.5) / 10000.0 >= 40.0 AS a,
+         |    (-3000000 - 40000*len($T) + 200000*len(list_distinct($T))
+         |      + 2000*len(regexp_replace(text, '\\s', '', 'g'))
+         |      + 300000*len(list_filter($T,
+         |          t -> t IN ('the','a','an','of','and','in','to','is','it','that')))) >= 0 AS b
+         |  FROM documents),
+         |c AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+         |  FROM f),
+         |p AS (
+         |  SELECT *, ((n11 + n00) * 1000000) // n AS po_u,
+         |    ((((n11 + n10) * 1000000) // n) * (((n11 + n01) * 1000000) // n)) // 1000000
+         |      + ((((n01 + n00) * 1000000) // n) * (((n10 + n00) * 1000000) // n)) // 1000000 AS pe_u
+         |  FROM c)
+         |SELECT n, n11, n10, n01, n00,
+         |  CAST(po_u AS BIGINT) AS po_u, CAST(pe_u AS BIGINT) AS pe_u,
+         |  CAST(CASE WHEN pe_u >= 1000000 THEN 0
+         |    ELSE ((po_u - pe_u) * 1000000) // (1000000 - pe_u) END AS BIGINT)
+         |    AS kappa_u
+         |FROM p""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val scored = Classifier.qualityClassify(
+          docs.select(col("doc_id"), col("text"), col("n_chars")), "text")
+        .withColumn("rule_keep",
+          TextFunctions.qualityScore(col("text"), col("n_chars")) >= 40.0)
+      graft.operators.Evaluation.agreementKappa(scored, "rule_keep", "keep")
+    },
+
     // q142: calibration (reliability) table ([[graft.operators
     // .Evaluation.calibrationTable]]) — the triptych's third leg after
     // q137 (operating point) and q140 (ranking): per million-unit

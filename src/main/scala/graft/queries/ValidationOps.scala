@@ -211,6 +211,39 @@ object ValidationOps {
           countOnlyCols = Seq("text"))
     },
 
+    // q172: robust per-source length-anomaly stats ([[graft.operators
+    // .Profile.madOutlierStats]], Hampel's 3-MAD rule) — the
+    // data-quality detector the mean/stddev profile (q103/q117) cannot
+    // be: one pathological giant doc drags a source's mean, never its
+    // median. Exactness via DOUBLED medians (integer medians
+    // interpolate at most to .5, so med2/mad4 are exact BIGINTs on
+    // both engines) and the pure-integer flag 2·dev2 > 3·mad4.
+    QueryDef.sql(
+      "q172_mad_outliers",
+      s"""WITH v AS (
+         |  SELECT source, CAST(len($T) AS BIGINT) AS x FROM documents),
+         |med AS (
+         |  SELECT source, CAST(2 * quantile_cont(x, 0.5) AS BIGINT) AS med2
+         |  FROM v GROUP BY source),
+         |dev AS (
+         |  SELECT v.source, med.med2, abs(v.x * 2 - med.med2) AS dev2
+         |  FROM v JOIN med USING (source)),
+         |mad AS (
+         |  SELECT source, CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+         |  FROM dev GROUP BY source)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n,
+         |  max(d.med2) AS med2, max(m.mad4) AS mad4,
+         |  CAST(sum(CASE WHEN d.dev2 * 2 > m.mad4 * 3 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_outliers
+         |FROM dev d JOIN mad m USING (source)
+         |GROUP BY d.source""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("source"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("n_tok"))
+      Profile.madOutlierStats(docs, "source", "n_tok")
+    },
+
     // q104: admission constraints — per-table single-pass checks plus
     // anti-join referential integrity, long format (constraint,
     // violations, passed).

@@ -305,4 +305,50 @@ class ValidationOpsSpec extends AnyFunSuite with SparkSpec {
     // (docs 1, 2 carry it) → 2 of 3 shingles unique
     assert(got(5L) == ((3L, 2L, 6666L)), s"got $got")
   }
+
+  test("madOutlierStats: hand medians, 3-MAD flag, zero-MAD degeneracy") {
+    import sqlImplicits._
+    // g1: values 10,10,12,14,100 → med 12 (med2 24), devs 2,2,0,2,88
+    //     → MAD 2 (mad4 8); outlier iff 2·dev2 > 24 → only 100 (dev2 176)
+    // g2: 5,5,5,9 → med 5 (med2 10), devs 0,0,0,4 → MAD 0 (mad4 0):
+    //     the off-median 9 flags (zero-MAD degeneracy, documented)
+    val df = Seq(("g1", 10L), ("g1", 10L), ("g1", 12L), ("g1", 14L),
+      ("g1", 100L), ("g2", 5L), ("g2", 5L), ("g2", 5L), ("g2", 9L))
+      .toDF("src", "x")
+    val got = Profile.madOutlierStats(df, "src", "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      "g1" -> ((5L, 24L, 8L, 1L)),
+      "g2" -> ((4L, 10L, 0L, 1L))), got.toString)
+    // even-count interpolation: 1,2,3,4 → med2 = 5 (the .5 median doubled)
+    val even = Profile.madOutlierStats(
+      Seq(("e", 1L), ("e", 2L), ("e", 3L), ("e", 4L)).toDF("src", "x"),
+      "src", "x").collect().head
+    assert(even.getLong(2) == 5L, even.toString)
+  }
+
+  test("agreementKappa: hand confusion, degenerate unanimity, nulls excluded") {
+    import graft.operators.Evaluation
+    import sqlImplicits._
+    // 10 rows: n11=4, n00=3, n10=2, n01=1 → po = 0.7
+    // pa = 0.6, pb = 0.5 → pe = 0.6·0.5 + 0.4·0.5 = 0.5 → kappa = 0.4
+    val df = (Seq.fill(4)((true, true)) ++ Seq.fill(3)((false, false)) ++
+      Seq.fill(2)((true, false)) ++ Seq.fill(1)((false, true)))
+      .toDF("a", "b")
+    val r = Evaluation.agreementKappa(df, "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((10L, 4L, 2L, 1L, 3L)), r.toString)
+    assert(r.getLong(5) == 700000L && r.getLong(6) == 500000L &&
+      r.getLong(7) == 400000L, r.toString)
+    // unanimous raters: pe = 1 → kappa 0 by convention, po = 1
+    val u = Evaluation.agreementKappa(
+      Seq((true, true), (true, true)).toDF("a", "b"), "a", "b").collect().head
+    assert(u.getLong(5) == 1000000L && u.getLong(7) == 0L, u.toString)
+    // null rater rows are excluded from every count
+    val n = Evaluation.agreementKappa(
+      Seq((Some(true), Some(true)), (None, Some(false)), (Some(false), None))
+        .toDF("a", "b"), "a", "b").collect().head
+    assert(n.getLong(0) == 1L, n.toString)
+  }
 }
