@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-lifecycle analytics over an event stream table: ordered-step
@@ -81,5 +82,64 @@ object Funnel {
     w.join(cohort, "user")
       .groupBy(col("cohort_w"), (col("w") - col("cohort_w")).as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Per-group CUSUM drift statistics (Page, Biometrika 1954) over
+    * bucketed event volumes — the sequential change detector the
+    * point-in-time drift views (q99/q132) cannot be: a slow sustained
+    * shift never trips a per-snapshot share threshold, but its
+    * cumulative deviation grows linearly. The curation use: flag a
+    * source whose ingest volume regime-shifted mid-crawl (scraper
+    * breakage, upstream format change) before it poisons the mix.
+    *
+    * Exact integers throughout: per (group, bucket) counts; the group
+    * reference level is `total div n_buckets` (micro-precision via
+    * `CUSUM_t = Σ (n·x_i − total)` — the sum of n·deviations, so no
+    * per-bucket division remainder accumulates); reported are the max
+    * positive and max negative excursions and the bucket index of the
+    * FIRST |excursion| maximum (earliest on ties). Empty buckets
+    * between a group's first and last active bucket count as zero
+    * volume (a silent scraper IS the signal), materialized per group
+    * via a bucket-range join against a sequence frame.
+    *
+    * Shape: one (group, bucket) hash aggregate over the events; the
+    * gap fill joins each group's ≤span-row bucket range (sequence() on
+    * the ≤|groups|-row bounds frame — never corpus-sized); the running
+    * sum windows partition by group. Output: one row per group.
+    */
+  def cusumDrift(events: DataFrame, groupCol: String, tsCol: String,
+      bucketUs: Long = 86400000000L): DataFrame = {
+    require(bucketUs > 0, s"bad bucketUs=$bucketUs")
+    val counts = events
+      .select(col(groupCol).as("grp"),
+        expr(s"unix_micros($tsCol) div $bucketUs").as("b"))
+      .groupBy("grp", "b").agg(count(lit(1)).as("x"))
+    // fill silent buckets with 0 across each group's active span
+    val spans = counts.groupBy("grp")
+      .agg(min("b").as("b0"), max("b").as("b1"))
+    val filled = spans
+      .select(col("grp"), col("b0"),
+        explode(expr("sequence(b0, b1)")).as("b"))
+      .join(counts, Seq("grp", "b"), "left")
+      .select(col("grp"), (col("b") - col("b0")).as("t"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val totals = filled.groupBy("grp")
+      .agg(count(lit(1)).as("n_buckets"), sum("x").as("total"))
+    val w = Window.partitionBy("grp").orderBy("t")
+    val cusum = filled.join(totals, "grp")
+      .withColumn("dev", col("x") * col("n_buckets") - col("total"))
+      .withColumn("s", sum("dev").over(w))
+    val stats = cusum.groupBy("grp")
+      .agg(max("n_buckets").as("n_buckets"), max("total").as("total"),
+        greatest(max("s"), lit(0L)).as("max_pos"),
+        greatest(-min("s"), lit(0L)).as("max_neg"),
+        max(abs(col("s"))).as("__mxs"))
+    val peak = cusum
+      .join(stats.select(col("grp"), col("__mxs")), "grp")
+      .filter(abs(col("s")) === col("__mxs"))
+      .groupBy("grp").agg(min("t").as("peak_t"))
+    stats.join(peak, "grp")
+      .select(col("grp").as(groupCol), col("n_buckets"), col("total"),
+        col("max_pos"), col("max_neg"), col("peak_t"))
   }
 }

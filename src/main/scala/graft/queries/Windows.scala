@@ -390,6 +390,56 @@ object Windows {
         .withColumn("dur_us", (col("to_us") - col("from_us")).cast("long"))
         .orderBy(col("dur_us").desc, col("key"), col("version"))
         .limit(100)
+    },
+
+    // q173: CUSUM volume-drift statistics per event type ([[graft
+    // .operators.Funnel.cusumDrift]], Page 1954) — the sequential
+    // change detector next to q99/q132's point-in-time drift: daily
+    // event volumes against the flat reference total div n_days,
+    // cumulative deviations kept exact by summing n·xᵢ − total (no
+    // per-bucket division remainder), silent days filled as zero
+    // volume across each type's active span. Reported: max positive /
+    // negative excursion + the earliest bucket achieving the absolute
+    // peak.
+    QueryDef.sql(
+      "q173_cusum_drift",
+      """WITH counts AS (
+        |  SELECT event_type AS grp,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS b,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT grp, min(b) AS b0, max(b) AS b1
+        |          FROM counts GROUP BY grp),
+        |fb AS (SELECT grp, b0, unnest(generate_series(b0, b1)) AS b
+        |       FROM spans),
+        |filled AS (
+        |  SELECT f.grp, CAST(f.b - f.b0 AS BIGINT) AS t,
+        |    coalesce(c.x, 0) AS x
+        |  FROM fb f LEFT JOIN counts c ON c.grp = f.grp AND c.b = f.b),
+        |tot AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n_buckets,
+        |    CAST(sum(x) AS BIGINT) AS total
+        |  FROM filled GROUP BY grp),
+        |cs AS (
+        |  SELECT f.grp, f.t,
+        |    sum(f.x * tt.n_buckets - tt.total)
+        |      OVER (PARTITION BY f.grp ORDER BY f.t) AS s
+        |  FROM filled f JOIN tot tt USING (grp)),
+        |st AS (
+        |  SELECT grp, CAST(greatest(max(s), 0) AS BIGINT) AS max_pos,
+        |    CAST(greatest(-min(s), 0) AS BIGINT) AS max_neg,
+        |    max(abs(s)) AS mxs
+        |  FROM cs GROUP BY grp),
+        |pk AS (
+        |  SELECT cs.grp, CAST(min(cs.t) AS BIGINT) AS peak_t
+        |  FROM cs JOIN st ON cs.grp = st.grp AND abs(cs.s) = st.mxs
+        |  GROUP BY cs.grp)
+        |SELECT t.grp AS event_type, t.n_buckets, t.total,
+        |  st.max_pos, st.max_neg, pk.peak_t
+        |FROM tot t JOIN st USING (grp) JOIN pk USING (grp)""".stripMargin) {
+      (s, d) =>
+      graft.operators.Funnel
+        .cusumDrift(Tables.events(s, d), "event_type", "ts")
     }
   )
 }

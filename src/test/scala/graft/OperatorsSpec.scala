@@ -1053,6 +1053,36 @@ class OperatorsSpec extends SparkSpec {
     assert(stats.map(_.getAs[String]("kind")).toSet == Set("image", "audio", "video"))
   }
 
+  test("cusumDrift: hand excursions, silent-day zero fill, flat group quiet") {
+    import graft.operators.Funnel
+    val day = 86400000000L
+    def ev(grp: String, d: Long, n: Int) =
+      Seq.fill(n)((grp, d * day + 1L))
+    // a: burst-gap-burst [4,0,0,4] → s = [8,0,-8,0]: both excursions 8,
+    //    first |s| peak at t=0; days 1-2 have NO rows (zero fill)
+    // b: flat [2,2,2] → all zero
+    // c: step up [1,1,5,5] → s = [-8,-16,-8,0]: max_neg 16 at t=1
+    val rows = ev("a", 0, 4) ++ ev("a", 3, 4) ++
+      ev("b", 0, 2) ++ ev("b", 1, 2) ++ ev("b", 2, 2) ++
+      ev("c", 10, 1) ++ ev("c", 11, 1) ++ ev("c", 12, 5) ++ ev("c", 13, 5)
+    val df = rows.toDF("event_type", "us")
+      .select(col("event_type"), expr("timestamp_micros(us)").as("ts"))
+    val got = Funnel.cusumDrift(df, "event_type", "ts")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got == Map(
+      "a" -> ((4L, 8L, 8L, 8L, 0L)),
+      "b" -> ((3L, 6L, 0L, 0L, 0L)),
+      "c" -> ((4L, 12L, 0L, 16L, 1L))), got.toString)
+    // partitioning invariance
+    val rep = Funnel.cusumDrift(df.repartition(5), "event_type", "ts")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(rep == got)
+  }
+
   test("multimodal: frame sampling emits one row per interval") {
     val media = Seq((1L, "video", Array[Byte](1, 2, 3), (64, 64, 1000L, "stub")))
       .toDF("media_id", "kind", "content", "meta")
