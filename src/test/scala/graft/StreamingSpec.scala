@@ -371,6 +371,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2 stream closes versions once, carries state, drops cross-batch late rows") {
+    import graft.streaming.Scd2Stream
+    import graft.streaming.Scd2Stream.AttrEvent
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[AttrEvent]
+    val out = Scd2Stream.scd2Stream(source.toDS())
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("scd2_out").start()
+    try {
+      // batch 1: k1 opens 'a' (collision at 10 collapses to min 'a'),
+      // then changes to 'b' at 30 → closes version 1
+      source.addData(AttrEvent(1L, 10L, "c"), AttrEvent(1L, 10L, "a"),
+        AttrEvent(1L, 20L, "a"), AttrEvent(1L, 30L, "b"))
+      q.processAllAvailable()
+      // batch 2: k1 back to 'a' at 50 (closes v2, state carried across
+      // batches); a LATE row at 25 is unsequenceable and dropped
+      source.addData(AttrEvent(1L, 50L, "a"), AttrEvent(1L, 25L, "zzz"))
+      q.processAllAvailable()
+      val rows = spark.table("scd2_out").as[Scd2Stream.ClosedInterval]
+        .collect().sortBy(_.version)
+      assert(rows.map(r => (r.version, r.value, r.fromUs, r.toUs, r.nRows))
+        .toSeq == Seq((1L, "a", 10L, 30L, 2L), (2L, "b", 30L, 50L, 1L)),
+        rows.mkString(";"))
+    } finally q.stop()
+  }
+
+  test("scd2 advance() equals the batch operator's closed rows on in-order replay") {
+    import graft.streaming.Scd2Stream
+    import graft.streaming.Scd2Stream.AttrEvent
+    import graft.operators.Snapshot
+    val evs = Seq((7L, "x", 100L), (7L, "x", 200L), (7L, "y", 300L),
+      (7L, "y", 350L), (7L, "x", 400L), (7L, null: String, 500L))
+    // stream: one shot through advance()
+    val (st, closed) = Scd2Stream.advance(
+      Scd2Stream.OpenVersion(0L, null, 0L, Long.MinValue, 0L, defined = false),
+      evs.map { case (k, a, t) => AttrEvent(k, t, a) })
+    // batch: scd2Intervals' closed rows (to_us non-null)
+    val batch = Snapshot.scd2Intervals(evs.toDF("k", "v", "t"), "k", "v", "t")
+      .where(col("to_us").isNotNull)
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    assert(closed.map(c => (c.version, c.value, c.fromUs, c.toUs, c.nRows))
+      == batch, s"stream $closed vs batch $batch")
+    // the stream's open state is the batch's open row
+    assert(st == Scd2Stream.OpenVersion(4L, null, 500L, 500L, 1L,
+      defined = true), st.toString)
+  }
+
   test("funnel stream advance() is the batch semantic on a full in-order replay") {
     import graft.streaming.FunnelStream
     import graft.streaming.FunnelStream.{FunnelEvent, FunnelState}
