@@ -110,10 +110,16 @@ object Funnel {
   def cusumDrift(events: DataFrame, groupCol: String, tsCol: String,
       bucketUs: Long = 86400000000L): DataFrame = {
     require(bucketUs > 0, s"bad bucketUs=$bucketUs")
+    // the ONLY corpus-scan aggregate; every downstream frame is
+    // bucket-grained (≤ groups·span rows). Cached so the span bounds,
+    // the gap-fill join, the totals and both excursion consumers don't
+    // each re-run the event scan; released once the per-group result
+    // is eagerly materialized (the r10 PageRank discipline).
     val counts = events
       .select(col(groupCol).as("grp"),
         expr(s"unix_micros($tsCol) div $bucketUs").as("b"))
       .groupBy("grp", "b").agg(count(lit(1)).as("x"))
+      .persist()
     // fill silent buckets with 0 across each group's active span
     val spans = counts.groupBy("grp")
       .agg(min("b").as("b0"), max("b").as("b1"))
@@ -138,8 +144,11 @@ object Funnel {
       .join(stats.select(col("grp"), col("__mxs")), "grp")
       .filter(abs(col("s")) === col("__mxs"))
       .groupBy("grp").agg(min("t").as("peak_t"))
-    stats.join(peak, "grp")
+    val out = stats.join(peak, "grp")
       .select(col("grp").as(groupCol), col("n_buckets"), col("total"),
         col("max_pos"), col("max_neg"), col("peak_t"))
+      .localCheckpoint(true)
+    counts.unpersist()
+    out
   }
 }
