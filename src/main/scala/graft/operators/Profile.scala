@@ -433,6 +433,57 @@ object Profile {
     *
     * Output per group: (group, n, med2, mad4, n_outliers).
     */
+  /** Per-group Flesch reading-ease statistics (Flesch 1948) with the
+    * classic vowel-group syllable heuristic — the readability axis of
+    * corpus quality next to lexical diversity (q122) and the heuristic
+    * quality score (q33): training mixes are tuned by reading level,
+    * and a source whose readability collapses is usually machine
+    * noise, not prose.
+    *
+    * Per doc, all map-side: words = the house whitespace tokens;
+    * sentences = runs of [.!?]+ in the raw text (≥1 guard for
+    * unpunctuated docs); syllables = Σ per word of max(1, vowel-group
+    * count), groups counted by the collapse trick
+    * `len(replace(p,'#')) − len(replace(p,''))` (each run → one '#');
+    * then the exact-integer micro-unit Flesch
+    * `206835000 − (1015000·W) div S − (84600000·Syl) div W`. The
+    * integer-div remainders are deterministic on both engines.
+    *
+    * Shape: one projection (array transform + fold, no explode) + one
+    * hash aggregate on the group key.
+    *
+    * Output per group: (group, n_docs, avg_flesch_u, n_easy [≥ 60],
+    * n_hard [< 30]).
+    */
+  def readabilityStats(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    def groupsOf(c: Column, pat: String): Column =
+      length(regexp_replace(c, pat, "#")).cast("long") -
+        length(regexp_replace(c, pat, "")).cast("long")
+    // null text folds to the empty-doc sentinel (w=1, s=1, syl=0) — the
+    // q141 convention, and it keeps both engines' null algebra out of
+    // the arithmetic entirely
+    val txt = coalesce(col(textCol), lit(""))
+    val tk = graft.functions.TextFunctions.tokens(txt)
+    val per = df.select(col(groupCol),
+        greatest(size(tk).cast("long"), lit(1L)).as("w"),
+        greatest(groupsOf(txt, "[.!?]+"), lit(1L)).as("s"),
+        aggregate(
+          transform(tk, wd => greatest(groupsOf(lower(wd), "[aeiouy]+"),
+            lit(1L))),
+          lit(0L), (acc, x) => acc + x).as("syl"))
+      .select(col(groupCol),
+        expr("206835000 - (1015000 * w) div s - (84600000 * syl) div w")
+          .as("flesch_u"))
+    per.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(flesch_u) div count(1)").as("avg_flesch_u"),
+        sum(when(col("flesch_u") >= 60000000L, 1L).otherwise(0L))
+          .as("n_easy"),
+        sum(when(col("flesch_u") < 30000000L, 1L).otherwise(0L))
+          .as("n_hard"))
+  }
+
   def madOutlierStats(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
     val v = df.select(col(groupCol).as("grp"),

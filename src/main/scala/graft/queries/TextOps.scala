@@ -1314,7 +1314,51 @@ object TextOps {
          |FROM s""".stripMargin) { (s, d) =>
       graft.operators.Profile.herdanSlope(Tables.documents(s, d))
     },
+
+    // q174: per-source Flesch reading-ease ([[graft.operators.Profile
+    // .readabilityStats]], Flesch 1948) — the readability axis next to
+    // lexical diversity (q122): sentences = [.!?]+ runs, syllables =
+    // per-word vowel-group counts via the collapse trick
+    // len(replace(p,'#')) − len(replace(p,'')), micro-unit Flesch in
+    // exact integers (both div remainders deterministic). Null text
+    // folds to the empty-doc sentinel (w=1, s=1, syl=0), the q141
+    // convention. One map-side projection (array fold, no explode) +
+    // one hash aggregate per source.
+    QueryDef.sql(
+      "q174_readability",
+      s"""WITH per AS (
+         |  SELECT source,
+         |    greatest(CAST(len($TC) AS BIGINT), 1) AS w,
+         |    greatest(
+         |      CAST(len(regexp_replace(coalesce(text, ''), '[.!?]+', '#', 'g')) AS BIGINT)
+         |      - CAST(len(regexp_replace(coalesce(text, ''), '[.!?]+', '', 'g')) AS BIGINT),
+         |      1) AS s,
+         |    CAST(coalesce(list_sum(list_transform($TC, wd -> greatest(
+         |      len(regexp_replace(lower(wd), '[aeiouy]+', '#', 'g'))
+         |      - len(regexp_replace(lower(wd), '[aeiouy]+', '', 'g')), 1))), 0)
+         |      AS BIGINT) AS syl
+         |  FROM documents),
+         |f AS (SELECT source,
+         |        206835000 - (1015000 * w) // s - (84600000 * syl) // w
+         |          AS flesch_u
+         |      FROM per)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(flesch_u) // count(*) AS BIGINT) AS avg_flesch_u,
+         |  CAST(sum(CASE WHEN flesch_u >= 60000000 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_easy,
+         |  CAST(sum(CASE WHEN flesch_u < 30000000 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hard
+         |FROM f GROUP BY source""".stripMargin) { (s, d) =>
+      graft.operators.Profile.readabilityStats(
+        Tables.documents(s, d), "source", "text")
+    },
   )
+
+  /** DuckDB twin of the house tokenizer over null-coalesced text
+    * (readability needs the q141 empty-doc sentinel, not null algebra).
+    */
+  private def TC: String =
+    "list_filter(string_split_regex(coalesce(text, ''), '\\s+'), t -> len(t) > 0)"
 
   /** DuckDB twin of the shingle construction (matches
     * TextFunctions.shingles incl. the empty-text → empty-array rule).

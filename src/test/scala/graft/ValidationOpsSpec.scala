@@ -328,6 +328,29 @@ class ValidationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(even.getLong(2) == 5L, even.toString)
   }
 
+  test("readabilityStats: hand Flesch, empty/null sentinel, bucket counts") {
+    import sqlImplicits._
+    // "The cat sat. The dog ran!": W=6, S=2, syl=6 →
+    // 206835000 - (1015000*6)//2 - (84600000*6)//6 = 119190000 (easy)
+    // empty + null docs: sentinel w=1, s=1, syl=0 →
+    // 206835000 - 1015000 - 0 = 205820000 (easy)
+    val docs = Seq(("g1", "The cat sat. The dog ran!"),
+      ("g2", ""), ("g2", null: String)).toDF("source", "text")
+    val got = Profile.readabilityStats(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      "g1" -> ((1L, 119190000L, 1L, 0L)),
+      "g2" -> ((2L, 205820000L, 2L, 0L))), got.toString)
+    // a syllable-dense unpunctuated doc lands hard (flesch < 30):
+    // 9 one-syllable-per-vowel-group long words, one sentence
+    val hard = Seq(("h", Seq.fill(3)(
+      "extraordinary continuation representation").mkString(" ")))
+      .toDF("source", "text")
+    val h = Profile.readabilityStats(hard, "source", "text").collect().head
+    assert(h.getLong(4) == 1L, h.toString)
+  }
+
   test("agreementKappa: hand confusion, degenerate unanimity, nulls excluded") {
     import graft.operators.Evaluation
     import sqlImplicits._
