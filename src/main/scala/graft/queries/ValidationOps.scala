@@ -528,6 +528,63 @@ object ValidationOps {
          |FROM f GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
       Profile.tokenLengthHistogram(Tables.documents(s, d))
     },
+
+    // q175: multi-level datasheet via ROLLUP — (source, lang) leaves,
+    // per-source subtotals, grand total, in ONE aggregate through
+    // Catalyst's Expand operator (each input row fans out to its 3
+    // grouping sets map-side, then a single hash aggregate — no
+    // self-union of three scans, which is what the naive version
+    // costs; at 100 TB that is one corpus pass instead of three).
+    // grouping_id disambiguates a real null group value from a rollup
+    // subtotal; both engines compute the same (source=bit1, lang=bit0)
+    // id under the declared column order.
+    QueryDef.sql(
+      "q175_rollup_datasheet",
+      s"""SELECT source, lang,
+         |  CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len($T)) AS BIGINT) AS n_tokens
+         |FROM documents
+         |GROUP BY ROLLUP(source, lang)""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("n_tok"))
+        .rollup("source", "lang")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .select("source", "lang", "gid", "n_docs", "n_tokens")
+    },
+
+    // q176: language-mix PIVOT — token share per source pivoted into
+    // one fixed column per language ([[org.apache.spark.sql
+    // .RelationalGroupedDataset.pivot]] with EXPLICIT values, so the
+    // plan is a single hash aggregate with conditional sums — no
+    // second collect-distinct pass over the corpus, and the schema is
+    // static at any scale). The oracle is the same conditional
+    // aggregation spelled out (the pivot desugaring both engines
+    // agree on).
+    QueryDef.sql(
+      "q176_lang_pivot",
+      s"""SELECT source,
+         |  CAST(coalesce(sum(CASE WHEN lang = 'en' THEN len($T) END), 0) AS BIGINT) AS en_tokens,
+         |  CAST(coalesce(sum(CASE WHEN lang = 'fr' THEN len($T) END), 0) AS BIGINT) AS fr_tokens,
+         |  CAST(coalesce(sum(CASE WHEN lang = 'es' THEN len($T) END), 0) AS BIGINT) AS es_tokens,
+         |  CAST(coalesce(sum(CASE WHEN lang = 'de' THEN len($T) END), 0) AS BIGINT) AS de_tokens,
+         |  CAST(coalesce(sum(CASE WHEN lang = 'zh' THEN len($T) END), 0) AS BIGINT) AS zh_tokens
+         |FROM documents GROUP BY source""".stripMargin) { (s, d) =>
+      val langs = Seq("en", "fr", "es", "de", "zh")
+      val p = Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("n_tok"))
+        .groupBy("source")
+        .pivot("lang", langs)
+        .agg(sum("n_tok"))
+      langs.foldLeft(p) { (df, l) =>
+        df.withColumn(s"${l}_tokens", coalesce(col(l), lit(0L))).drop(l)
+      }.select(col("source") +: langs.map(l => col(s"${l}_tokens")): _*)
+    },
   )
 
   /** q103 oracle: one UNION ALL branch per profiled column, types aligned

@@ -328,6 +328,34 @@ class ValidationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(even.getLong(2) == 5L, even.toString)
   }
 
+  test("rollup fans out through ONE Expand; explicit-values pivot is one pass") {
+    import sqlImplicits._
+    val docs = Seq(("s1", "en", 3L), ("s1", "fr", 2L), ("s2", "en", 5L))
+      .toDF("source", "lang", "n_tok")
+    val ru = docs.rollup("source", "lang")
+      .agg(grouping_id().cast("long").as("gid"), sum("n_tok").as("t"))
+    val ruPlan = ru.queryExecution.executedPlan.toString
+    assert("(?i)expand".r.findAllIn(ruPlan).size >= 1 &&
+      "LocalTableScan".r.findAllIn(ruPlan).size == 1,
+      s"rollup must be one Expand over one scan, not a self-union:\n$ruPlan")
+    // leaf + subtotal + grand total rows, gid bits (source=2, lang=1)
+    val rows = ru.collect().map(r => (Option(r.getString(0)).getOrElse("-"),
+      Option(r.getString(1)).getOrElse("-"), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._3, x._1, x._2)).toSeq
+    assert(rows == Seq(("s1", "en", 0L, 3L), ("s1", "fr", 0L, 2L),
+      ("s2", "en", 0L, 5L), ("s1", "-", 1L, 5L), ("s2", "-", 1L, 5L),
+      ("-", "-", 3L, 10L)), rows.toString)
+    val pv = docs.groupBy("source").pivot("lang", Seq("en", "fr"))
+      .agg(sum("n_tok"))
+    val pvPlan = pv.queryExecution.executedPlan.toString
+    assert("LocalTableScan".r.findAllIn(pvPlan).size == 1,
+      s"explicit-values pivot must not re-scan for distinct values:\n$pvPlan")
+    val got = pv.collect().map(r => r.getString(0) ->
+      ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(got == Map("s1" -> ((Some(3L), Some(2L))),
+      "s2" -> ((Some(5L), None))), got.toString)
+  }
+
   test("readabilityStats: hand Flesch, empty/null sentinel, bucket counts") {
     import sqlImplicits._
     // "The cat sat. The dog ran!": W=6, S=2, syl=6 →
