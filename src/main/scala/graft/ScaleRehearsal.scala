@@ -265,6 +265,54 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // k-core peel ladder (r11, q170): planted dense core (degree-32
+    // ring lattice on 1% of nodes) + chain periphery (degree ≤ 2).
+    // With k = avg-degree+1 the periphery peels in round 1 and the
+    // core is the stable fixpoint, so the claim under test is the
+    // OPERATOR's scaling, not the graph's: 4 bounded rounds, each one
+    // degree aggregate + two survivor semi-joins over a SHRINKING
+    // checkpointed edge list — wall should scale ~linearly with |E|
+    // (round 1 dominates; rounds 2-4 run on the core only).
+    if (args.contains("--kcore-only")) {
+      import graft.operators.Influence
+      val scales = if (posArgs.nonEmpty) posArgs.map(_.toLong)
+      else Seq(1000000L, 4000000L, 16000000L)
+      def kcEdges(n: Long) = {
+        val m = math.max(n / 100L, 64L) // core nodes
+        val core = spark.range(m).select(col("id"))
+          .crossJoin(spark.range(16).select(col("id").as("d")))
+          .select(col("id").as("u"),
+            (pmod(col("id") + col("d") + 1, lit(m)) + 2000000000L).as("v0"))
+          .select((col("u") + 2000000000L).as("u"), col("v0").as("v"))
+        val chains = spark.range(n)
+          .filter(pmod(col("id") + 1, lit(256)) =!= 0)
+          .select(col("id").as("u"), (col("id") + 1).as("v"))
+        chains.unionByName(core)
+      }
+      locally { // untimed JIT/codegen warmup
+        val w = kcEdges(50000L).cache(); w.count()
+        Influence.kCorePeelProfile(w, 2).collect()
+        w.unpersist()
+      }
+      val ladder = scales.map { n =>
+        val edges = kcEdges(n).cache()
+        val nEdges = edges.count()
+        var prof: Array[org.apache.spark.sql.Row] = null
+        val (t, _) = timed {
+          prof = Influence.kCorePeelProfile(edges, 4)
+            .orderBy("round").collect()
+          prof.length.toLong
+        }
+        edges.unpersist()
+        val last = prof.last
+        val curve = prof.map(r => s"[${r.getLong(2)},${r.getLong(3)}]")
+          .mkString("[", ",", "]")
+        f"""{"n_edges":$nEdges,"kcore":{"sec":$t%.2f,"k":${last.getLong(1)},"curve":$curve}}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"kcore_rehearsal","scales":$ladder}""")
+      spark.stop(); return
+    }
+
     // Auto-k past the literal ceiling (r11, VERDICT r10 #6): at
     // n ≥ 1.05M pseudo-random vectors auto-k = ⌈√n⌉ crosses 1024, so
     // the AUTO path now dispatches to the broadcast-join argmin instead

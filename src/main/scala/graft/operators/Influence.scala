@@ -338,9 +338,15 @@ object Influence {
       val deg = cur.select(col("a").as("node"))
         .union(cur.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
+      // surv feeds THREE consumers (both edge semi-joins + the round's
+      // node count); un-materialized, each re-runs the degree aggregate
+      // over the full edge list — measured 6× super-linear wall at the
+      // 18.5M-edge ladder rung before this checkpoint. The survivor
+      // frame is ≤|V| single-long rows: cheapest thing in the loop.
       val surv = deg.crossJoin(broadcast(kFrame))
         .filter(col("deg") >= col("k"))
         .select("node")
+        .localCheckpoint(true)
       cur = cur
         .join(surv.withColumnRenamed("node", "a"), "a")
         .join(surv.withColumnRenamed("node", "b"), "b")
