@@ -56,9 +56,14 @@ class LinkageSpec extends AnyFunSuite with SparkSpec {
       (2L, 1L), (1L, 2L), // duplicates
       (5L, 1L)
     ).toDF("u", "v")
-    val out = Influence.triangleStats(edges).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
-      .toMap
+    var out: Map[Long, (Long, Long, Long)] = null
+    // eager result + released iteration caches (the r10 PageRank rule):
+    // at most the result's own localCheckpoint RDD may remain
+    assertReleases("triangleStats", allowed = 1) {
+      out = Influence.triangleStats(edges).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    }
     assert(out(1L) == ((4L, 3L, 2 * 3 * 10000L / (4 * 3))), out.toString) // deg 4: K4 + pendant
     assert(out(2L) == ((3L, 3L, 10000L)), out.toString)
     assert(out(3L) == ((3L, 3L, 10000L)), out.toString)
@@ -66,9 +71,6 @@ class LinkageSpec extends AnyFunSuite with SparkSpec {
     assert(out(5L) == ((1L, 0L, 0L)), out.toString)
     // total triangle mass: 4 triangles x 3 nodes
     assert(out.values.map(_._2).sum == 12L)
-    // eager result + released iteration caches (the r10 PageRank rule)
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "triangleStats must release its edge/degree caches")
   }
 
   test("kCorePeelProfile: clique survives, pendants peel, fixpoint visible") {

@@ -1075,14 +1075,16 @@ class OperatorsSpec extends SparkSpec {
       "a" -> ((4L, 8L, 8L, 8L, 0L)),
       "b" -> ((3L, 6L, 0L, 0L, 0L)),
       "c" -> ((4L, 12L, 0L, 16L, 1L))), got.toString)
-    // partitioning invariance + released bucket-count cache
-    val rep = Funnel.cusumDrift(df.repartition(5), "event_type", "ts")
-      .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-          r.getLong(5)))).toMap
+    // partitioning invariance + released bucket-count cache (only the
+    // eager result's checkpoint may remain)
+    var rep: Map[String, (Long, Long, Long, Long, Long)] = null
+    assertReleases("cusumDrift", allowed = 1) {
+      rep = Funnel.cusumDrift(df.repartition(5), "event_type", "ts")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5)))).toMap
+    }
     assert(rep == got)
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "cusumDrift must release its bucket-count cache")
   }
 
   test("multimodal: frame sampling emits one row per interval") {

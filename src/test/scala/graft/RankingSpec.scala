@@ -52,8 +52,12 @@ class RankingSpec extends SparkSpec {
     // iter2: 2 gets (750000*0.85) = 637500; 3 gets (4.25e6*0.85) = 3612500
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
     val seeds = Seq(1L).toDF("node")
-    val r2 = Influence.personalizedPageRank(edges, seeds, 2)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // caches released (the r10 rule): only the eager result may remain
+    var r2: Map[Long, Long] = null
+    assertReleases("personalizedPageRank", allowed = 1) {
+      r2 = Influence.personalizedPageRank(edges, seeds, 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
     assert(r2 == Map(1L -> 750000L, 2L -> 637500L, 3L -> 3612500L,
       4L -> 0L, 5L -> 0L), r2.toString)
     // a seed absent from the graph is ignored: nS stays 1, ranks identical
@@ -61,9 +65,6 @@ class RankingSpec extends SparkSpec {
       Seq(1L, 99L).toDF("node"), 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(r2stale == r2)
-    // caches released (the r10 rule)
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "personalizedPageRank must release its caches")
   }
 
   test("personalizedPageRank is invariant to input partitioning") {
