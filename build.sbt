@@ -32,9 +32,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // Hadoop's RawLocalFileSystem shells out to chmod for streaming
-  // state-store checkpoints; JDK 17's default posix_spawn helper is
-  // fragile in this container (fails with "Failed to exec spawn helper"),
-  // plain fork is reliable.
-  "-Djdk.lang.Process.launchMechanism=fork",
+  // Hadoop's RawLocalFileSystem shells out to chmod per created file
+  // (no native-hadoop lib here); JDK 17's default posix_spawn helper is
+  // fragile in this container (fails with "Failed to exec spawn helper").
+  // Plain fork is reliable but COPIES THE BIG JVM per spawn — measured
+  // 15x on q138's 265-partition write (114 s vs 7.4 s standalone; the
+  // r11 in-suite bench read 163 s). vfork is both reliable (no spawn
+  // helper exec) and O(1) in heap size.
+  "-Djdk.lang.Process.launchMechanism=vfork",
 )

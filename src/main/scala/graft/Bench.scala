@@ -105,6 +105,18 @@ object Bench {
         // window keeps numbers comparable while the cache still serves
         // its in-query purpose (two branches share one build)
         spark.catalog.clearCache()
+        // ... and drop leftover localCheckpoint storage: eager-result
+        // operators (PageRank, triangles, k-core, cusum, q95's stage
+        // hand-offs) persist their result RDDs OUTSIDE the cacheManager,
+        // so clearCache never touches them and they accumulate across
+        // the suite — at 175 queries the block manager filled far enough
+        // that q138's write-audit measured 137 s in-suite vs 9.8 s
+        // standalone under the identical session config. Nothing
+        // references a prior query's checkpoint, so dropping storage is
+        // safe (and lineage-truncated RDDs are never recomputed because
+        // nothing asks for them again).
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         // collect OUTSIDE the timed window: on a large heap a major GC
         // pause otherwise lands mid-query on whichever one draws the
         // short straw, spiking a random per-query number 3-4x

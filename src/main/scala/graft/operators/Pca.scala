@@ -130,6 +130,43 @@ object Pca {
       .orderBy(col("kind"), col("key"))
   }
 
+  /** Explained-variance ratios for the top-2 components — the "is this
+    * embedding space compressible" readout that decides PQ subspace
+    * budgets (q106/q124) and whether IVF cells will be anisotropic:
+    * per component, the energy captured along the axis over the total
+    * energy, in exact basis points. UNCENTERED, matching the power
+    * iteration's own convention (the matvec runs on raw milli-units) —
+    * both ratios measure against the same total, and v₂'s ratio is
+    * computed against the ORIGINAL vectors (its residual-truncation
+    * misalignment with v₁ is bounded and tiny, q160's alignment row).
+    *
+    * All integer: per-vector projection energy `s² div ‖v‖²` (divide
+    * BEFORE the corpus sum — the per-vector bound is dim·max|x|²·10⁶,
+    * the summed bound n·that; shift units past ~10⁹ rows), total
+    * energy Σ‖x‖², `ratio_bp = (projE · 10⁴) div totE`.
+    *
+    * Output: (component, v_norm2, proj_e, tot_e, ratio_bp) — 2 rows.
+    */
+  def explainedVarianceBp(corpus: DataFrame, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (v1, v2) = deflatedComponents(corpus, iters, idCol, vecCol)
+    val q = quantized(corpus, idCol, vecCol).persist()
+    try {
+      def energies(v: Array[Long], comp: Long): DataFrame = {
+        val vn = v.foldLeft(0L)((acc, x) => acc + x * x)
+        q.withColumn("s", dotLong(col("xq"), typedLit(v.toSeq)))
+          .agg(sum(expr(s"(s * s) div $vn")).as("proj_e"),
+            sum(dotLong(col("xq"), col("xq"))).as("tot_e"))
+          .select(lit(comp).as("component"), lit(vn).as("v_norm2"),
+            col("proj_e"), col("tot_e"),
+            expr("(proj_e * 10000) div tot_e").as("ratio_bp"))
+      }
+      energies(v1, 1L).unionByName(energies(v2, 2L))
+        .orderBy("component")
+        .localCheckpoint(true)
+    } finally q.unpersist()
+  }
+
   /** One frame holding the component AND the extreme projections:
     * (kind, key, value) — kind 'component' rows carry (dimension 1-based,
     * v_milli); kind 'projection' rows the top-`k` vectors by absolute

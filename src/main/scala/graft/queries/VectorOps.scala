@@ -770,6 +770,61 @@ object VectorOps {
          |ORDER BY kind, key""".stripMargin) { (s, d) =>
       graft.operators.Pca.secondComponentWithAlignment(
         Tables.embeddings(s, d), iters = 3)
+    },
+
+    // q177: explained-variance ratios for the top-2 PCA components
+    // ([[graft.operators.Pca.explainedVarianceBp]]) — the
+    // "is this embedding space compressible" readout behind PQ
+    // subspace budgets and IVF anisotropy. Uncentered (the power
+    // iteration's own convention); per-vector projection energy
+    // s² div ‖v‖² divides BEFORE the corpus sum (exact, bounded);
+    // ratio_bp = projE·10⁴ div totE. The oracle replays the full q160
+    // chain (both iterations + deflation) and the energy arithmetic.
+    QueryDef.sql(
+      "q177_explained_variance",
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id, i,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5)
+         |      AS BIGINT) AS e
+         |  FROM (SELECT vec_id, embedding,
+         |          unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings)),
+         |v0 AS (SELECT DISTINCT i, CAST(1000 AS BIGINT) AS v FROM q),
+         |${pcaIter("v0", "v1")},
+         |${pcaIter("v1", "v2")},
+         |${pcaIter("v2", "v3")},
+         |vn AS MATERIALIZED (SELECT CAST(sum(v * v) AS BIGINT) AS vn FROM v3),
+         |sp AS MATERIALIZED (
+         |  SELECT q.vec_id, CAST(sum(q.e * v.v) AS BIGINT) AS s
+         |  FROM q JOIN v3 v USING (i) GROUP BY q.vec_id),
+         |r AS MATERIALIZED (
+         |  SELECT q.vec_id, q.i,
+         |    CAST((vn.vn * q.e - sp.s * v.v) // vn.vn AS BIGINT) AS e
+         |  FROM q JOIN v3 v USING (i) JOIN sp USING (vec_id) CROSS JOIN vn),
+         |u0 AS (SELECT DISTINCT i, CAST(1000 AS BIGINT) AS v FROM r),
+         |${pcaIter("u0", "u1", "r")},
+         |${pcaIter("u1", "u2", "r")},
+         |${pcaIter("u2", "u3", "r")},
+         |vn2 AS MATERIALIZED (
+         |  SELECT CAST(sum(v * v) AS BIGINT) AS vn FROM u3),
+         |s2 AS MATERIALIZED (
+         |  SELECT q.vec_id, CAST(sum(q.e * u.v) AS BIGINT) AS s
+         |  FROM q JOIN u3 u USING (i) GROUP BY q.vec_id),
+         |tot AS (SELECT CAST(sum(e * e) AS BIGINT) AS tot_e FROM q),
+         |e1 AS (SELECT CAST(sum((sp.s * sp.s) // vn.vn) AS BIGINT) AS proj_e
+         |       FROM sp CROSS JOIN vn),
+         |e2 AS (SELECT CAST(sum((s2.s * s2.s) // vn2.vn) AS BIGINT) AS proj_e
+         |       FROM s2 CROSS JOIN vn2)
+         |SELECT CAST(1 AS BIGINT) AS component, vn.vn AS v_norm2,
+         |  e1.proj_e, tot.tot_e,
+         |  CAST((e1.proj_e * 10000) // tot.tot_e AS BIGINT) AS ratio_bp
+         |FROM e1 CROSS JOIN vn CROSS JOIN tot
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), vn2.vn, e2.proj_e, tot.tot_e,
+         |  CAST((e2.proj_e * 10000) // tot.tot_e AS BIGINT)
+         |FROM e2 CROSS JOIN vn2 CROSS JOIN tot
+         |ORDER BY component""".stripMargin) { (s, d) =>
+      graft.operators.Pca.explainedVarianceBp(Tables.embeddings(s, d), iters = 3)
     }
   )
 

@@ -46,6 +46,25 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(v(3)) < 50L, v.mkString(","))
   }
 
+  test("explainedVarianceBp: planted axes get their energy shares, exact bp") {
+    // dim 1 carries ±4, dim 3 carries ±1, no other energy: uncentered
+    // energy split 16 : 1 → comp1 ≈ 9411 bp, comp2 ≈ 588 bp
+    val rows = (0 until 40).map { i =>
+      val a = Array.fill(4)(0.0f)
+      a(1) = if (i % 2 == 0) 4.0f else -4.0f
+      a(3) = if (i % 3 == 0) 1.0f else -1.0f
+      (i.toLong, a)
+    }
+    val got = Pca.explainedVarianceBp(toDf(rows), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got.keySet == Set(1L, 2L), got.toString)
+    assert(got(1L) > 9300L && got(1L) <= 10000L, got.toString)
+    assert(got(2L) > 450L && got(2L) < 700L, got.toString)
+    // ratios partition the total (within integer-truncation slack)
+    assert(got(1L) + got(2L) <= 10000L && got(1L) + got(2L) > 9900L,
+      got.toString)
+  }
+
   test("integer recurrence matches the brute replay and ignores partitioning") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 60).map(i =>
