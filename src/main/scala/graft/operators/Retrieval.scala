@@ -181,6 +181,60 @@ object Retrieval {
       .filter(col("rnk") <= k)
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    * SIGIR'98) — the diversity rerank RAG retrieval stacks run after
+    * top-k: greedily pick `m` results where each next pick maximizes
+    * `λ·rel − (1−λ)·max_{s∈selected} sim(c, s)`, so near-duplicate
+    * hits (which a pure relevance ranking stacks at the top) cannot
+    * crowd out coverage.
+    *
+    * Inputs are BOUNDED frames — the per-query shortlist
+    * `rel(qid, nid, rel_u)` (≤|q|·k rows) and its candidate-pair
+    * similarities `sims(qid, na, nb, sim_u)` (≤|q|·k² rows, both sides
+    * from the shortlist) — so every round is a join over
+    * shortlist-sized data regardless of corpus size; the expensive
+    * part (retrieval) already happened upstream.
+    *
+    * Integer MMR with λ in tenths (default 7 = 0.7):
+    * `mmr_u = (λ·rel_u − (10−λ)·maxsim_u) div 10`, empty-set maxsim 0
+    * (so round 1 ranks by λ·rel alone); ties break on nid. Exactly
+    * `m` rounds of window argmax per query — deterministic, unrollable
+    * as CTEs by the oracle.
+    *
+    * Output: (qid, mmr_rank 1..m, nid, mmr_u).
+    */
+  def mmrSelect(rel: DataFrame, sims: DataFrame, m: Int,
+      lambdaTenths: Int = 7): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(lambdaTenths >= 0 && lambdaTenths <= 10,
+      s"lambdaTenths must be in [0,10], got $lambdaTenths")
+    val lam = lambdaTenths.toLong
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("mmr_u").desc, col("nid").asc)
+    def pick(scored: DataFrame, r: Int): DataFrame = scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("qid"), lit(r.toLong).as("mmr_rank"), col("nid"),
+        col("mmr_u"))
+    var selected = pick(rel.select(col("qid"), col("nid"),
+      expr(s"($lam * rel_u) div 10").as("mmr_u")), 1)
+    for (r <- 2 to m) {
+      val remaining = rel.join(selected.select("qid", "nid"),
+        Seq("qid", "nid"), "left_anti")
+      val scored = remaining
+        .join(sims.withColumnRenamed("na", "nid"), Seq("qid", "nid"))
+        .join(selected.select(col("qid"), col("nid").as("nb")),
+          Seq("qid", "nb"))
+        .groupBy("qid", "nid")
+        .agg(max("rel_u").as("rel_u"), max("sim_u").as("maxsim_u"))
+        .select(col("qid"), col("nid"),
+          expr(s"($lam * rel_u - ${10 - lam} * maxsim_u) div 10")
+            .as("mmr_u"))
+      selected = selected.unionByName(pick(scored, r))
+    }
+    selected.select("qid", "mmr_rank", "nid", "mmr_u")
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two ranked
     * candidate lists — the standard hybrid-retrieval combiner (BM25 ⊕
     * embedding cosine is the RAG default: lexical recall where the

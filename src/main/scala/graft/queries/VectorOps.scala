@@ -825,6 +825,67 @@ object VectorOps {
          |FROM e2 CROSS JOIN vn2 CROSS JOIN tot
          |ORDER BY component""".stripMargin) { (s, d) =>
       graft.operators.Pca.explainedVarianceBp(Tables.embeddings(s, d), iters = 3)
+    },
+
+    // q178: MMR diversified rerank ([[graft.operators.Retrieval
+    // .mmrSelect]], Carbonell & Goldstein SIGIR'98) over the q36
+    // cosine shortlist — pick 5 of the top-10 greedily under
+    // mmr_u = (7·rel_u − 3·maxsim_u) div 10, so near-duplicate hits
+    // cannot crowd out coverage. Both engines quantize the SAME
+    // bit-identical cosine doubles to micro before selection (the
+    // q36 precedent), every round is a window argmax over the bounded
+    // shortlist, and the oracle unrolls all five rounds as CTEs.
+    QueryDef.sql(
+      "q178_mmr_rerank",
+      s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+         |           FROM embeddings WHERE vec_id < 3),
+         |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ne
+         |      FROM embeddings),
+         |scored AS (
+         |  SELECT qid, nid, list_cosine_similarity(qe, ne) AS cos
+         |  FROM q CROSS JOIN c WHERE qid <> nid),
+         |top AS MATERIALIZED (
+         |  SELECT qid, nid,
+         |    CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS rel_u
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |          ORDER BY cos DESC, nid) AS rk FROM scored)
+         |  WHERE rk <= 10),
+         |ce AS MATERIALIZED (
+         |  SELECT t.qid, t.nid, c.ne FROM top t JOIN c USING (nid)),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.qid, a.nid AS na, b.nid AS nb,
+         |    CAST(floor(list_cosine_similarity(a.ne, b.ne) * 1000000.0
+         |      + 0.5) AS BIGINT) AS sim_u
+         |  FROM ce a JOIN ce b ON a.qid = b.qid AND a.nid <> b.nid),
+         |p1 AS MATERIALIZED (
+         |  SELECT qid, nid, mmr_u FROM (
+         |    SELECT qid, nid, CAST((7 * rel_u) // 10 AS BIGINT) AS mmr_u,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY (7 * rel_u) // 10 DESC, nid) AS rn
+         |    FROM top) WHERE rn = 1),
+         |${(2 to 5).map(mmrRound).mkString(",\n")}
+         |${(1 to 5).map(r =>
+             s"SELECT qid, CAST($r AS BIGINT) AS mmr_rank, nid, mmr_u FROM p$r")
+             .mkString("\nUNION ALL\n")}
+         |ORDER BY qid, mmr_rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val top = Similarity.bruteForceTopK(emb.filter(col("id") < 3), emb, 10)
+      val rel = top.select(col("qid"), col("nid"),
+        expr("cast(floor(cosine * 1000000.0 + 0.5) as bigint)").as("rel_u"))
+      val cand = top.select(col("qid"), col("nid"))
+        .join(emb.withColumnRenamed("id", "nid"), "nid")
+      val sims = cand.as("a")
+        .join(cand.as("b"),
+          col("a.qid") === col("b.qid") && col("a.nid") =!= col("b.nid"))
+        .select(col("a.qid").as("qid"), col("a.nid").as("na"),
+          col("b.nid").as("nb"),
+          floor(graft.plans.VectorExpressions
+              .cosineNative(col("a.embedding"), col("b.embedding"))
+              * lit(1000000.0) + lit(0.5))
+            .cast("long").as("sim_u"))
+      graft.operators.Retrieval.mmrSelect(rel, sims, m = 5)
+        .orderBy("qid", "mmr_rank")
     }
   )
 
@@ -839,6 +900,30 @@ object VectorOps {
     * q160's 6-round chain ran minutes un-hinted, sub-second hinted
     * (the SQL twin of the q95/q112 Spark diamond lesson).
     */
+  /** One MMR greedy round as DuckDB CTEs: remaining candidates score
+    * (7·rel − 3·max sim-to-selected) div 10, argmax by (mmr desc, nid)
+    * — the exact loop body of [[graft.operators.Retrieval.mmrSelect]].
+    */
+  private def mmrRound(r: Int): String = {
+    val sel = (1 until r).map(i => s"SELECT qid, nid FROM p$i")
+      .mkString(" UNION ALL ")
+    s"""c$r AS MATERIALIZED (
+       |  SELECT t.qid, t.nid,
+       |    CAST((7 * max(t.rel_u) - 3 * max(p.sim_u)) // 10 AS BIGINT)
+       |      AS mmr_u
+       |  FROM top t
+       |  JOIN pairs p ON p.qid = t.qid AND p.na = t.nid
+       |  JOIN ($sel) s ON s.qid = p.qid AND s.nid = p.nb
+       |  WHERE NOT EXISTS (SELECT 1 FROM ($sel) s2
+       |                    WHERE s2.qid = t.qid AND s2.nid = t.nid)
+       |  GROUP BY t.qid, t.nid),
+       |p$r AS MATERIALIZED (
+       |  SELECT qid, nid, mmr_u FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY mmr_u DESC, nid) AS rn
+       |    FROM c$r) WHERE rn = 1)""".stripMargin
+  }
+
   private def pcaIter(prev: String, cur: String, data: String = "q"): String =
     s"""s$cur AS MATERIALIZED (
        |  SELECT $data.vec_id, CAST(sum($data.e * v.v) AS BIGINT) AS s

@@ -276,6 +276,31 @@ class RankingSpec extends SparkSpec {
     assert(rows(once, 3).map(_._1) == Seq(1L, 2L, 3L))
   }
 
+  test("mmrSelect: diversity beats relevance, hand values, ties on nid") {
+    // A(1) rel 100, B(2) rel 90, C(3) rel 85; B is near-dup of A
+    // (sim 90), C is far (10); sim(B,C) = 20. λ = 0.7:
+    // r1: (7·rel)div10 → A 70 | r2: B (630−270)div10=36, C (595−30)
+    // div10=56 → C | r3: B maxsim {A,C} = 90 → 36
+    val rel = Seq((1L, 1L, 100L), (1L, 2L, 90L), (1L, 3L, 85L))
+      .toDF("qid", "nid", "rel_u")
+    val simRows = Seq((1L, 2L, 90L), (1L, 3L, 10L), (2L, 3L, 20L))
+    val sims = (simRows ++ simRows.map { case (a, b, s) => (b, a, s) })
+      .map { case (a, b, s) => (1L, a, b, s) }
+      .toDF("qid", "na", "nb", "sim_u")
+    val got = Retrieval.mmrSelect(rel, sims, m = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, 70L), (2L, 3L, 56L), (3L, 2L, 36L)),
+      got.toString)
+    // exact mmr ties break on the smaller nid
+    val relT = Seq((9L, 5L, 50L), (9L, 4L, 50L)).toDF("qid", "nid", "rel_u")
+    val simT = Seq((9L, 4L, 5L, 0L), (9L, 5L, 4L, 0L))
+      .toDF("qid", "na", "nb", "sim_u")
+    val gt = Retrieval.mmrSelect(relT, simT, m = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(gt == Seq((1L, 4L), (2L, 5L)), gt.toString)
+  }
+
   test("rankingMetrics matches hand-computed MRR/DCG/IDCG in micro-units") {
     import graft.operators.Evaluation
     // qid 1: hit at rank 2 of 3 relevant → mrr 1e6/2, dcg = gain(2),
