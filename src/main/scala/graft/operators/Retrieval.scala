@@ -209,6 +209,16 @@ object Retrieval {
     require(lambdaTenths >= 0 && lambdaTenths <= 10,
       s"lambdaTenths must be in [0,10], got $lambdaTenths")
     val lam = lambdaTenths.toLong
+    // both inputs are bounded (|q|·k and |q|·k² rows) but DERIVED —
+    // typically from a brute-force/ANN top-k whose subtree is
+    // corpus-sized. Each greedy round references rel twice and sims
+    // once, and round r's selected references round r−1's, so the lazy
+    // composition re-derives the retrieval subtree ~2^m times (the
+    // q95/BPE diamond; measured 12.7 s for m=5 over a 30-row shortlist
+    // before these checkpoints, 2.3 s after). Checkpointing ≤|q|·k²
+    // rows is free at any scale.
+    val relC = rel.select("qid", "nid", "rel_u").localCheckpoint(true)
+    val simsC = sims.select("qid", "na", "nb", "sim_u").localCheckpoint(true)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
       .orderBy(col("mmr_u").desc, col("nid").asc)
     def pick(scored: DataFrame, r: Int): DataFrame = scored
@@ -216,13 +226,14 @@ object Retrieval {
       .filter(col("__rn") === 1)
       .select(col("qid"), lit(r.toLong).as("mmr_rank"), col("nid"),
         col("mmr_u"))
-    var selected = pick(rel.select(col("qid"), col("nid"),
+    var selected = pick(relC.select(col("qid"), col("nid"),
       expr(s"($lam * rel_u) div 10").as("mmr_u")), 1)
+      .localCheckpoint(true)
     for (r <- 2 to m) {
-      val remaining = rel.join(selected.select("qid", "nid"),
+      val remaining = relC.join(selected.select("qid", "nid"),
         Seq("qid", "nid"), "left_anti")
       val scored = remaining
-        .join(sims.withColumnRenamed("na", "nid"), Seq("qid", "nid"))
+        .join(simsC.withColumnRenamed("na", "nid"), Seq("qid", "nid"))
         .join(selected.select(col("qid"), col("nid").as("nb")),
           Seq("qid", "nb"))
         .groupBy("qid", "nid")
@@ -230,7 +241,7 @@ object Retrieval {
         .select(col("qid"), col("nid"),
           expr(s"($lam * rel_u - ${10 - lam} * maxsim_u) div 10")
             .as("mmr_u"))
-      selected = selected.unionByName(pick(scored, r))
+      selected = selected.unionByName(pick(scored, r)).localCheckpoint(true)
     }
     selected.select("qid", "mmr_rank", "nid", "mmr_u")
   }
