@@ -80,9 +80,20 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional subset filter for iterating on specific queries
+    // (comma-separated short ids or full names, e.g. "q151,q155");
+    // the full suite remains the default and the driver-run contract
+    val onlyIds = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val benchQueries = onlyIds match {
+      case Some(ids) => SparkEntry.queries.filter { case (name, _) =>
+        ids.contains(name) || ids.contains(name.split('_').head)
+      }
+      case None => SparkEntry.queries
+    }
     // untimed warmup pass: JVM/JIT + codegen caches, so round-over-round
     // per-query numbers don't depend on which query drew the warmup slot
-    SparkEntry.queries.foreach { case (name, fn) =>
+    benchQueries.foreach { case (name, fn) =>
       try forceEval(fn(spark, sfDir)) catch {
         case e: Throwable => System.err.println(s"[bench] warmup $name FAILED: ${e.getMessage}")
       }
@@ -96,7 +107,7 @@ object Bench {
     require(runsPerQuery >= 1,
       s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runsPerQuery — 0 would " +
         "crash on the median index after the full warmup pass")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = benchQueries.map { case (name, fn) =>
       val times = (1 to runsPerQuery).map { _ =>
         // drop cached frames so a query that caches an intermediate
         // (q71's hourly aggregate) measures END-TO-END like every other
@@ -140,23 +151,29 @@ object Bench {
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     // build/query phase decomposition for q108/q114 — printed BEFORE the
     // machine-read line so that line stays last in the driver's window
-    val phases = try phaseMetrics(spark, sfDir) catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] phase split FAILED: ${e.getMessage}")
-        Map.empty[String, Double]
-    }
-    if (phases.nonEmpty) {
-      val pj = phases.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
-      println(s"""{"metric":"phase_detail","phases":$pj,"sf":"$sfDir"}""")
-    }
-    // full-name medians + mins first — the human/PERF_NOTES record
-    val detailLine = s"""{"metric":"total_detail","value":${r4(total)},"unit":"sec","runs_per_query":$runsPerQuery,"queries_min":${jmap(identity, _._2)},"queries":${jmap(identity, _._1)},"sf":"$sfDir"}"""
+    val phases =
+      if (onlyIds.isDefined) Map.empty[String, Double] // subset run: skip
+      else try phaseMetrics(spark, sfDir) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] phase split FAILED: ${e.getMessage}")
+          Map.empty[String, Double]
+      }
+    val phaseJson = phases.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
+    if (phases.nonEmpty)
+      println(s"""{"metric":"phase_detail","phases":$phaseJson,"sf":"$sfDir"}""")
+    // full-name medians + mins first — the human/PERF_NOTES record;
+    // the phase decomposition is PERSISTED here too (VERDICT r11 #5:
+    // stdout-only printing lost it from the driver's artifact)
+    val detailLine = s"""{"metric":"total_detail","value":${r4(total)},"unit":"sec","runs_per_query":$runsPerQuery,"phase_detail":$phaseJson,"queries_min":${jmap(identity, _._2)},"queries":${jmap(identity, _._1)},"sf":"$sfDir"}"""
     println(detailLine)
     // full resolution also lands in the repo: the stdout tail window
-    // truncates, this file never does
+    // truncates, this file never does. Path is cwd-relative (or
+    // SPARK_GRAFT_BENCH_OUT) — a hardcoded absolute path broke runs
+    // from any other checkout (ADVICE r11)
     try {
-      val w = new java.io.PrintWriter("/root/repo/BENCH_FULL.json")
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+      val w = new java.io.PrintWriter(out)
       try w.println(detailLine) finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")

@@ -712,61 +712,49 @@ object Dedup {
     * diameters, so rounds ≈ 2–3 at any corpus size.
     */
   def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
-      idBCol: String = "id_b", maxIter: Int = 15): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
-    // materialize the symmetric edge list ONCE: every round joins against
-    // it, and when `pairs` is itself an expensive subtree (q131 feeds the
-    // full shared-spans query in) a lazy edge frame re-derives that
-    // subtree EVERY round — measured 14.3 s → 0.8 s at sf0.1 on q131.
-    // Same localCheckpoint + tracked-RDD release discipline as the round
-    // checkpoints below.
-    val beforeEdges = sc.getPersistentRDDs.keySet.toSet
-    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
-      .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    val edgeCkptIds = sc.getPersistentRDDs.keySet.toSet -- beforeEdges
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-    // Dataset.unpersist does not free localCheckpoint blocks (they are not
-    // cache-manager entries) — track the RDD ids each eager checkpoint
-    // creates and unpersist the previous round's explicitly, otherwise up
-    // to maxIter node-sized label sets pin executor storage until driver
-    // GC happens to trigger the ContextCleaner.
-    var prevCkptIds: Set[Int] = Set.empty
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      // neighbor-min: min label over incoming edges
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id")).agg(min("comp").as("nmin"))
-      // pointer jump: my label's label
-      val jump = labels.select(col("id").as("jid"), col("comp").as("jcomp"))
-      val beforeIds = sc.getPersistentRDDs.keySet.toSet
-      val next = labels
-        .join(neighborMin, Seq("id"), "left")
-        .join(jump.withColumnRenamed("jid", "comp_key"),
-          labels("comp") === col("comp_key"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp")),
-            coalesce(col("jcomp"), col("comp"))).as("comp"))
-        .localCheckpoint(true) // truncate the lineage each round
-      val addedIds = sc.getPersistentRDDs.keySet.toSet -- beforeIds
-      converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev")).isEmpty
-      prevCkptIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      prevCkptIds = addedIds
-      labels = next
-      iter += 1
+      idBCol: String = "id_b", maxIter: Int = 15): DataFrame =
+    Iterate.loop(pairs.sparkSession) { l =>
+      // materialize the symmetric edge list ONCE: every round joins
+      // against it, and when `pairs` is itself an expensive subtree
+      // (q131 feeds the full shared-spans query in) a lazy edge frame
+      // re-derives that subtree EVERY round — measured 14.3 s → 0.8 s
+      // at sf0.1 on q131.
+      val edges = l.pin(pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+        .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+        .distinct())
+      // round-1 labels has four consumers (neighbor-min join, pointer
+      // jump, the next-label join, the convergence check) — checkpoint
+      // it like every later round's
+      var labels = l.ckpt(edges.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")))
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        l.next()
+        // neighbor-min: min label over incoming edges
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id")).agg(min("comp").as("nmin"))
+        // pointer jump: my label's label
+        val jump = labels.select(col("id").as("jid"), col("comp").as("jcomp"))
+        val next = l.ckpt(labels
+          .join(neighborMin, Seq("id"), "left")
+          .join(jump.withColumnRenamed("jid", "comp_key"),
+            labels("comp") === col("comp_key"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nmin"), col("comp")),
+              coalesce(col("jcomp"), col("comp"))).as("comp")))
+        // the previous round's checkpoint (keep=1) is still live here —
+        // the convergence check reads both generations
+        converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+          .filter(col("comp") =!= col("prev")).isEmpty
+        labels = next
+        iter += 1
+      }
+      // the final round's checkpoint backs the result; freed by the
+      // ContextCleaner once the caller drops it
+      l.finishKeepCurrent(labels)
     }
-    // the final labels checkpoint is self-contained — the edge blocks
-    // are no longer reachable and can be released now
-    edgeCkptIds.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-    labels // the final round's checkpoint backs the result; freed by the
-           // ContextCleaner once the caller drops it
-  }
 
   /** Corpus dedup decision: given docs and verified near-dup pairs, keep
     * one representative (minimum id) per duplicate cluster plus every

@@ -75,33 +75,33 @@ object Influence {
     */
   def pageRankInteger(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // static across iterations: cache the partitioned edge+degree frame
-    // AND the node frame — every iteration's rank rebuild references
-    // both, and without the cache each of the ~2·iters references
-    // re-derives the edge build from the source scans (the first plan
-    // audit showed 40 parquet scans for a 3-iteration run)
-    val linked = edges.join(outdeg, "src").persist()
-    val allNodes = nodes(edges).persist()
-    var rank = allNodes.withColumn("rank_u", lit(BaseU))
-    for (_ <- 1 to iters) {
-      val contribs = linked
-        .join(rank.withColumnRenamed("node", "src"), "src")
-        .select(col("dst"),
-          // damp per edge, in integers: ((rank div outdeg) * d) in
-          // micro-units. SQL `div` is exact integral division — a double
-          // `/` + cast would silently lose bits past 2^53 micro-units
-          expr(s"((rank_u div outdeg) * $DampNum) div $BaseU").as("c"))
-        .groupBy("dst").agg(sum("c").as("in_u"))
-      rank = allNodes
-        .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          (lit(TeleportU) + coalesce(col("in_u"), lit(0L))).as("rank_u"))
+    Iterate.loop(edges.sparkSession) { l =>
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      // static across iterations: pin the partitioned edge+degree frame
+      // AND the node frame — every iteration's rank rebuild references
+      // both, and without the materialization each of the ~2·iters
+      // references re-derives the edge build from the source scans (the
+      // first plan audit showed 40 parquet scans for a 3-iteration run)
+      val linked = l.pin(edges.join(outdeg, "src"))
+      val allNodes = l.pin(nodes(edges))
+      var rank = allNodes.withColumn("rank_u", lit(BaseU))
+      for (_ <- 1 to iters) {
+        l.next()
+        val contribs = linked
+          .join(rank.withColumnRenamed("node", "src"), "src")
+          .select(col("dst"),
+            // damp per edge, in integers: ((rank div outdeg) * d) in
+            // micro-units. SQL `div` is exact integral division — a double
+            // `/` + cast would silently lose bits past 2^53 micro-units
+            expr(s"((rank_u div outdeg) * $DampNum) div $BaseU").as("c"))
+          .groupBy("dst").agg(sum("c").as("in_u"))
+        rank = l.ckpt(allNodes
+          .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"),
+            (lit(TeleportU) + coalesce(col("in_u"), lit(0L))).as("rank_u")))
+      }
+      l.finishKeepCurrent(rank)
     }
-    val out = rank.localCheckpoint(true)
-    linked.unpersist()
-    allNodes.unpersist()
-    out
   }
 
   /** `iters` rounds of PERSONALIZED PageRank (Page et al. 1999 §6;
@@ -134,74 +134,45 @@ object Influence {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val linked = edges.join(outdeg, "src").persist()
-    val allNodes = nodes(edges).persist()
-    // seeds outside the graph are ignored (they could neither receive
-    // nor pass mass); nS counts in-graph seeds only so no teleport mass
-    // silently vanishes on a stale seed list
-    val seedSet = seeds.select(col("node")).distinct().join(allNodes, "node")
-    // teleport per node: (150000 * N) div nS to seeds, 0 elsewhere —
-    // N and nS ride 1-row broadcast frames, never the driver
-    val counts = allNodes.agg(count(lit(1)).as("n_nodes"))
-      .crossJoin(seedSet.agg(count(lit(1)).as("n_seeds")))
-    val tele = allNodes
-      .join(seedSet.withColumn("__seed", lit(1L)), Seq("node"), "left")
-      .crossJoin(broadcast(counts))
-      .select(col("node"),
-        when(col("__seed").isNotNull,
-          expr(s"($TeleportU * n_nodes) div n_seeds")).otherwise(0L)
-          .as("tele_u"),
-        when(col("__seed").isNotNull,
-          expr(s"($BaseU * n_nodes) div n_seeds")).otherwise(0L)
-          .as("rank0_u"))
-      .persist()
-    var rank = tele.select(col("node"), col("rank0_u").as("rank_u"))
-    for (_ <- 1 to iters) {
-      val contribs = linked
-        .join(rank.withColumnRenamed("node", "src"), "src")
-        .select(col("dst"),
-          expr(s"((rank_u div outdeg) * $DampNum) div $BaseU").as("c"))
-        .groupBy("dst").agg(sum("c").as("in_u"))
-      rank = tele
-        .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+    Iterate.loop(edges.sparkSession) { l =>
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val linked = l.pin(edges.join(outdeg, "src"))
+      val allNodes = l.pin(nodes(edges))
+      // seeds outside the graph are ignored (they could neither receive
+      // nor pass mass); nS counts in-graph seeds only so no teleport mass
+      // silently vanishes on a stale seed list
+      val seedSet = seeds.select(col("node")).distinct().join(allNodes, "node")
+      // teleport per node: (150000 * N) div nS to seeds, 0 elsewhere —
+      // N and nS ride 1-row broadcast frames, never the driver
+      val counts = allNodes.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(seedSet.agg(count(lit(1)).as("n_seeds")))
+      val tele = l.pin(allNodes
+        .join(seedSet.withColumn("__seed", lit(1L)), Seq("node"), "left")
+        .crossJoin(broadcast(counts))
         .select(col("node"),
-          (col("tele_u") + coalesce(col("in_u"), lit(0L))).as("rank_u"))
+          when(col("__seed").isNotNull,
+            expr(s"($TeleportU * n_nodes) div n_seeds")).otherwise(0L)
+            .as("tele_u"),
+          when(col("__seed").isNotNull,
+            expr(s"($BaseU * n_nodes) div n_seeds")).otherwise(0L)
+            .as("rank0_u")))
+      var rank = tele.select(col("node"), col("rank0_u").as("rank_u"))
+      for (_ <- 1 to iters) {
+        l.next()
+        val contribs = linked
+          .join(rank.withColumnRenamed("node", "src"), "src")
+          .select(col("dst"),
+            expr(s"((rank_u div outdeg) * $DampNum) div $BaseU").as("c"))
+          .groupBy("dst").agg(sum("c").as("in_u"))
+        rank = l.ckpt(tele
+          .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"),
+            (col("tele_u") + coalesce(col("in_u"), lit(0L))).as("rank_u")))
+      }
+      l.finishKeepCurrent(rank)
     }
-    val out = rank.localCheckpoint(true)
-    linked.unpersist()
-    allNodes.unpersist()
-    tele.unpersist()
-    out
   }
 
-  /** `iters` rounds of HITS (Kleinberg, "Authoritative Sources in a
-    * Hyperlinked Environment", JACM 1999) over DIRECTED `edges(src,
-    * dst)`, in exact integer arithmetic: authority(v) = Σ hub(u) over
-    * in-edges, hub(u) = Σ authority(v) over out-edges, each half
-    * renormalized so the maximum score is [[BaseU]] — the mutual
-    * reinforcement PageRank's single score collapses (a great CURATOR
-    * and a great AUTHORITY are different roles; on a purchase graph:
-    * discerning buyers vs sought-after suppliers).
-    *
-    * Returns one row per node: (node, auth_u, hub_u).
-    *
-    * Shape: per iteration, two shuffle-joins of a one-row-per-node score
-    * frame against the static cached edge frame and two hash aggregates
-    * keyed by node — identical scale posture to [[pageRankInteger]]
-    * (the score side broadcasts at ~10⁸ nodes; AQE absorbs hub skew);
-    * the max-renormalizer is a 1-row broadcast. Like there, the result
-    * is eagerly materialized so the iteration caches release before
-    * returning.
-    *
-    * Portability: max-normalization in integers —
-    * `score = (raw · 10⁶) div max(raw)` — keeps every step exact BIGINT,
-    * so any partitioning replays bit-identically. Overflow bound: raw
-    * sums of ≤10⁶-unit scores times the 10⁶ renormalizer need
-    * `max(indeg)·10¹² < 2⁶³`, i.e. degrees to ~9·10⁶; past that,
-    * pre-divide raw by its own unit before renormalizing (one decimal
-    * digit of the statistic per 10× of degree headroom).
-    */
   /** Exact triangle counts + local clustering coefficients over an
     * UNDIRECTED edge list `(u, v)` — the graph-structure statistic next
     * to the centralities: a node embedded in a tight community (high
@@ -316,79 +287,121 @@ object Influence {
   def kCorePeelProfile(edges: DataFrame, rounds: Int,
       kOverride: Option[Long] = None): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val und0 = edges
-      .select(least(col("u"), col("v")).as("a"),
-        greatest(col("u"), col("v")).as("b"))
-      .where(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(true)
-    val kFrame = kOverride match {
-      case Some(k) =>
-        und0.sparkSession.range(1).select(lit(k).as("k"))
-      case None =>
-        val nN = nodes(und0.select(col("a").as("src"), col("b").as("dst")))
-          .agg(count(lit(1)).as("n_nodes"))
-        val nE = und0.agg(count(lit(1)).as("n_edges"))
-        nE.crossJoin(nN)
-          .select(expr("(2 * n_edges) div n_nodes + 1").as("k"))
+    Iterate.loop(edges.sparkSession) { l =>
+      val und0 = l.pin(edges
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct())
+      val kFrame = l.pin(kOverride match {
+        case Some(k) =>
+          und0.sparkSession.range(1).select(lit(k).as("k"))
+        case None =>
+          val nN = nodes(und0.select(col("a").as("src"), col("b").as("dst")))
+            .agg(count(lit(1)).as("n_nodes"))
+          val nE = und0.agg(count(lit(1)).as("n_edges"))
+          nE.crossJoin(nN)
+            .select(expr("(2 * n_edges) div n_nodes + 1").as("k"))
+      })
+      var cur = und0
+      var profile: DataFrame = null
+      for (r <- 1 to rounds) {
+        l.next()
+        val deg = cur.select(col("a").as("node"))
+          .union(cur.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        // surv feeds THREE consumers (both edge semi-joins + the round's
+        // node count); un-materialized, each re-runs the degree aggregate
+        // over the full edge list — measured 6× super-linear wall at the
+        // 18.5M-edge ladder rung before this checkpoint. The survivor
+        // frame is ≤|V| single-long rows: cheapest thing in the loop.
+        val surv = l.ckpt(deg.crossJoin(broadcast(kFrame))
+          .filter(col("deg") >= col("k"))
+          .select("node"))
+        cur = l.ckpt(cur
+          .join(surv.withColumnRenamed("node", "a"), "a")
+          .join(surv.withColumnRenamed("node", "b"), "b")
+          .select("a", "b"))
+        // the 1-row profile row references this round's surv/cur — pin
+        // it (eager) so releasing them two rounds on cannot orphan it
+        val row = l.pin(surv.agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(cur.agg(count(lit(1)).as("n_edges")))
+          .crossJoin(broadcast(kFrame))
+          .select(lit(r.toLong).as("round"), col("k"),
+            col("n_nodes"), col("n_edges")))
+        profile = if (profile == null) row else profile.unionByName(row)
+      }
+      l.finish(profile)
     }
-    var cur = und0
-    var profile: DataFrame = null
-    for (r <- 1 to rounds) {
-      val deg = cur.select(col("a").as("node"))
-        .union(cur.select(col("b").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-      // surv feeds THREE consumers (both edge semi-joins + the round's
-      // node count); un-materialized, each re-runs the degree aggregate
-      // over the full edge list — measured 6× super-linear wall at the
-      // 18.5M-edge ladder rung before this checkpoint. The survivor
-      // frame is ≤|V| single-long rows: cheapest thing in the loop.
-      val surv = deg.crossJoin(broadcast(kFrame))
-        .filter(col("deg") >= col("k"))
-        .select("node")
-        .localCheckpoint(true)
-      cur = cur
-        .join(surv.withColumnRenamed("node", "a"), "a")
-        .join(surv.withColumnRenamed("node", "b"), "b")
-        .select("a", "b")
-        .localCheckpoint(true)
-      val row = surv.agg(count(lit(1)).as("n_nodes"))
-        .crossJoin(cur.agg(count(lit(1)).as("n_edges")))
-        .crossJoin(broadcast(kFrame))
-        .select(lit(r.toLong).as("round"), col("k"),
-          col("n_nodes"), col("n_edges"))
-      profile = if (profile == null) row else profile.unionByName(row)
-    }
-    profile
   }
 
+  /** `iters` rounds of HITS (Kleinberg, "Authoritative Sources in a
+    * Hyperlinked Environment", JACM 1999) over DIRECTED `edges(src,
+    * dst)`, in exact integer arithmetic: authority(v) = Σ hub(u) over
+    * in-edges, hub(u) = Σ authority(v) over out-edges, each half
+    * renormalized so the maximum score is [[BaseU]] — the mutual
+    * reinforcement PageRank's single score collapses (a great CURATOR
+    * and a great AUTHORITY are different roles; on a purchase graph:
+    * discerning buyers vs sought-after suppliers).
+    *
+    * Returns one row per node: (node, auth_u, hub_u).
+    *
+    * Shape: per iteration, two shuffle-joins of a one-row-per-node score
+    * frame against the static checkpointed edge frame and two hash
+    * aggregates keyed by node — identical scale posture to
+    * [[pageRankInteger]] (the score side broadcasts at ~10⁸ nodes; AQE
+    * absorbs hub skew); the max-renormalizer is a 1-row broadcast
+    * computed off the MATERIALIZED raw frame.
+    *
+    * Materialization ([[Iterate.Loop]]): this loop is the canonical
+    * diamond case — `raw` feeds two consumers inside each renorm (the
+    * max aggregate + the score select) and each half-step's score frame
+    * feeds the next half-step AND the final auth⋈hub join, so left
+    * lazy the plan re-derives the corpus-sized edge join ~2^(2·iters)
+    * times (q151 measured 43.5 s at sf0.1 vs same-graph PageRank's
+    * 6.5 s). Each half-step eagerly checkpoints `raw` and its score
+    * frame and releases the blocks two half-steps back; the returned
+    * join is the only storage left behind.
+    *
+    * Portability: max-normalization in integers —
+    * `score = (raw · 10⁶) div max(raw)` — keeps every step exact BIGINT,
+    * so any partitioning replays bit-identically. Overflow bound: raw
+    * sums of ≤10⁶-unit scores times the 10⁶ renormalizer need
+    * `max(indeg)·10¹² < 2⁶³`, i.e. degrees to ~9·10⁶; past that,
+    * pre-divide raw by its own unit before renormalizing (one decimal
+    * digit of the statistic per 10× of degree headroom).
+    */
   def hitsInteger(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges.select("src", "dst").distinct().persist()
-    val allNodes = nodes(e).persist()
-    def renorm(raw: DataFrame, key: String, out: String): DataFrame = {
-      val mx = raw.agg(max("raw").as("mx"))
-      allNodes
-        .join(raw.withColumnRenamed(key, "node"), Seq("node"), "left")
-        .crossJoin(broadcast(mx))
-        .select(col("node"),
-          coalesce(expr("(raw * 1000000) div mx"), lit(0L)).as(out))
+    Iterate.loop(edges.sparkSession) { l =>
+      val e = l.pin(edges.select("src", "dst").distinct())
+      val allNodes = l.pin(nodes(e))
+      def renorm(raw0: DataFrame, key: String, out: String): DataFrame = {
+        val raw = l.ckpt(raw0)
+        val mx = raw.agg(max("raw").as("mx"))
+        allNodes
+          .join(raw.withColumnRenamed(key, "node"), Seq("node"), "left")
+          .crossJoin(broadcast(mx))
+          .select(col("node"),
+            coalesce(expr("(raw * 1000000) div mx"), lit(0L)).as(out))
+      }
+      var hub = l.ckpt(allNodes.withColumn("hub_u", lit(BaseU)))
+      var auth: DataFrame = null
+      for (_ <- 1 to iters) {
+        // keep=2 half-steps of history: the final join reads the last
+        // auth (one generation older than the last hub)
+        l.next(keep = 2)
+        auth = l.ckpt(renorm(
+          e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst").agg(sum("hub_u").as("raw")),
+          "dst", "auth_u"))
+        l.next(keep = 2)
+        hub = l.ckpt(renorm(
+          e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src").agg(sum("auth_u").as("raw")),
+          "src", "hub_u"))
+      }
+      l.finish(auth.join(hub, "node"))
     }
-    var hub = allNodes.withColumn("hub_u", lit(BaseU))
-    var auth = allNodes.withColumn("auth_u", lit(0L))
-    for (_ <- 1 to iters) {
-      auth = renorm(
-        e.join(hub.withColumnRenamed("node", "src"), "src")
-          .groupBy("dst").agg(sum("hub_u").as("raw")),
-        "dst", "auth_u")
-      hub = renorm(
-        e.join(auth.withColumnRenamed("node", "dst"), "dst")
-          .groupBy("src").agg(sum("auth_u").as("raw")),
-        "src", "hub_u")
-    }
-    val out = auth.join(hub, "node").localCheckpoint(true)
-    e.unpersist()
-    allNodes.unpersist()
-    out
   }
 }

@@ -97,20 +97,24 @@ object Pca {
   def deflatedComponents(corpus: DataFrame, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): (Array[Long], Array[Long]) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val q = quantized(corpus, idCol, vecCol).persist()
-    try {
-      val v1 = iterate(q, iters)
-      val vn = v1.foldLeft(0L)((acc, x) => acc + x * x)
-      val v1Sql = s"array(${v1.mkString("L,") + "L"})"
-      val r = q
-        .withColumn("s", dotLong(col("xq"), typedLit(v1.toSeq)))
-        .select(col("id"),
-          expr(s"zip_with(xq, $v1Sql, (x, v) -> ($vn * x - s * v) div $vn)")
-            .as("xq"))
-        .localCheckpoint(true)
-      val v2 = iterate(r, iters)
-      (v1, v2)
-    } finally q.unpersist()
+    // the result is driver-side — every frame this builds (including
+    // the residual checkpoint, which used to linger) must release
+    Iterate.loop(corpus.sparkSession) { l =>
+      val q = quantized(corpus, idCol, vecCol).persist()
+      try {
+        val v1 = iterate(q, iters)
+        val vn = v1.foldLeft(0L)((acc, x) => acc + x * x)
+        val v1Sql = s"array(${v1.mkString("L,") + "L"})"
+        val r = l.pin(q
+          .withColumn("s", dotLong(col("xq"), typedLit(v1.toSeq)))
+          .select(col("id"),
+            expr(s"zip_with(xq, $v1Sql, (x, v) -> ($vn * x - s * v) div $vn)")
+              .as("xq")))
+        val v2 = iterate(r, iters)
+        l.releaseAll()
+        (v1, v2)
+      } finally q.unpersist()
+    }
   }
 
   /** (kind, key, value) frame: 64 'component2' rows (the deflated

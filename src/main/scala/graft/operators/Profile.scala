@@ -386,53 +386,40 @@ object Profile {
     * shared-passage views count, folded to one number per document.
     *
     * Shape: shingles are [[graft.functions.TextFunctions.shingles]]'
-    * distinct-per-doc arrays (so df is a plain count), one hash
-    * aggregate keyed by shingle, one join back keyed the same way (the
-    * exchange is reused), one per-doc aggregate. Documents without
-    * shingles (empty text) report 0/0/0 via the left join.
-    * Output: (id, n_tri, n_unique, novelty_bp).
+    * distinct-per-doc arrays (so df is a plain count). The postings
+    * frame carries `xxhash64(shingle)` (8 bytes), not the shingle
+    * string — the q77/q126 shuffle discipline — and is materialized
+    * ONCE: it feeds two consumers (the df aggregate + the per-doc
+    * join), and left lazy each re-ran the corpus tokenize+explode
+    * (q155 measured 16.4 s at sf0.1; the two-consumer rule,
+    * non-iterative variant). One hash aggregate keyed by digest, one
+    * join back keyed the same way (the exchange is reused), one
+    * per-doc aggregate. Documents without shingles (empty text) report
+    * 0/0/0 via the left join. The per-doc result is eagerly
+    * materialized so the postings checkpoint releases before
+    * returning. Output: (id, n_tri, n_unique, novelty_bp).
     */
   def trigramNovelty(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import graft.functions.TextFunctions.shingles
-    val post = docs.select(col(idCol).as("id"),
-        explode(shingles(col(textCol))).as("s"))
-    val dfc = post.groupBy("s").agg(count(lit(1)).as("df"))
-    val per = post.join(dfc, "s")
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_tri"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
-    docs.select(col(idCol).as("id")).join(per, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
-        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
-        expr("coalesce(n_unique, 0) * 10000 div greatest(coalesce(n_tri, 0), 1)")
-          .as("novelty_bp"))
+    Iterate.loop(docs.sparkSession) { l =>
+      val post = l.pin(docs.select(col(idCol).as("id"),
+          explode(shingles(col(textCol))).as("s"))
+        .select(col("id"), xxhash64(col("s")).as("h")))
+      val dfc = post.groupBy("h").agg(count(lit(1)).as("df"))
+      val per = post.join(dfc, "h")
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_tri"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      l.finish(docs.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+          expr("coalesce(n_unique, 0) * 10000 div greatest(coalesce(n_tri, 0), 1)")
+            .as("novelty_bp")))
+    }
   }
 
-  /** Per-group robust outlier statistics via the median absolute
-    * deviation (Hampel's rule, the 3-MAD flag) — the data-quality
-    * anomaly detector mean/stddev cannot be: one planted 10⁹-token doc
-    * drags a source's mean past half its corpus, while the median and
-    * MAD ignore it. Over an integer value column (token counts, byte
-    * sizes, timestamps).
-    *
-    * Exactness trick: medians of integers interpolate at most to .5,
-    * so DOUBLED medians are exact BIGINTs on both engines —
-    * `med2 = 2·median(x)`, per-row deviation `dev2 = |2x − med2|`,
-    * `mad4 = 2·median(dev2)` (quadruple scale), and the 3-MAD flag is
-    * the pure-integer `2·dev2 > 3·mad4`. A group whose MAD is 0 (over
-    * half the values identical) flags every off-median row — the
-    * standard MAD degeneracy, and the right answer for near-constant
-    * columns.
-    *
-    * Shape: two exact-percentile aggregates (ObjectHashAggregate value
-    * buffering — the small-sf twin of the q60 sketch path, same
-    * convention as q41) and one counting aggregate, all keyed on the
-    * group; the ≤|groups|-row median frames broadcast back.
-    *
-    * Output per group: (group, n, med2, mad4, n_outliers).
-    */
   /** Per-group Flesch reading-ease statistics (Flesch 1948) with the
     * classic vowel-group syllable heuristic — the readability axis of
     * corpus quality next to lexical diversity (q122) and the heuristic
@@ -484,6 +471,29 @@ object Profile {
           .as("n_hard"))
   }
 
+  /** Per-group robust outlier statistics via the median absolute
+    * deviation (Hampel's rule, the 3-MAD flag) — the data-quality
+    * anomaly detector mean/stddev cannot be: one planted 10⁹-token doc
+    * drags a source's mean past half its corpus, while the median and
+    * MAD ignore it. Over an integer value column (token counts, byte
+    * sizes, timestamps).
+    *
+    * Exactness trick: medians of integers interpolate at most to .5,
+    * so DOUBLED medians are exact BIGINTs on both engines —
+    * `med2 = 2·median(x)`, per-row deviation `dev2 = |2x − med2|`,
+    * `mad4 = 2·median(dev2)` (quadruple scale), and the 3-MAD flag is
+    * the pure-integer `2·dev2 > 3·mad4`. A group whose MAD is 0 (over
+    * half the values identical) flags every off-median row — the
+    * standard MAD degeneracy, and the right answer for near-constant
+    * columns.
+    *
+    * Shape: two exact-percentile aggregates (ObjectHashAggregate value
+    * buffering — the small-sf twin of the q60 sketch path, same
+    * convention as q41) and one counting aggregate, all keyed on the
+    * group; the ≤|groups|-row median frames broadcast back.
+    *
+    * Output per group: (group, n, med2, mad4, n_outliers).
+    */
   def madOutlierStats(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
     val v = df.select(col(groupCol).as("grp"),

@@ -201,6 +201,10 @@ object Retrieval {
     * `m` rounds of window argmax per query — deterministic, unrollable
     * as CTEs by the oracle.
     *
+    * `sims` may be SPARSE or single-orientation: a candidate-selected
+    * pair with no sims row scores similarity 0 (maximally diverse) via
+    * a left join — missing pairs never shrink the rerank pool.
+    *
     * Output: (qid, mmr_rank 1..m, nid, mmr_u).
     */
   def mmrSelect(rel: DataFrame, sims: DataFrame, m: Int,
@@ -232,14 +236,20 @@ object Retrieval {
     for (r <- 2 to m) {
       val remaining = relC.join(selected.select("qid", "nid"),
         Seq("qid", "nid"), "left_anti")
-      val scored = remaining
-        .join(simsC.withColumnRenamed("na", "nid"), Seq("qid", "nid"))
+      // max-sim against the selected set rides a LEFT join coalesced to
+      // 0: a candidate with no sims row against ANY selected item is
+      // maximally diverse (similarity 0), not silently dropped — so
+      // sparse or single-orientation similarity inputs degrade to
+      // missing-pair = 0 instead of shrinking the rerank pool
+      val maxsim = simsC.withColumnRenamed("na", "nid")
         .join(selected.select(col("qid"), col("nid").as("nb")),
           Seq("qid", "nb"))
         .groupBy("qid", "nid")
-        .agg(max("rel_u").as("rel_u"), max("sim_u").as("maxsim_u"))
+        .agg(max("sim_u").as("maxsim_u"))
+      val scored = remaining
+        .join(maxsim, Seq("qid", "nid"), "left")
         .select(col("qid"), col("nid"),
-          expr(s"($lam * rel_u - ${10 - lam} * maxsim_u) div 10")
+          expr(s"($lam * rel_u - ${10 - lam} * coalesce(maxsim_u, 0)) div 10")
             .as("mmr_u"))
       selected = selected.unionByName(pick(scored, r)).localCheckpoint(true)
     }

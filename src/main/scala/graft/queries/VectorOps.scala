@@ -902,21 +902,26 @@ object VectorOps {
     */
   /** One MMR greedy round as DuckDB CTEs: remaining candidates score
     * (7·rel − 3·max sim-to-selected) div 10, argmax by (mmr desc, nid)
-    * — the exact loop body of [[graft.operators.Retrieval.mmrSelect]].
+    * — the exact loop body of [[graft.operators.Retrieval.mmrSelect]],
+    * including its missing-pair = similarity-0 LEFT-join semantics (a
+    * candidate with no sims row against any selected item is maximally
+    * diverse, not dropped).
     */
   private def mmrRound(r: Int): String = {
     val sel = (1 until r).map(i => s"SELECT qid, nid FROM p$i")
       .mkString(" UNION ALL ")
     s"""c$r AS MATERIALIZED (
        |  SELECT t.qid, t.nid,
-       |    CAST((7 * max(t.rel_u) - 3 * max(p.sim_u)) // 10 AS BIGINT)
+       |    CAST((7 * t.rel_u - 3 * coalesce(ms.maxsim, 0)) // 10 AS BIGINT)
        |      AS mmr_u
        |  FROM top t
-       |  JOIN pairs p ON p.qid = t.qid AND p.na = t.nid
-       |  JOIN ($sel) s ON s.qid = p.qid AND s.nid = p.nb
+       |  LEFT JOIN (
+       |    SELECT p.qid, p.na AS nid, max(p.sim_u) AS maxsim
+       |    FROM pairs p JOIN ($sel) s ON s.qid = p.qid AND s.nid = p.nb
+       |    GROUP BY p.qid, p.na) ms
+       |    ON ms.qid = t.qid AND ms.nid = t.nid
        |  WHERE NOT EXISTS (SELECT 1 FROM ($sel) s2
-       |                    WHERE s2.qid = t.qid AND s2.nid = t.nid)
-       |  GROUP BY t.qid, t.nid),
+       |                    WHERE s2.qid = t.qid AND s2.nid = t.nid)),
        |p$r AS MATERIALIZED (
        |  SELECT qid, nid, mmr_u FROM (
        |    SELECT *, row_number() OVER (PARTITION BY qid
