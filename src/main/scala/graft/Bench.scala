@@ -20,59 +20,105 @@ object Bench {
     ()
   }
 
-  /** Build/query phase split for the two queries that construct a
-    * one-off artifact inside their timed run (VERDICT r10 #8): q108
-    * bills the orders⋈lineitem graph build, q114 the IVF-PQ index
-    * build, so their end-to-end numbers mask steady-state plan
-    * regressions. The main per-query numbers stay honestly end-to-end;
-    * this emits the phase decomposition alongside (median of 3 each).
+  /** Build/query phase split for the queries that construct a one-off
+    * artifact inside their timed run (VERDICT r10 #8, extended per
+    * VERDICT r11 #5): q108/q151 bill the orders⋈lineitem graph build,
+    * q114/q118/q124 the PQ codebook fit + encode, q120 the difficulty
+    * model + curriculum packing — so their end-to-end numbers mask
+    * steady-state plan regressions. The main per-query numbers stay
+    * honestly end-to-end; this emits the phase decomposition alongside
+    * (median of 3 each). Each section releases its checkpointed
+    * artifacts before the next starts.
     */
-  private def phaseMetrics(spark: SparkSession, sfDir: String): Map[String, Double] = {
-    import graft.operators.{Influence, ProductQuantizer, Similarity}
+  private def phaseMetrics(spark: SparkSession, sfDir: String,
+      only: Option[Set[String]] = None): Map[String, Double] = {
+    import graft.operators.{Influence, Packing, ProductQuantizer, Similarity}
     def med3(body: => Unit): Double = (1 to 3).map { _ =>
       spark.catalog.clearCache(); System.gc()
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }.sorted.apply(1)
-    // q108: build = the one-off bipartite edge frame; query = 3 integer
-    // PageRank rounds + the top-25 projection over the PREBUILT edges
-    def edges() = {
+    def releaseAll(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    val out = scala.collection.mutable.Map.empty[String, Double]
+    // generic section: median-of-3 of the build, one kept build, then
+    // median-of-3 of the query over the PREBUILT artifact
+    def section[A](name: String)(build: => A)(query: A => DataFrame): Unit = {
+      if (only.exists(ids => !ids.contains(name))) return
+      out(s"${name}_build") = med3 { build; () }
+      val built = build
+      out(s"${name}_query") = med3 { forceEval(query(built)) }
+      releaseAll()
+    }
+    // q108/q151 share the one-off bipartite purchase graph; q108's is
+    // mirrored (undirected walk), q151's stays directed
+    def edges(mirrored: Boolean) = {
       val o = Tables.orders(spark, sfDir)
       val l = Tables.lineitem(spark, sfDir)
       val e0 = o.join(l, o("o_orderkey") === l("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
-      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint(true)
+      val e = if (mirrored)
+        e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      else e0
+      e.localCheckpoint(true)
     }
-    val prBuild = med3 { edges() }
-    val e = edges()
-    val prQuery = med3 {
-      forceEval(Influence.pageRankInteger(e, 3)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val queries = emb.filter(col("id") < 3).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+    // q108: 3 integer PageRank rounds + top-25 over the PREBUILT edges
+    section("q108")(edges(mirrored = true)) { e =>
+      Influence.pageRankInteger(e, 3)
         .filter(pmod(col("node"), lit(2)) === 1)
         .select(expr("(node - 1) div 2").as("s_suppkey"), col("rank_u"))
-        .orderBy(col("rank_u").desc, col("s_suppkey").asc).limit(25))
+        .orderBy(col("rank_u").desc, col("s_suppkey").asc).limit(25)
+    }
+    // q151: 2 HITS iterations over the PREBUILT directed edges
+    section("q151")(edges(mirrored = false)) { e =>
+      Influence.hitsInteger(e, 2)
     }
     // q114: build = codebook fit + coarse sample + IVF-PQ encode;
     // query = probe + ADC + top-5 over the PREBUILT code table
-    val emb = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id").as("id"), col("embedding"))
-    def buildIndex() = {
+    section("q114")({
       val model = ProductQuantizer.fitPortable(emb, dim = 64, m = 8, ks = 16)
       val coarse = Similarity.sampleCentroidsPortable(emb, 12)
       (model, coarse,
         ProductQuantizer.ivfpqIndex(emb, coarse, model).localCheckpoint(true))
+    }) { case (model, coarse, index) =>
+      ProductQuantizer.ivfpqTopK(index, queries, model, coarse,
+        nProbe = 3, k = 5)
     }
-    val pqBuild = med3 { buildIndex() }
-    val (model, coarse, index) = buildIndex()
-    val queries = emb.filter(col("id") < 3).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
-    val pqQuery = med3 {
-      forceEval(ProductQuantizer.ivfpqTopK(index, queries, model, coarse,
-        nProbe = 3, k = 5))
+    // q118: build = codebook fit + full-corpus encode; query = ADC
+    // shortlist + exact rerank over the PREBUILT codes
+    section("q118")({
+      val model = ProductQuantizer.fitPortable(emb, dim = 64, m = 8, ks = 16)
+      (model, ProductQuantizer.encode(emb, model).localCheckpoint(true))
+    }) { case (model, codes) =>
+      ProductQuantizer.adcTopKRerank(codes, emb, queries, model, k = 5,
+        shortlistMult = 4)
     }
-    Map("q108_build" -> prBuild, "q108_query" -> prQuery,
-      "q114_build" -> pqBuild, "q114_query" -> pqQuery)
+    // q124: build = coarse sample + residual codebook fit + residual
+    // encode; query = 3-probe LUT scoring over the PREBUILT index
+    section("q124")({
+      val coarse = Similarity.sampleCentroidsPortable(emb, 12)
+      val model = ProductQuantizer.fitResidualPortable(emb, coarse,
+        dim = 64, m = 8, ks = 16)
+      (model, coarse,
+        ProductQuantizer.encodeResiduals(emb, coarse, model).localCheckpoint(true))
+    }) { case (model, coarse, index) =>
+      ProductQuantizer.ivfpqResidualTopK(index, queries, model, coarse,
+        nProbe = 3, k = 5)
+    }
+    // q120: build = difficulty model + curriculum-ordered chunk
+    // packing; query = the 4-chunk shard manifest over PREBUILT chunks
+    section("q120")(
+      graft.queries.PipelineOps.curriculumChunks(spark, sfDir)
+        .localCheckpoint(true)) { chunks =>
+      Packing.shardManifest(chunks, chunksPerShard = 4)
+    }
+    out.toMap
   }
 
   def main(args: Array[String]): Unit = {
@@ -151,13 +197,13 @@ object Bench {
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     // build/query phase decomposition for q108/q114 — printed BEFORE the
     // machine-read line so that line stays last in the driver's window
-    val phases =
-      if (onlyIds.isDefined) Map.empty[String, Double] // subset run: skip
-      else try phaseMetrics(spark, sfDir) catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] phase split FAILED: ${e.getMessage}")
-          Map.empty[String, Double]
-      }
+    // subset runs compute phase splits only for the selected queries
+    // (by short id); full runs compute all of them
+    val phases = try phaseMetrics(spark, sfDir, onlyIds) catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] phase split FAILED: ${e.getMessage}")
+        Map.empty[String, Double]
+    }
     val phaseJson = phases.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
     if (phases.nonEmpty)
