@@ -206,28 +206,36 @@ object Profile {
     import graft.functions.TextFunctions.tokens
     require(minCount >= 1 && k >= 1, s"bad minCount=$minCount k=$k")
     val tk = docs.select(tokens(col(textCol)).as("__tk"))
-    val uni = tk.select(explode(col("__tk")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
-    val biAll = tk.select(explode(expr(
-        "CASE WHEN size(__tk) < 2 THEN array() " +
-          "ELSE transform(sequence(1, size(__tk) - 1), " +
-          "i -> struct(element_at(__tk, i) AS w1, element_at(__tk, i + 1) AS w2)) END"))
-        .as("b"))
-      .select(col("b.w1"), col("b.w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
-    // Nb is the total over ALL bigram occurrences — computed BEFORE the
-    // min-count floor, or p(x,y) would be biased by what the floor drops
-    val nb = biAll.agg(sum("n_pair").as("nb"))
-    val bi = biAll.filter(col("n_pair") >= minCount)
-    val nu = uni.agg(sum("c").as("nu"))
-    bi.join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
-      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
-      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
-      .selectExpr("w1", "w2", "n_pair",
-        "cast(floor(ln((cast(n_pair as double) * cast(nu as double) * cast(nu as double)) / " +
-          "(cast(nb as double) * cast(c1 as double) * cast(c2 as double))) * 1000000.0 + 0.5) as bigint) as pmi_u")
-      .orderBy(col("pmi_u").desc, col("w1"), col("w2"))
-      .limit(k)
+    // the unigram table feeds THREE consumers (the Nu total + both
+    // sides of the PMI join) and the bigram table two (the Nb total +
+    // the floor) — left lazy each re-ran the corpus explode (the q155
+    // two-consumer rule); both are vocabulary/pair-sized, the cheapest
+    // frames here to materialize
+    Iterate.loop(docs.sparkSession) { l =>
+      val uni = l.pin(tk.select(explode(col("__tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c")))
+      val biAll = l.pin(tk.select(explode(expr(
+          "CASE WHEN size(__tk) < 2 THEN array() " +
+            "ELSE transform(sequence(1, size(__tk) - 1), " +
+            "i -> struct(element_at(__tk, i) AS w1, element_at(__tk, i + 1) AS w2)) END"))
+          .as("b"))
+        .select(col("b.w1"), col("b.w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair")))
+      // Nb is the total over ALL bigram occurrences — computed BEFORE the
+      // min-count floor, or p(x,y) would be biased by what the floor drops
+      val nb = biAll.agg(sum("n_pair").as("nb"))
+      val bi = biAll.filter(col("n_pair") >= minCount)
+      val nu = uni.agg(sum("c").as("nu"))
+      l.finish(bi
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+        .selectExpr("w1", "w2", "n_pair",
+          "cast(floor(ln((cast(n_pair as double) * cast(nu as double) * cast(nu as double)) / " +
+            "(cast(nb as double) * cast(c1 as double) * cast(c2 as double))) * 1000000.0 + 0.5) as bigint) as pmi_u")
+        .orderBy(col("pmi_u").desc, col("w1"), col("w2"))
+        .limit(k))
+    }
   }
 
   /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): run
@@ -319,28 +327,34 @@ object Profile {
     import graft.functions.TextFunctions.tokens
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"bad k=$k")
-    val counts = docs
-      .select(col(sourceCol).as("source"), explode(tokens(col(textCol))).as("t"))
-      .groupBy("source", "t").agg(count(lit(1)).as("freq"))
-    // k-th largest per-source frequency from the bounded heap: the
-    // negated top-k ascending ends at −(k-th largest)
-    val thr = counts.groupBy("source")
-      .agg(graft.plans.TopNAgg.topnMinAgg(-col("freq"), k).as("negs"))
-      .select(col("source"),
-        (-element_at(col("negs"), size(col("negs")))).as("thr"))
-    val byRank = Window.partitionBy("source")
-      .orderBy(col("freq").desc, col("t"))
-    counts.join(thr, "source")
-      .where(col("freq") >= col("thr"))
-      .withColumn("rnk", row_number().over(byRank))
-      .where(col("rnk") <= k)
-      .selectExpr("source",
-        "CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x",
-        "CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-        sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
-      .selectExpr("source", "n AS n_fit", ZipfSlopeExprSql)
+    // the per-source frequency table feeds two consumers (the
+    // threshold heap + the rank join) — materialized once so the
+    // corpus explode runs once (the q155 two-consumer rule); it is
+    // vocabulary-sized, tiny next to the corpus
+    Iterate.loop(docs.sparkSession) { l =>
+      val counts = l.pin(docs
+        .select(col(sourceCol).as("source"), explode(tokens(col(textCol))).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("freq")))
+      // k-th largest per-source frequency from the bounded heap: the
+      // negated top-k ascending ends at −(k-th largest)
+      val thr = counts.groupBy("source")
+        .agg(graft.plans.TopNAgg.topnMinAgg(-col("freq"), k).as("negs"))
+        .select(col("source"),
+          (-element_at(col("negs"), size(col("negs")))).as("thr"))
+      val byRank = Window.partitionBy("source")
+        .orderBy(col("freq").desc, col("t"))
+      l.finish(counts.join(thr, "source")
+        .where(col("freq") >= col("thr"))
+        .withColumn("rnk", row_number().over(byRank))
+        .where(col("rnk") <= k)
+        .selectExpr("source",
+          "CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x",
+          "CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+        .selectExpr("source", "n AS n_fit", ZipfSlopeExprSql))
+    }
   }
 
   /** Per-source Herdan/Heaps' law exponent — the OTHER side of the q154
