@@ -331,6 +331,35 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, tau: Double, nCentroids: Int = 0,
       centroids: Option[Seq[(Long, Array[Float])]] = None,
       cellCap: Int = 4096): DataFrame = {
+    val assigned = assignedSubcells(corpus, nCentroids, centroids, cellCap)
+    val dropped = subcellPairs(assigned, tau)
+      .select(col("id_b").as("id")).distinct()
+    assigned
+      .join(dropped.withColumn("__dropped", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("__dropped"), lit(false)).unary_!.as("kept"))
+  }
+
+  /** The [[semanticDedup]] candidate structure as PAIRS — for the
+    * cluster-then-keep-BEST policy ([[graft.operators.Dedup
+    * .dedupByPairsBest]]) instead of the upper-triangular drop: returns
+    * every within-(cell, subcell) pair at cosine ≥ `tau` with
+    * `id_a < id_b`. Same auto-scaled quantizer, same cellCap sub-split,
+    * same ~n^1.5 candidate bound; the caller owns the cluster policy.
+    */
+  def semanticNearDupPairs(corpus: DataFrame, tau: Double,
+      nCentroids: Int = 0,
+      centroids: Option[Seq[(Long, Array[Float])]] = None,
+      cellCap: Int = 4096): DataFrame =
+    subcellPairs(assignedSubcells(corpus, nCentroids, centroids, cellCap), tau)
+
+  /** Shared assignment stage: cells from the (auto-scaled) coarse
+    * quantizer, deterministically sub-split at `cellCap`, repartitioned
+    * on (cell, subcell) so both self-join sides reuse one exchange.
+    */
+  private def assignedSubcells(corpus: DataFrame, nCentroids: Int,
+      centroids: Option[Seq[(Long, Array[Float])]],
+      cellCap: Int): DataFrame = {
     require(cellCap > 0, s"cellCap must be positive, got $cellCap")
     val cents = centroids.getOrElse {
       val k = if (nCentroids > 0) nCentroids else autoCentroids(corpus.count())
@@ -340,24 +369,24 @@ object Similarity {
       if (cents.size <= LiteralAssignLimit) assignCellsLiteral(corpus, cents)
       else assignCellsJoin(corpus, cents)
     val sizes = sized.groupBy("cell").agg(count(lit(1)).as("__sz"))
-    val assigned = sized.join(broadcast(sizes), Seq("cell"))
+    sized.join(broadcast(sizes), Seq("cell"))
       .withColumn("subcell",
         pmod(conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
           .cast("long"),
           ceil(col("__sz").cast("double") / cellCap).cast("long")))
       .drop("__sz")
       .repartition(col("cell"), col("subcell"))
+  }
+
+  /** Within-(cell, subcell) cosine-threshold pairs, id_a < id_b. */
+  private def subcellPairs(assigned: DataFrame, tau: Double): DataFrame = {
     val a = assigned.as("a")
     val b = assigned.as("b")
-    val dropped = a.join(b,
+    a.join(b,
         col("a.cell") === col("b.cell") &&
         col("a.subcell") === col("b.subcell") && col("a.id") < col("b.id") &&
         VectorExpressions.cosineNative(col("a.embedding"), col("b.embedding")) >= tau)
-      .select(col("b.id").as("id")).distinct()
-    assigned
-      .join(dropped.withColumn("__dropped", lit(true)), Seq("id"), "left")
-      .select(col("id"), col("cell"),
-        coalesce(col("__dropped"), lit(false)).unary_!.as("kept"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, LSH-blocked:

@@ -203,6 +203,242 @@ object PipelineOps {
        |SELECT m.shard_id, m.n_chunks, m.n_tokens, m.shard_fp, s.*
        |FROM manifest m CROSS JOIN stats s""".stripMargin
 
+  /** q179 oracle: the v2 funnel as one CTE chain — q95's slice+decon
+    * prefix verbatim, then q127's span-removal CTEs over the clean
+    * slice, q94's cell/subcell candidates over the survivors'
+    * embeddings + q131's recursive-CTE closure and quality argmax on
+    * the REWRITTEN text, the shared-LM gate readout, q95's mix, and
+    * q120's curriculum-ordered chunk/manifest tail.
+    */
+  private def q179Sql: String =
+    s"""WITH RECURSIVE fp_old AS MATERIALIZED (
+       |  SELECT doc_id, md5(trim(regexp_replace(lower(
+       |    CASE WHEN doc_id % 11 = 0 THEN text || ' v0' ELSE text END),
+       |    '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents WHERE doc_id % 7 != 3),
+       |fp_new AS MATERIALIZED (
+       |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents),
+       |slice AS MATERIALIZED (
+       |  SELECT d.doc_id, d.text, d.lang, d.source
+       |  FROM documents d JOIN fp_new n USING (doc_id)
+       |  LEFT JOIN fp_old o USING (doc_id)
+       |  WHERE o.doc_id IS NULL OR (o.fp = n.fp) IS NOT TRUE),
+       |stoks AS MATERIALIZED (SELECT doc_id, ${Tk("text")} AS tk FROM slice),
+       |atoks AS MATERIALIZED (SELECT doc_id, ${Tk("text")} AS tk FROM documents),
+       |btoks AS MATERIALIZED (
+       |  SELECT doc_id AS bench_id,
+       |    list_slice(tk, len(tk)//4 + 1,
+       |               len(tk)//4 + greatest(len(tk)//2, 1)) AS tk
+       |  FROM atoks WHERE doc_id % 25 = 0),
+       |cg AS MATERIALIZED (
+       |  SELECT doc_id, CASE WHEN len(tk) = 0 THEN []
+       |    ELSE list_distinct(list_transform(generate_series(1, greatest(len(tk) - 4, 1)),
+       |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))) END AS g
+       |  FROM stoks),
+       |bg AS MATERIALIZED (
+       |  SELECT bench_id, CASE WHEN len(tk) = 0 THEN []
+       |    ELSE list_distinct(list_transform(generate_series(1, greatest(len(tk) - 4, 1)),
+       |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))) END AS g
+       |  FROM btoks),
+       |cpost AS MATERIALIZED (SELECT doc_id, unnest(g) AS gram FROM cg),
+       |rare AS MATERIALIZED (SELECT gram FROM cpost GROUP BY gram HAVING count(*) <= 1000),
+       |keptg AS MATERIALIZED (SELECT c.* FROM cpost c JOIN rare r USING (gram)),
+       |bpost AS MATERIALIZED (SELECT bench_id, unnest(g) AS gram FROM bg),
+       |bsizes AS MATERIALIZED (SELECT bench_id, len(g) AS n_bench_grams FROM bg),
+       |shared AS MATERIALIZED (
+       |  SELECT k.doc_id, b.bench_id, count(*) AS n_shared
+       |  FROM keptg k JOIN bpost b USING (gram) GROUP BY 1, 2),
+       |flagged AS MATERIALIZED (
+       |  SELECT DISTINCT s.doc_id FROM shared s JOIN bsizes z USING (bench_id)
+       |  WHERE s.n_shared * 1.0 / z.n_bench_grams >= 0.5),
+       |clean AS MATERIALIZED (
+       |  SELECT * FROM slice WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+       |ct AS MATERIALIZED (SELECT doc_id, ${Tk("text")} AS tk FROM clean),
+       |g3 AS MATERIALIZED (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    md5(array_to_string(tk[i:i+7], ' ')) AS g
+       |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+       |        FROM ct WHERE len(tk) >= 8)),
+       |kg3 AS MATERIALIZED (
+       |  SELECT g3.doc_id, g3.pos, g3.g FROM g3
+       |  JOIN (SELECT g, count(DISTINCT doc_id) AS df FROM g3 GROUP BY g) f
+       |    ON g3.g = f.g WHERE f.df BETWEEN 2 AND 50),
+       |m3 AS MATERIALIZED (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+       |    b.pos AS pb, b.pos - a.pos AS d
+       |  FROM kg3 a JOIN kg3 b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |r3 AS MATERIALIZED (
+       |  SELECT *, pa - row_number() OVER (
+       |    PARTITION BY id_a, id_b, d ORDER BY pa) AS run
+       |  FROM m3),
+       |sp3 AS MATERIALIZED (
+       |  SELECT id_b, min(pb) AS start_b,
+       |    max(pa) - min(pa) + 8 AS span_tokens
+       |  FROM r3 GROUP BY id_a, id_b, d, run
+       |  HAVING max(pa) - min(pa) + 8 >= 12),
+       |iv3 AS MATERIALIZED (SELECT id_b AS doc_id, start_b AS s,
+       |        start_b + span_tokens AS e FROM sp3),
+       |mk3 AS MATERIALIZED (
+       |  SELECT doc_id, s, e, max(e) OVER (
+       |    PARTITION BY doc_id ORDER BY s, e
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |  FROM iv3),
+       |isl3 AS MATERIALIZED (
+       |  SELECT doc_id, s, e,
+       |    sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+       |  FROM mk3),
+       |mg3 AS MATERIALIZED (SELECT doc_id, min(s) AS s, max(e) AS e
+       |        FROM isl3 GROUP BY doc_id, grp),
+       |pos3 AS MATERIALIZED (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+       |         FROM ct WHERE len(tk) > 0),
+       |kp3 AS MATERIALIZED (
+       |  SELECT p.doc_id, p.i, p.tk[p.i] AS tok FROM pos3 p
+       |  WHERE NOT EXISTS (SELECT 1 FROM mg3
+       |    WHERE mg3.doc_id = p.doc_id AND p.i - 1 >= mg3.s AND p.i - 1 < mg3.e)),
+       |ag3 AS MATERIALIZED (SELECT doc_id, count(*) AS n_kept,
+       |        string_agg(tok, ' ' ORDER BY i) AS kept_text
+       |        FROM kp3 GROUP BY doc_id),
+       |spanned AS MATERIALIZED (
+       |  SELECT c.doc_id, c.lang, c.source, a.kept_text
+       |  FROM clean c JOIN ag3 a USING (doc_id) WHERE a.n_kept > 0),
+       |e4 AS MATERIALIZED (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ne
+       |       FROM embeddings JOIN spanned ON vec_id = spanned.doc_id),
+       |nn4 AS MATERIALIZED (SELECT greatest(1,
+       |          CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS k
+       |        FROM e4),
+       |rc4 AS MATERIALIZED (
+       |  SELECT nid AS cid, ne AS ce,
+       |    row_number() OVER (ORDER BY md5(CAST(nid AS VARCHAR)), nid) AS rn
+       |  FROM e4),
+       |cents4 AS MATERIALIZED (SELECT cid, ce FROM rc4 CROSS JOIN nn4 WHERE rn <= k),
+       |assign4 AS MATERIALIZED (
+       |  SELECT nid, ne, cid,
+       |    list_dot_product(ce, ce) - 2 * list_dot_product(ne, ce) AS dist
+       |  FROM e4 CROSS JOIN cents4),
+       |cells4 AS MATERIALIZED (
+       |  SELECT nid, ne, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY nid ORDER BY dist, cid) AS rn
+       |    FROM assign4) WHERE rn = 1),
+       |sizes4 AS MATERIALIZED (SELECT cell, count(*) AS sz FROM cells4 GROUP BY cell),
+       |sub4 AS MATERIALIZED (
+       |  SELECT nid, ne, cells4.cell AS cell,
+       |    CAST(concat('0x', substring(md5(CAST(nid AS VARCHAR)), 1, 8)) AS BIGINT)
+       |      % CAST(ceil(CAST(sz AS DOUBLE) / 4096.0) AS BIGINT) AS subcell
+       |  FROM cells4 JOIN sizes4 ON cells4.cell = sizes4.cell),
+       |prs AS MATERIALIZED (
+       |  SELECT a.nid AS src, b.nid AS dst
+       |  FROM sub4 a JOIN sub4 b ON a.cell = b.cell AND a.subcell = b.subcell
+       |    AND a.nid < b.nid AND list_cosine_similarity(a.ne, b.ne) >= 0.3),
+       |sym4 AS MATERIALIZED (SELECT src, dst FROM prs UNION SELECT dst, src FROM prs),
+       |nodes4 AS (SELECT DISTINCT src AS id FROM sym4),
+       |reach(id, rr) AS (
+       |  SELECT id, id FROM nodes4
+       |  UNION
+       |  SELECT s.dst, reach.rr FROM reach JOIN sym4 s ON s.src = reach.id),
+       |cmp4 AS MATERIALIZED (SELECT id, min(rr) AS comp FROM reach GROUP BY id),
+       |sc4 AS MATERIALIZED (
+       |  SELECT doc_id, lang, source, kept_text,
+       |    CAST(-3000000 - 40000*len(${Tk("kept_text")})
+       |      + 200000*len(list_distinct(${Tk("kept_text")}))
+       |      + 2000*len(regexp_replace(kept_text, '\\s', '', 'g'))
+       |      + 300000*len(list_filter(${Tk("kept_text")},
+       |          t -> t IN ('the','a','an','of','and','in','to','is','it','that')))
+       |      AS BIGINT) AS s
+       |  FROM spanned),
+       |lab4 AS MATERIALIZED (
+       |  SELECT sc4.*, coalesce(cmp4.comp, sc4.doc_id) AS comp
+       |  FROM sc4 LEFT JOIN cmp4 ON sc4.doc_id = cmp4.id),
+       |rk4 AS MATERIALIZED (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY comp ORDER BY s DESC, doc_id) AS rn
+       |  FROM lab4),
+       |bestrep AS MATERIALIZED (
+       |  SELECT doc_id, lang, source, kept_text FROM rk4 WHERE rn = 1),
+       |ptoks AS MATERIALIZED (SELECT doc_id, ${Tk("kept_text")} AS tk FROM bestrep),
+       |pbg AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+       |      i -> [tk[i], tk[i+1]])) AS b
+       |  FROM ptoks),
+       |ppairs AS MATERIALIZED (SELECT doc_id, b[1] AS w1, b[2] AS w2 FROM pbg),
+       |pc12 AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM ppairs GROUP BY w1, w2),
+       |pc1 AS MATERIALIZED (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM pc12 GROUP BY w1),
+       |pv AS MATERIALIZED (SELECT count(DISTINCT t) AS v FROM
+       |  (SELECT w1 AS t FROM pc12 UNION SELECT w2 AS t FROM pc12)),
+       |pnll AS MATERIALIZED (
+       |  SELECT p.doc_id,
+       |    CAST(floor(-ln((pc12.c12 + 1) / CAST(pc1.c1 + pv.v AS DOUBLE))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS nll_u
+       |  FROM ppairs p JOIN pc12 USING (w1, w2) JOIN pc1 USING (w1) CROSS JOIN pv),
+       |psc AS MATERIALIZED (
+       |  SELECT doc_id, count(*) AS nb, CAST(sum(nll_u) AS BIGINT) AS s
+       |  FROM pnll GROUP BY doc_id),
+       |nsc AS MATERIALIZED (
+       |  SELECT b.doc_id, b.lang, b.source, b.kept_text,
+       |    -(psc.s // psc.nb) AS neg_u,
+       |    CAST(floor(CAST(psc.s AS DOUBLE) / psc.nb / 100.0 + 0.5)
+       |      AS BIGINT) AS nllu
+       |  FROM bestrep b JOIN psc USING (doc_id)),
+       |thr AS MATERIALIZED (SELECT lang, quantile_cont(neg_u, 0.5) AS thr FROM nsc GROUP BY lang),
+       |gated AS MATERIALIZED (
+       |  SELECT n.doc_id, n.lang, n.source, n.kept_text, n.nllu
+       |  FROM nsc n JOIN thr t USING (lang) WHERE n.neg_u >= t.thr),
+       |mcounts AS MATERIALIZED (SELECT lang, count(*) AS n FROM gated GROUP BY lang),
+       |mmin AS MATERIALIZED (SELECT min(n) AS n_min FROM mcounts),
+       |mthr AS MATERIALIZED (
+       |  SELECT lang,
+       |    CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * 1000000.0) AS BIGINT) AS thr
+       |  FROM mcounts CROSS JOIN mmin),
+       |mixed AS MATERIALIZED (
+       |  SELECT g.* FROM gated g JOIN mthr USING (lang)
+       |  WHERE CAST(concat('0x', substring(md5(CAST(g.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |          % 1000000 < mthr.thr),
+       |cthr AS MATERIALIZED (SELECT ${(1 to 9).map(i =>
+             s"CAST(floor(quantile_cont(nllu, 0.$i) * 10000.0 + 0.5) AS BIGINT) AS t$i")
+             .mkString(", ")} FROM mixed),
+       |ck AS MATERIALIZED (
+       |  SELECT doc_id, kept_text,
+       |    CAST(${(1 to 9).map(i =>
+             s"CASE WHEN nllu * 10000 > cthr.t$i THEN 1 ELSE 0 END")
+             .mkString(" + ")} AS BIGINT) AS bucket,
+       |    md5('cur:' || CAST(doc_id AS VARCHAR)) AS ckey
+       |  FROM mixed CROSS JOIN cthr),
+       |mc AS MATERIALIZED (
+       |  SELECT CAST(bucket AS VARCHAR) || ':' || ckey || ':' ||
+       |    lpad(CAST(doc_id AS VARCHAR), 10, '0') AS okey,
+       |    ${Tk("kept_text")} AS tk
+       |  FROM ck),
+       |mn AS MATERIALIZED (SELECT okey, tk, CAST(len(tk) AS BIGINT) AS n FROM mc),
+       |mo AS MATERIALIZED (
+       |  SELECT okey, tk, n,
+       |    CAST(coalesce(sum(n) OVER (ORDER BY okey
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM mn),
+       |mg7 AS MATERIALIZED (SELECT off, unnest(generate_series(1, n)) AS i, tk FROM mo WHERE n > 0),
+       |mtok AS MATERIALIZED (SELECT off + i - 1 AS gpos, tk[i] AS tok FROM mg7),
+       |chunks AS MATERIALIZED (
+       |  SELECT gpos // 256 AS chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    md5(string_agg(tok, ' ' ORDER BY gpos)) AS chunk_fp
+       |  FROM mtok GROUP BY 1),
+       |manifest AS MATERIALIZED (
+       |  SELECT chunk_id // 4 AS shard_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |    md5(string_agg(chunk_fp, ' ' ORDER BY chunk_id)) AS shard_fp
+       |  FROM chunks GROUP BY 1),
+       |stats AS (SELECT
+       |  (SELECT count(*) FROM documents) AS n_input,
+       |  (SELECT count(*) FROM slice) AS n_slice,
+       |  (SELECT count(*) FROM clean) AS n_clean,
+       |  (SELECT count(*) FROM spanned) AS n_spanned,
+       |  (SELECT count(*) FROM bestrep) AS n_bestrep,
+       |  (SELECT count(*) FROM gated) AS n_gated,
+       |  (SELECT count(*) FROM mixed) AS n_mixed)
+       |SELECT m.shard_id, m.n_chunks, m.n_tokens, m.shard_fp, s.*
+       |FROM manifest m CROSS JOIN stats s""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef.sql("q95_corpus_to_shards", q95Sql) { (s, d) =>
@@ -330,6 +566,129 @@ object PipelineOps {
     // tokens to pack either way. Writing the shards is
     // [[graft.operators.Packing.writeShards]] over the same chunks
     // frame (layout + fingerprint round-trip spec-pinned).
+    // q179: corpus-to-shards v2 (VERDICT r11 #6) — q95's funnel rebuilt
+    // with the round-11 stages: snapshot slice (q92) → Bloom decon
+    // (q89) → SPAN REMOVAL (q127, replacing segment dedup: rewrite the
+    // copies instead of dropping segments) → SEMANTIC dedup keeping the
+    // BEST-quality representative (q94's cell/subcell candidates +
+    // q131's cluster argmax, replacing min-id policies; pipeline tau
+    // 0.3 — tighter than q94's 0.5 because the synthetic embeddings'
+    // cosine mass sits lower than real text embeddings', and the
+    // funnel must demonstrably exercise the stage) → perplexity
+    // median gate (q85/q86) → √-temperature mix (q88) → CURRICULUM-
+    // ordered shards (q116/q120, replacing the flat seeded shuffle).
+    // One bigram LM (trained on the best-rep survivors) feeds BOTH the
+    // gate (neg_u) and the curriculum difficulty (nllu) — one pass,
+    // two readouts. Every inter-stage hand-off localCheckpoints (the
+    // q95 structural rule) and the funnel's seven survival counts ride
+    // every output row, so the hash check pins the shard fingerprints
+    // AND the funnel's shape.
+    QueryDef.sql("q179_corpus_to_shards_v2", q179Sql) { (s, d) =>
+      import graft.operators.{Classifier, Similarity}
+      val docs = Tables.documents(s, d)
+
+      // S1 — snapshot reprocess slice (q95 S1 verbatim)
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"), TextFunctions.fingerprint(
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v0")))
+            .otherwise(col("text"))).as("fp"))
+      val newSnap = docs.select(col("doc_id"), col("text"), col("lang"),
+        col("source"), TextFunctions.fingerprint(col("text")).as("fp"))
+      val sliceDf = Snapshot.reprocessSlice(oldSnap, newSnap, "doc_id", "fp")
+        .drop("fp").localCheckpoint()
+
+      // S2 — Bloom-screened decontamination (q95 S2 verbatim)
+      val toks = TextFunctions.tokens(col("text"))
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("bench_id"),
+          concat_ws(" ", slice(toks,
+            (floor(size(toks) / 4) + 1).cast("int"),
+            greatest(floor(size(toks) / 2), lit(1)).cast("int"))).as("btext"))
+      val flagged = Decontamination.benchmarkContainmentBloom(
+          sliceDf, "doc_id", "text", bench, "bench_id", "btext")
+        .select(col("id").as("doc_id")).distinct()
+      val clean = sliceDf.join(flagged, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+
+      // S3 — span-level copy REMOVAL within the clean slice (q126/q127
+      // machinery): each duplicated span keeps its first occurrence,
+      // later holders lose the interval; docs rewritten to nothing drop
+      val spanned = Dedup.removeSpans(clean, "doc_id", "text",
+          Dedup.sharedSpans(clean, "doc_id", "text",
+            w = 8, maxGramDf = 50, minSpan = 12))
+        .filter(col("n_tokens") - col("n_removed") > 0)
+        .join(clean.select("doc_id", "lang", "source"), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("kept_text"))
+        .localCheckpoint()
+
+      // S4 — semantic dedup, BEST-quality representative: q94's
+      // auto-k cell/subcell candidate pairs over the SURVIVORS'
+      // embeddings, clustered transitively, each cluster keeping its
+      // best doc by the q97 integer quality score on the REWRITTEN text
+      val embS = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding"))
+        .join(spanned.select(col("doc_id").as("id")), Seq("id"))
+        .localCheckpoint()
+      val pairs = Similarity.semanticNearDupPairs(embS, tau = 0.3)
+      val scored = Classifier.qualityClassify(spanned, "kept_text")
+        .select(col("doc_id"), col("lang"), col("source"), col("kept_text"),
+          col("score_micro"))
+      val bestRep = Dedup.dedupByPairsBest(scored, "doc_id", "score_micro",
+          pairs)
+        .select(col("doc_id"), col("lang"), col("source"), col("kept_text"))
+        .localCheckpoint()
+
+      // S5 — ONE bigram LM (trained on the best-rep survivors), two
+      // readouts: the gate score neg_u and the curriculum nllu
+      val px = LanguageModel.perplexityScores(bestRep, "doc_id", "kept_text")
+        .select(col("id").as("doc_id"),
+          (-expr("nll_micro_sum div n_bigrams")).as("neg_u"),
+          floor(col("nll_micro_sum").cast("double") / col("n_bigrams")
+            / 100.0 + 0.5).cast("long").as("nllu"))
+      val scoredG = bestRep.join(px, Seq("doc_id")).localCheckpoint()
+      val gated = Sampling.percentileGate(scoredG, "lang", "neg_u", 0.5,
+          exact = true)
+        .drop("neg_u")
+        .localCheckpoint()
+
+      // S6 — √-temperature language rebalancing (q88)
+      val mixed = Sampling.sqrtTemperatureSample(gated, "lang", "doc_id")
+        .localCheckpoint()
+
+      // S7 — curriculum-ordered shards (q116/q120): difficulty deciles
+      // from nine exact percentiles over the FINAL mix, okey serializes
+      // (bucket, md5 draw, doc_id) so lexicographic order IS the
+      // curriculum order; packing keeps the two-phase prefix shape
+      val thrExprs = (1 to 9).map(i =>
+        floor(expr(s"percentile(nllu, 0.$i)") * 10000.0 + 0.5)
+          .cast("long").as(s"t$i"))
+      val thr = mixed.agg(thrExprs.head, thrExprs.tail: _*)
+      val keyed = mixed.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("kept_text"),
+          (1 to 9).map(i =>
+            when(col("nllu") * 10000L > col(s"t$i"), 1).otherwise(0))
+            .reduce(_ + _).cast("long").as("bucket"),
+          md5(concat(lit("cur:"), col("doc_id").cast("string"))).as("ckey"))
+      val packedIn = keyed.select(
+        concat(col("bucket").cast("string"), lit(":"), col("ckey"),
+          lit(":"), lpad(col("doc_id").cast("string"), 10, "0")).as("okey"),
+        TextFunctions.tokens(col("kept_text")).as("tk"))
+      val manifest = Packing.shardManifest(
+        Packing.packChunks(packedIn, "okey", "tk", capacity = 256,
+          groupOf = substring(col("okey"), 1, 3)),
+        chunksPerShard = 4)
+
+      // S8 — the funnel's survival counts ride every row
+      val stats = docs.agg(count(lit(1)).as("n_input"))
+        .crossJoin(sliceDf.agg(count(lit(1)).as("n_slice")))
+        .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
+        .crossJoin(spanned.agg(count(lit(1)).as("n_spanned")))
+        .crossJoin(bestRep.agg(count(lit(1)).as("n_bestrep")))
+        .crossJoin(gated.agg(count(lit(1)).as("n_gated")))
+        .crossJoin(mixed.agg(count(lit(1)).as("n_mixed")))
+      manifest.crossJoin(broadcast(stats))
+    },
+
     QueryDef.sql(
       "q120_curriculum_shards",
       s"""WITH $CurriculumCtes,
