@@ -61,14 +61,63 @@ object RetrievalStream {
     writer.start()
   }
 
-  /** BM25 top-k over the STORED index — never touches document text. */
+  /** BM25 top-k over the STORED index — never touches document text.
+    * `upToBatch` scopes the read to partitions `batch <= id` (the
+    * compacted `batch=-1` store always qualifies — it only ever holds
+    * CLOSED batches), so a quality-probe tick for batch N is a
+    * deterministic function of the index THROUGH batch N, replayable
+    * until compaction folds N (at which point [[IndexMaintenance
+    * .requireReplayable]] refuses the replay before the probe runs).
+    */
   def bm25OverIndex(spark: SparkSession, indexDir: String,
-      queryTerms: DataFrame, k: Int): DataFrame = {
-    val posting = spark.read.parquet(s"$indexDir/postings")
+      queryTerms: DataFrame, k: Int,
+      upToBatch: Option[Long] = None): DataFrame = {
+    def scoped(df: DataFrame): DataFrame =
+      upToBatch.fold(df)(b => df.filter(col("batch") <= b))
+    val posting = scoped(spark.read.parquet(s"$indexDir/postings"))
       .select("doc", "dl", "term", "tf")
-    val docs = spark.read.parquet(s"$indexDir/docs")
+    val docs = scoped(spark.read.parquet(s"$indexDir/docs"))
     val tot = docs.agg(count(lit(1)).as("n"), sum("dl").as("total"))
     Retrieval.bm25FromPostings(posting, tot, queryTerms, k)
+  }
+
+  /** One quality-probe tick: batch [[graft.operators.Evaluation
+    * .rankingMetrics]] of the PINNED query set against the index
+    * through `batchId`, persisted to `metricsDir/batch=<id>` — the
+    * partition-overwrite idempotence convention of the index itself.
+    */
+  def probeBatch(spark: SparkSession, indexDir: String,
+      queryTerms: DataFrame, qrels: DataFrame, k: Int,
+      metricsDir: String, batchId: Long): Unit = {
+    val ranked = bm25OverIndex(spark, indexDir, queryTerms, k,
+        upToBatch = Some(batchId))
+      .select(col("qid"), col("doc").as("nid"), col("rnk").as("rank"))
+    graft.operators.Evaluation.rankingMetrics(ranked, qrels, k)
+      .write.mode("overwrite").parquet(s"$metricsDir/batch=$batchId")
+  }
+
+  /** The observability face (VERDICT r11 #7): index every arriving
+    * micro-batch AND emit a retrieval-quality tick — MRR/DCG/recall of
+    * a pinned (queryTerms, qrels) probe set against the index's state
+    * through that batch. The metrics history is partition-per-batch,
+    * so the trend across batch ids is the continuous quality story: a
+    * recall@k that degrades as the corpus grows flags ingest drift the
+    * way [[CurationStream]]'s gate counts flag quality. Each tick
+    * equals batch `rankingMetrics` over everything ingested so far
+    * ([[RetrievalStreamSpec]] pins the equality per prefix).
+    */
+  def indexIngestWithProbe(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, queryTerms: DataFrame, qrels: DataFrame, k: Int,
+      metricsDir: String,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        indexBatch(batch, batchId, idCol, textCol, indexDir)
+        probeBatch(batch.sparkSession, indexDir, queryTerms, qrels, k,
+          metricsDir, batchId)
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
   }
 
   /** Compact every CLOSED batch partition (`batch < upToBatch`, which

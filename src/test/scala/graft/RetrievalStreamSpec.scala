@@ -86,6 +86,49 @@ class RetrievalStreamSpec extends SparkSpec {
     }
   }
 
+  test("quality-probe ticks equal batch rankingMetrics on every ingested prefix") {
+    import graft.operators.Evaluation
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("bm25probe").toString
+    val mdir = s"$dir/metrics"
+    val q = Seq((1L, "spark"), (2L, "join"), (2L, "shuffle")).toDF("qid", "term")
+    val qrels = Seq((1L, 1L), (1L, 4L), (2L, 2L), (2L, 5L)).toDF("qid", "nid")
+
+    val source = MemoryStream[IndexDoc]
+    val sq = RetrievalStream.indexIngestWithProbe(source.toDF(), "doc_id",
+      "text", s"$dir/idx", q, qrels, k = 10, metricsDir = mdir)
+    try {
+      source.addData(docs.take(3): _*); sq.processAllAvailable()
+      source.addData(docs.drop(3): _*); sq.processAllAvailable()
+    } finally sq.stop()
+
+    def metricRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "n_rel", "n_hits", "mrr_u", "dcg_u", "idcg_u").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(_._1).toSeq
+    def expect(prefix: Seq[IndexDoc]) = metricRows(Evaluation.rankingMetrics(
+      Retrieval.bm25TopK(prefix.toDF("doc_id", "text"), "doc_id", "text", q, 10)
+        .select(col("qid"), col("doc").as("nid"), col("rnk").as("rank")),
+      qrels, k = 10))
+
+    // tick 0 reads the index THROUGH batch 0 only; tick 1 the full corpus
+    val tick0 = metricRows(spark.read.parquet(s"$mdir/batch=0"))
+    val tick1 = metricRows(spark.read.parquet(s"$mdir/batch=1"))
+    assert(tick0 == expect(docs.take(3)), tick0.toString)
+    assert(tick1 == expect(docs), tick1.toString)
+    assert(tick0 != tick1, "the probe must see the index grow")
+    // the scoped read the probe is built on: through-batch-0 search
+    // equals batch search over the first prefix
+    assert(rows(RetrievalStream.bm25OverIndex(spark, s"$dir/idx", q, 10,
+        upToBatch = Some(0L)))
+      == rows(Retrieval.bm25TopK(docs.take(3).toDF("doc_id", "text"),
+        "doc_id", "text", q, 10)))
+    // a replayed batch overwrites its own tick with identical rows
+    RetrievalStream.probeBatch(spark, s"$dir/idx", q, qrels, 10, mdir, 0L)
+    assert(metricRows(spark.read.parquet(s"$mdir/batch=0")) == tick0)
+  }
+
   test("token-less docs reach the doc stats but not the postings") {
     val dir = Files.createTempDirectory("bm25idx2").toString
     RetrievalStream.indexBatch(docs.toDF("doc_id", "text"), 0L,
