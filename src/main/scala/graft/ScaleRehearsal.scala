@@ -313,6 +313,59 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // HITS ladder (r12, VERDICT r11 #8, q151 after the Iterate.Loop
+    // fix): planted hub/authority bipartite stars — each non-multiple
+    // id points at its block's authority (id − id%100) AND a second,
+    // pseudo-randomly chosen block head, so hubs have out-degree 2 and
+    // authorities in-degree ~198 — plus a directed chain periphery
+    // (1 in / 1 out) that holds near-zero score mass. Two full HITS
+    // rounds (the q151 shape). Claim under test: with every half-step
+    // checkpointed, wall is ~linear in |E| — per round two edge⋈score
+    // shuffle-joins + two hash aggregates, never the 2^(2·iters)
+    // re-derivation the lazy plan had. Parity check per rung: the max
+    // authority is a planted block head at exactly BaseU, and every
+    // node comes back (|rows| = |nodes|).
+    if (args.contains("--hits-only")) {
+      import graft.operators.Influence
+      // scales are NODE counts; edges ≈ 2.23·n (two hub out-edges per
+      // non-head node + the chain periphery) → rungs land at ~1M/4M/16M
+      // edges, the k-core ladder's rungs
+      val scales = if (posArgs.nonEmpty) posArgs.map(_.toLong)
+      else Seq(450000L, 1800000L, 7200000L)
+      def hitsEdges(n: Long) = {
+        val hubs = spark.range(n).filter(pmod(col("id"), lit(100)) =!= 0)
+        val local = hubs.select(col("id").as("src"),
+          (col("id") - pmod(col("id"), lit(100))).as("dst"))
+        val remote = hubs.select(col("id").as("src"),
+          (pmod(xxhash64(col("id")), lit(n / 100)) * 100).as("dst"))
+        val chains = spark.range(n / 4)
+          .filter(pmod(col("id") + 1, lit(512)) =!= 0)
+          .select((col("id") + 3000000000L).as("src"),
+            (col("id") + 3000000001L).as("dst"))
+        local.unionByName(remote).unionByName(chains)
+      }
+      locally { // untimed JIT/codegen warmup
+        val w = hitsEdges(50000L).cache(); w.count()
+        Influence.hitsInteger(w, 2).count()
+        w.unpersist()
+      }
+      val ladder = scales.map { n =>
+        val edges = hitsEdges(n).cache()
+        val nEdges = edges.count()
+        var scores: DataFrame = null
+        val (t, rows) = timed {
+          scores = Influence.hitsInteger(edges, 2)
+          scores.count()
+        }
+        val top = scores.orderBy(col("auth_u").desc, col("node")).head()
+        edges.unpersist()
+        val topIsHead = top.getLong(0) % 100 == 0 && top.getLong(1) == 1000000L
+        f"""{"n_edges":$nEdges,"hits":{"sec":$t%.2f,"nodes":$rows,"top_planted":$topIsHead}}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"hits_rehearsal","scales":$ladder}""")
+      spark.stop(); return
+    }
+
     // Auto-k past the literal ceiling (r11, VERDICT r10 #6): at
     // n ≥ 1.05M pseudo-random vectors auto-k = ⌈√n⌉ crosses 1024, so
     // the AUTO path now dispatches to the broadcast-join argmin instead

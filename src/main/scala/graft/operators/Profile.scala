@@ -528,4 +528,86 @@ object Profile {
       .select(col("grp").as(groupCol), col("n"), col("med2"), col("mad4"),
         col("n_outliers"))
   }
+
+  /** Gopher-style within-document repetition signals (Rae et al.,
+    * "Scaling Language Models: … Gopher", 2021, Table A1) — the
+    * quality-filter family that catches DEGENERATE text the cross-doc
+    * dedup stack can't see: a crawler loop that pastes one phrase 200
+    * times is unique corpus-wide but worthless as training data. Three
+    * exact-integer basis-point signals per doc, aggregated per group:
+    *
+    *  - `top1_bp`: occurrences of the single most frequent token over
+    *    total tokens (Gopher's "most common word" fraction);
+    *  - `top2_char_bp`: characters covered by occurrences of the most
+    *    frequent word 2-gram over total characters (count × gram chars,
+    *    the space-joined gram matching the space-joined text);
+    *  - `dup5_bp`: 5-gram occurrences beyond each gram's first over
+    *    total 5-grams (duplicate-n-gram fraction, occurrence counting).
+    *
+    * A doc is flagged when `top2_char_bp > 2000` or `dup5_bp > 1500`
+    * (Gopher's 0.20 top-2-gram and 0.15 dup-n-gram cut points).
+    *
+    * Determinism: the top gram is the (count DESC, char-length DESC,
+    * gram ASC) argmax — both engines realize the identical total order.
+    * Ties on the empty doc fold to count 0 → every bp 0, unflagged.
+    *
+    * Shape: ALL per-doc work is map-side array HOFs — the n-gram
+    * counting runs inside one projection via a run-length fold over the
+    * doc's SORTED gram array (no explode, no per-gram shuffle rows) —
+    * followed by one hash aggregate on the group key. At 100 TB this is
+    * the shape you want: per-doc cost rides the scan, the only exchange
+    * carries ≤|groups| rows. The fold's intermediate is one small
+    * struct per doc, never a grams×grams product.
+    */
+  def repetitionStats(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    // run-length argmax over a SORTED string array → struct(cnt, len, g):
+    // equal grams are adjacent after array_sort, so one fold counts each
+    // run and keeps the (count DESC, length DESC, gram ASC) champion —
+    // ascending sort means a later full tie never displaces the
+    // incumbent, realizing the gram-ASC tie-break for free.
+    def topOfSorted(sortedArr: String): String = {
+      val r = s"IF(x = a.prev, a.run + 1L, 1L)"
+      val better = s"($r > a.bc OR ($r = a.bc AND CAST(length(x) AS BIGINT) > a.bl))"
+      s"""aggregate($sortedArr,
+         |  named_struct('prev', '', 'run', 0L, 'bc', 0L, 'bl', 0L, 'bg', ''),
+         |  (a, x) -> named_struct(
+         |    'prev', x,
+         |    'run', $r,
+         |    'bc', IF($better, $r, a.bc),
+         |    'bl', IF($better, CAST(length(x) AS BIGINT), a.bl),
+         |    'bg', IF($better, x, a.bg)),
+         |  a -> named_struct('cnt', a.bc, 'len', a.bl, 'g', a.bg))""".stripMargin
+    }
+    val txt = coalesce(col(textCol), lit(""))
+    val per = df
+      .select(col(groupCol),
+        graft.functions.TextFunctions.tokens(txt).as("tk"),
+        greatest(length(txt).cast("long"), lit(1L)).as("nc"))
+      .select(col(groupCol), col("nc"),
+        greatest(size(col("tk")).cast("long"), lit(1L)).as("nt"),
+        expr(topOfSorted("array_sort(tk)")).as("t1"),
+        expr("zip_with(slice(tk, 1, greatest(size(tk) - 1, 0))," +
+          " slice(tk, 2, greatest(size(tk) - 1, 0))," +
+          " (p, q) -> concat(p, ' ', q))").as("g2"),
+        expr("IF(size(tk) >= 5, transform(sequence(0, size(tk) - 5)," +
+          " i -> concat_ws(' ', element_at(tk, i + 1), element_at(tk, i + 2)," +
+          " element_at(tk, i + 3), element_at(tk, i + 4), element_at(tk, i + 5)))," +
+          " array())").as("g5"))
+      .select(col(groupCol), col("nc"), col("nt"), col("t1"), col("g5"),
+        expr(topOfSorted("array_sort(g2)")).as("t2"))
+      .select(col(groupCol),
+        expr("(t1.cnt * 10000) div nt").as("top1_bp"),
+        expr("(t2.cnt * t2.len * 10000) div nc").as("top2_char_bp"),
+        expr("IF(size(g5) = 0, 0L," +
+          " ((size(g5) - size(array_distinct(g5))) * 10000L) div size(g5))")
+          .as("dup5_bp"))
+    per.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(top1_bp) div count(1)").as("avg_top1_bp"),
+        expr("sum(top2_char_bp) div count(1)").as("avg_top2_char_bp"),
+        expr("sum(dup5_bp) div count(1)").as("avg_dup5_bp"),
+        sum(when(col("top2_char_bp") > 2000 || col("dup5_bp") > 1500, 1L)
+          .otherwise(0L)).as("n_flagged"))
+  }
 }

@@ -1352,6 +1352,63 @@ object TextOps {
       graft.operators.Profile.readabilityStats(
         Tables.documents(s, d), "source", "text")
     },
+
+    // q180: Gopher-style within-doc repetition signals ([[graft.operators
+    // .Profile.repetitionStats]], Rae et al. 2021 Table A1) — the
+    // degenerate-text filter the cross-doc dedup stack can't see: top
+    // token fraction, top word-2-gram CHARACTER fraction, duplicate
+    // 5-gram fraction, all exact-integer basis points, flag at Gopher's
+    // 0.20 / 0.15 cut points. All per-doc work is map-side array folds
+    // (run-length argmax over the sorted gram array — no explode, no
+    // per-gram shuffle); the only exchange carries ≤|sources| rows.
+    QueryDef.sql(
+      "q180_repetition_signals",
+      s"""WITH tk AS (
+         |  SELECT doc_id, source, $TC AS toks,
+         |    greatest(CAST(len(coalesce(text, '')) AS BIGINT), 1) AS nc
+         |  FROM documents),
+         |d AS (SELECT doc_id, source, nc,
+         |  greatest(CAST(len(toks) AS BIGINT), 1) AS nt, toks,
+         |  list_transform(range(1, CAST(len(toks) AS INTEGER)),
+         |    i -> toks[i] || ' ' || toks[i + 1]) AS g2,
+         |  CASE WHEN len(toks) >= 5 THEN
+         |    list_transform(range(1, CAST(len(toks) AS INTEGER) - 3),
+         |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+         |        || ' ' || toks[i + 3] || ' ' || toks[i + 4])
+         |  ELSE [] END AS g5
+         |  FROM tk),
+         |t1 AS (SELECT doc_id, cnt FROM (
+         |    SELECT doc_id, g, count(*) AS cnt,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY count(*) DESC, len(g) DESC, g ASC) AS rn
+         |    FROM (SELECT doc_id, unnest(toks) AS g FROM d) GROUP BY doc_id, g)
+         |  WHERE rn = 1),
+         |t2 AS (SELECT doc_id, cnt, CAST(len(g) AS BIGINT) AS glen FROM (
+         |    SELECT doc_id, g, count(*) AS cnt,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY count(*) DESC, len(g) DESC, g ASC) AS rn
+         |    FROM (SELECT doc_id, unnest(g2) AS g FROM d) GROUP BY doc_id, g)
+         |  WHERE rn = 1),
+         |d5 AS (SELECT doc_id, CAST(len(g5) AS BIGINT) AS n5,
+         |    CAST(len(list_distinct(g5)) AS BIGINT) AS nd5 FROM d),
+         |per AS (
+         |  SELECT d.source,
+         |    (coalesce(t1.cnt, 0) * 10000) // d.nt AS top1_bp,
+         |    (coalesce(t2.cnt * t2.glen, 0) * 10000) // d.nc AS top2_char_bp,
+         |    CASE WHEN d5.n5 = 0 THEN 0
+         |         ELSE ((d5.n5 - d5.nd5) * 10000) // d5.n5 END AS dup5_bp
+         |  FROM d LEFT JOIN t1 USING (doc_id) LEFT JOIN t2 USING (doc_id)
+         |    JOIN d5 USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(top1_bp) // count(*) AS BIGINT) AS avg_top1_bp,
+         |  CAST(sum(top2_char_bp) // count(*) AS BIGINT) AS avg_top2_char_bp,
+         |  CAST(sum(dup5_bp) // count(*) AS BIGINT) AS avg_dup5_bp,
+         |  CAST(sum(CASE WHEN top2_char_bp > 2000 OR dup5_bp > 1500
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+         |FROM per GROUP BY source""".stripMargin) { (s, d) =>
+      graft.operators.Profile.repetitionStats(
+        Tables.documents(s, d), "source", "text")
+    },
   )
 
   /** DuckDB twin of the house tokenizer over null-coalesced text

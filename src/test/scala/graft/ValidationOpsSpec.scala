@@ -402,4 +402,34 @@ class ValidationOpsSpec extends AnyFunSuite with SparkSpec {
         .toDF("a", "b"), "a", "b").collect().head
     assert(n.getLong(0) == 1L, n.toString)
   }
+
+  test("repetitionStats: hand fractions, flags, empty/null docs") {
+    import sqlImplicits._
+    // s1 doc "a a a a a": nt=5 nc=9; top1 cnt 5 → 10000;
+    //   top 2-gram "a a" cnt 4 len 3 → 120000//9 = 13333 (flag);
+    //   one 5-gram, no dup → 0
+    // s1 doc "x y z w v": all-unique; top1 cnt 1 → 2000;
+    //   top 2-gram cnt 1 len 3 → 30000//9 = 3333 (tiny-doc flag)
+    // s2 doc "p q p q p q p q": nt=8 nc=15; top1 'p' cnt 4 → 5000;
+    //   "p q" cnt 4 len 3 → 120000//15 = 8000; 5-grams alternate
+    //   (n5=4, nd5=2) → 5000 (flag)
+    // s2 empty + null docs: guards nt=nc=1, all zero, unflagged
+    val docs = Seq(("s1", "a a a a a"), ("s1", "x y z w v"),
+      ("s2", "p q p q p q p q"), ("s2", ""), ("s2", null: String))
+      .toDF("source", "text")
+    val got = Profile.repetitionStats(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got == Map(
+      "s1" -> ((2L, 6000L, 8333L, 0L, 2L)),
+      "s2" -> ((3L, 1666L, 2666L, 1666L, 1L))), got.toString)
+    // count tie on the top 2-gram breaks to the LONGER gram: "aa bb"
+    // (len 5) and "zz q" (len 4) both count 2 → 2·5·10000 // 21 = 4761,
+    // not 3809
+    val tie = Profile.repetitionStats(
+      Seq(("s3", "aa bb aa bb zz q zz q")).toDF("source", "text"),
+      "source", "text").collect().head
+    assert(tie.getLong(3) == 4761L, tie.toString)
+  }
 }
