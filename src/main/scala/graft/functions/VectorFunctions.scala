@@ -88,4 +88,34 @@ object VectorFunctions {
       val ws = hyperplaneWeights(p, dim).map(w => w.toInt.toString).mkString("[", ",", "]")
       s"(CASE WHEN list_dot_product($v, $ws) >= 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** Full SRP (signed-random-projection) binary code — Charikar's
+    * SimHash for vectors (STOC 2002): `nPlanes` sign bits packed into
+    * ONE BIGINT, so a 256-byte float embedding compresses to 8 bytes
+    * whose Hamming distance estimates the angle. Where [[lshBucket]]
+    * uses a few bits as an equality-join BUCKET, the code is a RANKING
+    * sketch: scan-by-XOR-popcount, shortlist, exact rerank — the binary
+    * sibling of the PQ/ADC family. Same deterministic plan-time literal
+    * planes ([[hyperplaneWeights]]); capped at 62 bits so the code stays
+    * non-negative on any engine (DuckDB overflows on BIGINT << 63).
+    */
+  def srpCode(vec: Column, nPlanes: Int, dim: Int): Column = {
+    require(nPlanes >= 1 && nPlanes <= 62,
+      s"srpCode supports 1..62 planes, got $nPlanes")
+    val code = (0 until nPlanes)
+      .map(p => shiftleft(hyperplaneBit(vec, p, dim).cast("long"), p))
+      .reduce(_ bitwiseOR _)
+    when(assert_true(size(vec) === dim,
+      lit(s"srpCode: embedding width must be $dim")).isNull, code)
+  }
+
+  /** DuckDB twin of [[srpCode]] — same literal planes, same bit layout. */
+  def srpCodeSql(v: String, nPlanes: Int, dim: Int): String = {
+    require(nPlanes >= 1 && nPlanes <= 62,
+      s"srpCodeSql supports 1..62 planes, got $nPlanes")
+    (0 until nPlanes).map { p =>
+      val ws = hyperplaneWeights(p, dim).map(w => w.toInt.toString).mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product($v, $ws) >= 0 THEN (CAST(1 AS BIGINT) << $p) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " + ", ")")
+  }
 }

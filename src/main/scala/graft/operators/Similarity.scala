@@ -63,6 +63,50 @@ object Similarity {
       .select("qid", "bucket", "nid", "cosine", "rank")
   }
 
+  /** Binary-code ANN (Charikar SimHash, STOC 2002): SRP codes
+    * ([[graft.functions.VectorFunctions.srpCode]]) rank the corpus by
+    * XOR-popcount Hamming distance, the top `k·mult` shortlist is
+    * reranked by EXACT cosine, top `k` returned — the binary sibling of
+    * the PQ/ADC + exact-rerank pipeline (q118), trading PQ's 256-way
+    * per-byte resolution for a sketch that needs no codebook fit and
+    * scores with two ALU ops.
+    *
+    * Scale shape: codes are a pure map-side projection (plan-time
+    * literal planes, no fit, no join); the Hamming scan reads 8 bytes
+    * per corpus vector instead of the 256-byte embedding — at 100 TB
+    * the code column is ~3% of the vector bytes, the same compression
+    * argument as PQ codes, and the scan is one XOR + POPCNT per row
+    * inside whole-stage codegen. The per-query shortlist passes through
+    * a partial WindowGroupLimit (≤ k·mult rows per partition per query
+    * cross the exchange); only the ≤ |q|·k·mult shortlist rows ever
+    * touch raw embeddings again (the rerank joins them back by nid).
+    *
+    * Determinism: Hamming ties (common at 32 bits) break on nid ASC;
+    * the rerank's exact-cosine ties break on nid ASC — both totally
+    * ordered on every engine.
+    */
+  def srpHammingTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      mult: Int = 4, nPlanes: Int = 32, dim: Int = 64): DataFrame = {
+    require(k >= 1 && mult >= 1, s"k and mult must be >= 1, got $k, $mult")
+    val q = queries.select(col("id").as("qid"), col("embedding").as("qe"),
+      VectorFunctions.srpCode(col("embedding"), nPlanes, dim).as("qcode"))
+    val c = corpus.select(col("id").as("nid"), col("embedding").as("ne"),
+      VectorFunctions.srpCode(col("embedding"), nPlanes, dim).as("ncode"))
+    val wh = Window.partitionBy("qid")
+      .orderBy(col("hamming").asc, col("nid").asc)
+    val cand = broadcast(q).crossJoin(c)
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("hamming", expr("bit_count(qcode ^ ncode)").cast("long"))
+      .withColumn("__hrank", row_number().over(wh))
+      .filter(col("__hrank") <= k * mult)
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
+    cand
+      .withColumn("cosine", VectorExpressions.cosineNative(col("qe"), col("ne")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "hamming", "cosine", "rank")
+  }
+
   /** One struct per centroid, ranking by squared-l2-equivalent distance:
     * argmin_c ‖x−c‖² = argmin_c (‖c‖² − 2·x·c), so per centroid we emit
     * struct(‖c‖² − 2·x·c AS d, cid) — one fused codegen'd dot per centroid,

@@ -886,7 +886,46 @@ object VectorOps {
             .cast("long").as("sim_u"))
       graft.operators.Retrieval.mmrSelect(rel, sims, m = 5)
         .orderBy("qid", "mmr_rank")
-    }
+    },
+
+    // q181: binary-code ANN ([[graft.operators.Similarity
+    // .srpHammingTopK]], Charikar SimHash STOC 2002) — 32 SRP sign bits
+    // packed into ONE BIGINT (8 bytes vs the 256-byte embedding, the
+    // PQ-codes compression argument), corpus ranked by XOR-popcount
+    // Hamming distance, top k·mult reranked by exact cosine. The binary
+    // sibling of q118's ADC+rerank: no codebook fit, two ALU ops per
+    // scored row, plan-time literal hyperplanes shared with q39 so the
+    // oracle embeds the identical weights.
+    QueryDef.sql(
+      "q181_srp_hamming_ann",
+      s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+         |           FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ne
+         |      FROM embeddings),
+         |qc AS (SELECT qid, qe, ${VectorFunctions.srpCodeSql("qe", 32, Dim)} AS qcode FROM q),
+         |cc AS (SELECT nid, ne, ${VectorFunctions.srpCodeSql("ne", 32, Dim)} AS ncode FROM c),
+         |h AS (SELECT qid, nid, qe, ne,
+         |    CAST(bit_count(xor(qcode, ncode)) AS BIGINT) AS hamming
+         |  FROM qc CROSS JOIN cc WHERE qid <> nid),
+         |cand AS (SELECT qid, nid, qe, ne, hamming FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY hamming ASC, nid ASC) AS hrank FROM h)
+         |  WHERE hrank <= 20),
+         |ranked AS (SELECT qid, nid, hamming,
+         |    list_cosine_similarity(qe, ne) AS cos,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY list_cosine_similarity(qe, ne) DESC, nid ASC) AS rank
+         |  FROM cand)
+         |SELECT qid, nid, hamming,
+         |  floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine, rank
+         |FROM ranked WHERE rank <= 5""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding"))
+      Similarity.srpHammingTopK(emb.filter(col("id") < 10), emb,
+          k = 5, mult = 4, nPlanes = 32, dim = Dim)
+        .select(col("qid"), col("nid"), col("hamming"),
+          round4hu(col("cosine")).as("cosine"), col("rank"))
+    },
   )
 
   /** One exact-integer power iteration as DuckDB CTEs: per-vector score

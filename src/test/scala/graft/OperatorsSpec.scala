@@ -359,6 +359,31 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(got.head.getAs[Double]("cosine") - 1.0) < 1e-9)
   }
 
+  test("srpHammingTopK: whole-corpus shortlist ≡ exact top-k; planted copy at Hamming 0") {
+    val vecs = (0L until 60L).map { i =>
+      val rng = new scala.util.Random(i)
+      i -> Array.fill(8)(rng.nextFloat() - 0.5f)
+    }
+    val planted = (100L, vecs.head._2.clone()) // exact copy of vec 0
+    val df = (vecs :+ planted).toDF("id", "embedding")
+    val q = df.filter($"id" < 3L)
+    // mult large enough that the Hamming shortlist IS the corpus →
+    // the rerank must reproduce exact brute-force top-k bit-for-bit
+    val full = Similarity.srpHammingTopK(q, df, k = 5, mult = 20,
+        nPlanes = 16, dim = 8)
+      .select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = Similarity.bruteForceTopK(q, df, k = 5)
+      .select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == exact, s"full-shortlist SRP diverged from exact:\n$full\nvs\n$exact")
+    // the identical vector shares every sign bit → Hamming 0, rank 1
+    val got = Similarity.srpHammingTopK(df.filter($"id" === 0L), df,
+      k = 1, mult = 4, nPlanes = 16, dim = 8).collect()
+    assert(got.length == 1 && got.head.getAs[Long]("nid") == 100L &&
+      got.head.getAs[Long]("hamming") == 0L, got.mkString(";"))
+  }
+
   test("cosineNearDupPairs finds only the planted embedding dup") {
     val rng = new scala.util.Random(7)
     val vecs = (0L until 30L).map(i => i -> Array.fill(8)(rng.nextFloat() - 0.5f))
