@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deequ-style single-pass column profiler — the data-quality snapshot a
@@ -609,5 +610,70 @@ object Profile {
         expr("sum(dup5_bp) div count(1)").as("avg_dup5_bp"),
         sum(when(col("top2_char_bp") > 2000 || col("dup5_bp") > 1500, 1L)
           .otherwise(0L)).as("n_flagged"))
+  }
+
+  /** Per-source vocabulary drift vs the corpus mix — total-variation
+    * distance between each source's token distribution and the
+    * corpus-wide distribution, restricted to the corpus's exact top-`k`
+    * tokens plus ONE out-of-vocabulary bucket holding all remaining
+    * mass. The lexical twin of the embedding-space PSI drift (q132):
+    * a source whose token shares diverge from the mix is the first
+    * sign a crawler source flipped language, template, or spam regime —
+    * visible before any model-side metric moves.
+    *
+    * Exact integers: shares in micro-units (`cnt·10⁶ div total`),
+    * `tv_mu = Σ_top |share_src − share_corpus| + |oov_src − oov_corpus|`
+    * (unhalved — document as the L1 form). The per-source largest-gap
+    * token rides along (|Δ| DESC, token ASC — totally ordered).
+    *
+    * Scale shape: ONE exploded (source, token) count aggregate — hot
+    * tokens collapse map-side in the partial agg — materialized once
+    * (TWO consumers: the corpus top-k and the per-source grid joins;
+    * the r11 >1-consumer rule). The top-k is orderBy+limit
+    * (TakeOrderedAndProject — per-partition heaps, never a global
+    * sort); everything downstream operates on the ≤|sources|·k grid
+    * with the k-row top frame BROADCAST. At 100 TB the only
+    * corpus-sized cost is the one counts exchange, itself bounded by
+    * distinct (source, token) pairs, and `k` caps all driver traffic.
+    * Sources whose every doc is empty carry no token row and drop out
+    * (no 0/0 share is ever formed).
+    */
+  def vocabDrift(df: DataFrame, sourceCol: String, textCol: String,
+      topK: Int = 64): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    Iterate.loop(df.sparkSession) { l =>
+      val counts = l.pin(df.select(col(sourceCol).as("src"),
+          explode(graft.functions.TextFunctions.tokens(
+            coalesce(col(textCol), lit("")))).as("tok"))
+        .groupBy("src", "tok").agg(count(lit(1)).as("cnt")))
+      val top = l.pin(counts.groupBy("tok").agg(sum("cnt").as("ccnt"))
+        .orderBy(col("ccnt").desc, col("tok").asc).limit(topK))
+      val ctot = counts.agg(sum("cnt").as("ctot"))
+      val stot = counts.groupBy("src").agg(sum("cnt").as("tot"))
+      val perTok = stot.crossJoin(broadcast(top))
+        .join(counts, Seq("src", "tok"), "left")
+        .crossJoin(broadcast(ctot))
+        .select(col("src"), col("tot"), col("ctot"), col("tok"),
+          col("ccnt"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .withColumn("delta_mu",
+          abs(expr("(cnt * 1000000) div tot") -
+            expr("(ccnt * 1000000) div ctot")))
+      val agg = perTok.groupBy("src", "tot", "ctot")
+        .agg(sum("delta_mu").as("tv_top"),
+          sum("cnt").as("top_cnt"), sum("ccnt").as("ctop"))
+        .select(col("src"), col("tot"),
+          (col("tv_top") +
+            abs(expr("((tot - top_cnt) * 1000000) div tot") -
+              expr("((ctot - ctop) * 1000000) div ctot"))).as("tv_mu"))
+      val wg = Window.partitionBy("src")
+        .orderBy(col("delta_mu").desc, col("tok").asc)
+      val gap = perTok.withColumn("__rk", row_number().over(wg))
+        .filter(col("__rk") === 1)
+        .select(col("src"), col("tok").as("gap_token"),
+          col("delta_mu").as("gap_mu"))
+      l.finish(agg.join(gap, "src")
+        .select(col("src").as(sourceCol), col("tot").as("n_tokens"),
+          col("tv_mu"), col("gap_token"), col("gap_mu")))
+    }
   }
 }

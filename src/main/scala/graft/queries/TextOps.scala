@@ -1409,6 +1409,52 @@ object TextOps {
       graft.operators.Profile.repetitionStats(
         Tables.documents(s, d), "source", "text")
     },
+
+    // q182: per-source vocabulary drift ([[graft.operators.Profile
+    // .vocabDrift]]) — total-variation distance in micro-units between
+    // each source's token shares and the corpus mix over the exact
+    // top-64 tokens + one OOV bucket, with the largest-gap token riding
+    // along. The lexical twin of q132's embedding PSI. One exploded
+    // count aggregate materialized once (two consumers), top-k via
+    // per-partition heaps, all downstream joins on the broadcast ≤64-row
+    // top frame.
+    QueryDef.sql(
+      "q182_vocab_drift",
+      s"""WITH p AS (SELECT source AS src, unnest($TC) AS tok FROM documents),
+         |counts AS (SELECT src, tok, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM p GROUP BY src, tok),
+         |top AS (SELECT tok, ccnt FROM (
+         |    SELECT tok, CAST(sum(cnt) AS BIGINT) AS ccnt,
+         |      row_number() OVER (ORDER BY sum(cnt) DESC, tok ASC) AS rk
+         |    FROM counts GROUP BY tok) WHERE rk <= 64),
+         |ct AS (SELECT CAST(sum(cnt) AS BIGINT) AS ctot FROM counts),
+         |stot AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS tot
+         |  FROM counts GROUP BY src),
+         |pert AS (
+         |  SELECT s.src, s.tot, ct.ctot, t.tok, t.ccnt,
+         |    coalesce(c.cnt, 0) AS cnt,
+         |    abs((coalesce(c.cnt, 0) * 1000000) // s.tot
+         |      - (t.ccnt * 1000000) // ct.ctot) AS delta_mu
+         |  FROM stot s CROSS JOIN top t CROSS JOIN ct
+         |  LEFT JOIN counts c ON c.src = s.src AND c.tok = t.tok),
+         |agg AS (
+         |  SELECT src, tot,
+         |    CAST(sum(delta_mu)
+         |      + abs(((tot - sum(cnt)) * 1000000) // tot
+         |          - ((ctot - sum(ccnt)) * 1000000) // ctot)
+         |      AS BIGINT) AS tv_mu
+         |  FROM pert GROUP BY src, tot, ctot),
+         |gap AS (SELECT src, tok AS gap_token,
+         |    CAST(delta_mu AS BIGINT) AS gap_mu FROM (
+         |    SELECT src, tok, delta_mu, row_number() OVER (PARTITION BY src
+         |      ORDER BY delta_mu DESC, tok ASC) AS rk FROM pert)
+         |  WHERE rk = 1)
+         |SELECT a.src AS source, a.tot AS n_tokens, a.tv_mu,
+         |  g.gap_token, g.gap_mu
+         |FROM agg a JOIN gap g USING (src)""".stripMargin) { (s, d) =>
+      graft.operators.Profile.vocabDrift(
+        Tables.documents(s, d), "source", "text", topK = 64)
+    },
   )
 
   /** DuckDB twin of the house tokenizer over null-coalesced text

@@ -432,4 +432,29 @@ class ValidationOpsSpec extends AnyFunSuite with SparkSpec {
       "source", "text").collect().head
     assert(tie.getLong(3) == 4761L, tie.toString)
   }
+
+  test("vocabDrift: hand TV distance, OOV bucket, gap token, releases") {
+    import sqlImplicits._
+    // corpus: a=4 b=4 c=1 (ctot 9); top-2 = {a, b} (tie 4=4 → tok asc);
+    // corpus shares a=b=444444, oov=111111
+    // s1 "a a a b": a=750000 b=250000 oov=0
+    //   → tv = 305556 + 194444 + 111111 = 611111, gap a (305556)
+    // s2 "a b b b c": a=200000 b=600000 oov=200000
+    //   → tv = 244444 + 155556 + 88889 = 488889, gap a (244444)
+    val docs = Seq(("s1", "a a a b"), ("s2", "a b b b c"))
+      .toDF("source", "text")
+    assertReleases("vocabDrift") {
+      val got = Profile.vocabDrift(docs, "source", "text", topK = 2)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+      assert(got == Map(
+        "s1" -> ((4L, 611111L, "a", 305556L)),
+        "s2" -> ((5L, 488889L, "a", 244444L))), got.toString)
+    }
+    // an all-empty source carries no token row and drops out entirely
+    val sparse = Profile.vocabDrift(
+      Seq(("s1", "a a"), ("s2", "")).toDF("source", "text"),
+      "source", "text", topK = 1).collect()
+    assert(sparse.map(_.getString(0)).toSeq == Seq("s1"), sparse.mkString(";"))
+  }
 }
