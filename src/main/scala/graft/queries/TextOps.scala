@@ -1353,16 +1353,19 @@ object TextOps {
         Tables.documents(s, d), "source", "text")
     },
 
-    // q180: Gopher-style within-doc repetition signals ([[graft.operators
-    // .Profile.repetitionStats]], Rae et al. 2021 Table A1) — the
-    // degenerate-text filter the cross-doc dedup stack can't see: top
-    // token fraction, top word-2-gram CHARACTER fraction, duplicate
-    // 5-gram fraction, all exact-integer basis points, flag at Gopher's
-    // 0.20 / 0.15 cut points. All per-doc work is map-side array folds
-    // (run-length argmax over the sorted gram array — no explode, no
-    // per-gram shuffle); the only exchange carries ≤|sources| rows.
+    // q180: Gopher CHARACTER-fraction repetition signals ([[graft
+    // .operators.Profile.repetitionStats]], Rae et al. 2021 Table A1) —
+    // the paper's char-mass form next to q76's token-fraction form: top
+    // token fraction, top word-2-gram CHARACTER fraction (count × gram
+    // chars over total chars — the published 0.20 cut point), duplicate
+    // 5-gram fraction, all exact-integer basis points. Where q76 goes
+    // through posting rows (explode → per-doc aggregates), this shape
+    // is ALL map-side: a run-length fold over each doc's sorted gram
+    // array — no explode, no per-gram shuffle rows; the only exchange
+    // carries ≤|sources| rows. Two implementations, two signal sets,
+    // one filter family.
     QueryDef.sql(
-      "q180_repetition_signals",
+      "q180_repetition_char_fractions",
       s"""WITH tk AS (
          |  SELECT doc_id, source, $TC AS toks,
          |    greatest(CAST(len(coalesce(text, '')) AS BIGINT), 1) AS nc

@@ -889,7 +889,7 @@ object VectorOps {
     },
 
     // q181: binary-code ANN ([[graft.operators.Similarity
-    // .srpHammingTopK]], Charikar SimHash STOC 2002) — 32 SRP sign bits
+    // .srpHammingTopK]], Charikar SimHash STOC 2002) — 62 SRP sign bits
     // packed into ONE BIGINT (8 bytes vs the 256-byte embedding, the
     // PQ-codes compression argument), corpus ranked by XOR-popcount
     // Hamming distance, top k·mult reranked by exact cosine. The binary
@@ -902,15 +902,15 @@ object VectorOps {
          |           FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ne
          |      FROM embeddings),
-         |qc AS (SELECT qid, qe, ${VectorFunctions.srpCodeSql("qe", 32, Dim)} AS qcode FROM q),
-         |cc AS (SELECT nid, ne, ${VectorFunctions.srpCodeSql("ne", 32, Dim)} AS ncode FROM c),
+         |qc AS (SELECT qid, qe, ${VectorFunctions.srpCodeSql("qe", 62, Dim)} AS qcode FROM q),
+         |cc AS (SELECT nid, ne, ${VectorFunctions.srpCodeSql("ne", 62, Dim)} AS ncode FROM c),
          |h AS (SELECT qid, nid, qe, ne,
          |    CAST(bit_count(xor(qcode, ncode)) AS BIGINT) AS hamming
          |  FROM qc CROSS JOIN cc WHERE qid <> nid),
          |cand AS (SELECT qid, nid, qe, ne, hamming FROM (
          |    SELECT *, row_number() OVER (PARTITION BY qid
          |      ORDER BY hamming ASC, nid ASC) AS hrank FROM h)
-         |  WHERE hrank <= 20),
+         |  WHERE hrank <= 80),
          |ranked AS (SELECT qid, nid, hamming,
          |    list_cosine_similarity(qe, ne) AS cos,
          |    row_number() OVER (PARTITION BY qid
@@ -922,9 +922,57 @@ object VectorOps {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id").as("id"), col("embedding"))
       Similarity.srpHammingTopK(emb.filter(col("id") < 10), emb,
-          k = 5, mult = 4, nPlanes = 32, dim = Dim)
+          k = 5, mult = 16, nPlanes = 62, dim = Dim)
         .select(col("qid"), col("nid"), col("hamming"),
           round4hu(col("cosine")).as("cosine"), col("rank"))
+    },
+
+    // q183: SRP recall self-audit — q135's readout for the binary-code
+    // path: recall@5 of q181's Hamming-shortlist + exact-rerank search
+    // vs the brute-force top-5, exact basis points per query. Together
+    // with q135 (IVF) and the q118 rerank specs this puts every ANN
+    // family in the engine under the same production alarm metric.
+    QueryDef.sql(
+      "q183_srp_recall",
+      s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+         |           FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ne
+         |      FROM embeddings),
+         |qc AS (SELECT qid, qe, ${VectorFunctions.srpCodeSql("qe", 62, Dim)} AS qcode FROM q),
+         |cc AS (SELECT nid, ne, ${VectorFunctions.srpCodeSql("ne", 62, Dim)} AS ncode FROM c),
+         |h AS (SELECT qid, nid, qe, ne,
+         |    bit_count(xor(qcode, ncode)) AS hamming
+         |  FROM qc CROSS JOIN cc WHERE qid <> nid),
+         |cand AS (SELECT qid, nid, qe, ne FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY hamming ASC, nid ASC) AS hrank FROM h)
+         |  WHERE hrank <= 80),
+         |srp AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY list_cosine_similarity(qe, ne) DESC, nid ASC) AS rank
+         |    FROM cand) WHERE rank <= 5),
+         |escored AS (
+         |  SELECT q.qid, c.nid, list_cosine_similarity(qe, ne) AS cos
+         |  FROM q CROSS JOIN c WHERE qid <> nid),
+         |ex AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |    FROM escored) WHERE rank <= 5),
+         |ov AS (SELECT srp.qid, CAST(count(*) AS BIGINT) AS n_overlap
+         |       FROM srp JOIN ex ON srp.qid = ex.qid AND srp.nid = ex.nid
+         |       GROUP BY srp.qid),
+         |ec AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact
+         |       FROM ex GROUP BY qid)
+         |SELECT ec.qid, coalesce(ov.n_overlap, 0) AS n_overlap, ec.n_exact,
+         |  (coalesce(ov.n_overlap, 0) * 10000) // ec.n_exact AS recall_bp
+         |FROM ec LEFT JOIN ov ON ec.qid = ov.qid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val queries = emb.filter(col("id") < 10)
+      Evaluation.recallAtK(
+        Similarity.srpHammingTopK(queries, emb, k = 5, mult = 16,
+          nPlanes = 62, dim = Dim),
+        Similarity.bruteForceTopK(queries, emb, k = 5), k = 5)
     },
   )
 
