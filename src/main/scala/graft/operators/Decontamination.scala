@@ -208,4 +208,38 @@ object Decontamination {
         graft.functions.TextFunctions.round4hu(max(col("__cos")))
           .as("max_cos4"))
   }
+
+  /** Token-blocklist gate — the C4 "bad words" filter (Raffel et al.
+    * 2020 §2.2 drop any page containing a blocklisted word; Gopher
+    * keeps a rate threshold instead). Exact whole-token matching
+    * against the house whitespace tokens — a blocklisted SUBSTRING
+    * inside a longer token does NOT match (the C4 critique's false
+    * positives are a conscious non-goal here; substring policy is the
+    * bloom n-gram screen's job).
+    *
+    * Per group: docs seen, docs flagged (≥1 hit), total hit
+    * occurrences, and the flag rate in basis points.
+    *
+    * Scale shape: the blocklist ships as ONE plan-time literal array —
+    * per-doc work is a map-side `filter(tokens, contains)` count inside
+    * whole-stage codegen, no join, no shuffle beyond the ≤|groups|-row
+    * final aggregate. Real blocklists are a few hundred terms; past a
+    * few thousand, switch to a broadcast semi-join on exploded tokens
+    * (the [[screenBloom]] shape) — the literal stays the fast path
+    * because it never materializes posting rows.
+    */
+  def blocklistGate(df: DataFrame, groupCol: String, textCol: String,
+      blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "blocklistGate needs at least one term")
+    val tk = graft.functions.TextFunctions.tokens(
+      coalesce(col(textCol), lit("")))
+    val bl = lit(blocklist.toArray)
+    val per = df.select(col(groupCol),
+      size(filter(tk, t => array_contains(bl, t))).cast("long").as("hits"))
+    per.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum("hits").as("n_hits"))
+      .withColumn("flag_bp", expr("(n_flagged * 10000) div n_docs"))
+  }
 }

@@ -1074,6 +1074,34 @@ object CurationOps {
           sum(when((col("score_micro") >= 0) === (col("fit") >= 0), 1L)
             .otherwise(0L)).as("n_agree"),
           sum(abs(col("score_micro") - col("fit"))).as("abs_err_micro"))
+    },
+
+    // q184: token-blocklist gate ([[graft.operators.Decontamination
+    // .blocklistGate]], C4 Raffel et al. 2020 §2.2) — exact whole-token
+    // matching against a plan-time literal term list; per-doc work is
+    // one map-side filter-count inside codegen (no join, no posting
+    // rows), only the ≤|sources|-row aggregate shuffles. Terms chosen
+    // from the synthetic vocab so every source carries real hit mass.
+    QueryDef.sql(
+      "q184_blocklist_gate",
+      s"""WITH per AS (
+         |  SELECT source,
+         |    CAST(len(list_filter(
+         |      list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+         |        t -> len(t) > 0),
+         |      t -> t IN ('spark', 'hash', 'merge', 'join'))) AS BIGINT)
+         |      AS hits
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged,
+         |  CAST(sum(hits) AS BIGINT) AS n_hits,
+         |  (CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 10000) // count(*) AS flag_bp
+         |FROM per GROUP BY source""".stripMargin) { (s, d) =>
+      graft.operators.Decontamination.blocklistGate(
+        Tables.documents(s, d), "source", "text",
+        Seq("spark", "hash", "merge", "join"))
     }
   )
 }

@@ -416,4 +416,20 @@ class CurationSpec extends SparkSpec {
         s"group $g: loo=${loo(g)} direct=$direct")
     }
   }
+
+  test("blocklistGate: whole-token hits, substring non-match, null text") {
+    val docs = Seq(
+      ("s1", "bad word here"),      // 1 hit
+      ("s1", "clean text"),         // 0
+      ("s1", "bad bad evil"),       // 3 hits
+      ("s2", "badge evildoer"),     // substrings must NOT match
+      ("s2", null: String)).toDF("source", "text")
+    val got = graft.operators.Decontamination
+      .blocklistGate(docs, "source", "text", Seq("bad", "evil"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      "s1" -> ((3L, 2L, 4L, 6666L)),
+      "s2" -> ((2L, 0L, 0L, 0L))), got.toString)
+  }
 }
