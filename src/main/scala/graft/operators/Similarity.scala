@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFunctions
 import graft.plans.VectorExpressions
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -206,6 +206,53 @@ object Similarity {
         explode(slice(array_sort(centroidRanks(cents, col("embedding"))), 1, nProbe)).as("pc"))
       .select(col("qid"), col("qe"), col("pc.cid").as("cell"))
     val scored = broadcast(probes).join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cosine", VectorExpressions.cosineNative(col("qe"), col("ne")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "cell", "nid", "cosine", "rank")
+  }
+
+  /** Persist the corpus as a CELL-PARTITIONED parquet vector store —
+    * hive partition column = the frozen quantizer's cell id — the
+    * AT-REST form of the IVF index. An IVF search's probed cells then
+    * become PARTITION PRUNING at the scan: unprobed cells' files are
+    * never opened (zero I/O, not merely zero compute). At 100 TB the
+    * vector store is the dominant byte volume and nProbe/k of it is
+    * what a search should READ — this layout is what makes that true
+    * on disk, the same argument as the term-partitioned compacted
+    * inverted index ([[graft.streaming.IndexMaintenance]]).
+    */
+  def writeCellStore(corpus: DataFrame,
+      centroids: Seq[(Long, Array[Float])], path: String): Unit =
+    assignCellsLiteral(corpus.select(col("id"), col("embedding")), centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** IVF top-k over a [[writeCellStore]] store: probe cells come from
+    * the SAME frozen centroids ([[centroidRanks]], plan-time literals),
+    * and the UNION of probed cells lands in the scan as one literal
+    * `isin` — a PartitionFilter, so pruning happens at file-listing
+    * time (per-query routing stays the cell equi-join). The probe-cell
+    * collect is ≤ |q|·nProbe longs — queries are the broadcast-sized
+    * side by the [[ivfTopK]] contract. Results are identical to
+    * [[ivfTopK]] over the same corpus + centroids (spec-pinned): the
+    * store changes WHERE bytes live, never what the search returns.
+    */
+  def searchCellStore(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nProbe: Int, cents: Seq[(Long, Array[Float])]): DataFrame = {
+    val probes = queries
+      .select(col("id").as("qid"), col("embedding").as("qe"),
+        explode(slice(array_sort(centroidRanks(cents, col("embedding"))),
+          1, nProbe)).as("pc"))
+      .select(col("qid"), col("qe"), col("pc.cid").as("cell"))
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val store = spark.read.parquet(path)
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("id").as("nid"), col("embedding").as("ne"), col("cell"))
+    val scored = broadcast(probes).join(store, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cosine", VectorExpressions.cosineNative(col("qe"), col("ne")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)

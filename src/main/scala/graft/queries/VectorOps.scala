@@ -974,6 +974,60 @@ object VectorOps {
           nPlanes = 62, dim = Dim),
         Similarity.bruteForceTopK(queries, emb, k = 5), k = 5)
     },
+
+    // q185: cell-partitioned vector store ([[graft.operators.Similarity
+    // .writeCellStore]]/searchCellStore) — the AT-REST form of q56's IVF
+    // index: corpus written hive-partitioned by cell, the search's
+    // probed cells landing in the scan as a PartitionFilter so unprobed
+    // cells' files are never OPENED (zero I/O, not merely zero compute —
+    // at 100 TB the store is the dominant bytes and nProbe/k of it is
+    // what a search should read). Results are q56's exactly — the
+    // oracle IS q56's: layout changes where bytes live, never what the
+    // search returns.
+    QueryDef.sql(
+      "q185_ivf_cell_store",
+      """WITH c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+        |          FROM embeddings
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 12),
+        |assign AS (
+        |  SELECT nid, ne, cid,
+        |    list_dot_product(ce, ce) - 2 * list_dot_product(ne, ce) AS dist
+        |  FROM c CROSS JOIN cents),
+        |cells AS (
+        |  SELECT nid, ne, cid AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY nid ORDER BY dist, cid) AS rn
+        |    FROM assign) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |      FROM embeddings WHERE vec_id < 10),
+        |qassign AS (
+        |  SELECT qid, qe, cid,
+        |    list_dot_product(ce, ce) - 2 * list_dot_product(qe, ce) AS dist
+        |  FROM q CROSS JOIN cents),
+        |probes AS (
+        |  SELECT qid, qe, cid AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+        |    FROM qassign) WHERE rn <= 3),
+        |scored AS (
+        |  SELECT qid, probes.cell AS cell, nid, list_cosine_similarity(qe, ne) AS cos
+        |  FROM probes JOIN cells ON probes.cell = cells.cell WHERE qid <> nid),
+        |ranked AS (
+        |  SELECT qid, cell, nid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        |  FROM scored)
+        |SELECT qid, cell, nid, floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine, rank
+        |FROM ranked WHERE rank <= 3""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val cents = Similarity.sampleCentroidsPortable(emb, 12)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cell_store/" +
+        new java.io.File(d).getName
+      Similarity.writeCellStore(emb, cents, dir)
+      Similarity.searchCellStore(s, dir, emb.filter(col("id") < 10),
+          k = 3, nProbe = 3, cents = cents)
+        .select(col("qid"), col("cell"), col("nid"),
+          round4hu(col("cosine")).as("cosine"), col("rank"))
+    },
   )
 
   /** One exact-integer power iteration as DuckDB CTEs: per-vector score

@@ -227,4 +227,35 @@ class SkewAndIvfSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(100L -> 0L, 101L -> 1L, 102L -> 0L), s"got $got")
   }
+
+  test("cell store: search ≡ in-memory ivfTopK; scan prunes to probed cells") {
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(6)(Array.fill(8)(rng.nextFloat() * 2 - 1))
+    val vecs = (0L until 300L).map { i =>
+      val c = centers((i % 6).toInt)
+      i -> c.map(x => x + (rng.nextFloat() - 0.5f) * 0.1f)
+    }
+    val df = vecs.toDF("id", "embedding")
+    val cents = Similarity.sampleCentroidsPortable(df, 6)
+    val dir = java.nio.file.Files.createTempDirectory("cellstore")
+      .toFile.getAbsolutePath + "/store"
+    Similarity.writeCellStore(df, cents, dir)
+    val queries = df.filter($"id" < 5)
+    val fromStore = Similarity.searchCellStore(spark, dir, queries,
+      k = 4, nProbe = 2, cents = cents)
+    val inMem = Similarity.ivfTopK(queries, df, k = 4, nProbe = 2,
+      centroids = Some(cents))
+    val a = fromStore.collect().map(r => (r.getLong(0), r.getLong(2),
+      r.getInt(4))).toSet
+    val b = inMem.collect().map(r => (r.getLong(0), r.getLong(2),
+      r.getInt(4))).toSet
+    assert(a == b, s"store search diverged from in-memory IVF:\n$a\nvs\n$b")
+    // partition pruning: the executed scan must carry the cell filter in
+    // PartitionFilters (planning-time file pruning), not a post-scan Filter
+    val plan = fromStore.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      s"no cell PartitionFilter in plan:\n${plan.take(2000)}")
+    val probed = fromStore.select("cell").distinct().count()
+    assert(probed < 6, s"expected < 6 probed cells, got $probed")
+  }
 }
