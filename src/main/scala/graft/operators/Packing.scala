@@ -346,6 +346,53 @@ object Packing {
     * (≈9e15 tokens ≈ tens of PB of raw text), so after subtracting the
     * remainder the double division is exact.
     */
+  /** Length-bucketed batching with padding-waste accounting — the
+    * training-loader prep that pairs with [[packChunks]]'s
+    * concat-and-chunk: where packing concatenates documents into fixed
+    * windows, length-grouped batching keeps documents WHOLE and groups
+    * similar lengths so each batch pads only to ITS OWN max (dynamic
+    * padding). Docs land in fixed-width length buckets
+    * (`len div bucketWidth`), are ordered within each bucket by the
+    * portable pseudo-shuffle key (md5(id), id — the house sampling
+    * order, so batches are deterministic AND length-decorrelated), and
+    * cut into batches of `batchSize`; per bucket the padded volume
+    * (Σ_batch max_len · batch_rows) and the waste share in basis
+    * points fall out exactly.
+    *
+    * Shape: ONE exchange on the bucket key (the within-bucket
+    * row_number window partitions by bucket — parallel at any scale,
+    * never a global sort) feeding one (bucket, batch) hash aggregate
+    * and one ≤|buckets|-row rollup. At 100 TB buckets are independent
+    * and each task's window state is one running count.
+    *
+    * Output per bucket: (bucket, n_docs, n_batches, token_volume,
+    * padded_volume, waste_bp) where waste_bp =
+    * (padded − tokens)·10⁴ div padded.
+    */
+  def lengthBucketBatches(df: DataFrame, idCol: String, textCol: String,
+      bucketWidth: Int, batchSize: Int): DataFrame = {
+    require(bucketWidth >= 1 && batchSize >= 1,
+      s"bucketWidth and batchSize must be >= 1, got $bucketWidth, $batchSize")
+    val per = df.select(col(idCol).as("id"),
+        graft.functions.TextFunctions.tokenCount(
+          coalesce(col(textCol), lit(""))).as("len"))
+      .withColumn("bucket", expr(s"len div $bucketWidth"))
+    val batched = per
+      .withColumn("batch", expr(
+        s"(row_number() OVER (PARTITION BY bucket ORDER BY " +
+          s"md5(CAST(id AS STRING)) ASC, id ASC) - 1) div $batchSize"))
+    val perBatch = batched.groupBy("bucket", "batch")
+      .agg(count(lit(1)).as("nr"), sum("len").as("tokens"),
+        max("len").as("maxlen"))
+    perBatch.groupBy("bucket")
+      .agg(sum("nr").as("n_docs"),
+        count(lit(1)).as("n_batches"),
+        sum("tokens").as("token_volume"),
+        sum(expr("maxlen * nr")).as("padded_volume"))
+      .withColumn("waste_bp", expr(
+        "((padded_volume - token_volume) * 10000) div greatest(padded_volume, 1)"))
+  }
+
   private def chunkOf(c: Column, d: Long): Column =
     ((c - pmod(c, lit(d))) / d).cast("long")
 }

@@ -1413,6 +1413,42 @@ object TextOps {
         Tables.documents(s, d), "source", "text")
     },
 
+    // q186: length-bucketed batching with padding-waste accounting
+    // ([[graft.operators.Packing.lengthBucketBatches]]) — the
+    // dynamic-padding loader prep next to q75's concat-and-chunk: docs
+    // stay WHOLE, similar lengths batch together under the portable
+    // md5 pseudo-shuffle, each batch pads only to its own max. One
+    // exchange on the bucket key (the row_number window partitions by
+    // bucket — never a global sort), one (bucket, batch) aggregate,
+    // one ≤|buckets|-row rollup; waste_bp is exact integers.
+    QueryDef.sql(
+      "q186_length_bucket_batches",
+      s"""WITH per AS (
+         |  SELECT doc_id AS id, CAST(len($TC) AS BIGINT) AS len
+         |  FROM documents),
+         |b AS (SELECT id, len, len // 16 AS bucket FROM per),
+         |r AS (SELECT id, len, bucket,
+         |    (row_number() OVER (PARTITION BY bucket
+         |      ORDER BY md5(CAST(id AS VARCHAR)) ASC, id ASC) - 1) // 8
+         |      AS batch
+         |  FROM b),
+         |pb AS (SELECT bucket, batch, CAST(count(*) AS BIGINT) AS nr,
+         |    CAST(sum(len) AS BIGINT) AS tokens,
+         |    CAST(max(len) AS BIGINT) AS maxlen
+         |  FROM r GROUP BY bucket, batch)
+         |SELECT bucket, CAST(sum(nr) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_batches,
+         |  CAST(sum(tokens) AS BIGINT) AS token_volume,
+         |  CAST(sum(maxlen * nr) AS BIGINT) AS padded_volume,
+         |  ((CAST(sum(maxlen * nr) AS BIGINT) - CAST(sum(tokens) AS BIGINT))
+         |    * 10000) // greatest(CAST(sum(maxlen * nr) AS BIGINT), 1)
+         |    AS waste_bp
+         |FROM pb GROUP BY bucket""".stripMargin) { (s, d) =>
+      graft.operators.Packing.lengthBucketBatches(
+        Tables.documents(s, d), "doc_id", "text",
+        bucketWidth = 16, batchSize = 8)
+    },
+
     // q182: per-source vocabulary drift ([[graft.operators.Profile
     // .vocabDrift]]) — total-variation distance in micro-units between
     // each source's token shares and the corpus mix over the exact

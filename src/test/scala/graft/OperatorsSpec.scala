@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Packing, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Operator-level behavior on planted data — the driver's documents table
@@ -1118,5 +1118,30 @@ class OperatorsSpec extends SparkSpec {
       .withColumn("meta", col("meta").cast("struct<width:int,height:int,duration_ms:bigint,codec:string>"))
     val frames = Multimodal.sampleFrames(media, everyMs = 250L).collect()
     assert(frames.map(_.getAs[Long]("frame_ms")).sorted.sameElements(Array(0L, 250L, 500L, 750L, 1000L)))
+  }
+
+  test("lengthBucketBatches: hand waste, bucket split, whole-doc batches") {
+    // bucketWidth 4, batchSize 2. Bucket 0 holds lens {3,3,3,2}: any
+    // md5-order pairing puts the 2 with some 3 → padded 12, tokens 11,
+    // waste_bp 10000/12 = 833 REGARDLESS of the pseudo-shuffle order
+    // (the hand case is deliberately order-independent). Bucket 1 holds
+    // the lone len-5 doc: one batch, zero waste.
+    val docs = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h i"),
+      (4L, "j k"), (5L, "l m n o p")).toDF("doc_id", "text")
+    val got = Packing.lengthBucketBatches(docs, "doc_id", "text",
+        bucketWidth = 4, batchSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got == Map(
+      0L -> ((4L, 2L, 11L, 12L, 833L)),
+      1L -> ((1L, 1L, 5L, 5L, 0L))), got.toString)
+    // empty/null docs land in bucket 0 with len 0 and cost no padding
+    // beyond their batch peers' max
+    val empty = Packing.lengthBucketBatches(
+      Seq((1L, ""), (2L, null: String)).toDF("doc_id", "text"),
+      "doc_id", "text", bucketWidth = 4, batchSize = 2).collect().head
+    assert(empty.getLong(0) == 0L && empty.getLong(3) == 0L &&
+      empty.getLong(4) == 0L && empty.getLong(5) == 0L, empty.toString)
   }
 }
