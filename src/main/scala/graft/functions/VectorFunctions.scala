@@ -102,9 +102,12 @@ object VectorFunctions {
   def srpCode(vec: Column, nPlanes: Int, dim: Int): Column = {
     require(nPlanes >= 1 && nPlanes <= 62,
       s"srpCode supports 1..62 planes, got $nPlanes")
-    val code = (0 until nPlanes)
-      .map(p => shiftleft(hyperplaneBit(vec, p, dim).cast("long"), p))
-      .reduce(_ bitwiseOR _)
+    // ONE SrpPackedCode expression, not nPlanes composed hyperplaneBit
+    // dots: 62 inlined dot loops blow the generated method past
+    // HotSpot's JIT threshold and the stage runs interpreted (~100×,
+    // measured — see the expression's scaladoc). Same bit semantics.
+    val code = graft.plans.SrpCodeExpression.srpPackedCode(vec,
+      Array.tabulate(nPlanes)(p => hyperplaneWeights(p, dim)))
     when(assert_true(size(vec) === dim,
       lit(s"srpCode: embedding width must be $dim")).isNull, code)
   }

@@ -88,23 +88,44 @@ object Similarity {
   def srpHammingTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       mult: Int = 4, nPlanes: Int = 32, dim: Int = 64): DataFrame = {
     require(k >= 1 && mult >= 1, s"k and mult must be >= 1, got $k, $mult")
-    val q = queries.select(col("id").as("qid"), col("embedding").as("qe"),
-      VectorFunctions.srpCode(col("embedding"), nPlanes, dim).as("qcode"))
-    val c = corpus.select(col("id").as("nid"), col("embedding").as("ne"),
-      VectorFunctions.srpCode(col("embedding"), nPlanes, dim).as("ncode"))
-    val wh = Window.partitionBy("qid")
-      .orderBy(col("hamming").asc, col("nid").asc)
-    val cand = broadcast(q).crossJoin(c)
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("hamming", expr("bit_count(qcode ^ ncode)").cast("long"))
-      .withColumn("__hrank", row_number().over(wh))
-      .filter(col("__hrank") <= k * mult)
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
-    cand
-      .withColumn("cosine", VectorExpressions.cosineNative(col("qe"), col("ne")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "nid", "hamming", "cosine", "rank")
+    // Two scale lessons the --srp-only ladder taught, both baked in:
+    // (1) codes-only through the Hamming scan and its shortlist sort —
+    // the first cut carried BOTH embeddings through the |corpus|·|q|-row
+    // sort (~550 bytes/row, 70 GB of sorter traffic at the 16M rung);
+    // with (qid, nid, hamming) rows the sort moves ~24 bytes/row and
+    // raw vectors are touched again only for the ≤ |q|·k·mult shortlist
+    // (the q118 rerank discipline). (2) the code frame is MATERIALIZED
+    // before the join — left lazy, the 62-dot projection fuses under
+    // the BroadcastNestedLoopJoin, which is not whole-stage-codegen'd,
+    // so every dot runs INTERPRETED (measured ~170 s for 100k rows vs
+    // ~1 s codegen'd); materializing 16-byte (nid, ncode) rows is also
+    // the honest at-rest design — codes are an index artifact computed
+    // once, not per query batch.
+    Iterate.loop(corpus.sparkSession) { l =>
+      val qc = l.pin(queries.select(col("id").as("qid"),
+        VectorFunctions.srpCode(col("embedding"), nPlanes, dim).as("qcode")))
+      val cc = l.pin(corpus.select(col("id").as("nid"),
+        VectorFunctions.srpCode(col("embedding"), nPlanes, dim).as("ncode")))
+      val wh = Window.partitionBy("qid")
+        .orderBy(col("hamming").asc, col("nid").asc)
+      val cand = broadcast(qc).crossJoin(cc)
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("hamming", expr("bit_count(qcode ^ ncode)").cast("long"))
+        .select("qid", "nid", "hamming")
+        .withColumn("__hrank", row_number().over(wh))
+        .filter(col("__hrank") <= k * mult)
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cosine").desc, col("nid").asc)
+      l.finish(cand
+        .join(corpus.select(col("id").as("nid"), col("embedding").as("ne")), "nid")
+        .join(broadcast(queries.select(col("id").as("qid"),
+          col("embedding").as("qe"))), "qid")
+        .withColumn("cosine",
+          VectorExpressions.cosineNative(col("qe"), col("ne")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("qid", "nid", "hamming", "cosine", "rank"))
+    }
   }
 
   /** One struct per centroid, ranking by squared-l2-equivalent distance:
