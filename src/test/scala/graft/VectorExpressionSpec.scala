@@ -99,4 +99,30 @@ class VectorExpressionSpec extends SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
     assert(hasCodegenStage, s"expected a WholeStageCodegen stage in:\n$exec")
   }
+
+  test("SrpPackedCode == per-plane reference bits on random vectors") {
+    // the JIT-cliff fix must be a pure restructuring: every bit of the
+    // packed code equals the straightforward per-plane double dot
+    // computed in plain Scala with the same (ascending-i, >= 0) rule
+    val rng = new scala.util.Random(42)
+    val dim = 64; val planes = 62
+    val vecs = (0L until 200L).map(i =>
+      i -> Array.fill(dim)(rng.nextFloat() * 2 - 1))
+    val w = Array.tabulate(planes)(p => VectorFunctions.hyperplaneWeights(p, dim))
+    val expect = vecs.map { case (i, v) =>
+      var code = 0L
+      for (p <- 0 until planes) {
+        var dot = 0.0
+        for (j <- 0 until dim) dot += v(j).toDouble * w(p)(j)
+        if (dot >= 0.0) code |= 1L << p
+      }
+      i -> code
+    }.toMap
+    val got = vecs.toDF("id", "embedding")
+      .select(col("id"),
+        VectorFunctions.srpCode(col("embedding"), planes, dim).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect,
+      s"first mismatch: ${expect.find(kv => got(kv._1) != kv._2)}")
+  }
 }
