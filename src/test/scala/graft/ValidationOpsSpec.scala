@@ -433,6 +433,46 @@ class ValidationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(tie.getLong(3) == 4761L, tie.toString)
   }
 
+  test("repetitionStats: randomized docs match a plain-Scala reference") {
+    import sqlImplicits._
+    // tiny vocab forces count ties and length ties — the cases where
+    // the sorted-array run-length fold could silently disagree with the
+    // (count DESC, len DESC, gram ASC) rule
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e")
+    val docs = (0 until 60).map { i =>
+      val n = rng.nextInt(13) // 0..12 tokens
+      (s"d$i", Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    def ref(text: String): (Long, Long, Long) = {
+      val tk = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val nc = math.max(text.length.toLong, 1L)
+      val nt = math.max(tk.size.toLong, 1L)
+      def top(grams: Seq[String]): (Long, Long) =
+        if (grams.isEmpty) (0L, 0L)
+        else {
+          val (g, cnt) = grams.groupBy(identity).view.mapValues(_.size).toSeq
+            .sortBy { case (g, c) => (-c, -g.length, g) }.head
+          (cnt.toLong, g.length.toLong)
+        }
+      val t1 = top(tk)._1
+      val g2 = tk.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val (c2, l2) = top(g2)
+      val g5 = tk.sliding(5).filter(_.size == 5).map(_.mkString(" ")).toSeq
+      val dup5 = if (g5.isEmpty) 0L
+        else ((g5.size - g5.distinct.size).toLong * 10000L) / g5.size
+      ((t1 * 10000L) / nt, (c2 * l2 * 10000L) / nc, dup5)
+    }
+    // one group per doc → the per-group "averages" ARE the per-doc values
+    val got = Profile.repetitionStats(docs.toDF("source", "text"),
+        "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) == ref(text), s"$id '$text': got ${got(id)} ref ${ref(text)}")
+    }
+  }
+
   test("vocabDrift: hand TV distance, OOV bucket, gap token, releases") {
     import sqlImplicits._
     // corpus: a=4 b=4 c=1 (ctot 9); top-2 = {a, b} (tie 4=4 → tok asc);
