@@ -92,6 +92,15 @@ object GraftExtensions {
         if (a.length > 2) intArg(a(2), "minhash_sig_portable shingle_w") else 3,
         portable = true)
     }),
+    "srp_code" -> ((args: Seq[Expression]) => {
+      val a = arity(args, 3, "srp_code")
+      val nPlanes = intArg(a(1), "srp_code n_planes")
+      val dim = intArg(a(2), "srp_code dim")
+      require(nPlanes >= 1 && nPlanes <= 62,
+        s"srp_code supports 1..62 planes, got $nPlanes")
+      SrpPackedCode(a(0), Array.tabulate(nPlanes)(p =>
+        graft.functions.VectorFunctions.hyperplaneWeights(p, dim)))
+    }),
     "simhash_sig" -> ((args: Seq[Expression]) =>
       SimHashSig(arity(args, 1, "simhash_sig").head, portable = false)),
     "simhash_sig_portable32" -> ((args: Seq[Expression]) =>

@@ -100,6 +100,21 @@ class VectorExpressionSpec extends SparkSpec {
     assert(hasCodegenStage, s"expected a WholeStageCodegen stage in:\n$exec")
   }
 
+  test("SQL surface: srp_code(vec, n_planes, dim) == the column API") {
+    graft.plans.GraftExtensions.register(spark)
+    import sqlImplicits._
+    val rng = new scala.util.Random(3)
+    (0L until 20L).map(i => i -> Array.fill(8)(rng.nextFloat() - 0.5f))
+      .toDF("id", "v").createOrReplaceTempView("srp_sql")
+    val viaSql = spark.sql(
+      "SELECT id, srp_code(v, 16, 8) AS c FROM srp_sql ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val viaApi = spark.table("srp_sql")
+      .select(col("id"), VectorFunctions.srpCode(col("v"), 16, 8).as("c"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaSql.toSeq == viaApi.toSeq)
+  }
+
   test("SrpPackedCode == per-plane reference bits on random vectors") {
     // the JIT-cliff fix must be a pure restructuring: every bit of the
     // packed code equals the straightforward per-plane double dot
