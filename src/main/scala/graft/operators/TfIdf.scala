@@ -38,6 +38,67 @@ object TfIdf {
     * score (then token) so the order is reproducible across engines —
     * raw-double ranking could flip on libm ulp differences.
     */
+  /** Feature-hashed bag-of-words similarity (the hashing trick —
+    * Weinberger et al., ICML 2009): every token occurrence maps to one
+    * of `dim` buckets with a ±1 sign, both derived from the portable
+    * md5 first-level hash (`conv(substring(md5(t),1,8),16,10)` —
+    * bucket = h mod dim, sign from the next bit group (h div dim)
+    * mod 2), giving every document a dense `dim`-vector WITHOUT any
+    * model, vocabulary, or fit — the cheapest text→vector bridge, and
+    * the signed construction makes colliding tokens cancel in
+    * expectation instead of piling up.
+    *
+    * Cosine is computed RELATIONALLY from the sparse bucket sums —
+    * dot = Σ_b w_q·w_c over the shared-bucket join, norms ride their
+    * own per-doc aggregate — so no dense vector is ever materialized
+    * and the whole pipeline is exact-integer until the final
+    * divide-and-round. Pairs sharing no bucket drop out of the join;
+    * they are cosine-0 and can never reach a top-k.
+    *
+    * Shuffle story: one exchange on (doc, bucket) for the signed sums
+    * (hot buckets partial-combine map-side), one per-doc norm
+    * aggregate, the dot join keyed on bucket with the QUERY side
+    * broadcast (≤ |q|·dim rows), and the per-query top-k through
+    * WindowGroupLimit. At 100 TB the only corpus-sized costs are the
+    * token scan and the (doc, bucket) aggregate — strictly less wire
+    * than tf-idf, since dim caps per-doc output at `dim` rows.
+    *
+    * Returns (qid, nid, cosine [4dp half-up grid], rank) for the top
+    * `k` per query document.
+    */
+  def hashedBowTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryMaxId: Long, dim: Int = 64, k: Int = 5): DataFrame = {
+    require(dim >= 2 && k >= 1, s"dim must be >= 2 and k >= 1, got $dim, $k")
+    val th = docs.select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.tokens(
+          coalesce(col(textCol), lit("")))).as("t"))
+      .select(col("id"),
+        expr("cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)").as("h"))
+    val bs = th
+      .groupBy(col("id"), expr(s"pmod(h, $dim)").as("b"))
+      .agg(sum(when(expr(s"pmod(h div $dim, 2)") === 0, 1L).otherwise(-1L))
+        .as("w"))
+      .filter(col("w") =!= 0)
+    val nrm = bs.groupBy("id").agg(sum(expr("w * w")).as("n2"))
+    val qb = bs.filter(col("id") < queryMaxId)
+      .select(col("id").as("qid"), col("b"), col("w").as("qw"))
+    val dot = broadcast(qb)
+      .join(bs.select(col("id").as("nid"), col("b"), col("w").as("nw")), "b")
+      .filter(col("qid") =!= col("nid"))
+      .groupBy("qid", "nid")
+      .agg(sum(expr("qw * nw")).as("dp"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
+    dot
+      .join(broadcast(nrm.select(col("id").as("qid"), col("n2").as("qn2"))), "qid")
+      .join(nrm.select(col("id").as("nid"), col("n2").as("nn2")), "nid")
+      .withColumn("cosine", graft.functions.TextFunctions.round4hu(
+        col("dp").cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("nn2").cast("double")))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "cosine", "rank")
+  }
+
   def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val scored = tfidf(df, idCol, textCol)
       .withColumn("score", graft.functions.TextFunctions.round4hu(col("tfidf")))

@@ -1449,6 +1449,44 @@ object TextOps {
         bucketWidth = 16, batchSize = 8)
     },
 
+    // q187: feature-hashed bag-of-words similarity ([[graft.operators
+    // .TfIdf.hashedBowTopK]], Weinberger et al. ICML 2009) — the
+    // model-free text→vector bridge: every token occurrence lands in
+    // one of 64 signed buckets off the portable md5 hash, and cosine is
+    // computed RELATIONALLY from the sparse bucket sums (dot over the
+    // shared-bucket join with the query side broadcast, norms per-doc)
+    // — exact integers until the final divide-and-round, no dense
+    // vector ever materialized, per-doc wire capped at dim rows.
+    QueryDef.sql(
+      "q187_feature_hash_ann",
+      s"""WITH th AS (
+         |  SELECT id, CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT) AS h
+         |  FROM (SELECT doc_id AS id, unnest($TC) AS t FROM documents)),
+         |bs AS (
+         |  SELECT id, h % 64 AS b,
+         |    CAST(sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END)
+         |      AS BIGINT) AS w
+         |  FROM th GROUP BY id, h % 64
+         |  HAVING sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) <> 0),
+         |nrm AS (SELECT id, CAST(sum(w * w) AS BIGINT) AS n2 FROM bs GROUP BY id),
+         |qb AS (SELECT id AS qid, b, w AS qw FROM bs WHERE id < 3),
+         |dot AS (SELECT qid, c.id AS nid, CAST(sum(qw * c.w) AS BIGINT) AS dp
+         |  FROM qb JOIN bs c USING (b) WHERE qid <> c.id GROUP BY qid, c.id),
+         |sc AS (SELECT qid, nid,
+         |    CAST(dp AS DOUBLE)
+         |      / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE)))
+         |      AS cos
+         |  FROM dot JOIN nrm qn ON qn.id = dot.qid
+         |  JOIN nrm cn ON cn.id = dot.nid)
+         |SELECT qid, nid, floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine, rank
+         |FROM (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid
+         |        ORDER BY cos DESC, nid) AS rank FROM sc)
+         |WHERE rank <= 5""".stripMargin) { (s, d) =>
+      graft.operators.TfIdf.hashedBowTopK(
+        Tables.documents(s, d), "doc_id", "text",
+        queryMaxId = 3L, dim = 64, k = 5)
+    },
+
     // q182: per-source vocabulary drift ([[graft.operators.Profile
     // .vocabDrift]]) — total-variation distance in micro-units between
     // each source's token shares and the corpus mix over the exact

@@ -1120,6 +1120,24 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.map(_.getAs[Long]("frame_ms")).sorted.sameElements(Array(0L, 250L, 500L, 750L, 1000L)))
   }
 
+  test("hashedBowTopK: identical text at cosine 1.0 rank 1; scaled copy close") {
+    import graft.operators.TfIdf
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (5L, "alpha beta gamma delta epsilon"),   // identical → cosine 1.0
+      (6L, "alpha beta gamma delta epsilon zeta eta"), // superset → high
+      (7L, "completely different words here entirely"),
+      (8L, "more unrelated content again"),
+      (9L, "gamma delta something else")).toDF("doc_id", "text")
+    val got = TfIdf.hashedBowTopK(docs, "doc_id", "text",
+        queryMaxId = 1L, dim = 64, k = 3)
+      .orderBy("rank").collect()
+    assert(got.head.getAs[Long]("nid") == 5L &&
+      got.head.getAs[Double]("cosine") == 1.0, got.mkString(";"))
+    // the superset doc outranks the disjoint ones
+    assert(got(1).getAs[Long]("nid") == 6L, got.mkString(";"))
+  }
+
   test("lengthBucketBatches: hand waste, bucket split, whole-doc batches") {
     // bucketWidth 4, batchSize 2. Bucket 0 holds lens {3,3,3,2}: any
     // md5-order pairing puts the 2 with some 3 → padded 12, tokens 11,
