@@ -99,6 +99,47 @@ object TfIdf {
       .select("qid", "nid", "cosine", "rank")
   }
 
+  /** All-pairs hashed-BOW cosine over a BOUNDED id slice (`id <
+    * maxId`) in exact micro-units — the measurement half of
+    * [[hashedBowTopK]]: `cos_u = floor(cos·10⁶ + 0.5)` per (id_a <
+    * id_b) pair, pairs sharing no bucket at exact 0. The slice contract
+    * makes the pair space a driver-bounded |slice|² — this is an AUDIT
+    * primitive (calibration against lexical truth), not a corpus-scale
+    * search; the search path is [[hashedBowTopK]].
+    */
+  def hashedBowPairCosines(docs: DataFrame, idCol: String, textCol: String,
+      maxId: Long, dim: Int = 64): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    val sliced = docs.filter(col(idCol) < maxId)
+    val th = sliced.select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.tokens(
+          coalesce(col(textCol), lit("")))).as("t"))
+      .select(col("id"),
+        expr("cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)").as("h"))
+    val bs = th
+      .groupBy(col("id"), expr(s"pmod(h, $dim)").as("b"))
+      .agg(sum(when(expr(s"pmod(h div $dim, 2)") === 0, 1L).otherwise(-1L))
+        .as("w"))
+      .filter(col("w") =!= 0)
+    val nrm = bs.groupBy("id").agg(sum(expr("w * w")).as("n2"))
+    val dot = bs.select(col("id").as("id_a"), col("b"), col("w").as("wa"))
+      .join(bs.select(col("id").as("id_b"), col("b"), col("w").as("wb")), "b")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(expr("wa * wb")).as("dp"))
+    val ids = sliced.select(col(idCol).as("id_a"))
+      .crossJoin(sliced.select(col(idCol).as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    broadcast(ids)
+      .join(dot, Seq("id_a", "id_b"), "left")
+      .join(broadcast(nrm.select(col("id").as("id_a"), col("n2").as("na"))), "id_a")
+      .join(broadcast(nrm.select(col("id").as("id_b"), col("n2").as("nb"))), "id_b")
+      .select(col("id_a"), col("id_b"),
+        expr("""cast(floor(cast(coalesce(dp, 0) as double)
+          / (sqrt(cast(na as double)) * sqrt(cast(nb as double)))
+          * 1000000.0 + 0.5) as bigint)""").as("cos_u"))
+  }
+
   def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val scored = tfidf(df, idCol, textCol)
       .withColumn("score", graft.functions.TextFunctions.round4hu(col("tfidf")))

@@ -1487,6 +1487,90 @@ object TextOps {
         queryMaxId = 3L, dim = 64, k = 5)
     },
 
+    // q188: hashed-BOW calibration curve ([[graft.operators.TfIdf
+    // .hashedBowPairCosines]]) — the evaluation half of q187: over a
+    // bounded 500-doc slice, every pair's hashed cosine (exact
+    // micro-units) bucketed by its EXACT 3-gram Jaccard band — does
+    // the cheap vectorizer order pairs the way lexical truth does?
+    // The q137/q142-style measurement query: all frames bounded by the
+    // slice contract, the only corpus-shaped work is the slice's own
+    // shingle postings.
+    QueryDef.sql(
+      "q188_feature_hash_calibration",
+      s"""WITH d AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 500),
+         |th AS (SELECT id,
+         |    CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT) AS h
+         |  FROM (SELECT id, unnest(
+         |    list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+         |      x -> len(x) > 0)) AS t FROM d)),
+         |bs AS (SELECT id, h % 64 AS b,
+         |    CAST(sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END)
+         |      AS BIGINT) AS w
+         |  FROM th GROUP BY id, h % 64
+         |  HAVING sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) <> 0),
+         |nrm AS (SELECT id, CAST(sum(w * w) AS BIGINT) AS n2 FROM bs GROUP BY id),
+         |dt AS (SELECT a.id AS id_a, b2.id AS id_b,
+         |    CAST(sum(a.w * b2.w) AS BIGINT) AS dp
+         |  FROM bs a JOIN bs b2 ON a.b = b2.b AND a.id < b2.id GROUP BY 1, 2),
+         |cosu AS (SELECT p.id_a, p.id_b,
+         |    CAST(floor(CAST(coalesce(dt.dp, 0) AS DOUBLE)
+         |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS cos_u
+         |  FROM (SELECT a.id AS id_a, b2.id AS id_b
+         |        FROM d a JOIN d b2 ON a.id < b2.id) p
+         |  LEFT JOIN dt ON dt.id_a = p.id_a AND dt.id_b = p.id_b
+         |  JOIN nrm na ON na.id = p.id_a JOIN nrm nb ON nb.id = p.id_b),
+         |toks AS (SELECT id, list_filter(string_split_regex(text, '\\s+'),
+         |    x -> len(x) > 0) AS tk FROM d),
+         |sh AS (SELECT id, CASE WHEN len(tk) = 0 THEN []
+         |    ELSE list_distinct(list_transform(
+         |      generate_series(1, greatest(len(tk) - 2, 1)),
+         |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS shingles
+         |  FROM toks),
+         |sz AS (SELECT id, CAST(len(shingles) AS BIGINT) AS ns FROM sh
+         |  WHERE len(shingles) > 0),
+         |shr AS (SELECT a.id AS id_a, b2.id AS id_b,
+         |    CAST(count(*) AS BIGINT) AS shared
+         |  FROM (SELECT id, unnest(shingles) AS sg FROM sh) a
+         |  JOIN (SELECT id, unnest(shingles) AS sg FROM sh) b2
+         |    ON a.sg = b2.sg AND a.id < b2.id
+         |  GROUP BY 1, 2),
+         |j AS (SELECT c.cos_u,
+         |    (10 * coalesce(shr.shared, 0))
+         |      // (sa.ns + sb.ns - coalesce(shr.shared, 0)) AS band
+         |  FROM cosu c JOIN sz sa ON sa.id = c.id_a
+         |  JOIN sz sb ON sb.id = c.id_b
+         |  LEFT JOIN shr ON shr.id_a = c.id_a AND shr.id_b = c.id_b)
+         |SELECT band, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(cos_u) // count(*) AS BIGINT) AS avg_cos_u
+         |FROM j GROUP BY band""".stripMargin) { (s, d) =>
+      import graft.functions.TextFunctions
+      val docs = Tables.documents(s, d)
+      val slice = docs.filter(col("doc_id") < 500)
+      val cosU = graft.operators.TfIdf.hashedBowPairCosines(
+        docs, "doc_id", "text", maxId = 500L, dim = 64)
+      val sh = slice.select(col("doc_id").as("id"),
+        TextFunctions.shingles(col("text")).as("sgs"))
+      val sz = sh.select(col("id"), size(col("sgs")).cast("long").as("ns"))
+        .filter(col("ns") > 0)
+      val ex = sh.select(col("id"), explode(col("sgs")).as("sg"))
+      val shr = ex.select(col("id").as("id_a"), col("sg"))
+        .join(ex.select(col("id").as("id_b"), col("sg")), "sg")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      cosU
+        .join(broadcast(sz.select(col("id").as("id_a"), col("ns").as("sa"))),
+          "id_a")
+        .join(broadcast(sz.select(col("id").as("id_b"), col("ns").as("sb"))),
+          "id_b")
+        .join(shr, Seq("id_a", "id_b"), "left")
+        .withColumn("band",
+          expr("(10 * coalesce(shared, 0)) div (sa + sb - coalesce(shared, 0))"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(cos_u) div count(1)").as("avg_cos_u"))
+    },
+
     // q182: per-source vocabulary drift ([[graft.operators.Profile
     // .vocabDrift]]) — total-variation distance in micro-units between
     // each source's token shares and the corpus mix over the exact
