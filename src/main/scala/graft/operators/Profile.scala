@@ -676,4 +676,116 @@ object Profile {
           col("tv_mu"), col("gap_token"), col("gap_mu")))
     }
   }
+
+  /** Exact per-source token-length quantiles (p50/p90/p99) WITHOUT a
+    * global sort — the loader-capacity statistic next to
+    * [[tokenLengthHistogram]]'s log2 buckets: sequence-length budgeting
+    * (q139) and padding-waste planning (q186) want the exact median and
+    * tail lengths, not bucket edges, and `percentile` over a corpus is
+    * a per-group SORT of every document length at scale.
+    *
+    * Two-phase histogram selection instead (the q75/q123 prefix-sum
+    * discipline): one hash aggregate collapses the corpus to
+    * (source, len, n_docs) — the heavy exchange, map-side combined —
+    * then the cumulative count and the quantile selection run over the
+    * DISTINCT-LENGTH frame only (≤ max document length rows per source,
+    * thousands not billions). p_q = min{len : cum ≥ ⌈q·n/100⌉}, i.e.
+    * the exact lower discrete quantile, selected by the integer guard
+    * `100·cum ≥ q·n` — no floats anywhere, so any engine agrees on
+    * every boundary (a float percentile disagrees exactly at the
+    * quantile ties that matter).
+    *
+    * Null/empty docs count at length 0 (they are real rows a loader
+    * must budget for — same convention as the histogram's sentinel).
+    *
+    * Output: (source, n_docs, p50_len, p90_len, p99_len).
+    */
+  def lengthQuantiles(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    Iterate.loop(docs.sparkSession) { l =>
+      // 2 consumers (totals + cumulative) — materialize the tiny
+      // histogram once; the corpus-sized tokenize must not run twice
+      val hist = l.pin(docs.select(col(sourceCol).as("src"),
+          coalesce(size(tokens(col(textCol))).cast("long"), lit(0L))
+            .as("len"))
+        .groupBy("src", "len").agg(count(lit(1)).as("cnt")))
+      val tot = hist.groupBy("src").agg(sum("cnt").as("n_docs"))
+      val w = Window.partitionBy("src").orderBy("len")
+      val cum = hist.withColumn("cum", sum("cnt").over(w))
+      def q(p: Int) =
+        min(when(col("cum") * 100 >= col("n_docs") * p, col("len")))
+          .as(s"p${p}_len")
+      l.finish(cum.join(broadcast(tot), "src")
+        .groupBy("src")
+        .agg(max("n_docs").as("n_docs"), q(50), q(90), q(99))
+        .select(col("src").as(sourceCol), col("n_docs"),
+          col("p50_len"), col("p90_len"), col("p99_len")))
+    }
+  }
+
+  /** Nucleus (top-p) vocabulary size per source: the minimal number of
+    * distinct tokens that covers ≥ `coverBp` basis points of the
+    * source's token mass — the tokenizer-planning statistic behind BPE
+    * vocab sizing (q112/q128) and the OOV budget (q182): a source whose
+    * 95% nucleus is 300 types is templated boilerplate; one needing
+    * 80k types is open-domain prose.
+    *
+    * Computed WITHOUT ranking individual types (a per-source sort of
+    * the vocabulary is exactly the window this module avoids): the
+    * vocabulary collapses to its COUNT-OF-COUNTS levels
+    * (source, cnt, types-at-cnt) — ≤ O(√n_tokens) rows per source by
+    * the partition-number bound, in practice a few hundred — and the
+    * cumulative mass walk + the boundary-level selection run over that
+    * frame only. All ties sit inside one level by construction, so the
+    * nucleus SIZE is tie-break-free: at the boundary level the exact
+    * remainder `⌈(target − mass_before) / cnt⌉` types are taken.
+    * Integer arithmetic throughout; target = ⌈coverBp·n_tokens/10⁴⌉.
+    *
+    * Shape: the heavy exchange is the (source, token) count aggregate;
+    * then one (source, cnt) aggregate, one window over the level frame,
+    * one broadcast totals join. Sources with zero tokens drop out
+    * (there is no vocabulary to size).
+    *
+    * Output: (source, n_tokens, n_types, nucleus_types,
+    * nucleus_share_bp [= nucleus_types·10⁴ div n_types]).
+    */
+  def nucleusVocab(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text", coverBp: Int = 9500): DataFrame = {
+    require(coverBp >= 1 && coverBp <= 10000,
+      s"coverBp must be in [1, 10000], got $coverBp")
+    import graft.functions.TextFunctions.tokens
+    Iterate.loop(docs.sparkSession) { l =>
+      val counts = docs.select(col(sourceCol).as("src"),
+          explode(tokens(coalesce(col(textCol), lit("")))).as("tok"))
+        .groupBy("src", "tok").agg(count(lit(1)).as("cnt"))
+      // 2 consumers (totals + cumulative walk); ≤ distinct-count-values
+      // rows per source — the cheapest frame in the computation
+      val levels = l.pin(counts.groupBy("src", "cnt")
+        .agg(count(lit(1)).as("types"))
+        .withColumn("mass", col("cnt") * col("types")))
+      val tot = levels.groupBy("src")
+        .agg(sum("mass").as("n_tokens"), sum("types").as("n_types"))
+      val w = Window.partitionBy("src").orderBy(col("cnt").desc)
+      val walk = levels
+        .withColumn("cum_mass", sum("mass").over(w))
+        .withColumn("cum_types", sum("types").over(w))
+        .join(broadcast(tot), "src")
+        .withColumn("target",
+          expr(s"(n_tokens * $coverBp + 9999) div 10000"))
+      // boundary level = the min-cum_mass level satisfying the target
+      // (cum_mass is strictly increasing, so min(struct) lands there);
+      // within it take only the remainder of types actually needed
+      l.finish(walk.groupBy("src")
+        .agg(max("n_tokens").as("n_tokens"), max("n_types").as("n_types"),
+          min(when(col("cum_mass") >= col("target"),
+            struct(col("cum_mass"),
+              (col("cum_types") - col("types") +
+                expr("(target - (cum_mass - mass) + cnt - 1) div cnt"))
+                .as("nuc")))).getField("nuc").as("nucleus_types"))
+        .select(col("src").as(sourceCol), col("n_tokens"), col("n_types"),
+          col("nucleus_types"),
+          expr("nucleus_types * 10000 div n_types").as("nucleus_share_bp")))
+    }
+  }
 }

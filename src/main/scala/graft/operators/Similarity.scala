@@ -577,4 +577,56 @@ object Similarity {
       .withColumn("d2", col("__best.d2"))
       .drop("__cents", "__xu", "__best")
   }
+
+  /** Pairwise cosine between per-label centroids — the class
+    * CONFUSABILITY matrix: which label pairs occupy the same region of
+    * embedding space. The aggregate-level complement of q147's per-vector
+    * confusion matrix (a high-cosine centroid pair predicts where the
+    * pseudo-labeler bleeds) and the label-space twin of q132's
+    * per-source embedding PSI.
+    *
+    * Arithmetic: centroids come from [[labelCentroidsMicro]] (exact
+    * BIGINT micro-unit means), the dot product and both squared norms
+    * are exact BIGINT sums over the ≤|labels|·dim relational centroid
+    * frame, and only the final `dot / (√na·√nb)` runs in doubles — all
+    * exactly-rounded IEEE ops on exact integer inputs, so both engines
+    * produce the identical `floor(·10⁶ + 0.5)` micro-cosine. A
+    * zero-norm centroid (a label whose mean rounds to the origin)
+    * reports cos_u 0 rather than a NaN.
+    *
+    * Shape: ONE corpus-sized exchange (the centroid fit's
+    * (label, pos) aggregate, inside [[labelCentroidsMicro]]); the
+    * centroid frame is materialized once for its three consumers
+    * (both pair sides + the norms) and every downstream join is keyed
+    * or broadcast — |labels|²/2 result rows, never a corpus product.
+    *
+    * Output: (label_a, label_b, dot, cos_u), label_a < label_b.
+    */
+  def centroidCosineMatrix(vecs: DataFrame, labelCol: String,
+      vecCol: String): DataFrame =
+    Iterate.loop(vecs.sparkSession) { l =>
+      val pos = l.pin(labelCentroidsMicro(vecs, labelCol, vecCol)
+        .select(col("label"), posexplode(col("cu")))
+        .withColumnRenamed("col", "u"))
+      val norms = pos.groupBy("label")
+        .agg(sum(col("u") * col("u")).as("n2"))
+      val pairs = pos
+        .select(col("label").as("label_a"), col("pos"), col("u").as("ua"))
+        .join(pos.select(col("label").as("label_b"), col("pos"),
+          col("u").as("ub")), "pos")
+        .where(col("label_a") < col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(sum(col("ua") * col("ub")).as("dot"))
+      l.finish(pairs
+        .join(broadcast(norms.select(col("label").as("label_a"),
+          col("n2").as("na"))), "label_a")
+        .join(broadcast(norms.select(col("label").as("label_b"),
+          col("n2").as("nb"))), "label_b")
+        .select(col("label_a"), col("label_b"), col("dot"),
+          when(col("na") > 0L && col("nb") > 0L,
+            floor(col("dot").cast("double") /
+              (sqrt(col("na").cast("double")) *
+                sqrt(col("nb").cast("double"))) * 1e6 + 0.5).cast("long"))
+            .otherwise(0L).as("cos_u")))
+    }
 }

@@ -1616,6 +1616,81 @@ object TextOps {
       graft.operators.Profile.vocabDrift(
         Tables.documents(s, d), "source", "text", topK = 64)
     },
+
+    // q189: exact per-source length quantiles ([[graft.operators.Profile
+    // .lengthQuantiles]]) — p50/p90/p99 token counts selected from the
+    // (source, len) HISTOGRAM by integer prefix-sum, never a per-group
+    // sort of document lengths: the heavy exchange is one map-side-
+    // combined count aggregate; the window runs over distinct lengths
+    // only. p_q = min{len : 100·cum ≥ q·n} — the exact lower discrete
+    // quantile, float-free on both engines.
+    QueryDef.sql(
+      "q189_length_quantiles",
+      s"""WITH lens AS (SELECT source AS src,
+         |    CAST(len($TC) AS BIGINT) AS len FROM documents),
+         |hist AS (SELECT src, len, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM lens GROUP BY src, len),
+         |tot AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS n_docs
+         |  FROM hist GROUP BY src),
+         |cum AS (SELECT src, len,
+         |    CAST(sum(cnt) OVER (PARTITION BY src ORDER BY len) AS BIGINT)
+         |      AS cum
+         |  FROM hist)
+         |SELECT t.src AS source, t.n_docs,
+         |  min(CASE WHEN c.cum * 100 >= t.n_docs * 50 THEN c.len END)
+         |    AS p50_len,
+         |  min(CASE WHEN c.cum * 100 >= t.n_docs * 90 THEN c.len END)
+         |    AS p90_len,
+         |  min(CASE WHEN c.cum * 100 >= t.n_docs * 99 THEN c.len END)
+         |    AS p99_len
+         |FROM cum c JOIN tot t USING (src)
+         |GROUP BY t.src, t.n_docs""".stripMargin) { (s, d) =>
+      graft.operators.Profile.lengthQuantiles(
+        Tables.documents(s, d), "source", "text")
+    },
+
+    // q190: nucleus (top-p) vocabulary size per source ([[graft.operators
+    // .Profile.nucleusVocab]]) — the minimal number of types covering
+    // ≥95% of token mass, computed over the COUNT-OF-COUNTS levels
+    // (≤ O(√n) rows per source) instead of ranking the vocabulary: ties
+    // all sit inside one level, so the size is tie-break-free and the
+    // only window runs over the level frame. Tokenizer-planning twin of
+    // q128's fertility and q182's OOV bucket.
+    QueryDef.sql(
+      "q190_nucleus_vocab",
+      s"""WITH p AS (SELECT source AS src, unnest($TC) AS tok FROM documents),
+         |counts AS (SELECT src, tok, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM p GROUP BY src, tok),
+         |levels AS (SELECT src, cnt,
+         |    CAST(count(*) AS BIGINT) AS types,
+         |    CAST(cnt * count(*) AS BIGINT) AS mass
+         |  FROM counts GROUP BY src, cnt),
+         |tot AS (SELECT src, CAST(sum(mass) AS BIGINT) AS n_tokens,
+         |    CAST(sum(types) AS BIGINT) AS n_types
+         |  FROM levels GROUP BY src),
+         |walk AS (SELECT src, cnt, types, mass,
+         |    CAST(sum(mass) OVER (PARTITION BY src ORDER BY cnt DESC)
+         |      AS BIGINT) AS cum_mass,
+         |    CAST(sum(types) OVER (PARTITION BY src ORDER BY cnt DESC)
+         |      AS BIGINT) AS cum_types
+         |  FROM levels),
+         |sel AS (SELECT w.src, t.n_tokens, t.n_types,
+         |    w.cum_types - w.types
+         |      + (((t.n_tokens * 9500 + 9999) // 10000)
+         |         - (w.cum_mass - w.mass) + w.cnt - 1) // w.cnt
+         |      AS nucleus_types,
+         |    row_number() OVER (PARTITION BY w.src ORDER BY w.cum_mass ASC)
+         |      AS rk
+         |  FROM walk w JOIN tot t USING (src)
+         |  WHERE w.cum_mass >= (t.n_tokens * 9500 + 9999) // 10000)
+         |SELECT src AS source, n_tokens, n_types,
+         |  CAST(nucleus_types AS BIGINT) AS nucleus_types,
+         |  CAST(nucleus_types * 10000 // n_types AS BIGINT)
+         |    AS nucleus_share_bp
+         |FROM sel WHERE rk = 1""".stripMargin) { (s, d) =>
+      graft.operators.Profile.nucleusVocab(
+        Tables.documents(s, d), "source", "text", coverBp = 9500)
+    },
   )
 
   /** DuckDB twin of the house tokenizer over null-coalesced text

@@ -1028,6 +1028,50 @@ object VectorOps {
         .select(col("qid"), col("cell"), col("nid"),
           round4hu(col("cosine")).as("cosine"), col("rank"))
     },
+
+    // q191: label-centroid cosine matrix ([[graft.operators.Similarity
+    // .centroidCosineMatrix]]) — the class CONFUSABILITY audit: pairwise
+    // micro-unit cosine between the exact-integer per-label centroids
+    // (q147's fit), read before trusting a pseudo-labeler or a
+    // label-stratified mix (a high-cosine pair is where nearest-centroid
+    // assignment bleeds). One corpus exchange (the centroid fit); dot and
+    // norms are exact BIGINT over the ≤|labels|·dim frame, the final
+    // divide-and-floor identical IEEE on both engines.
+    QueryDef.sql(
+      "q191_centroid_confusability",
+      """WITH xu AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    unnest(generate_series(1, len(embedding))) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS u
+        |  FROM embeddings),
+        |cv AS (
+        |  SELECT label, pos,
+        |    CAST(sum(u) AS BIGINT) // CAST(count(*) AS BIGINT) AS cu
+        |  FROM xu GROUP BY label, pos),
+        |norms AS (
+        |  SELECT label, CAST(sum(cu * cu) AS BIGINT) AS n2
+        |  FROM cv GROUP BY label),
+        |dots AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |    CAST(sum(a.cu * b.cu) AS BIGINT) AS dot
+        |  FROM cv a JOIN cv b ON a.pos = b.pos AND a.label < b.label
+        |  GROUP BY a.label, b.label)
+        |SELECT d.label_a, d.label_b, d.dot,
+        |  CASE WHEN na.n2 > 0 AND nb.n2 > 0 THEN
+        |    CAST(floor(CAST(d.dot AS DOUBLE)
+        |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+        |      * 1000000.0 + 0.5) AS BIGINT)
+        |  ELSE 0 END AS cos_u
+        |FROM dots d
+        |JOIN norms na ON na.label = d.label_a
+        |JOIN norms nb ON nb.label = d.label_b""".stripMargin) { (s, d) =>
+      Similarity.centroidCosineMatrix(
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            col("embedding")),
+        "label", "embedding")
+    },
   )
 
   /** One exact-integer power iteration as DuckDB CTEs: per-vector score

@@ -228,6 +228,30 @@ class SkewAndIvfSpec extends SparkSpec {
     assert(got == Map(100L -> 0L, 101L -> 1L, 102L -> 0L), s"got $got")
   }
 
+  test("centroidCosineMatrix: hand cosines, zero-norm centroid, releases") {
+    import graft.operators.Similarity
+    // centroids (micro): 0 → (1e6, 0); 1 → (0, 1e6); 2 → (1e6, 1e6);
+    // 3 → (0, 0) (zero norm). cos(0,1) = 0; cos(0,2) = cos(1,2) =
+    // 1/√2 → floor(707106.78… + 0.5) = 707107; any pair with 3 → 0.
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(1f, 1f)), (3L, Array(0f, 0f)))
+      .toDF("label", "embedding")
+    assertReleases("centroidCosineMatrix") {
+      val got = Similarity.centroidCosineMatrix(vecs, "label", "embedding")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got == Map(
+        (0L, 1L) -> ((0L, 0L)),
+        (0L, 2L) -> ((1000000000000L, 707107L)),
+        (1L, 2L) -> ((1000000000000L, 707107L)),
+        (0L, 3L) -> ((0L, 0L)),
+        (1L, 3L) -> ((0L, 0L)),
+        (2L, 3L) -> ((0L, 0L))), got.toString)
+    }
+  }
+
   test("cell store: search ≡ in-memory ivfTopK; scan prunes to probed cells") {
     val rng = new scala.util.Random(11)
     val centers = Array.fill(6)(Array.fill(8)(rng.nextFloat() * 2 - 1))

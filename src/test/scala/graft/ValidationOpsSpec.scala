@@ -497,4 +497,55 @@ class ValidationOpsSpec extends AnyFunSuite with SparkSpec {
       "source", "text", topK = 1).collect()
     assert(sparse.map(_.getString(0)).toSeq == Seq("s1"), sparse.mkString(";"))
   }
+
+  test("lengthQuantiles: hand quantiles, empty/null docs at length 0, releases") {
+    // s1: ten docs of lengths 1..10 → p50 = 5 (cum 5 ≥ 5), p90 = 9,
+    // p99 = 10 (cum must reach ⌈9.9⌉ = 10)
+    val s1 = (1 to 10).map(n => ("s1", Some(("t " * n).trim)))
+    // s2: lengths {0 (empty), 0 (null), 7} → p50 = 0 (two of three docs
+    // are empty), p90 = p99 = 7
+    val s2 = Seq(("s2", Some("")), ("s2", None),
+      ("s2", Some("a b c d e f g")))
+    val docs = (s1 ++ s2).toDF("source", "text")
+    assertReleases("lengthQuantiles") {
+      val got = Profile.lengthQuantiles(docs).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got == Map(
+        "s1" -> ((10L, 5L, 9L, 10L)),
+        "s2" -> ((3L, 0L, 7L, 7L))), got.toString)
+    }
+  }
+
+  test("nucleusVocab: boundary-level remainder, one-level corpus, empty source drops") {
+    // s1: a×50 b×30 c×10 d×5 e×5 → 100 tokens, target ⌈95⌉ = 95;
+    // levels desc: 50(cum 50) 30(80) 10(90) 5(100) → boundary level 5
+    // needs ⌈(95−90)/5⌉ = 1 of its 2 types → nucleus 4 of 5 types
+    val s1 = "s1" -> (("a " * 50) + ("b " * 30) + ("c " * 10) +
+      ("d " * 5) + ("e " * 5)).trim
+    // s2: a single token → nucleus 1 of 1
+    val s2 = "s2" -> "a"
+    // s3: five types ×2 each, target ⌈9.5⌉ = 10 → the whole single
+    // level: ⌈10/2⌉ = 5 types
+    val s3 = "s3" -> "a a b b c c d d e e"
+    val docs = Seq(s1, s2, s3, "s4" -> "").toDF("source", "text")
+    assertReleases("nucleusVocab") {
+      val got = Profile.nucleusVocab(docs).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      assert(got == Map(
+        "s1" -> ((100L, 5L, 4L, 8000L)),
+        "s2" -> ((1L, 1L, 1L, 10000L)),
+        "s3" -> ((10L, 5L, 5L, 10000L))), got.toString)
+    }
+    // partial take INSIDE the boundary level: a×6 b×2 c×2 d×1 at 70%
+    // cover → target ⌈7.7⌉ = 8, level 2 (cum 10) needs ⌈(8−6)/2⌉ = 1
+    // → nucleus 2 of 4 types
+    val part = Profile.nucleusVocab(
+      Seq("s" -> "a a a a a a b b c c d").toDF("source", "text"),
+      coverBp = 7000).collect()
+    assert(part.length == 1 &&
+      (part.head.getLong(1), part.head.getLong(2), part.head.getLong(3)) ==
+        ((11L, 4L, 2L)), part.mkString(";"))
+  }
 }
