@@ -788,4 +788,45 @@ object Profile {
           expr("nucleus_types * 10000 div n_types").as("nucleus_share_bp")))
     }
   }
+
+  /** k-anonymity profile over a quasi-identifier set (Sweeney, "k-
+    * Anonymity: a model for protecting privacy", IJUFKS 2002) — the
+    * governance audit a pipeline runs before releasing a table: every
+    * row whose quasi-identifier combination is shared by fewer than k
+    * rows is re-identifiable at strength k. Complements the q103 PII
+    * scrub (which removes direct identifiers; quasi-identifiers survive
+    * scrubbing by design).
+    *
+    * Output is the equivalence-CLASS-SIZE histogram with cumulative
+    * at-risk mass: one row per observed class size k —
+    * (class_size, n_classes, n_rows, cum_rows [rows in classes of size
+    * ≤ k], risk_bp [cum_rows·10⁴ div total]). "What fraction of rows is
+    * k-anonymous at k = 5?" reads off the row with class_size 5 (or the
+    * last one below it).
+    *
+    * Shape: the count-of-counts discipline again — one hash aggregate
+    * on the quasi-identifier key (the only corpus-sized exchange,
+    * map-side combined), one aggregate to class-size levels, and a
+    * cumulative window over the LEVEL frame (≤ distinct-class-size
+    * rows, single-partition by construction — the frame a global
+    * window is actually fine on).
+    */
+  def kAnonymityProfile(df: DataFrame, quasiIds: Seq[String]): DataFrame = {
+    require(quasiIds.nonEmpty, "quasiIds must be non-empty")
+    Iterate.loop(df.sparkSession) { l =>
+      val classes = df.groupBy(quasiIds.map(col): _*)
+        .agg(count(lit(1)).as("k"))
+      // 2 consumers (total + cumulative walk) over ≤ distinct-size rows
+      val levels = l.pin(classes.groupBy("k")
+        .agg(count(lit(1)).as("n_classes"))
+        .withColumn("n_rows", col("k") * col("n_classes")))
+      val tot = levels.agg(sum("n_rows").as("total_rows"))
+      val w = Window.orderBy("k")
+      l.finish(levels.withColumn("cum_rows", sum("n_rows").over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("k").as("class_size"), col("n_classes"), col("n_rows"),
+          col("cum_rows"),
+          expr("cum_rows * 10000 div total_rows").as("risk_bp")))
+    }
+  }
 }

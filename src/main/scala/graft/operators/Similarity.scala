@@ -629,4 +629,49 @@ object Similarity {
                 sqrt(col("nb").cast("double"))) * 1e6 + 0.5).cast("long"))
             .otherwise(0L).as("cos_u")))
     }
+
+  /** Margin-based uncertainty sampling (Lewis & Gale, SIGIR'94; Settles,
+    * "Active Learning Literature Survey", 2009 §3.1): the k vectors
+    * whose nearest-centroid decision is CLOSEST — smallest gap between
+    * the best and second-best centroid distances — are where a labeling
+    * budget buys the most. The active-learning face of the q147
+    * pseudo-labeler: q147 spreads labels, this picks what a human
+    * should label next.
+    *
+    * Same execution shape as [[nearestCentroidAssign]]: the whole
+    * ≤|labels|-row centroid model rides ONE broadcast row; per vector a
+    * single higher-order-function projection computes every centroid
+    * distance in exact micro² BIGINT, `array_sort` over (d2, label)
+    * structs picks best and runner-up (ties to the smaller label on
+    * both engines), and only the (margin, id)-ordered top-k leaves the
+    * scan — a TakeOrdered, never a global sort. Requires ≥ 2 labels.
+    *
+    * Output: (idCol, label, pred_label, second_label, d2_best,
+    * d2_second, margin), ordered margin asc / id asc, k rows.
+    */
+  def uncertaintyMarginTopK(vecs: DataFrame, idCol: String,
+      labelCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    Iterate.loop(vecs.sparkSession) { l =>
+      val cents = l.pin(labelCentroidsMicro(vecs, labelCol, vecCol))
+      val one = cents
+        .agg(collect_list(struct(col("label"), col("cu"))).as("__cents"))
+      l.finish(vecs.crossJoin(broadcast(one))
+        .withColumn("__xu", expr(s"transform($vecCol, v -> " +
+          "cast(floor(cast(v as double) * 1000000.0 + 0.5) as bigint))"))
+        .withColumn("__d", expr(
+          "array_sort(transform(__cents, c -> struct(" +
+            "aggregate(zip_with(__xu, c.cu, (a, b) -> (a - b) * (a - b)), " +
+            "cast(0 as bigint), (acc, v) -> acc + v) as d2, " +
+            "c.label as label)))"))
+        .select(col(idCol), col(labelCol).as("label"),
+          expr("__d[0].label").as("pred_label"),
+          expr("__d[1].label").as("second_label"),
+          expr("__d[0].d2").as("d2_best"),
+          expr("__d[1].d2").as("d2_second"))
+        .withColumn("margin", col("d2_second") - col("d2_best"))
+        .orderBy(col("margin").asc, col(idCol).asc)
+        .limit(k))
+    }
+  }
 }

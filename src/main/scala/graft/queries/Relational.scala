@@ -441,6 +441,32 @@ object Relational {
         |  ON a.block = b.block AND a.name < b.name
         |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin) { (s, d) =>
       graft.operators.Linkage.fuzzyNamePairs(Tables.part(s, d), "p_name", 2)
+    },
+
+    // q192: k-anonymity profile ([[graft.operators.Profile
+    // .kAnonymityProfile]], Sweeney 2002) over the (nation, market
+    // segment) quasi-identifier pair — the re-identification audit run
+    // before releasing a table the q103 PII scrub has already cleaned of
+    // DIRECT identifiers. Count-of-counts shape: one corpus exchange on
+    // the quasi-id key, cumulative walk over the ≤distinct-class-size
+    // level frame.
+    QueryDef.sql(
+      "q192_k_anonymity",
+      """WITH classes AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS k
+        |  FROM customer GROUP BY 1, 2),
+        |levels AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
+        |    CAST(k * count(*) AS BIGINT) AS n_rows
+        |  FROM classes GROUP BY k),
+        |tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows FROM levels)
+        |SELECT k AS class_size, n_classes, n_rows,
+        |  CAST(sum(n_rows) OVER (ORDER BY k) AS BIGINT) AS cum_rows,
+        |  CAST((sum(n_rows) OVER (ORDER BY k)) * 10000 // total_rows
+        |    AS BIGINT) AS risk_bp
+        |FROM levels CROSS JOIN tot""".stripMargin) { (s, d) =>
+      graft.operators.Profile.kAnonymityProfile(
+        Tables.customer(s, d), Seq("c_nationkey", "c_mktsegment"))
     }
   )
 }

@@ -1072,6 +1072,49 @@ object VectorOps {
             col("embedding")),
         "label", "embedding")
     },
+
+    // q193: margin-based uncertainty sampling ([[graft.operators
+    // .Similarity.uncertaintyMarginTopK]], Lewis & Gale SIGIR'94) — the
+    // 20 vectors whose nearest-centroid call is tightest (smallest
+    // best-vs-second-best d2 gap): the labeling worklist the q147
+    // pseudo-labeler hands back to a human. Model rides one broadcast
+    // row, distances are a HOF projection, only the TakeOrdered top-k
+    // leaves the scan.
+    QueryDef.sql(
+      "q193_uncertainty_margin",
+      """WITH xu AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    unnest(generate_series(1, len(embedding))) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS u
+        |  FROM embeddings),
+        |cv AS (
+        |  SELECT label AS clabel, pos,
+        |    CAST(sum(u) AS BIGINT) // CAST(count(*) AS BIGINT) AS cu
+        |  FROM xu GROUP BY 1, 2),
+        |dist AS (
+        |  SELECT x.vec_id, c.clabel,
+        |    CAST(sum((x.u - c.cu) * (x.u - c.cu)) AS BIGINT) AS d2
+        |  FROM xu x JOIN cv c USING (pos) GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT vec_id, clabel, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel)
+        |      AS rn
+        |  FROM dist)
+        |SELECT a.vec_id, e.label,
+        |  a.clabel AS pred_label, b.clabel AS second_label,
+        |  a.d2 AS d2_best, b.d2 AS d2_second, b.d2 - a.d2 AS margin
+        |FROM rk a
+        |JOIN rk b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
+        |JOIN (SELECT vec_id, CAST(label AS BIGINT) AS label
+        |      FROM embeddings) e ON e.vec_id = a.vec_id
+        |ORDER BY margin, a.vec_id LIMIT 20""".stripMargin) { (s, d) =>
+      Similarity.uncertaintyMarginTopK(
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            col("embedding")),
+        "vec_id", "label", "embedding", k = 20)
+    },
   )
 
   /** One exact-integer power iteration as DuckDB CTEs: per-vector score

@@ -252,6 +252,33 @@ class SkewAndIvfSpec extends SparkSpec {
     }
   }
 
+  test("uncertaintyMarginTopK: midline points rank first, tie to smaller label, releases") {
+    import graft.operators.Similarity
+    // centroids: 0 → (0, 0); 1 → (10e6, 0). Margins: id 1 sits on the
+    // midline (d2 equal → margin 0, pred = smaller label); id 2 is
+    // slightly off-center; id 3 is deep inside label 0's region.
+    val vecs = Seq(
+      (1L, 0L, Array(5f, 0f)),   // d2: 25e12 / 25e12 → margin 0
+      (2L, 1L, Array(6f, 0f)),   // d2: 36e12 / 16e12 → margin 20e12, pred 1
+      (3L, 0L, Array(1f, 0f)),   // d2: 1e12 / 81e12 → margin 80e12
+      (4L, 1L, Array(10f, 0f)))  // centroid pull: labels stay planted
+      .toDF("vec_id", "label", "embedding")
+    // labels fit on the data itself: centroid 0 = mean{(5,0),(1,0)} =
+    // (3e6, 0); centroid 1 = mean{(6,0),(10,0)} = (8e6, 0)
+    // d2 for id1 (5e6): c0 4e12, c1 9e12 → pred 0, margin 5e12
+    // d2 for id2 (6e6): c0 9e12, c1 4e12 → pred 1, margin 5e12
+    // d2 for id3 (1e6): c0 4e12, c1 49e12 → margin 45e12
+    // d2 for id4 (10e6): c0 49e12, c1 4e12 → margin 45e12
+    assertReleases("uncertaintyMarginTopK") {
+      val got = Similarity.uncertaintyMarginTopK(
+        vecs, "vec_id", "label", "embedding", k = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(6)))
+      assert(got.toSeq == Seq(
+        (1L, 0L, 5000000000000L),
+        (2L, 1L, 5000000000000L)), got.mkString(";"))
+    }
+  }
+
   test("cell store: search ≡ in-memory ivfTopK; scan prunes to probed cells") {
     val rng = new scala.util.Random(11)
     val centers = Array.fill(6)(Array.fill(8)(rng.nextFloat() * 2 - 1))

@@ -548,4 +548,22 @@ class ValidationOpsSpec extends AnyFunSuite with SparkSpec {
       (part.head.getLong(1), part.head.getLong(2), part.head.getLong(3)) ==
         ((11L, 4L, 2L)), part.mkString(";"))
   }
+
+  test("kAnonymityProfile: hand histogram, cumulative risk, releases") {
+    // classes over (a, b): (1,x)×1, (2,x)×2, (2,y)×2, (3,x)×4
+    // → levels: k=1 (1 class, 1 row), k=2 (2 classes, 4 rows),
+    //   k=4 (1 class, 4 rows); total 9 rows
+    // cum: 1, 5, 9 → risk_bp 1111, 5555, 10000
+    val rows = Seq((1, "x"), (2, "x"), (2, "x"), (2, "y"), (2, "y"),
+      (3, "x"), (3, "x"), (3, "x"), (3, "x")).toDF("a", "b")
+    assertReleases("kAnonymityProfile") {
+      val got = Profile.kAnonymityProfile(rows, Seq("a", "b")).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got == Map(
+        1L -> ((1L, 1L, 1L, 1111L)),
+        2L -> ((2L, 4L, 5L, 5555L)),
+        4L -> ((1L, 4L, 9L, 10000L))), got.toString)
+    }
+  }
 }
