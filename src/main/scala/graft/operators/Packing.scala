@@ -393,6 +393,57 @@ object Packing {
         "((padded_volume - token_volume) * 10000) div greatest(padded_volume, 1)"))
   }
 
+  /** Shard-balance audit: distributional statistics of token mass
+    * across a hash-sharding of the corpus — the straggler forecast. A
+    * training job's wall-clock is its HEAVIEST shard, and at 100 TB a
+    * skewed shard assignment (hot sources, boilerplate-heavy crawls)
+    * silently turns a thousand-way parallel epoch into a single-file
+    * wait; this is the one-row check run before committing a layout.
+    *
+    * Statistics, all exact integers: min/max shard token mass, the
+    * Gini coefficient in basis points over occupied shards —
+    * `((2·Σᵢ i·xᵢ − (n+1)·S)·10⁴) div (n·S)` with ranks by
+    * (mass asc, shard asc); equal masses make the rank tie-break
+    * immaterial to the sum — and max/mean in basis points (10000 =
+    * perfectly balanced; the direct straggler multiplier).
+    *
+    * Sharding is the engine-portable md5 bucket ([[Sampling
+    * .hashBucket]]) so the audit itself replays bit-identically
+    * anywhere. Shape: one map-side tokenize + one hash aggregate to
+    * ≤nShards rows; ranking and rollup run on that frame alone. Only
+    * OCCUPIED shards appear (an unoccupied shard is a zero-cost
+    * straggler; n_shards counts occupied ones).
+    *
+    * Output (one row): (n_shards, total_tokens, min_tokens,
+    * max_tokens, gini_bp, max_over_mean_bp).
+    */
+  def shardBalanceAudit(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    import graft.functions.TextFunctions.tokens
+    Iterate.loop(docs.sparkSession) { l =>
+      // 2 consumers (totals + ranked walk) over the ≤nShards-row frame
+      val shards = l.pin(docs.select(
+          Sampling.hashBucket(col(idCol), nShards).as("shard"),
+          coalesce(size(tokens(col(textCol))).cast("long"), lit(0L))
+            .as("n"))
+        .groupBy("shard").agg(sum("n").as("tok")))
+      val tot = shards.agg(count(lit(1)).as("n_shards"),
+        sum("tok").as("total_tokens"),
+        min("tok").as("min_tokens"), max("tok").as("max_tokens"))
+      val ranked = shards.withColumn("i",
+        row_number().over(Window.orderBy(col("tok").asc, col("shard").asc)))
+      l.finish(ranked.agg(sum(col("i") * col("tok")).as("ssum"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_shards"), col("total_tokens"),
+          col("min_tokens"), col("max_tokens"),
+          expr("((2 * ssum - (n_shards + 1) * total_tokens) * 10000) " +
+            "div (n_shards * greatest(total_tokens, 1))").as("gini_bp"),
+          expr("(max_tokens * n_shards * 10000) " +
+            "div greatest(total_tokens, 1)").as("max_over_mean_bp")))
+    }
+  }
+
   private def chunkOf(c: Column, d: Long): Column =
     ((c - pmod(c, lit(d))) / d).cast("long")
 }

@@ -653,25 +653,65 @@ object Similarity {
       labelCol: String, vecCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     Iterate.loop(vecs.sparkSession) { l =>
-      val cents = l.pin(labelCentroidsMicro(vecs, labelCol, vecCol))
-      val one = cents
-        .agg(collect_list(struct(col("label"), col("cu"))).as("__cents"))
-      l.finish(vecs.crossJoin(broadcast(one))
-        .withColumn("__xu", expr(s"transform($vecCol, v -> " +
-          "cast(floor(cast(v as double) * 1000000.0 + 0.5) as bigint))"))
-        .withColumn("__d", expr(
-          "array_sort(transform(__cents, c -> struct(" +
-            "aggregate(zip_with(__xu, c.cu, (a, b) -> (a - b) * (a - b)), " +
-            "cast(0 as bigint), (acc, v) -> acc + v) as d2, " +
-            "c.label as label)))"))
-        .select(col(idCol), col(labelCol).as("label"),
-          expr("__d[0].label").as("pred_label"),
-          expr("__d[1].label").as("second_label"),
-          expr("__d[0].d2").as("d2_best"),
-          expr("__d[1].d2").as("d2_second"))
-        .withColumn("margin", col("d2_second") - col("d2_best"))
+      l.finish(centroidDecisionFrame(l, vecs, idCol, labelCol, vecCol)
         .orderBy(col("margin").asc, col(idCol).asc)
         .limit(k))
     }
+  }
+
+  /** Confident-label-noise detection (the margin form of Northcutt et
+    * al., "Confident Learning", JAIR 2021): the k vectors whose
+    * assigned label DISAGREES with the nearest centroid by the WIDEST
+    * margin — deep inside another class's region, confidently
+    * mislabeled rather than merely ambiguous. The complement of
+    * [[uncertaintyMarginTopK]]: that op surfaces what a human should
+    * label NEXT, this one what a human should RE-label first; together
+    * they are the label-hygiene loop over the q147 pseudo-labeler's
+    * geometry.
+    *
+    * Same broadcast-model HOF scan; the disagreement filter runs
+    * map-side before the TakeOrdered, so only ≤k rows ever leave.
+    *
+    * Output: (idCol, label, pred_label, second_label, d2_best,
+    * d2_second, margin), ordered margin desc / id asc, ≤k rows.
+    */
+  def labelNoiseTopK(vecs: DataFrame, idCol: String,
+      labelCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    Iterate.loop(vecs.sparkSession) { l =>
+      l.finish(centroidDecisionFrame(l, vecs, idCol, labelCol, vecCol)
+        .where(col("label") =!= col("pred_label"))
+        .orderBy(col("margin").desc, col(idCol).asc)
+        .limit(k))
+    }
+  }
+
+  /** Per-vector nearest-centroid decision record shared by
+    * [[uncertaintyMarginTopK]] and [[labelNoiseTopK]]: best and
+    * second-best centroid by exact micro² L2 (array_sort over
+    * (d2, label) structs — ties to the smaller label) plus the margin
+    * between them. The ≤|labels|-row model is pinned on the caller's
+    * loop and rides one broadcast row; everything else is a map-side
+    * projection.
+    */
+  private def centroidDecisionFrame(l: Iterate.Loop, vecs: DataFrame,
+      idCol: String, labelCol: String, vecCol: String): DataFrame = {
+    val cents = l.pin(labelCentroidsMicro(vecs, labelCol, vecCol))
+    val one = cents
+      .agg(collect_list(struct(col("label"), col("cu"))).as("__cents"))
+    vecs.crossJoin(broadcast(one))
+      .withColumn("__xu", expr(s"transform($vecCol, v -> " +
+        "cast(floor(cast(v as double) * 1000000.0 + 0.5) as bigint))"))
+      .withColumn("__d", expr(
+        "array_sort(transform(__cents, c -> struct(" +
+          "aggregate(zip_with(__xu, c.cu, (a, b) -> (a - b) * (a - b)), " +
+          "cast(0 as bigint), (acc, v) -> acc + v) as d2, " +
+          "c.label as label)))"))
+      .select(col(idCol), col(labelCol).as("label"),
+        expr("__d[0].label").as("pred_label"),
+        expr("__d[1].label").as("second_label"),
+        expr("__d[0].d2").as("d2_best"),
+        expr("__d[1].d2").as("d2_second"))
+      .withColumn("margin", col("d2_second") - col("d2_best"))
   }
 }

@@ -1691,6 +1691,38 @@ object TextOps {
       graft.operators.Profile.nucleusVocab(
         Tables.documents(s, d), "source", "text", coverBp = 9500)
     },
+
+    // q195: shard-balance audit ([[graft.operators.Packing
+    // .shardBalanceAudit]]) — exact Gini + max/mean of token mass over
+    // a 64-way portable md5 sharding: the straggler forecast a layout
+    // is checked against before an epoch commits to it. One corpus
+    // exchange to ≤64 rows; all statistics integer.
+    QueryDef.sql(
+      "q195_shard_balance",
+      s"""WITH d AS (SELECT
+         |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 64 AS shard,
+         |    CAST(len($TC) AS BIGINT) AS n
+         |  FROM documents),
+         |shards AS (SELECT shard, CAST(sum(n) AS BIGINT) AS tok
+         |  FROM d GROUP BY shard),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_shards,
+         |    CAST(sum(tok) AS BIGINT) AS total_tokens,
+         |    min(tok) AS min_tokens, max(tok) AS max_tokens
+         |  FROM shards),
+         |ranked AS (SELECT tok,
+         |    row_number() OVER (ORDER BY tok, shard) AS i
+         |  FROM shards),
+         |s AS (SELECT CAST(sum(i * tok) AS BIGINT) AS ssum FROM ranked)
+         |SELECT n_shards, total_tokens, min_tokens, max_tokens,
+         |  CAST(((2 * ssum - (n_shards + 1) * total_tokens) * 10000)
+         |    // (n_shards * greatest(total_tokens, 1)) AS BIGINT) AS gini_bp,
+         |  CAST((max_tokens * n_shards * 10000)
+         |    // greatest(total_tokens, 1) AS BIGINT) AS max_over_mean_bp
+         |FROM s CROSS JOIN tot""".stripMargin) { (s, d) =>
+      graft.operators.Packing.shardBalanceAudit(
+        Tables.documents(s, d), "doc_id", "text", nShards = 64)
+    },
   )
 
   /** DuckDB twin of the house tokenizer over null-coalesced text

@@ -1115,6 +1115,49 @@ object VectorOps {
             col("embedding")),
         "vec_id", "label", "embedding", k = 20)
     },
+
+    // q194: confident label noise ([[graft.operators.Similarity
+    // .labelNoiseTopK]], Northcutt et al. 2021 in margin form) — the 20
+    // vectors whose assigned label disagrees with the nearest centroid
+    // by the WIDEST margin: the re-labeling worklist, complement of
+    // q193's ambiguity worklist. Disagreement filter runs map-side
+    // before the TakeOrdered.
+    QueryDef.sql(
+      "q194_label_noise",
+      """WITH xu AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    unnest(generate_series(1, len(embedding))) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS u
+        |  FROM embeddings),
+        |cv AS (
+        |  SELECT label AS clabel, pos,
+        |    CAST(sum(u) AS BIGINT) // CAST(count(*) AS BIGINT) AS cu
+        |  FROM xu GROUP BY 1, 2),
+        |dist AS (
+        |  SELECT x.vec_id, c.clabel,
+        |    CAST(sum((x.u - c.cu) * (x.u - c.cu)) AS BIGINT) AS d2
+        |  FROM xu x JOIN cv c USING (pos) GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT vec_id, clabel, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel)
+        |      AS rn
+        |  FROM dist)
+        |SELECT a.vec_id, e.label,
+        |  a.clabel AS pred_label, b.clabel AS second_label,
+        |  a.d2 AS d2_best, b.d2 AS d2_second, b.d2 - a.d2 AS margin
+        |FROM rk a
+        |JOIN rk b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
+        |JOIN (SELECT vec_id, CAST(label AS BIGINT) AS label
+        |      FROM embeddings) e ON e.vec_id = a.vec_id
+        |WHERE e.label <> a.clabel
+        |ORDER BY margin DESC, a.vec_id LIMIT 20""".stripMargin) { (s, d) =>
+      Similarity.labelNoiseTopK(
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            col("embedding")),
+        "vec_id", "label", "embedding", k = 20)
+    },
   )
 
   /** One exact-integer power iteration as DuckDB CTEs: per-vector score

@@ -1162,4 +1162,35 @@ class OperatorsSpec extends SparkSpec {
     assert(empty.getLong(0) == 0L && empty.getLong(3) == 0L &&
       empty.getLong(4) == 0L && empty.getLong(5) == 0L, empty.toString)
   }
+
+  test("shardBalanceAudit: reference Gini recompute; single shard perfectly balanced") {
+    import graft.operators.Sampling
+    // 40 docs, lengths i%7+1; the reference recomputes shard masses from
+    // the same portable bucket hash but does the ranking/Gini/max-mean
+    // arithmetic independently in plain Scala
+    val lens = (1L to 40L).map(i => i -> ((i % 7) + 1)).toMap
+    val docs = lens.toSeq.map { case (i, n) => (i, ("t " * n.toInt).trim) }
+      .toDF("doc_id", "text")
+    val shardOf = docs
+      .select(col("doc_id"), Sampling.hashBucket(col("doc_id"), 4).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val xs = lens.keys.toSeq.groupBy(shardOf).values
+      .map(_.map(lens).sum).toSeq.sorted
+    val (n, s) = (xs.size.toLong, xs.sum)
+    val ssum = xs.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+    val gini = ((2 * ssum - (n + 1) * s) * 10000) / (n * s)
+    val mom = xs.max * n * 10000 / s
+    assertReleases("shardBalanceAudit") {
+      val r = Packing.shardBalanceAudit(docs, "doc_id", "text", 4)
+        .collect().head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)) == ((n, s, xs.min, xs.max, gini, mom)),
+        r.toString)
+    }
+    // one shard: Gini exactly 0, max/mean exactly 10000
+    val one = Packing.shardBalanceAudit(docs, "doc_id", "text", 1)
+      .collect().head
+    assert(one.getLong(0) == 1L && one.getLong(4) == 0L &&
+      one.getLong(5) == 10000L, one.toString)
+  }
 }

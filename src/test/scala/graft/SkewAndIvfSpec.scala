@@ -279,6 +279,28 @@ class SkewAndIvfSpec extends SparkSpec {
     }
   }
 
+  test("labelNoiseTopK: only disagreeing vectors surface, widest margin first") {
+    import graft.operators.Similarity
+    // label 0 = {0, 1} → centroid 0.5e6; label 1 = {10, 9, 2} →
+    // centroid 7e6. Only x=2 (label 1) lands nearer the OTHER centroid:
+    // d2 = 2.25e12 vs 25e12 → pred 0, margin 22.75e12. Everyone else
+    // agrees with their centroid and must not appear.
+    val vecs = Seq(
+      (1L, 0L, Array(0f, 0f)), (2L, 0L, Array(1f, 0f)),
+      (3L, 1L, Array(10f, 0f)), (4L, 1L, Array(9f, 0f)),
+      (5L, 1L, Array(2f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    assertReleases("labelNoiseTopK") {
+      val got = Similarity.labelNoiseTopK(
+        vecs, "vec_id", "label", "embedding", k = 5).collect()
+      assert(got.length == 1, got.mkString(";"))
+      val r = got.head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getLong(6)) ==
+        ((5L, 1L, 0L, 2250000000000L, 22750000000000L)), r.toString)
+    }
+  }
+
   test("cell store: search ≡ in-memory ivfTopK; scan prunes to probed cells") {
     val rng = new scala.util.Random(11)
     val centers = Array.fill(6)(Array.fill(8)(rng.nextFloat() * 2 - 1))
