@@ -811,6 +811,41 @@ object Profile {
     * rows, single-partition by construction — the frame a global
     * window is actually fine on).
     */
+  /** The per-source DATA CARD (Gebru et al., "Datasheets for Datasets",
+    * 2018): one wide audit row per source composing the four
+    * independent profile aggregations a release review reads together —
+    * [[corpusDatasheet]] volumes/dups/quality, [[lexicalDiversity]]'s
+    * templated-vs-organic ratios, [[lengthQuantiles]]' exact length
+    * tails, and [[nucleusVocab]]'s vocabulary concentration.
+    *
+    * Four corpus scans, irreducibly: the shapes differ (doc-level
+    * rollup, token-level distinct, gram-level distinct, histogram
+    * walk) and fusing them would gain one scan at the cost of carrying
+    * every exploded posting through one exchange. Each component
+    * manages its own materialization; the card joins their ≤|sources|-
+    * row outputs broadcast, so composition adds no corpus-sized work.
+    * A source with zero tokens keeps its card row (nucleus fields 0).
+    *
+    * Output: (source, n_docs, n_tokens, n_chars, n_langs,
+    * n_quality_keep, n_dup_docs, n_types, ttr_bp,
+    * trigram_diversity_bp, p50_len, p90_len, p99_len, nucleus_types,
+    * nucleus_share_bp).
+    */
+  def dataCard(docs: DataFrame, sourceCol: String = "source"): DataFrame =
+    corpusDatasheet(docs, sourceCol)
+      .join(broadcast(lexicalDiversity(docs, sourceCol)
+        .select(col(sourceCol), col("n_types"), col("ttr_bp"),
+          col("trigram_diversity_bp"))), Seq(sourceCol), "left")
+      .join(broadcast(lengthQuantiles(docs, sourceCol)
+        .select(col(sourceCol), col("p50_len"), col("p90_len"),
+          col("p99_len"))), Seq(sourceCol), "left")
+      .join(broadcast(nucleusVocab(docs, sourceCol)
+        .select(col(sourceCol), col("nucleus_types"),
+          col("nucleus_share_bp"))), Seq(sourceCol), "left")
+      .withColumn("nucleus_types", coalesce(col("nucleus_types"), lit(0L)))
+      .withColumn("nucleus_share_bp",
+        coalesce(col("nucleus_share_bp"), lit(0L)))
+
   def kAnonymityProfile(df: DataFrame, quasiIds: Seq[String]): DataFrame = {
     require(quasiIds.nonEmpty, "quasiIds must be non-empty")
     Iterate.loop(df.sparkSession) { l =>

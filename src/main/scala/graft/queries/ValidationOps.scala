@@ -114,6 +114,114 @@ object ValidationOps {
       Profile.lexicalDiversity(Tables.documents(s, d))
     },
 
+    // q196: the per-source data card ([[graft.operators.Profile
+    // .dataCard]], Gebru et al. 2018) — the q117 datasheet, q122
+    // diversity ratios, q189 exact length quantiles, and q190 nucleus
+    // vocabulary composed into ONE wide audit row per source: the
+    // release-review artifact. Four irreducible single-scan
+    // aggregations; all joins are broadcast over the ≤|sources| frame.
+    QueryDef.sql(
+      "q196_data_card",
+      s"""WITH f AS (
+         |  SELECT doc_id, source, lang, n_chars,
+         |    len($T) AS n_tok, len(list_distinct($T)) AS n_dis,
+         |    len(regexp_replace(text, '\\s', '', 'g')) AS n_ch,
+         |    len(list_filter($T,
+         |      t -> t IN ('the','a','an','of','and','in','to','is','it','that')))
+         |      AS stop_hits,
+         |    md5(list_aggr(list_sort(list_distinct($T)), 'string_agg', ' '))
+         |      AS fp
+         |  FROM documents),
+         |base AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |    count(DISTINCT lang) AS n_langs,
+         |    CAST(sum(CASE WHEN (-3000000 - 40000*n_tok + 200000*n_dis
+         |      + 2000*n_ch + 300000*stop_hits) >= 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_quality_keep
+         |  FROM f GROUP BY source),
+         |dups AS (
+         |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_dup_docs FROM (
+         |    SELECT source, fp, count(*) AS cnt FROM f GROUP BY 1, 2)
+         |  WHERE cnt > 1 GROUP BY source),
+         |toksrc AS (SELECT source, $T AS tk FROM documents),
+         |tf AS (
+         |  SELECT source, CAST(count(DISTINCT t) AS BIGINT) AS n_types
+         |  FROM (SELECT source, unnest(tk) AS t FROM toksrc) GROUP BY source),
+         |sh AS (
+         |  SELECT source,
+         |    CASE WHEN len(tk) = 0 THEN []
+         |         ELSE list_distinct(list_transform(
+         |           generate_series(1, greatest(len(tk) - 2, 1)),
+         |           i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS gs
+         |  FROM toksrc),
+         |gf AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |    CAST(count(DISTINCT g) AS BIGINT) AS n_distinct_trigrams
+         |  FROM (SELECT source, unnest(gs) AS g FROM sh) GROUP BY source),
+         |hist AS (SELECT source, CAST(n_tok AS BIGINT) AS len,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM f GROUP BY 1, 2),
+         |cum AS (SELECT source, len,
+         |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY len) AS BIGINT)
+         |      AS cum
+         |  FROM hist),
+         |qs AS (SELECT c.source,
+         |    min(CASE WHEN c.cum * 100 >= b.n_docs * 50 THEN c.len END)
+         |      AS p50_len,
+         |    min(CASE WHEN c.cum * 100 >= b.n_docs * 90 THEN c.len END)
+         |      AS p90_len,
+         |    min(CASE WHEN c.cum * 100 >= b.n_docs * 99 THEN c.len END)
+         |      AS p99_len
+         |  FROM cum c JOIN base b USING (source) GROUP BY c.source),
+         |counts AS (SELECT source, t AS tok, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT source, unnest(tk) AS t FROM toksrc) GROUP BY 1, 2),
+         |levels AS (SELECT source, cnt,
+         |    CAST(count(*) AS BIGINT) AS types,
+         |    CAST(cnt * count(*) AS BIGINT) AS mass
+         |  FROM counts GROUP BY 1, 2),
+         |ltot AS (SELECT source, CAST(sum(mass) AS BIGINT) AS lt_tokens,
+         |    CAST(sum(types) AS BIGINT) AS lt_types
+         |  FROM levels GROUP BY source),
+         |walk AS (SELECT source, cnt, types, mass,
+         |    CAST(sum(mass) OVER (PARTITION BY source ORDER BY cnt DESC)
+         |      AS BIGINT) AS cum_mass,
+         |    CAST(sum(types) OVER (PARTITION BY source ORDER BY cnt DESC)
+         |      AS BIGINT) AS cum_types
+         |  FROM levels),
+         |sel AS (SELECT w.source, t.lt_types,
+         |    w.cum_types - w.types
+         |      + (((t.lt_tokens * 9500 + 9999) // 10000)
+         |         - (w.cum_mass - w.mass) + w.cnt - 1) // w.cnt
+         |      AS nucleus_types,
+         |    row_number() OVER (PARTITION BY w.source ORDER BY w.cum_mass ASC)
+         |      AS rk
+         |  FROM walk w JOIN ltot t USING (source)
+         |  WHERE w.cum_mass >= (t.lt_tokens * 9500 + 9999) // 10000)
+         |SELECT b.source, b.n_docs, b.n_tokens, b.n_chars, b.n_langs,
+         |  b.n_quality_keep,
+         |  coalesce(d.n_dup_docs, 0) AS n_dup_docs,
+         |  coalesce(tf.n_types, 0) AS n_types,
+         |  coalesce(tf.n_types, 0) * 10000 // greatest(b.n_tokens, 1)
+         |    AS ttr_bp,
+         |  coalesce(gf.n_distinct_trigrams, 0) * 10000
+         |    // greatest(coalesce(gf.n_trigrams, 0), 1)
+         |    AS trigram_diversity_bp,
+         |  q.p50_len, q.p90_len, q.p99_len,
+         |  CAST(coalesce(s.nucleus_types, 0) AS BIGINT) AS nucleus_types,
+         |  CAST(coalesce(s.nucleus_types * 10000 // s.lt_types, 0)
+         |    AS BIGINT) AS nucleus_share_bp
+         |FROM base b
+         |LEFT JOIN dups d USING (source)
+         |LEFT JOIN tf USING (source)
+         |LEFT JOIN gf USING (source)
+         |LEFT JOIN qs q USING (source)
+         |LEFT JOIN (SELECT * FROM sel WHERE rk = 1) s USING (source)"""
+        .stripMargin) { (s, d) =>
+      Profile.dataCard(Tables.documents(s, d))
+    },
+
     // q101: whole-doc next-fit packing into 128-token bins, packed per
     // (source, doc_id % 4) lane so the greedy scans parallelize. The
     // oracle's recursive CTE advances one document per lane per step —

@@ -566,4 +566,44 @@ class ValidationOpsSpec extends AnyFunSuite with SparkSpec {
         4L -> ((1L, 4L, 9L, 10000L))), got.toString)
     }
   }
+
+  test("dataCard: composes its four components field-for-field; empty source keeps its row") {
+    // needs the datasheet input schema: doc_id/lang/n_chars ride along
+    val docs = Seq(
+      (1L, "s1", "en", "the cat sat on the mat"),
+      (2L, "s1", "en", "the cat sat on the mat"), // exact dup of 1
+      (3L, "s1", "de", "der hund lief schnell weg heute"),
+      (4L, "s2", "en", ""))
+      .toDF("doc_id", "source", "lang", "text")
+      .withColumn("n_chars", length(coalesce(col("text"), lit(""))).cast("long"))
+    val card = Profile.dataCard(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(card.keySet == Set("s1", "s2"), card.keySet.toString)
+    // every field equals the standalone component's value
+    val ds = Profile.corpusDatasheet(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ld = Profile.lexicalDiversity(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val lq = Profile.lengthQuantiles(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val nv = Profile.nucleusVocab(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for (s <- Seq("s1", "s2")) {
+      val c = card(s)
+      assert(c.getLong(c.fieldIndex("n_dup_docs")) ==
+        ds(s).getLong(ds(s).fieldIndex("n_dup_docs")), s)
+      assert(c.getLong(c.fieldIndex("ttr_bp")) ==
+        ld(s).getLong(ld(s).fieldIndex("ttr_bp")), s)
+      assert(c.getLong(c.fieldIndex("p99_len")) ==
+        lq(s).getLong(lq(s).fieldIndex("p99_len")), s)
+      val nuc = nv.get(s).map(r => r.getLong(r.fieldIndex("nucleus_types")))
+        .getOrElse(0L)
+      assert(c.getLong(c.fieldIndex("nucleus_types")) == nuc, s)
+    }
+    // the all-empty source: zero tokens, nucleus fields coalesce to 0
+    val s2 = card("s2")
+    assert(s2.getLong(s2.fieldIndex("n_tokens")) == 0L &&
+      s2.getLong(s2.fieldIndex("nucleus_types")) == 0L &&
+      s2.getLong(s2.fieldIndex("p50_len")) == 0L, s2.toString)
+  }
 }
