@@ -342,6 +342,33 @@ object Windows {
           round(sum("value"), 2).as("attributed_value"))
     },
 
+    // q197: view→click interval join ([[graft.streaming
+    // .AttributionStream.viewClickPairs]]) — every click joined to the
+    // same user's views from the preceding hour. This is the BATCH face
+    // of the stream-stream interval join (withWatermark is a no-op
+    // here); the streaming twin runs the identical builder over two
+    // live streams with watermark-bounded state, spec-pinned equal.
+    QueryDef.sql(
+      "q197_view_click_interval_join",
+      """WITH v AS (
+        |  SELECT event_id AS view_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS vu
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS cu
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, v.view_id, c.click_id,
+        |  CAST((c.cu - v.vu) // 1000000 AS BIGINT) AS lag_s
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND c.cu >= v.vu AND c.cu <= v.vu + 3600000000"""
+        .stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      graft.streaming.AttributionStream.viewClickPairs(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"), horizonSec = 3600)
+    },
+
     // q167: SCD Type-2 compression of the event log ([[graft.operators
     // .Snapshot.scd2Intervals]], the Kimball warehouse-dimension
     // pattern): each user's event-type stream collapses into validity

@@ -68,6 +68,53 @@ class SessionWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  import SessionWindowSpec.Ev
+
+  test("stream-stream interval join: batch ≡ stream, horizon and user exclusions, cross-batch match") {
+    import graft.streaming.AttributionStream
+    val views = Seq(
+      Ev(1L, 1L, ts("2024-01-01 10:00:00")),  // v1
+      Ev(2L, 1L, ts("2024-01-01 11:00:00")))  // v2
+    val clicks = Seq(
+      Ev(10L, 1L, ts("2024-01-01 09:00:00")), // before any view → no pair
+      Ev(11L, 1L, ts("2024-01-01 10:30:00")), // v1 + 1800 s
+      Ev(12L, 1L, ts("2024-01-01 11:30:00")), // v2 + 1800; v1 + 5400 > 1h
+      Ev(13L, 2L, ts("2024-01-01 10:10:00"))) // user 2 never views
+    val expect = Set((1L, 1L, 11L, 1800L), (1L, 2L, 12L, 1800L))
+    // batch face (withWatermark is a no-op on batch frames)
+    val batch = AttributionStream.viewClickPairs(
+        views.toDF(), clicks.toDF(), horizonSec = 3600)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(batch == expect, batch.toString)
+    // streaming face: two live MemoryStreams, clicks arriving a batch
+    // AFTER their views (state must hold the views across batches)
+    implicit val ctx = spark.sqlContext
+    val vs = MemoryStream[Ev]
+    val cs = MemoryStream[Ev]
+    val out = AttributionStream.viewClickPairs(
+      vs.toDF(), cs.toDF(), horizonSec = 3600)
+    assert(out.isStreaming)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      vs.addData(views: _*)
+      q.processAllAvailable()
+      cs.addData(clicks: _*)
+      q.processAllAvailable()
+      val got = spark.table("attr_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == expect, got.toString)
+      // the plan really is the symmetric-hash stream-stream join
+      assert(q.asInstanceOf[org.apache.spark.sql.execution.streaming
+          .runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+        .contains("StreamingSymmetricHashJoin"), "plan")
+    } finally q.stop()
+  }
+
   private def evRow(u: Long, t: String, tpe: String) = (u, ts(t), tpe)
 
   test("funnel stages: sequenced conversion, out-of-order events don't convert") {
@@ -129,4 +176,10 @@ class SessionWindowSpec extends SparkSpec {
     assert(got == Map((b, 0L) -> 1L, (b, 1L) -> 1L, (b, 3L) -> 1L,
       (b + 1, 0L) -> 1L, (b + 1, 1L) -> 1L), s"got $got")
   }
+}
+
+object SessionWindowSpec {
+  // top-level so the streaming deserializer can construct it without an
+  // outer-instance scope
+  case class Ev(event_id: Long, user_id: Long, ts: java.sql.Timestamp)
 }
