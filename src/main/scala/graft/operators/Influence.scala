@@ -404,4 +404,50 @@ object Influence {
       l.finish(auth.join(hub, "node"))
     }
   }
+
+  /** Per-group degree-distribution profile with a power-law tail fit —
+    * the graph DATASHEET next to the centralities: node/edge-end
+    * counts, the maximum degree (the hub that decides skew-join
+    * behavior), and the log-log OLS slope of the degree histogram
+    * (Barabási & Albert 1999; Clauset, Shalizi & Newman, SIAM Rev.
+    * 2009 use MLE — the OLS slope is the standard quick diagnostic). A
+    * slope near −2..−3 says scale-free (expect hubs, plan for salting
+    * / AQE skew handling); a collapsing slope says the graph is
+    * near-regular and plain hash joins are fine. Read this BEFORE
+    * running PageRank/HITS at a new scale.
+    *
+    * `edges(groupCol, src, dst)` is treated as already-oriented edge
+    * ENDS (pass each undirected edge in both directions, as the
+    * centrality queries do); `groupCol` partitions the profile (e.g.
+    * the side of a bipartite graph).
+    *
+    * Shape: the count-of-counts discipline — one degree aggregate
+    * keyed on (group, node) (the only corpus-sized exchange), then the
+    * ≤distinct-degree level frame (materialized once for its two
+    * consumers) carries the totals and the exact-integer micro-nat OLS
+    * ([[Profile.olsSlopeMicroSql]], engine-identical arithmetic).
+    *
+    * Output: (groupCol, n_nodes, n_edge_ends, max_degree, n_levels,
+    * slope_micro).
+    */
+  def degreeDistribution(edges: DataFrame, groupCol: String): DataFrame =
+    Iterate.loop(edges.sparkSession) { l =>
+      val deg = edges.groupBy(col(groupCol), col("src"))
+        .agg(count(lit(1)).as("deg"))
+      val levels = l.pin(deg.groupBy(groupCol, "deg")
+        .agg(count(lit(1)).as("n_nodes")))
+      val tot = levels.groupBy(groupCol)
+        .agg(sum("n_nodes").as("n_nodes"),
+          sum(expr("deg * n_nodes")).as("n_edge_ends"),
+          max("deg").as("max_degree"))
+      val fit = levels.selectExpr(groupCol,
+          "CAST(floor(ln(CAST(deg AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x",
+          "CAST(floor(ln(CAST(n_nodes AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y")
+        .groupBy(groupCol)
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+        .selectExpr(groupCol, "n AS n_levels",
+          Profile.olsSlopeMicroSql("slope_micro"))
+      l.finish(tot.join(fit, groupCol))
+    }
 }

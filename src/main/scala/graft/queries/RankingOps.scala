@@ -783,6 +783,59 @@ object RankingOps {
       Influence.triangleStats(edges)
         .orderBy(col("n_tri").desc, col("node")).limit(25)
     },
+
+    // q198: degree-distribution profile + power-law slope ([[graft
+    // .operators.Influence.degreeDistribution]]) per side of the q108
+    // customer–supplier graph — the graph datasheet read BEFORE running
+    // centralities at a new scale: max_degree is the skew-join hub,
+    // slope_micro the scale-free diagnostic. Count-of-counts shape;
+    // the micro-nat OLS text is shared verbatim with q154/q162.
+    QueryDef.sql(
+      "q198_degree_distribution",
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT src, dst FROM e0
+         |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |deg AS (
+         |  SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |      AS side,
+         |    src, CAST(count(*) AS BIGINT) AS deg
+         |  FROM e GROUP BY 1, 2),
+         |levels AS (SELECT side, deg, CAST(count(*) AS BIGINT) AS n_nodes
+         |  FROM deg GROUP BY 1, 2),
+         |tot AS (SELECT side, CAST(sum(n_nodes) AS BIGINT) AS n_nodes,
+         |    CAST(sum(deg * n_nodes) AS BIGINT) AS n_edge_ends,
+         |    max(deg) AS max_degree
+         |  FROM levels GROUP BY side),
+         |fit0 AS (SELECT side,
+         |    CAST(floor(ln(CAST(deg AS DOUBLE)) * 1000000.0 + 0.5)
+         |      AS BIGINT) AS x,
+         |    CAST(floor(ln(CAST(n_nodes AS DOUBLE)) * 1000000.0 + 0.5)
+         |      AS BIGINT) AS y
+         |  FROM levels),
+         |fit AS (SELECT side, count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy
+         |  FROM fit0 GROUP BY side)
+         |SELECT t.side, t.n_nodes, t.n_edge_ends, t.max_degree,
+         |  f.n AS n_levels,
+         |  ${graft.operators.Profile.olsSlopeMicroSql("slope_micro")}
+         |FROM tot t JOIN fit f USING (side)""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val e0 = o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0
+        .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .withColumn("side",
+          when(pmod(col("src"), lit(2)) === 0, "customer")
+            .otherwise("supplier"))
+      Influence.degreeDistribution(edges, "side")
+    },
   )
 
   /** One HITS half-iteration pair as DuckDB CTEs: authorities `aCur`

@@ -46,8 +46,11 @@ object AttributionStream {
     */
   def viewClickPairs(views: DataFrame, clicks: DataFrame,
       horizonSec: Long = 3600,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     require(horizonSec > 0, s"horizonSec must be positive, got $horizonSec")
+    require(joinType == "inner" || joinType == "leftOuter",
+      s"joinType must be inner or leftOuter, got $joinType")
     val v = views.select(col("event_id").as("view_id"), col("user_id"),
         col("ts").as("view_ts"))
       .withWatermark("view_ts", watermarkDelay)
@@ -56,9 +59,23 @@ object AttributionStream {
       .withWatermark("click_ts", watermarkDelay)
     v.join(c, expr(
         "user_id = click_user AND click_ts >= view_ts AND " +
-          s"click_ts <= view_ts + interval $horizonSec seconds"))
+          s"click_ts <= view_ts + interval $horizonSec seconds"), joinType)
       .select(col("user_id"), col("view_id"), col("click_id"),
         expr("(unix_micros(click_ts) - unix_micros(view_ts)) div 1000000")
           .as("lag_s"))
   }
+
+  /** [[viewClickPairs]] with LEFT-OUTER semantics: a view that never
+    * converts still emits ONE row (null click_id/lag_s) — but only once
+    * the watermark has passed `view_ts + horizon + delay`, i.e. once no
+    * in-horizon click can still arrive. This is the streaming-only
+    * subtlety the inner face hides: outer results are withheld until
+    * state eviction proves their absence, so a stalled stream delays
+    * the "did not convert" signal by exactly the watermark delay — the
+    * operational reason attribution watermarks are kept tight.
+    */
+  def viewClickPairsOuter(views: DataFrame, clicks: DataFrame,
+      horizonSec: Long = 3600,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    viewClickPairs(views, clicks, horizonSec, watermarkDelay, "leftOuter")
 }

@@ -569,4 +569,23 @@ class RankingSpec extends SparkSpec {
     // symmetric graph keeps b and c tied
     assert(rank("b") == rank("c"), s"got $rank")
   }
+
+  test("degreeDistribution: star graph totals and exact -1 slope, releases") {
+    import sqlImplicits._
+    // undirected star 1–{2,3,4}, doubled: degrees 1→3, {2,3,4}→1.
+    // Levels (deg 3: 1 node) and (deg 1: 3 nodes) are log-log symmetric
+    // → OLS slope exactly −1 (−1,000,000 micro)
+    val e0 = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val edges = e0
+      .union(e0.select($"dst".as("src"), $"src".as("dst")))
+      .withColumn("side", org.apache.spark.sql.functions.lit("g"))
+    assertReleases("degreeDistribution") {
+      val r = Influence.degreeDistribution(edges, "side").collect()
+      assert(r.length == 1, r.mkString(";"))
+      val row = r.head
+      assert((row.getString(0), row.getLong(1), row.getLong(2),
+        row.getLong(3), row.getLong(4), row.getLong(5)) ==
+        (("g", 4L, 6L, 3L, 2L, -1000000L)), row.toString)
+    }
+  }
 }

@@ -115,6 +115,49 @@ class SessionWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: unconverted view emits null only after eviction") {
+    import graft.streaming.AttributionStream
+    implicit val ctx = spark.sqlContext
+    val vs = MemoryStream[Ev]
+    val cs = MemoryStream[Ev]
+    val out = AttributionStream.viewClickPairsOuter(
+      vs.toDF(), cs.toDF(), horizonSec = 3600, watermarkDelay = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("attr_outer").start()
+    try {
+      // v1 (user 1) never converts; the user-2 click only seeds the
+      // click-side watermark
+      vs.addData(Ev(1L, 1L, ts("2024-01-01 10:00:00")))
+      cs.addData(Ev(90L, 2L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // not yet emitted: a click for v1 may arrive until the watermark
+      // passes 11:00 (horizon) + 10 min (delay)
+      assert(spark.table("attr_outer").isEmpty, "premature outer emission")
+      // advance BOTH watermarks far past 11:10, twice (eviction runs a
+      // batch after the watermark update)
+      vs.addData(Ev(2L, 3L, ts("2024-01-01 14:00:00")))
+      cs.addData(Ev(91L, 2L, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      vs.addData(Ev(3L, 3L, ts("2024-01-01 14:30:00")))
+      cs.addData(Ev(92L, 2L, ts("2024-01-01 14:30:00")))
+      q.processAllAvailable()
+      val rows = spark.table("attr_outer").collect()
+      val v1 = rows.filter(_.getLong(1) == 1L)
+      assert(v1.length == 1 && v1.head.isNullAt(2) && v1.head.isNullAt(3),
+        rows.mkString(";"))
+      // the 14:00+ views are unmatched but NOT yet evictable → absent
+      assert(!rows.exists(r => r.getLong(1) == 2L || r.getLong(1) == 3L),
+        rows.mkString(";"))
+    } finally q.stop()
+    // batch face: the same builder degrades to a plain left join — the
+    // unconverted view appears immediately with nulls
+    val batch = AttributionStream.viewClickPairsOuter(
+        Seq(Ev(1L, 1L, ts("2024-01-01 10:00:00"))).toDF(),
+        Seq(Ev(90L, 2L, ts("2024-01-01 10:05:00"))).toDF())
+      .collect()
+    assert(batch.length == 1 && batch.head.isNullAt(2), batch.mkString(";"))
+  }
+
   private def evRow(u: Long, t: String, tpe: String) = (u, ts(t), tpe)
 
   test("funnel stages: sequenced conversion, out-of-order events don't convert") {
