@@ -151,4 +151,60 @@ object Funnel {
     counts.unpersist()
     out
   }
+
+  /** RFM segmentation (Hughes, "Strategic Database Marketing", 1994; the
+    * standard recency/frequency/monetary customer partition) with EXACT
+    * tertile cuts — no `ntile` window over all customers, no float
+    * percentiles: each dimension's cut points come from the
+    * count-of-values histogram by integer prefix-sum (the q189
+    * discipline), so the segmentation is bit-identical on any engine
+    * and never sorts the customer population.
+    *
+    * Per customer: r = last-activity epoch DAY (higher = more recent),
+    * f = event count, m = value in exact cents
+    * (`floor(value·100 + 0.5)`, the double is read identically by any
+    * IEEE engine). Cut k/3: the smallest v with `3·cum ≥ k·n`; tier =
+    * 1 + (v > cut1) + (v > cut2), so ties share a tier and tiers are
+    * labeled in VALUE order (r_tier 3 = most recent, m_tier 3 =
+    * highest spend).
+    *
+    * Shape: one corpus exchange to the per-customer frame (pinned: it
+    * feeds three histograms and the final tiering), three
+    * distinct-value histogram walks (≤ distinct values each), one 1-row
+    * broadcast of all six cuts, one ≤27-row rollup.
+    *
+    * Output: (r_tier, f_tier, m_tier, n_customers, m_cents).
+    */
+  def rfmSegments(df: DataFrame, custCol: String, tsCol: String,
+      valueCol: String): DataFrame =
+    Iterate.loop(df.sparkSession) { l =>
+      // the TIMESTAMP cast normalizes TIMESTAMP_NTZ parquet columns
+      // (identity under the UTC session timezone)
+      val per = l.pin(df.groupBy(col(custCol))
+        .agg(max(expr(
+            s"unix_micros(cast($tsCol as timestamp)) div 86400000000"))
+          .as("r"),
+          count(lit(1)).as("f"),
+          sum(floor(col(valueCol) * 100.0 + 0.5).cast("long")).as("m")))
+      val n = per.agg(count(lit(1)).as("n"))
+      def cuts(c: String): DataFrame = {
+        val hist = per.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        hist.withColumn("cum",
+            sum("cnt").over(Window.orderBy("v")))
+          .crossJoin(broadcast(n))
+          .agg(min(when(col("cum") * 3 >= col("n"), col("v")))
+              .as(s"${c}_cut1"),
+            min(when(col("cum") * 3 >= col("n") * 2, col("v")))
+              .as(s"${c}_cut2"))
+      }
+      val allCuts = cuts("r").crossJoin(cuts("f")).crossJoin(cuts("m"))
+      def tier(c: String) =
+        (lit(1) + when(col(c) > col(s"${c}_cut1"), 1).otherwise(0)
+          + when(col(c) > col(s"${c}_cut2"), 1).otherwise(0))
+          .cast("long").as(s"${c}_tier")
+      l.finish(per.crossJoin(broadcast(allCuts))
+        .select(col("m"), tier("r"), tier("f"), tier("m"))
+        .groupBy("r_tier", "f_tier", "m_tier")
+        .agg(count(lit(1)).as("n_customers"), sum("m").as("m_cents")))
+    }
 }

@@ -467,6 +467,55 @@ object Relational {
         |FROM levels CROSS JOIN tot""".stripMargin) { (s, d) =>
       graft.operators.Profile.kAnonymityProfile(
         Tables.customer(s, d), Seq("c_nationkey", "c_mktsegment"))
+    },
+
+    // q199: RFM segmentation ([[graft.operators.Funnel.rfmSegments]]) —
+    // the classic recency/frequency/monetary customer partition with
+    // EXACT tertile cuts from value histograms (the q189 prefix-sum
+    // discipline): no ntile window over the population, bit-identical
+    // boundaries on both engines, value in exact cents.
+    QueryDef.sql(
+      "q199_rfm_segments",
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    CAST(max(epoch_us(CAST(o_orderdate AS TIMESTAMP))
+        |      // 86400000000) AS BIGINT) AS r,
+        |    CAST(count(*) AS BIGINT) AS f,
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS m
+        |  FROM orders GROUP BY o_custkey),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+        |rc AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+        |  FROM (SELECT r AS v, count(*) AS cnt FROM per GROUP BY r)),
+        |rcut AS (SELECT
+        |    min(CASE WHEN cum * 3 >= n THEN v END) AS r_cut1,
+        |    min(CASE WHEN cum * 3 >= n * 2 THEN v END) AS r_cut2
+        |  FROM rc CROSS JOIN nn),
+        |fc AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+        |  FROM (SELECT f AS v, count(*) AS cnt FROM per GROUP BY f)),
+        |fcut AS (SELECT
+        |    min(CASE WHEN cum * 3 >= n THEN v END) AS f_cut1,
+        |    min(CASE WHEN cum * 3 >= n * 2 THEN v END) AS f_cut2
+        |  FROM fc CROSS JOIN nn),
+        |mc AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+        |  FROM (SELECT m AS v, count(*) AS cnt FROM per GROUP BY m)),
+        |mcut AS (SELECT
+        |    min(CASE WHEN cum * 3 >= n THEN v END) AS m_cut1,
+        |    min(CASE WHEN cum * 3 >= n * 2 THEN v END) AS m_cut2
+        |  FROM mc CROSS JOIN nn)
+        |SELECT
+        |  CAST(1 + CASE WHEN p.r > r_cut1 THEN 1 ELSE 0 END
+        |    + CASE WHEN p.r > r_cut2 THEN 1 ELSE 0 END AS BIGINT) AS r_tier,
+        |  CAST(1 + CASE WHEN p.f > f_cut1 THEN 1 ELSE 0 END
+        |    + CASE WHEN p.f > f_cut2 THEN 1 ELSE 0 END AS BIGINT) AS f_tier,
+        |  CAST(1 + CASE WHEN p.m > m_cut1 THEN 1 ELSE 0 END
+        |    + CASE WHEN p.m > m_cut2 THEN 1 ELSE 0 END AS BIGINT) AS m_tier,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(p.m) AS BIGINT) AS m_cents
+        |FROM per p CROSS JOIN rcut CROSS JOIN fcut CROSS JOIN mcut
+        |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      graft.operators.Funnel.rfmSegments(
+        Tables.orders(s, d), "o_custkey", "o_orderdate", "o_totalprice")
     }
   )
 }

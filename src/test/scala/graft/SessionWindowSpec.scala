@@ -160,6 +160,33 @@ class SessionWindowSpec extends SparkSpec {
 
   private def evRow(u: Long, t: String, tpe: String) = (u, ts(t), tpe)
 
+  test("rfmSegments: hand tertiles, tied frequencies share a tier, releases") {
+    // six customers, one per day; r and m are 6 distinct values (cuts
+    // at the 2nd and 4th), f is {1,1,2,1,2,2} (both cuts land so f only
+    // spans tiers 1-2 — the tie-sharing case)
+    val orders = Seq(
+      (1L, "2024-01-01 00:00:00", 1.00),
+      (2L, "2024-01-02 00:00:00", 2.00),
+      (3L, "2024-01-03 00:00:00", 1.50), (3L, "2024-01-03 00:00:00", 1.50),
+      (4L, "2024-01-04 00:00:00", 4.00),
+      (5L, "2024-01-05 00:00:00", 2.50), (5L, "2024-01-05 00:00:00", 2.50),
+      (6L, "2024-01-06 00:00:00", 3.00), (6L, "2024-01-06 00:00:00", 3.00))
+      .map { case (c, t, v) => (c, ts(t), v) }
+      .toDF("cust", "ots", "val")
+    assertReleases("rfmSegments") {
+      val got = graft.operators.Funnel
+        .rfmSegments(orders, "cust", "ots", "val").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+          ((r.getLong(3), r.getLong(4)))).toMap
+      assert(got == Map(
+        (1L, 1L, 1L) -> ((2L, 300L)),   // c1, c2
+        (2L, 1L, 2L) -> ((1L, 400L)),   // c4: recent-ish, single order
+        (2L, 2L, 2L) -> ((1L, 300L)),   // c3
+        (3L, 2L, 3L) -> ((2L, 1100L))), // c5, c6
+        got.toString)
+    }
+  }
+
   test("funnel stages: sequenced conversion, out-of-order events don't convert") {
     import org.apache.spark.sql.functions._
     val events = Seq(
