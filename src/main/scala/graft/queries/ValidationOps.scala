@@ -693,6 +693,30 @@ object ValidationOps {
         df.withColumn(s"${l}_tokens", coalesce(col(l), lit(0L))).drop(l)
       }.select(col("source") +: langs.map(l => col(s"${l}_tokens")): _*)
     },
+
+    // q200: CUBE datasheet — q175's ROLLUP plus the grouping set it
+    // omits (per-LANG subtotals across sources), still ONE aggregate
+    // through Expand: each input row fans out to its 4 grouping sets
+    // map-side; one corpus pass where the naive version unions four.
+    // Completes the multi-level-aggregate SQL surface
+    // (ROLLUP/PIVOT/CUBE).
+    QueryDef.sql(
+      "q200_cube_datasheet",
+      s"""SELECT source, lang,
+         |  CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len($T)) AS BIGINT) AS n_tokens
+         |FROM documents
+         |GROUP BY CUBE(source, lang)""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("n_tok"))
+        .cube("source", "lang")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .select("source", "lang", "gid", "n_docs", "n_tokens")
+    },
   )
 
   /** q103 oracle: one UNION ALL branch per profiled column, types aligned
