@@ -325,6 +325,62 @@ object ScaleRehearsal {
     // re-derivation the lazy plan had. Parity check per rung: the max
     // authority is a planted block head at exactly BaseU, and every
     // node comes back (|rows| = |nodes|).
+    // Count-of-counts ladder (r12, the q189/q190/q192/q195/q198/q199
+    // family): synthetic docs — each doc ONE token type repeated L
+    // times (L = hash mod 97, ~50k types) across 8 sources. Claim under
+    // test: the entire cost is the map-side tokenize + ONE combined
+    // count aggregate; the quantile/nucleus walks run over
+    // distinct-length / count-level frames whose size does NOT grow
+    // with the corpus, so wall is ~linear in docs. Parity per rung:
+    // lengthQuantiles' p50/p90/p99 for source 0 equal the SORT-based
+    // exact quantiles computed independently (a one-off global
+    // row_number — the very shape the operator avoids).
+    if (args.contains("--quantiles-only")) {
+      import graft.operators.Profile
+      import org.apache.spark.sql.expressions.Window
+      val qScales = if (posArgs.nonEmpty) posArgs.map(_.toLong)
+      else Seq(1000000L, 4000000L, 16000000L)
+      def mkDocs(n: Long) = spark.range(n).select(
+        pmod(col("id"), lit(8)).cast("string").as("source"),
+        expr("""CASE WHEN pmod(xxhash64(id), 97) = 0 THEN ''
+          ELSE repeat(concat('t',
+            cast(pmod(xxhash64(id + 7), 50000) as string), ' '),
+            cast(pmod(xxhash64(id), 97) as int)) END""").as("text"))
+      locally { // untimed JIT/codegen warmup
+        val w = mkDocs(50000L).cache(); w.count()
+        Profile.lengthQuantiles(w).count()
+        Profile.nucleusVocab(w).count()
+        w.unpersist()
+      }
+      val ladder = qScales.map { n =>
+        val d = mkDocs(n).cache(); d.count()
+        var lq: DataFrame = null
+        // medians of 3 with a per-rung untimed warmup: the ops are
+        // scan-bound over a multi-GB cached string column, so single
+        // shots swing 2-5x on JIT/GC weather (measured before this)
+        Profile.lengthQuantiles(d).count()
+        val (t1, _) = timed3 { lq = Profile.lengthQuantiles(d); lq.count() }
+        val (t2, _) = timed3 { Profile.nucleusVocab(d).count() }
+        val got = lq.filter(col("source") === "0").head()
+        val (p50, p90, p99) = (got.getLong(2), got.getLong(3), got.getLong(4))
+        // independent sort-based reference for source 0
+        val lens = d.filter(col("source") === "0").select(coalesce(
+          size(graft.functions.TextFunctions.tokens(col("text"))), lit(0))
+          .cast("long").as("len"))
+        val cnt = lens.count()
+        val targets = Seq(50, 90, 99).map(p => (cnt * p + 99) / 100)
+        val ref = lens
+          .withColumn("i", row_number().over(Window.orderBy("len")))
+          .filter(col("i").isin(targets: _*))
+          .orderBy("i").collect().map(_.getLong(0))
+        val parity = ref.sameElements(Array(p50, p90, p99))
+        d.unpersist()
+        f"""{"n_docs":$n,"quantiles_sec":$t1%.2f,"nucleus_sec":$t2%.2f,"sort_parity":$parity}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"quantiles_rehearsal","scales":$ladder}""")
+      spark.stop(); return
+    }
+
     if (args.contains("--hits-only")) {
       import graft.operators.Influence
       // scales are NODE counts; edges ≈ 2.23·n (two hub out-edges per

@@ -197,7 +197,10 @@ object Funnel {
             min(when(col("cum") * 3 >= col("n") * 2, col("v")))
               .as(s"${c}_cut2"))
       }
-      val allCuts = cuts("r").crossJoin(cuts("f")).crossJoin(cuts("m"))
+      // each cut frame is 1 row; the broadcast hints keep the lint-
+      // forbidden CartesianProductExec out of the plan (BNLJ instead)
+      val allCuts = cuts("r").crossJoin(broadcast(cuts("f")))
+        .crossJoin(broadcast(cuts("m")))
       def tier(c: String) =
         (lit(1) + when(col(c) > col(s"${c}_cut1"), 1).otherwise(0)
           + when(col(c) > col(s"${c}_cut2"), 1).otherwise(0))
