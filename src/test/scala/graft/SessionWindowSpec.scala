@@ -115,6 +115,43 @@ class SessionWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join state survives restart from checkpoint") {
+    import graft.streaming.AttributionStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val ctx = spark.sqlContext
+    val checkpoint =
+      java.nio.file.Files.createTempDirectory("ckpt_attr").toString
+    val results =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
+    val vs = MemoryStream[Ev]
+    val cs = MemoryStream[Ev]
+    val out = AttributionStream.viewClickPairs(
+      vs.toDF(), cs.toDF(), horizonSec = 3600)
+    def run(): Unit = {
+      val q = out.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => results.add(
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    // incarnation 1: only the view arrives — no pair yet, but the view
+    // row enters the join state store
+    vs.addData(Ev(1L, 1L, ts("2024-01-01 10:00:00")))
+    run()
+    assert(results.isEmpty, s"premature pair: $results")
+    // incarnation 2 (fresh query object, same checkpoint): the click
+    // must join against the RESTORED view state
+    cs.addData(Ev(11L, 1L, ts("2024-01-01 10:30:00")))
+    run()
+    val got = results.toArray(Array.empty[(Long, Long, Long, Long)]).toSet
+    assert(got == Set((1L, 1L, 11L, 1800L)),
+      s"join state not recovered: $got")
+  }
+
   test("stream-stream LEFT OUTER interval join: unconverted view emits null only after eviction") {
     import graft.streaming.AttributionStream
     implicit val ctx = spark.sqlContext
