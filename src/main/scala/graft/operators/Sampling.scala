@@ -463,4 +463,67 @@ object Sampling {
       .withColumn("norm_u",
         expr("((__clip_u - __lo_u) * 10000) div greatest(__hi_u - __lo_u, 1)"))
       .drop("__lo_u", "__hi_u", "__clip_u")
+
+  /** Half-sample bootstrap confidence interval for a per-group mean
+    * (McCarthy, "Pseudo-replication: half samples", 1969; the
+    * hash-replica family of Chamandy et al., "Estimating Uncertainty
+    * for Massive Data Streams", Google TR 2012): a metric without an
+    * error bar is half a metric — a 2-point quality-score drop between
+    * corpus drops is either noise or a regression, and this is the
+    * number that says which.
+    *
+    * `replicas` pseudo-replicas are carved by the BITS of the portable
+    * md5 id hash (replica b keeps the rows whose bit b is set — each an
+    * independent-ish half-sample); the CI half-width comes from the
+    * spread of the replica means: Var(half-sample mean) ≈ 2·Var(full
+    * mean), so se = sd(replica means)/√2 and the 95% half-width is
+    * `1.96·√(B·Σm² − (Σm)²) / (B·√2)` — exact BIGINT sums up to the one
+    * final sqrt (identical IEEE text on both engines).
+    *
+    * Scale shape (the q176 pivot discipline): NO row multiplication —
+    * all `replicas` conditional sums+counts ride ONE hash aggregate
+    * (map-side combined), and the replica means / variance close as a
+    * pure HOF projection over the ≤|groups|-row frame. An exploded
+    * (row × replica) formulation would be 32× the shuffle for the same
+    * answer.
+    *
+    * Output: (groupCol, n_docs, mean_u, ci95_halfwidth_u,
+    * replica_min_u, replica_max_u). An empty replica (never at corpus
+    * scale; guarded for tiny groups) contributes mean 0.
+    */
+  def halfSampleCI(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, replicas: Int = 32): DataFrame = {
+    require(replicas >= 2 && replicas <= 32,
+      s"replicas must be in [2, 32] (id-hash bits), got $replicas")
+    val b = replicas
+    val aggs = (0 until b).flatMap { i =>
+      val bit = expr(s"(__h div ${1L << i}) % 2 = 1")
+      Seq(sum(when(bit, col(scoreCol))).as(s"__s$i"),
+        sum(when(bit, 1L).otherwise(0L)).as(s"__n$i"))
+    }
+    // raw 32-bit hash (no modulo): replica b reads BIT b, and bits of
+    // a reduced value would not be the bits of the hash
+    df.withColumn("__h",
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col(scoreCol)).as("__stot") +: aggs): _*)
+      .withColumn("__su",
+        array((0 until b).map(i => coalesce(col(s"__s$i"), lit(0L))): _*))
+      .withColumn("__nu", array((0 until b).map(i => col(s"__n$i")): _*))
+      .withColumn("__means", expr(
+        "zip_with(__su, __nu, (a, c) -> a div greatest(c, CAST(1 AS BIGINT)))"))
+      .withColumn("__sx", expr(
+        "aggregate(__means, CAST(0 AS BIGINT), (acc, m) -> acc + m)"))
+      .withColumn("__sxx", expr(
+        "aggregate(__means, CAST(0 AS BIGINT), (acc, m) -> acc + m * m)"))
+      .select(col(groupCol), col("n_docs"),
+        expr("__stot div n_docs").as("mean_u"),
+        expr(s"CAST(floor(1.96 * sqrt(CAST($b * __sxx - __sx * __sx " +
+          s"AS DOUBLE)) / ($b * sqrt(2.0)) + 0.5) AS BIGINT)")
+          .as("ci95_halfwidth_u"),
+        expr("array_min(__means)").as("replica_min_u"),
+        expr("array_max(__means)").as("replica_max_u"))
+  }
 }

@@ -694,6 +694,21 @@ object ValidationOps {
       }.select(col("source") +: langs.map(l => col(s"${l}_tokens")): _*)
     },
 
+    // q201: half-sample bootstrap CI on the per-source quality mean
+    // ([[graft.operators.Sampling.halfSampleCI]], McCarthy 1969 /
+    // Chamandy et al. 2012) — the error bar that says whether a
+    // quality drop between corpus drops is noise or a regression. 32
+    // hash-bit replicas ride ONE conditional aggregate (no row
+    // multiplication); exact BIGINT sums to the one final sqrt,
+    // identical IEEE text both engines.
+    QueryDef.sql("q201_metric_confidence", q201Sql) { (s, d) =>
+      import graft.operators.{Classifier, Sampling}
+      Sampling.halfSampleCI(
+        Classifier.qualityClassify(Tables.documents(s, d), "text")
+          .select(col("source"), col("doc_id"), col("score_micro")),
+        "source", "doc_id", "score_micro", replicas = 32)
+    },
+
     // q200: CUBE datasheet — q175's ROLLUP plus the grouping set it
     // omits (per-LANG subtotals across sources), still ONE aggregate
     // through Expand: each input row fans out to its 4 grouping sets
@@ -718,6 +733,52 @@ object ValidationOps {
         .select("source", "lang", "gid", "n_docs", "n_tokens")
     },
   )
+
+  /** q201 oracle: the 32 hash-bit half-sample replicas as generated
+    * conditional sums (the q37 generation pattern), replica means as a
+    * DuckDB list, variance/CI in the identical IEEE expression text the
+    * Spark side uses.
+    */
+  private def q201Sql: String = {
+    val b = 32
+    val sums = (0 until b).map { i =>
+      val bit = s"(h // ${1L << i}) % 2 = 1"
+      s"CAST(coalesce(sum(CASE WHEN $bit THEN score END), 0) AS BIGINT) AS s$i, " +
+        s"CAST(sum(CASE WHEN $bit THEN 1 ELSE 0 END) AS BIGINT) AS n$i"
+    }.mkString(",\n    ")
+    val means = (0 until b).map(i => s"s$i // greatest(n$i, 1)")
+      .mkString("[", ", ", "]")
+    s"""WITH f AS (
+       |  SELECT source,
+       |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) AS h,
+       |    len($T) AS n_tok, len(list_distinct($T)) AS n_dis,
+       |    len(regexp_replace(text, '\\s', '', 'g')) AS n_ch,
+       |    len(list_filter($T,
+       |      t -> t IN ('the','a','an','of','and','in','to','is','it','that')))
+       |      AS stop_hits
+       |  FROM documents),
+       |g AS (SELECT source, h,
+       |    CAST(-3000000 - 40000*n_tok + 200000*n_dis + 2000*n_ch
+       |      + 300000*stop_hits AS BIGINT) AS score
+       |  FROM f),
+       |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(score) AS BIGINT) AS stot,
+       |    $sums
+       |  FROM g GROUP BY source),
+       |m AS (SELECT source, n_docs, stot, $means AS means FROM a),
+       |v AS (SELECT source, n_docs, stot,
+       |    CAST(list_sum(means) AS BIGINT) AS sx,
+       |    CAST(list_sum(list_transform(means, x -> x * x)) AS BIGINT) AS sxx,
+       |    CAST(list_min(means) AS BIGINT) AS replica_min_u,
+       |    CAST(list_max(means) AS BIGINT) AS replica_max_u
+       |  FROM m)
+       |SELECT source, n_docs, stot // n_docs AS mean_u,
+       |  CAST(floor(1.96 * sqrt(CAST($b * sxx - sx * sx AS DOUBLE))
+       |    / ($b * sqrt(2.0)) + 0.5) AS BIGINT) AS ci95_halfwidth_u,
+       |  replica_min_u, replica_max_u
+       |FROM v""".stripMargin
+  }
 
   /** q103 oracle: one UNION ALL branch per profiled column, types aligned
     * across branches (BIGINT counts, DOUBLE numeric ranges, VARCHAR

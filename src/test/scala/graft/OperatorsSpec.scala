@@ -1163,6 +1163,30 @@ class OperatorsSpec extends SparkSpec {
       empty.getLong(4) == 0L && empty.getLong(5) == 0L, empty.toString)
   }
 
+  test("halfSampleCI: plain-Scala reference recompute of replica means and CI") {
+    import graft.operators.Sampling
+    val n = 200L
+    val scores = (1L to n).map(i => i -> (i % 13) * 1000L).toMap
+    val docs = scores.toSeq.map { case (i, s) => ("g", i, s) }
+      .toDF("grp", "id", "score")
+    // same portable hash, independent arithmetic
+    val hs = docs.select(col("id"),
+        conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val means = (0 until 32).map { b =>
+      val keep = (1L to n).filter(i => ((hs(i) >> b) & 1L) == 1L)
+      keep.map(scores).sum / math.max(keep.size, 1)
+    }
+    val (sx, sxx) = (means.sum, means.map(m => m * m).sum)
+    val ci = math.floor(1.96 * math.sqrt((32.0 * sxx - sx.toDouble * sx))
+      / (32 * math.sqrt(2.0)) + 0.5).toLong
+    val r = Sampling.halfSampleCI(docs, "grp", "id", "score").collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) ==
+      ((n, scores.values.sum / n, ci, means.min, means.max)), r.toString)
+  }
+
   test("shardBalanceAudit: reference Gini recompute; single shard perfectly balanced") {
     import graft.operators.Sampling
     // 40 docs, lengths i%7+1; the reference recomputes shard masses from
