@@ -789,6 +789,55 @@ object Profile {
     }
   }
 
+  /** Exact trimmed mean of per-doc token length per source — the
+    * robust-location statistic completing the trio with
+    * [[lengthQuantiles]] and the q172 MAD: a handful of pathological
+    * mega-documents moves a plain mean arbitrarily, and at corpus scale
+    * there are ALWAYS mega-documents. Trims exactly `trimBp` basis
+    * points of DOCS off each tail (by rank, ties resolved by mass —
+    * the same answer any sorted trim produces).
+    *
+    * Same count-of-counts shape as the quantiles: one corpus exchange
+    * to the (source, len) histogram, then per level the CLIPPED take
+    * `min(cum, hi) − max(cum−cnt, lo)` (boundary levels contribute
+    * partially, interior fully) — no sort of the population. The mean
+    * is exact micro-units via the overflow-safe two-term division
+    * `(s div n)·10⁶ + ((s mod n)·10⁶) div n` (a single `s·10⁶ div n`
+    * overflows BIGINT past ~9·10¹² trimmed tokens per source; the
+    * two-term form is exact to any corpus size).
+    *
+    * Output: (source, n_docs, trimmed_n, trimmed_mean_u).
+    */
+  def trimmedMean(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text", trimBp: Int = 500): DataFrame = {
+    require(trimBp >= 0 && trimBp < 5000,
+      s"trimBp must be in [0, 5000), got $trimBp")
+    import graft.functions.TextFunctions.tokens
+    Iterate.loop(docs.sparkSession) { l =>
+      val hist = l.pin(docs.select(col(sourceCol).as("src"),
+          coalesce(size(tokens(col(textCol))).cast("long"), lit(0L))
+            .as("len"))
+        .groupBy("src", "len").agg(count(lit(1)).as("cnt")))
+      val tot = hist.groupBy("src").agg(sum("cnt").as("n"))
+      val w = Window.partitionBy("src").orderBy("len")
+      l.finish(hist.withColumn("cum", sum("cnt").over(w))
+        .join(broadcast(tot), "src")
+        .withColumn("lo", expr(s"(n * $trimBp) div 10000"))
+        .withColumn("hi", col("n") - col("lo"))
+        .withColumn("take",
+          greatest(least(col("cum"), col("hi"))
+            - greatest(col("cum") - col("cnt"), col("lo")), lit(0L)))
+        .groupBy("src")
+        .agg(max("n").as("n_docs"),
+          max(greatest(col("hi") - col("lo"), lit(1L))).as("trimmed_n"),
+          sum(col("take") * col("len")).as("tsum"))
+        .select(col("src").as(sourceCol), col("n_docs"), col("trimmed_n"),
+          expr("(tsum div trimmed_n) * 1000000 " +
+            "+ ((tsum % trimmed_n) * 1000000) div trimmed_n")
+            .as("trimmed_mean_u")))
+    }
+  }
+
   /** k-anonymity profile over a quasi-identifier set (Sweeney, "k-
     * Anonymity: a model for protecting privacy", IJUFKS 2002) — the
     * governance audit a pipeline runs before releasing a table: every

@@ -1692,6 +1692,39 @@ object TextOps {
         Tables.documents(s, d), "source", "text", coverBp = 9500)
     },
 
+    // q202: exact trimmed mean of doc token length per source
+    // ([[graft.operators.Profile.trimmedMean]]) — the robust-location
+    // statistic next to q189's quantiles and q172's MAD, computed from
+    // the same (source, len) histogram by clipped per-level takes; the
+    // mean closes in overflow-safe two-term exact micro-units.
+    QueryDef.sql(
+      "q202_trimmed_mean",
+      s"""WITH lens AS (SELECT source AS src,
+         |    CAST(len($TC) AS BIGINT) AS len FROM documents),
+         |hist AS (SELECT src, len, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM lens GROUP BY src, len),
+         |tot AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM hist GROUP BY src),
+         |walk AS (SELECT h.src, h.len, h.cnt, t.n,
+         |    (t.n * 500) // 10000 AS lo,
+         |    t.n - (t.n * 500) // 10000 AS hi,
+         |    CAST(sum(h.cnt) OVER (PARTITION BY h.src ORDER BY h.len)
+         |      AS BIGINT) AS cum
+         |  FROM hist h JOIN tot t USING (src)),
+         |agg AS (SELECT src, max(n) AS n_docs,
+         |    greatest(max(hi - lo), 1) AS trimmed_n,
+         |    CAST(sum(greatest(least(cum, hi) - greatest(cum - cnt, lo), 0)
+         |      * len) AS BIGINT) AS tsum
+         |  FROM walk GROUP BY src)
+         |SELECT src AS source, n_docs, CAST(trimmed_n AS BIGINT) AS trimmed_n,
+         |  CAST((tsum // trimmed_n) * 1000000
+         |    + ((tsum % trimmed_n) * 1000000) // trimmed_n AS BIGINT)
+         |    AS trimmed_mean_u
+         |FROM agg""".stripMargin) { (s, d) =>
+      graft.operators.Profile.trimmedMean(
+        Tables.documents(s, d), "source", "text", trimBp = 500)
+    },
+
     // q195: shard-balance audit ([[graft.operators.Packing
     // .shardBalanceAudit]]) — exact Gini + max/mean of token mass over
     // a 64-way portable md5 sharding: the straggler forecast a layout

@@ -549,6 +549,34 @@ class ValidationOpsSpec extends AnyFunSuite with SparkSpec {
         ((11L, 4L, 2L)), part.mkString(";"))
   }
 
+  test("trimmedMean: boundary levels take partially, ties trim by mass, releases") {
+    // s1: lengths 1..20 at 5% trim → lo 1, hi 19: ranks 2..19 keep
+    // lengths 2..19 → sum 189 / 18 = 10.5 → 10_500_000 micro
+    val s1 = (1 to 20).map(n => ("s1", ("t " * n).trim))
+    // s2: ties at the cut — lengths {1,1,1,10,10} at 5% trim of n=5 →
+    // lo 0, hi 5: nothing trims; mean 23/5 = 4.6 → 4_600_000
+    val s2 = Seq(("s2", "t"), ("s2", "t"), ("s2", "t"),
+      ("s2", ("t " * 10).trim), ("s2", ("t " * 10).trim))
+    val docs = (s1 ++ s2).toDF("source", "text")
+    assertReleases("trimmedMean") {
+      val got = Profile.trimmedMean(docs).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == Map(
+        "s1" -> ((20L, 18L, 10500000L)),
+        "s2" -> ((5L, 5L, 4600000L))), got.toString)
+    }
+    // heavier trim with a tie STRADDLING the cut: lengths
+    // {1, 5,5,5,5, 100} at 20% trim of n=6 → lo 1, hi 5: drops the 1
+    // and the 100, keeps all four 5s partially-clipped at both ends
+    val straddle = Profile.trimmedMean(
+      (Seq(("s", "t")) ++ Seq.fill(4)(("s", ("t " * 5).trim)) ++
+        Seq(("s", ("t " * 100).trim))).toDF("source", "text"),
+      trimBp = 2000).collect().head
+    assert((straddle.getLong(1), straddle.getLong(2),
+      straddle.getLong(3)) == ((6L, 4L, 5000000L)), straddle.toString)
+  }
+
   test("kAnonymityProfile: hand histogram, cumulative risk, releases") {
     // classes over (a, b): (1,x)×1, (2,x)×2, (2,y)×2, (3,x)×4
     // → levels: k=1 (1 class, 1 row), k=2 (2 classes, 4 rows),
