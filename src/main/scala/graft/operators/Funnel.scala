@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -150,6 +150,43 @@ object Funnel {
       .localCheckpoint(true)
     counts.unpersist()
     out
+  }
+
+  /** First-order Markov transition matrix over per-entity event
+    * sequences — which event type follows which, row-normalized: the
+    * behavioral fingerprint behind funnel design (q157 checks ONE
+    * prescribed path; this reads the empirical graph the users actually
+    * walk) and a drift signal (a release that reorders the journey
+    * shows up as moved transition mass before any conversion metric
+    * moves).
+    *
+    * Determinism: successor order is (orderCols…) per entity — the
+    * caller supplies a total order (timestamp + a unique tie-break), so
+    * both engines pair identical consecutive events. Probabilities are
+    * exact micro-units (`n·10⁶ div row-total`).
+    *
+    * Shape: ONE lag window PARTITIONED by the entity key (parallel by
+    * construction — per-entity sequences are short at any corpus size,
+    * so no partition outgrows an executor), one (from, to) hash
+    * aggregate, a broadcast row-totals join over the ≤|types|² frame.
+    *
+    * Output: (from_type, to_type, n, p_u).
+    */
+  def transitionMatrix(events: DataFrame, keyCol: String,
+      orderCols: Seq[Column], typeCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must supply a total order")
+    Iterate.loop(events.sparkSession) { l =>
+      val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+      val counts = l.pin(events
+        .withColumn("__next", lead(col(typeCol), 1).over(w))
+        .where(col("__next").isNotNull)
+        .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+        .agg(count(lit(1)).as("n")))
+      val tot = counts.groupBy("from_type").agg(sum("n").as("tot"))
+      l.finish(counts.join(broadcast(tot), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("n * 1000000 div tot").as("p_u")))
+    }
   }
 
   /** RFM segmentation (Hughes, "Strategic Database Marketing", 1994; the

@@ -789,6 +789,54 @@ object Profile {
     }
   }
 
+  /** Benford first-digit audit (Benford 1938; Nigrini's forensic
+    * accounting use): the leading-digit distribution of a naturally
+    * occurring monetary/measure column follows log10(1 + 1/d), and a
+    * synthetic, truncated, or fabricated column does not — the classic
+    * one-pass data-forgery / pipeline-bug smell test run over a new
+    * corpus drop's numeric columns. (A failing Benford audit on a
+    * price column has caught unit-mix bugs — cents in a dollars
+    * column — long before any downstream aggregate looked wrong.)
+    *
+    * Exact arithmetic: digit shares in basis points (`n_d·10⁴ div n`),
+    * the Benford expectation as PLAN-TIME micro-unit literals (computed
+    * once in the driver from doubles — both engines receive identical
+    * constants), and the per-digit signed delta. Requires values ≥ 1
+    * (the leading digit of `floor(v)`); rows below 1 are counted out
+    * into the digit-0 sentinel row rather than silently dropped.
+    *
+    * Shape: one projection + one ≤10-row hash aggregate + a broadcast
+    * totals join — scan-rate at any size.
+    *
+    * Output: (digit, n_rows, share_bp, benford_bp, delta_bp) — 9 rows
+    * plus the sentinel when present; benford_bp/delta_bp are 0 on the
+    * sentinel.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val benfordBp: Map[Int, Long] = (1 to 9).map(d =>
+      d -> math.floor(math.log10(1.0 + 1.0 / d) * 10000.0 + 0.5).toLong).toMap
+    val expectExpr = (1 to 9).foldLeft(lit(0L)) { (acc, d) =>
+      when(col("digit") === d, lit(benfordBp(d))).otherwise(acc)
+    }
+    Iterate.loop(df.sparkSession) { l =>
+      val counts = l.pin(df.select(
+          when(col(valueCol) >= 1,
+            substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+              .cast("long"))
+            .otherwise(0L).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_rows")))
+      val tot = counts.agg(sum("n_rows").as("n"))
+      l.finish(counts.crossJoin(broadcast(tot))
+        .withColumn("share_bp", expr("n_rows * 10000 div n"))
+        .withColumn("benford_bp",
+          when(col("digit") >= 1, expectExpr).otherwise(0L))
+        .withColumn("delta_bp",
+          when(col("digit") >= 1, col("share_bp") - col("benford_bp"))
+            .otherwise(0L))
+        .select("digit", "n_rows", "share_bp", "benford_bp", "delta_bp"))
+    }
+  }
+
   /** Exact trimmed mean of per-doc token length per source — the
     * robust-location statistic completing the trio with
     * [[lengthQuantiles]] and the q172 MAD: a handful of pathological

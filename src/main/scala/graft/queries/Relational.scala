@@ -516,6 +516,38 @@ object Relational {
         |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
       graft.operators.Funnel.rfmSegments(
         Tables.orders(s, d), "o_custkey", "o_orderdate", "o_totalprice")
+    },
+
+    // q203: Benford first-digit audit ([[graft.operators.Profile
+    // .benfordAudit]]) on order totals — the one-pass data-forgery /
+    // unit-mix smell test: leading-digit shares vs the log10(1+1/d)
+    // expectation in exact basis points. (TPC-H prices are synthetic-
+    // uniform, so the deltas READ large — the audit detecting exactly
+    // what it should about this data.)
+    QueryDef.sql(
+      "q203_benford_audit",
+      s"""WITH c AS (
+         |  SELECT CASE WHEN o_totalprice >= 1 THEN
+         |      CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+         |        AS VARCHAR), 1, 1) AS BIGINT)
+         |    ELSE 0 END AS digit,
+         |    CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM orders GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n FROM c),
+         |e(digit, benford_bp) AS (VALUES ${(1 to 9).map(dd =>
+             s"(CAST($dd AS BIGINT), CAST(${math.floor(
+               math.log10(1.0 + 1.0 / dd) * 10000.0 + 0.5).toLong} AS BIGINT))")
+             .mkString(", ")})
+         |SELECT c.digit, c.n_rows,
+         |  CAST(c.n_rows * 10000 // t.n AS BIGINT) AS share_bp,
+         |  CAST(coalesce(e.benford_bp, 0) AS BIGINT) AS benford_bp,
+         |  CAST(CASE WHEN c.digit >= 1
+         |    THEN c.n_rows * 10000 // t.n - e.benford_bp
+         |    ELSE 0 END AS BIGINT) AS delta_bp
+         |FROM c CROSS JOIN t LEFT JOIN e ON e.digit = c.digit"""
+        .stripMargin) { (s, d) =>
+      graft.operators.Profile.benfordAudit(
+        Tables.orders(s, d), "o_totalprice")
     }
   )
 }

@@ -369,6 +369,35 @@ object Windows {
         ev.filter(col("event_type") === "click"), horizonSec = 3600)
     },
 
+    // q204: event-type Markov transition matrix ([[graft.operators
+    // .Funnel.transitionMatrix]]) — the empirical journey graph next to
+    // q157's prescribed funnel: which event follows which per user,
+    // row-normalized in exact micro-units. One lag window PARTITIONED
+    // by user (never global), one (from, to) aggregate, broadcast
+    // row-totals join.
+    QueryDef.sql(
+      "q204_event_transitions",
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+        |      AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+        |  FROM c GROUP BY from_type)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_u
+        |FROM c JOIN t USING (from_type)""".stripMargin) { (s, d) =>
+      graft.operators.Funnel.transitionMatrix(
+        Tables.events(s, d), "user_id",
+        Seq(unix_micros(col("ts").cast("timestamp")), col("event_id")),
+        "event_type")
+    },
+
     // q167: SCD Type-2 compression of the event log ([[graft.operators
     // .Snapshot.scd2Intervals]], the Kimball warehouse-dimension
     // pattern): each user's event-type stream collapses into validity

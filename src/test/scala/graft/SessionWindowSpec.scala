@@ -197,6 +197,33 @@ class SessionWindowSpec extends SparkSpec {
 
   private def evRow(u: Long, t: String, tpe: String) = (u, ts(t), tpe)
 
+  test("transitionMatrix: hand transitions, out-of-order input, releases") {
+    // u1 walks view→click→purchase (rows arrive SHUFFLED — the order
+    // columns must reconstruct the sequence); u2 walks click→click
+    val events = Seq(
+      (1L, "2024-01-01 10:02:00", "purchase", 3L),
+      (1L, "2024-01-01 10:00:00", "view", 1L),
+      (1L, "2024-01-01 10:01:00", "click", 2L),
+      (2L, "2024-01-01 09:00:00", "click", 10L),
+      (2L, "2024-01-01 09:05:00", "click", 11L))
+      .map { case (u, t, tp, id) => (u, ts(t), tp, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    assertReleases("transitionMatrix") {
+      val got = graft.operators.Funnel.transitionMatrix(
+          events, "user_id",
+          Seq(org.apache.spark.sql.functions.col("ts"),
+            org.apache.spark.sql.functions.col("event_id")),
+          "event_type")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      assert(got == Map(
+        ("view", "click") -> ((1L, 1000000L)),
+        ("click", "purchase") -> ((1L, 500000L)),
+        ("click", "click") -> ((1L, 500000L))), got.toString)
+    }
+  }
+
   test("rfmSegments: hand tertiles, tied frequencies share a tier, releases") {
     // six customers, one per day; r and m are 6 distinct values (cuts
     // at the 2nd and 4th), f is {1,1,2,1,2,2} (both cuts land so f only

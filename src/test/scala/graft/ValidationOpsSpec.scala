@@ -577,6 +577,22 @@ class ValidationOpsSpec extends AnyFunSuite with SparkSpec {
       straddle.getLong(3)) == ((6L, 4L, 5000000L)), straddle.toString)
   }
 
+  test("benfordAudit: hand digits, sub-1 sentinel, releases") {
+    // digits: 1.5→1, 19→1, 0.5→sentinel 0, 950→9, 99→9; n = 5
+    val vals = Seq(1.5, 19.0, 0.5, 950.0, 99.0).toDF("v")
+    assertReleases("benfordAudit") {
+      val got = Profile.benfordAudit(vals, "v").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got == Map(
+        0L -> ((1L, 2000L, 0L, 0L)),
+        // benford_bp(1) = floor(log10(2)*1e4 + .5) = 3010
+        1L -> ((2L, 4000L, 3010L, 990L)),
+        // benford_bp(9) = floor(log10(10/9)*1e4 + .5) = 458
+        9L -> ((2L, 4000L, 458L, 3542L))), got.toString)
+    }
+  }
+
   test("kAnonymityProfile: hand histogram, cumulative risk, releases") {
     // classes over (a, b): (1,x)×1, (2,x)×2, (2,y)×2, (3,x)×4
     // → levels: k=1 (1 class, 1 row), k=2 (2 classes, 4 rows),
