@@ -129,6 +129,98 @@ object LanguageModel {
       .agg(count(lit(1)).as("n_bigrams"), sum("nll_u").as("nll_kn_micro_sum"))
   }
 
+  /** One row per adjacent token triple per document: (id, w1, w2, w3).
+    * Same shape as [[bigramPostings]] with a second `lead` over the same
+    * per-document window — Spark plans ONE WindowExec for both leads, so
+    * the trigram postings cost the same single document-bounded sort.
+    */
+  def trigramPostings(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    toks
+      .withColumn("w2", lead(col("t"), 1).over(byDoc))
+      .withColumn("w3", lead(col("t"), 2).over(byDoc))
+      .filter(col("w3").isNotNull)
+      .select(col("id"), col("t").as("w1"), col("w2"), col("w3"))
+  }
+
+  /** The interpolated trigram Kneser-Ney probability as ONE SQL
+    * expression string (the [[KnProbSql]] discipline: both engines
+    * interpolate it VERBATIM over identical exact-integer counts, so the
+    * micro-nat quantization can never part ways). The full backoff chain
+    * is inlined — highest order discounts the raw trigram count, the
+    * middle order discounts the CONTINUATION count N1+(·,w2,w3), and the
+    * lowest order is the unigram continuation share N1+(·,w3)/|bigram
+    * types| (Chen & Goodman 1999 §3, fixed D = 0.75 at every level).
+    * Columns it reads: c123 (trigram count), c12 (context total =
+    * Σ_w3 c123), nfw (distinct w3 after (w1,w2)), nbw (distinct w1
+    * before (w2,w3)), midtot (Σ_w3 nbw for w2), midfw (distinct w3 with
+    * nbw > 0 for w2), nlow (distinct w2 before w3 among bigram types),
+    * tt2 (total distinct (w2,w3) types).
+    */
+  val KnProb3Sql: String =
+    "(greatest(CAST(c123 AS DOUBLE) - 0.75, 0.0) + " +
+      "0.75 * CAST(nfw AS DOUBLE) * " +
+      "((greatest(CAST(nbw AS DOUBLE) - 0.75, 0.0) + " +
+      "(0.75 * CAST(midfw AS DOUBLE) * CAST(nlow AS DOUBLE)) " +
+      "/ CAST(tt2 AS DOUBLE)) / CAST(midtot AS DOUBLE))) " +
+      "/ CAST(c12 AS DOUBLE)"
+
+  /** Interpolated trigram Kneser-Ney model over [[trigramPostings]] —
+    * the CCNet-practice upgrade from [[knBigramModel]] (real perplexity
+    * filters run order ≥ 3; Wenzek et al. use 5-gram KenLM): every
+    * count the backoff chain needs derives from the DISTINCT-TRIGRAM
+    * count table alone — five small aggregates over it (by (w1,w2), by
+    * (w2,w3), by w2, by w3, global type count), never a second corpus
+    * scan. The model frame is (w1, w2, w3, c123, c12, nfw, nbw, midtot,
+    * midfw, nlow, tt2) — one row per distinct trigram, broadcast-able
+    * whenever distinct trigrams fit, and [[KnProb3Sql]] evaluates the
+    * whole chain over it row-locally (scoring never joins the lower
+    * orders separately: the continuation statistics RIDE the trigram
+    * row, so the scoring exchange is one join on (w1,w2,w3)).
+    */
+  def knTrigramModel(postings: DataFrame): DataFrame = {
+    val c123 = postings.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+    val byCtx = c123.groupBy("w1", "w2")
+      .agg(sum("c123").as("c12"), count(lit(1)).as("nfw"))
+    // continuation layer: N1+(·,w2,w3) — how many distinct LEFT contexts
+    // each bigram continues; its own totals give the middle order
+    val bw = c123.groupBy("w2", "w3").agg(count(lit(1)).as("nbw"))
+    val byW2 = bw.groupBy("w2")
+      .agg(sum("nbw").as("midtot"), count(lit(1)).as("midfw"))
+    val byW3 = bw.groupBy("w3").agg(count(lit(1)).as("nlow"))
+    val types = bw.agg(count(lit(1)).as("tt2"))
+    c123.join(byCtx, Seq("w1", "w2")).join(bw, Seq("w2", "w3"))
+      .join(byW2, "w2").join(byW3, "w3").crossJoin(broadcast(types))
+  }
+
+  /** Per-document mean NLL under the corpus's own interpolated trigram
+    * Kneser-Ney model: (id, n_trigrams, nll_kn3_micro_sum) — the q150
+    * shape one order up. Per-trigram NLLs quantize to integer
+    * micro-nats before the per-document sum ([[KnProb3Sql]] verbatim),
+    * so the sum is exact BIGINT arithmetic in any order on any engine.
+    * Documents with fewer than three tokens have no trigrams and are
+    * absent (callers left-join). Scoring the training corpus itself
+    * means every scored trigram exists in the model (c123 ≥ 1); the
+    * interpolation still redistributes D of each context's mass down
+    * the continuation chain — with one more order of context than the
+    * bigram model, seen transitions price strictly sharper, which is
+    * why corpus perplexity under this model is below the bigram one
+    * (spec-pinned).
+    */
+  def knTrigramPerplexityScores(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val postings = trigramPostings(df, idCol, textCol)
+    val model = knTrigramModel(postings)
+    postings
+      .join(model, Seq("w1", "w2", "w3"))
+      .withColumn("nll_u",
+        expr(s"CAST(floor(-ln($KnProb3Sql) * 1000000.0 + 0.5) AS BIGINT)"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_trigrams"), sum("nll_u").as("nll_kn3_micro_sum"))
+  }
+
   /** Per-document mean NLL under the corpus's own bigram model:
     * (id, n_bigrams, nll_micro_sum) — `nll_micro_sum` is the exact
     * integer sum of per-bigram micro-nat NLLs; mean NLL in nats is

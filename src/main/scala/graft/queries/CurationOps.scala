@@ -988,6 +988,64 @@ object CurationOps {
           coalesce(col("nll_kn_micro_sum"), lit(0L)).as("nll_kn_micro"))
     },
 
+    // q208: interpolated Kneser-Ney TRIGRAM perplexity ([[graft
+    // .operators.LanguageModel.knTrigramPerplexityScores]]) — q150 one
+    // order up, closing the gap to CCNet practice (real perplexity
+    // filters run order ≥ 3). The full backoff chain (trigram discount →
+    // continuation-bigram discount → unigram continuation share) is
+    // [[LanguageModel.KnProb3Sql]] VERBATIM on both engines over
+    // exact-integer counts that all derive from the distinct-trigram
+    // table; per-trigram NLLs quantize to micro-nats before the
+    // exact-integer per-doc sum. Corpus perplexity under this model is
+    // strictly below q150's bigram one (CurationSpec pins it). Oracle
+    // note: tt2 rides the bwt frame as `count(*) OVER ()` instead of
+    // q150's `CROSS JOIN ty` — a trailing cross join after THIS chain's
+    // five USING joins sends DuckDB 1.0's join-order search into a
+    // 100 GB blowup on a 500-doc corpus (measured; fine at four joins).
+    QueryDef.sql(
+      "q208_kneser_ney_trigram",
+      s"""WITH toks AS (SELECT doc_id, $T AS tk FROM documents),
+         |tg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+         |      i -> [tk[i], tk[i+1], tk[i+2]])) AS g
+         |  FROM toks),
+         |trip AS (SELECT doc_id, g[1] AS w1, g[2] AS w2, g[3] AS w3 FROM tg),
+         |c123t AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123
+         |          FROM trip GROUP BY w1, w2, w3),
+         |ctx AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12,
+         |          CAST(count(*) AS BIGINT) AS nfw
+         |        FROM c123t GROUP BY w1, w2),
+         |bwt AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS nbw,
+         |          CAST(count(*) OVER () AS BIGINT) AS tt2
+         |        FROM c123t GROUP BY w2, w3),
+         |byw2 AS (SELECT w2, CAST(sum(nbw) AS BIGINT) AS midtot,
+         |           CAST(count(*) AS BIGINT) AS midfw
+         |         FROM bwt GROUP BY w2),
+         |byw3 AS (SELECT w3, CAST(count(*) AS BIGINT) AS nlow
+         |         FROM bwt GROUP BY w3),
+         |nll AS (
+         |  SELECT p.doc_id,
+         |    CAST(floor(-ln(${LanguageModel.KnProb3Sql})
+         |      * 1000000.0 + 0.5) AS BIGINT) AS nll_u
+         |  FROM trip p JOIN c123t USING (w1, w2, w3) JOIN ctx USING (w1, w2)
+         |  JOIN bwt USING (w2, w3) JOIN byw2 USING (w2) JOIN byw3 USING (w3)),
+         |sc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |    CAST(sum(nll_u) AS BIGINT) AS s
+         |  FROM nll GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(sc.n_trigrams, 0) AS n_trigrams,
+         |  coalesce(sc.s, 0) AS nll_kn3_micro
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val scores = LanguageModel.knTrigramPerplexityScores(docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+      docs.select("doc_id").join(scores, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+          coalesce(col("nll_kn3_micro_sum"), lit(0L)).as("nll_kn3_micro"))
+    },
+
     // q153: leave-one-source-out data valuation ([[graft.operators
     // .Classifier.trainLinear2LeaveOneOut]]) — the LOO baseline of Data
     // Shapley (Ghorbani & Zou 2019) at domain granularity: for every

@@ -418,6 +418,78 @@ object Relational {
           (max("y") - min("y") + 1).cast("long").as("supp_span"))
     },
 
+    // q209: 3-D Hilbert vs Morton file layout ([[graft.operators.Layout
+    // .hilbertKey]]/[[graft.operators.Layout.zOrderKeyN]] — VERDICT r12
+    // #6): q100 generalized to the 3–4-dim clustering real lakehouse
+    // specs use, with BOTH curves' per-file per-dimension spans in one
+    // result so the locality comparison is itself hash-pinned. The
+    // Hilbert side is the Skilling (2004) kernel as a codegen'd
+    // Catalyst expression; the oracle replays the SAME state machine as
+    // an unrolled CTE chain ([[graft.operators.Layout.hilbertSqlCtes]])
+    // — the loop is sequential per bit level, so the SQL twin is one
+    // CTE per invert/exchange step. LayoutAndDriftSpec pins hilbert ≤
+    // morton on bounding-box volume and span sum.
+    QueryDef.sql(
+      "q209_hilbert_layout",
+      s"""WITH z0 AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    (l_partkey % 32) AS px, (l_suppkey % 32) AS sy,
+         |    (l_orderkey % 32) AS oz,
+         |    (l_partkey % 32) AS x0, (l_suppkey % 32) AS x1,
+         |    (l_orderkey % 32) AS x2
+         |  FROM lineitem),
+         |${graft.operators.Layout.hilbertSqlCtes(3, 5,
+            Seq("l_orderkey", "l_linenumber", "px", "sy", "oz"), "z0")},
+         |hr AS (
+         |  SELECT px, sy, oz, (row_number() OVER
+         |    (ORDER BY hkey, l_orderkey, l_linenumber) - 1) // 1500 AS file_id
+         |  FROM h_key),
+         |mk AS (
+         |  SELECT px, sy, oz, l_orderkey, l_linenumber,
+         |    ${graft.operators.Layout.zOrderKeyNSql(Seq("x0", "x1", "x2"), 5)}
+         |      AS mkey
+         |  FROM z0),
+         |mr AS (
+         |  SELECT px, sy, oz, (row_number() OVER
+         |    (ORDER BY mkey, l_orderkey, l_linenumber) - 1) // 1500 AS file_id
+         |  FROM mk),
+         |agg AS (
+         |  SELECT 'hilbert' AS curve, file_id, px, sy, oz FROM hr
+         |  UNION ALL
+         |  SELECT 'morton' AS curve, file_id, px, sy, oz FROM mr)
+         |SELECT curve, CAST(file_id AS BIGINT) AS file_id,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(px) AS min_x, max(px) AS max_x,
+         |  CAST(max(px) - min(px) + 1 AS BIGINT) AS span_x,
+         |  min(sy) AS min_y, max(sy) AS max_y,
+         |  CAST(max(sy) - min(sy) + 1 AS BIGINT) AS span_y,
+         |  min(oz) AS min_z, max(oz) AS max_z,
+         |  CAST(max(oz) - min(oz) + 1 AS BIGINT) AS span_z
+         |FROM agg GROUP BY curve, file_id""".stripMargin) { (s, d) =>
+      val base = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_partkey"), lit(32L)).as("px"),
+          pmod(col("l_suppkey"), lit(32L)).as("sy"),
+          pmod(col("l_orderkey"), lit(32L)).as("oz"))
+      val dims = Seq(col("px"), col("sy"), col("oz"))
+      def layout(name: String, key: org.apache.spark.sql.Column) = base
+        .withColumn("k", key)
+        .withColumn("file_id",
+          expr("(row_number() OVER (ORDER BY k, l_orderkey, l_linenumber)" +
+            " - 1) div 1500").cast("long"))
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min("px").as("min_x"), max("px").as("max_x"),
+          (max("px") - min("px") + 1).cast("long").as("span_x"),
+          min("sy").as("min_y"), max("sy").as("max_y"),
+          (max("sy") - min("sy") + 1).cast("long").as("span_y"),
+          min("oz").as("min_z"), max("oz").as("max_z"),
+          (max("oz") - min("oz") + 1).cast("long").as("span_z"))
+        .select(lit(name).as("curve"), col("*"))
+      layout("hilbert", graft.operators.Layout.hilbertKey(dims, 5))
+        .unionByName(layout("morton", graft.operators.Layout.zOrderKeyN(dims, 5)))
+    },
+
     // q161: fuzzy entity linkage over part names ([[graft.operators
     // .Linkage.fuzzyNamePairs]]) — canonicalize-then-link (Fellegi &
     // Sunter 1969): one hash aggregate to the distinct-name frame

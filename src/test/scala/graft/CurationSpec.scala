@@ -396,6 +396,40 @@ class CurationSpec extends SparkSpec {
     assert(model(("x", "f")) == 3L && model(("w", "g")) == 1L)
   }
 
+  test("kneser-ney trigram: hand-computed backoff chain") {
+    // corpus: "a b c", "a b d", "a b c"
+    // c123(a,b,c)=2, c123(a,b,d)=1 → ctx(a,b): c12=3, nfw=2
+    // bw(b,c)=1, bw(b,d)=1 → byw2(b): midtot=2, midfw=2
+    // nlow(c)=1, nlow(d)=1, tt2=2 → p_low = 1/2 each
+    // p_mid(·|b) = (max(1−.75,0) + .75·2·(1/2)) / 2 = 1/2
+    // p(c|a,b) = (2−.75 + .75·2·(1/2)) / 3 = 2/3
+    // p(d|a,b) = (1−.75 + .75·2·(1/2)) / 3 = 1/3
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "a b c"))
+      .toDF("id", "text")
+    val got = LanguageModel.knTrigramPerplexityScores(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def u(p: Double) = math.floor(-math.log(p) * 1e6 + 0.5).toLong
+    assert(got == Map(1L -> ((1L, u(2.0 / 3))), 2L -> ((1L, u(1.0 / 3))),
+      3L -> ((1L, u(2.0 / 3)))), s"got $got")
+  }
+
+  test("kneser-ney trigram: corpus perplexity strictly below the bigram model") {
+    // the extra order of context must price seen transitions sharper on
+    // the training corpus itself — per-event mean NLL (micro-nats)
+    // under the trigram chain < under q150's bigram chain (exact
+    // integer cross-multiply, no float division)
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val tri = LanguageModel.knTrigramPerplexityScores(docs, "doc_id", "text")
+      .agg(sum("nll_kn3_micro_sum"), sum("n_trigrams")).collect().head
+    val bi = LanguageModel.knPerplexityScores(docs, "doc_id", "text")
+      .agg(sum("nll_kn_micro_sum"), sum("n_bigrams")).collect().head
+    val (s3, n3) = (BigInt(tri.getLong(0)), BigInt(tri.getLong(1)))
+    val (s2, n2) = (BigInt(bi.getLong(0)), BigInt(bi.getLong(1)))
+    assert(n3 > 0 && n2 > 0)
+    assert(s3 * n2 < s2 * n3,
+      s"trigram mean NLL ${s3}/$n3 not below bigram ${s2}/$n2")
+  }
+
   test("trainLinear2LeaveOneOut equals a direct refit on each complement") {
     val rows = Seq(
       ("g1", 1L, 2L, 10L), ("g1", 2L, 1L, 14L), ("g1", 3L, 5L, 30L),

@@ -176,6 +176,95 @@ class LayoutAndDriftSpec extends SparkSpec {
     assert(zX <= 16.0 && zY <= 16.0, s"z spans ($zX, $zY)")
   }
 
+  test("zOrderKeyN: 2-D case equals zOrderKey2; 3-D bit placement exact") {
+    val df = Seq((5L, 3L, 6L)).toDF("x", "y", "z")
+    val r = df.select(
+      Layout.zOrderKeyN(Seq(col("x"), col("y")), 6).as("k2n"),
+      Layout.zOrderKey2(col("x"), col("y"), 6).as("k2"),
+      Layout.zOrderKeyN(Seq(col("x"), col("y"), col("z")), 4).as("k3"))
+      .collect()(0)
+    assert(r.getLong(0) == r.getLong(1))
+    // 3-D reference fold: bit b of dim d at b*3+d
+    def ref(xs: Seq[Long], bits: Int): Long =
+      (0 until bits).flatMap(b => xs.zipWithIndex.map { case (x, d) =>
+        ((x >> b) & 1L) << (b * 3 + d) }).reduce(_ | _)
+    assert(r.getLong(2) == ref(Seq(5L, 3L, 6L), 4))
+  }
+
+  test("hilbert: bijective and unit-step — the defining curve properties") {
+    // every Hilbert curve visits each cell exactly once and consecutive
+    // indices are unit neighbors (exactly one coordinate changes, by 1);
+    // checked exhaustively for (n=2, bits=3) and (n=3, bits=2)
+    for ((n, bits) <- Seq((2, 3), (3, 2))) {
+      val side = 1 << bits
+      val total = 1L << (n * bits)
+      val seen = new Array[Array[Long]](total.toInt)
+      def walk(coords: List[Long], d: Int): Unit =
+        if (d == n) {
+          val h = graft.plans.HilbertOps.index(bits, coords.toArray)
+          assert(h >= 0 && h < total, s"h=$h out of range for n=$n bits=$bits")
+          assert(seen(h.toInt) == null, s"duplicate index $h")
+          seen(h.toInt) = coords.toArray
+        } else (0L until side).foreach(v => walk(coords :+ v, d + 1))
+      walk(Nil, 0)
+      (1 until total.toInt).foreach { h =>
+        val diff = seen(h).zip(seen(h - 1)).map { case (a, b) => math.abs(a - b) }
+        assert(diff.sum == 1, s"n=$n bits=$bits step $h not unit: " +
+          s"${seen(h - 1).mkString(",")} -> ${seen(h).mkString(",")}")
+      }
+    }
+  }
+
+  test("hilbertKey column (codegen) matches HilbertOps, nulls propagate") {
+    val rows = (0L until 64L).map(i => (i / 8, i % 8)) :+ ((9L, 20L))
+    val df = rows.toDF("x", "y")
+      .withColumn("h", Layout.hilbertKey(Seq(col("x"), col("y")), 3))
+    df.collect().foreach { r =>
+      val exp = graft.plans.HilbertOps.index(3, Array(r.getLong(0), r.getLong(1)))
+      assert(r.getLong(2) == exp, s"(${r.getLong(0)},${r.getLong(1)})")
+    }
+    val withNull = Seq((Some(1L), None: Option[Long])).toDF("x", "y")
+      .withColumn("h", Layout.hilbertKey(Seq(col("x"), col("y")), 3))
+    assert(withNull.collect()(0).isNullAt(2))
+  }
+
+  test("hilbert beats morton on 3-D per-file bounding boxes") {
+    // full 16^3 grid, files of 96 cells. File size is deliberately NOT a
+    // power of two: at power-of-two sizes every contiguous key range of
+    // either curve is an exact box and the metrics tie; real file sizing
+    // is byte-driven, not cell-count-aligned, and there Morton's
+    // power-of-two boundary jumps fatten the straddling files' boxes
+    // while Hilbert's unit-step adjacency keeps them tight (measured:
+    // vol 4864 vs 11584, span sum 519 vs 691 on this grid).
+    val n = 16L
+    val grid = spark.range(n * n * n).select(
+      (col("id") / (n * n)).cast("long").as("x"),
+      pmod((col("id") / n).cast("long"), lit(n)).as("y"),
+      pmod(col("id"), lit(n)).as("z"))
+    def fileStats(keyed: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = keyed
+        .withColumn("fid",
+          expr("(row_number() OVER (ORDER BY k, x, y, z) - 1) div 96"))
+        .groupBy("fid")
+        .agg(((max("x") - min("x") + 1) * (max("y") - min("y") + 1) *
+          (max("z") - min("z") + 1)).as("vol"),
+          ((max("x") - min("x")) + (max("y") - min("y")) +
+            (max("z") - min("z"))).as("spansum"))
+        .agg(sum("vol"), sum("spansum")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val dims = Seq(col("x"), col("y"), col("z"))
+    val (mVol, mSpan) = fileStats(grid.withColumn("k", Layout.zOrderKeyN(dims, 4)))
+    val (hVol, hSpan) = fileStats(grid.withColumn("k", Layout.hilbertKey(dims, 4)))
+    assert(hVol < mVol, s"hilbert vol=$hVol not below morton $mVol")
+    assert(hSpan < mSpan, s"hilbert spansum=$hSpan not below morton $mSpan")
+    // and both prune where lexicographic cannot: its trailing dim spans
+    // the full domain in every file
+    val (_, lexSpan) = fileStats(grid.withColumn("k",
+      col("x") * n * n + col("y") * n + col("z")))
+    assert(hSpan < lexSpan && mSpan < lexSpan, s"lex spansum=$lexSpan")
+  }
+
   test("clusterByZOrder: partitions are zkey-ranged and internally sorted") {
     val grid = spark.range(1024).select((col("id") / 32).cast("long").as("x"),
       pmod(col("id"), lit(32L)).as("y"))
