@@ -225,9 +225,14 @@ object Influence {
       .union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
       .persist()
+    // degree attaches hash-build the ≤|V|-row deg side so the m-row
+    // edge list is never sorted (same allocation-variance argument as
+    // the wedge close in [[wedgeTriangles]])
     val dir = und
-      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .join(deg.select(col("node").as("a"), col("deg").as("da"))
+        .hint("shuffle_hash"), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db"))
+        .hint("shuffle_hash"), "b")
       .select(
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")),
@@ -235,12 +240,7 @@ object Influence {
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")),
           col("b")).otherwise(col("a")).as("dst"))
-    val wedges = dir.select(col("src"), col("dst").as("x"))
-      .join(dir.select(col("src"), col("dst").as("y")), "src")
-      .where(col("x") < col("y"))
-    val tris = wedges
-      .join(und, wedges("x") === und("a") && wedges("y") === und("b"))
-      .select(col("src"), col("x"), col("y"))
+    val tris = wedgeTriangles(dir, und)
     val perNode = tris
       .select(explode(array(col("src"), col("x"), col("y"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
@@ -253,6 +253,102 @@ object Influence {
       .localCheckpoint(true)
     und.unpersist()
     deg.unpersist()
+    out
+  }
+
+  /** Build wedges from the degree-oriented edge list and close them
+    * against the canonical edges — the shared core of [[triangleStats]]
+    * and [[triangleCountApprox]]. The close is a SHUFFLE-HASH join, not
+    * sort-merge: the wedge frame is the O(m^1.5) side and SMJ must
+    * externally SORT it — the dominant allocation of the whole operator
+    * and the source of its 2× GC/spill wall-clock swings at sf0.1
+    * (VERDICT r12 watch item). Hashing the m-row edge side per
+    * partition costs O(m/parts) memory and streams the wedges through
+    * untouched; results are identical (LinkageSpec pins the strategy).
+    */
+  private[graft] def wedgeTriangles(dir: DataFrame, und: DataFrame): DataFrame = {
+    // the wedge build also hash-joins (building one m-row dir copy per
+    // partition) so neither input of the fan-out is sorted either
+    val wedges = dir.select(col("src"), col("dst").as("x"))
+      .join(dir.select(col("src"), col("dst").as("y")).hint("shuffle_hash"),
+        "src")
+      .where(col("x") < col("y"))
+    // when node ids fit 31 bits (checked on the — typically cached —
+    // canonical edges: one 1-row aggregate), pack the (x, y) close key
+    // into ONE BIGINT: the wedge exchange carries two longs instead of
+    // three (−33% of the operator's dominant byte volume) and the close
+    // probes a single-key hash map. Ids outside [0, 2³¹) keep the
+    // two-column path — identical results either way.
+    val stats = und.agg(min("a").as("lo"), max("b").as("hi")).collect()(0)
+    val packable = !stats.isNullAt(0) && stats.getLong(0) >= 0 &&
+      stats.getLong(1) < (1L << 31)
+    if (packable) {
+      val p = 1L << 31
+      val undP = und.select((col("a") * p + col("b")).as("ab"))
+      wedges
+        .select(col("src"), (col("x") * p + col("y")).as("xy"))
+        .join(undP.hint("shuffle_hash"), col("xy") === col("ab"))
+        .select(col("src"), expr(s"xy div $p").as("x"),
+          pmod(col("xy"), lit(p)).as("y"))
+    } else {
+      wedges
+        .join(und.hint("shuffle_hash"),
+          wedges("x") === und("a") && wedges("y") === und("b"))
+        .select(col("src"), col("x"), col("y"))
+    }
+  }
+
+  /** DOULION edge-sampled triangle estimate (Tsourakakis, Kang, Miller
+    * & Faloutsos, KDD'09) — the at-scale answer when even the
+    * degree-oriented exact count's O(m^1.5) is too hot: keep each
+    * canonical edge with probability p, count triangles EXACTLY on the
+    * sampled graph (the same orientation pipeline as [[triangleStats]]),
+    * and scale by 1/p³ (each surviving triangle needed all three edges
+    * kept — the estimator is unbiased, variance shrinks as sampled
+    * triangles grow). Sampling is the engine-portable md5 threshold on
+    * the canonical "a:b" pair (the [[Sampling.hashBucket]] convention):
+    * deterministic, replayable by any engine, no RNG.
+    *
+    * `pBp` = keep probability in basis points (2500 = 0.25 → 64×
+    * scale-up). Returns ONE row: (n_sampled_tri, n_est) with
+    * `n_est = n_sampled_tri · 10¹² div pBp³` — exact BIGINT while
+    * n_sampled_tri < 9.2·10⁶ (at p = 0.25 that is ~5.9·10⁸ true
+    * triangles; past it, ladder the scale-up per factor — the
+    * pmiCollocations documented-bound convention). The exactness audit
+    * against [[triangleStats]] is q207.
+    */
+  def triangleCountApprox(edges: DataFrame, pBp: Int): DataFrame = {
+    require(pBp >= 1 && pBp <= 10000, s"pBp must be in [1,10000], got $pBp")
+    val und = edges
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .filter(conv(substring(md5(concat_ws(":",
+          col("a").cast("string"), col("b").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 10000 < pBp)
+      .persist()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val dir = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("src"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("dst"))
+    val nSamp = wedgeTriangles(dir, und)
+      .agg(count(lit(1)).as("n_sampled_tri"))
+    val out = nSamp
+      .select(col("n_sampled_tri"),
+        expr(s"(n_sampled_tri * 1000000000000) div " +
+          s"(cast($pBp as bigint) * $pBp * $pBp)").as("n_est"))
+      .localCheckpoint(true)
+    und.unpersist()
     out
   }
 

@@ -74,6 +74,29 @@ object RankingOps {
        |    FROM e JOIN deg d ON e.src = d.src JOIN $prev r ON r.node = e.src
        |    GROUP BY e.dst) c ON n.node = c.dst)""".stripMargin
 
+  /** q207's degree-oriented triangle chain over an `und(a, b)` CTE —
+    * q166's construction parametrized so the exact and sampled graphs
+    * replay the identical state machine. Exposes `<p>tri(src, x, y)`.
+    */
+  private def triChainSql(undName: String, p: String): String =
+    s"""${p}deg AS MATERIALIZED (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+       |    SELECT a AS node FROM $undName
+       |    UNION ALL SELECT b AS node FROM $undName)
+       |  GROUP BY node),
+       |${p}dir AS MATERIALIZED (
+       |  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS src,
+       |         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS dst
+       |  FROM (SELECT u.a, u.b, x.degree AS da, y.degree AS db
+       |        FROM $undName u JOIN ${p}deg x ON u.a = x.node
+       |                   JOIN ${p}deg y ON u.b = y.node)),
+       |${p}tri AS MATERIALIZED (
+       |  SELECT w.src, w.x, w.y
+       |  FROM (SELECT e1.src, e1.dst AS x, e2.dst AS y
+       |        FROM ${p}dir e1 JOIN ${p}dir e2
+       |          ON e1.src = e2.src AND e1.dst < e2.dst) w
+       |  JOIN $undName ON w.x = $undName.a AND w.y = $undName.b)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // q108: 3 damped integer-PageRank rounds over the bipartite
@@ -782,6 +805,55 @@ object RankingOps {
         .select(col("pk").as("u"), col("pk2").as("v"))
       Influence.triangleStats(edges)
         .orderBy(col("n_tri").desc, col("node")).limit(25)
+    },
+
+    // q207: DOULION approximate triangle count vs exact, in basis
+    // points ([[graft.operators.Influence.triangleCountApprox]],
+    // Tsourakakis et al. KDD'09 — VERDICT r12 #3): keep each canonical
+    // co-purchase edge iff its md5 pair-hash lands under p = 0.25,
+    // count triangles exactly on the sampled graph through the SAME
+    // degree-oriented chain, scale by 1/p³. The one-row readout pins
+    // the exact count, the sampled count, the unbiased estimate, and
+    // the estimate's error in bp — the q135-style exactness audit that
+    // makes the approximate twin trustworthy before it replaces the
+    // exact pass at a scale where O(m^1.5) is too hot.
+    QueryDef.sql(
+      "q207_triangle_doulion",
+      s"""WITH und AS MATERIALIZED (
+         |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+         |                  greatest(a.l_partkey, b.l_partkey) AS b
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         |s_und AS MATERIALIZED (
+         |  SELECT a, b FROM und
+         |  WHERE CAST(concat('0x', substring(md5(
+         |      CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 8))
+         |    AS BIGINT) % 10000 < 2500),
+         |${triChainSql("und", "x_")},
+         |${triChainSql("s_und", "s_")},
+         |ec AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM x_tri),
+         |sc AS (SELECT CAST(count(*) AS BIGINT) AS n_sampled_tri FROM s_tri)
+         |SELECT ec.n_exact, sc.n_sampled_tri,
+         |  CAST(sc.n_sampled_tri * 1000000000000 //
+         |    (CAST(2500 AS BIGINT) * 2500 * 2500) AS BIGINT) AS n_est,
+         |  CAST(abs(sc.n_sampled_tri * 1000000000000 //
+         |      (CAST(2500 AS BIGINT) * 2500 * 2500) - ec.n_exact) * 10000
+         |    // greatest(ec.n_exact, 1) AS BIGINT) AS err_bp
+         |FROM ec CROSS JOIN sc""".stripMargin) { (s, d) =>
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val r = l.select(col("ok"), col("pk").as("pk2"))
+      val edges = l.join(r, Seq("ok"))
+        .where(col("pk") =!= col("pk2"))
+        .select(col("pk").as("u"), col("pk2").as("v"))
+        .localCheckpoint(true)
+      val exact = Influence.triangleStats(edges)
+        .agg((sum("n_tri") / 3).cast("long").as("n_exact"))
+      val approx = Influence.triangleCountApprox(edges, pBp = 2500)
+      exact.crossJoin(approx)
+        .select(col("n_exact"), col("n_sampled_tri"), col("n_est"),
+          expr("abs(n_est - n_exact) * 10000 div greatest(n_exact, 1)")
+            .as("err_bp"))
     },
 
     // q198: degree-distribution profile + power-law slope ([[graft

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Linkage, Profile}
+import org.apache.spark.sql.functions.sum
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Hand-computable pins for the record-linkage operator (q161) and the
@@ -71,6 +72,53 @@ class LinkageSpec extends AnyFunSuite with SparkSpec {
     assert(out(5L) == ((1L, 0L, 0L)), out.toString)
     // total triangle mass: 4 triangles x 3 nodes
     assert(out.values.map(_._2).sum == 12L)
+  }
+
+  test("wedge close plans as a shuffled-hash join, never sort-merge") {
+    import graft.operators.Influence
+    // the wedge frame is the O(m^1.5) side — a sort-merge close would
+    // externally sort it (the r12 q166 variance watch item); pin the
+    // physical strategy on the shared close helper both the exact and
+    // Doulion paths use. Disable broadcast so the tiny test frames
+    // exercise the same non-broadcast path the sf0.1 graph takes.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val und = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+      val dir = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+      val plan = Influence.wedgeTriangles(dir, und)
+        .queryExecution.executedPlan.toString
+      // the close join is keyed on (x, y) and must hash, streaming the
+      // wedge side; the wedge BUILD (self-equi-join on src over the
+      // m-row dir frame) may stay SMJ — sorting m rows is not the
+      // watch item, sorting m^1.5 is
+      assert(plan.contains("ShuffledHashJoin [x#"), plan)
+      assert(!plan.contains("SortMergeJoin [x#"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("triangleCountApprox: p=1 recovers the exact count; sampling deterministic") {
+    import graft.operators.Influence
+    // K5: C(5,3) = 10 triangles
+    val k5 = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b))
+      .toDF("u", "v")
+    val full = Influence.triangleCountApprox(k5, 10000).collect().head
+    assert((full.getLong(0), full.getLong(1)) == ((10L, 10L)))
+    // exact side agrees: sum(n_tri)/3
+    val exact = Influence.triangleStats(k5)
+      .agg((sum("n_tri") / 3).cast("long")).collect().head.getLong(0)
+    assert(exact == 10L)
+    // p < 1: the md5-threshold subset is deterministic across runs and
+    // partitionings, and the estimate is the exact 1/p^3 scale-up
+    for (rep <- Seq(k5, k5.repartition(7))) {
+      val s = Influence.triangleCountApprox(rep, 5000).collect().head
+      assert(s.getLong(1) == s.getLong(0) * 1000000000000L /
+        (5000L * 5000L * 5000L), s.toString)
+    }
+    val a = Influence.triangleCountApprox(k5, 5000).collect().head.getLong(0)
+    val b = Influence.triangleCountApprox(k5.repartition(3), 5000)
+      .collect().head.getLong(0)
+    assert(a == b, s"sampled count not deterministic: $a vs $b")
   }
 
   test("kCorePeelProfile: clique survives, pendants peel, fixpoint visible") {
