@@ -121,6 +121,59 @@ object Bench {
     out.toMap
   }
 
+  /** Ambient-basis control set (VERDICT r12 #4): ten queries whose
+    * plans have been byte-stable for rounds, spanning the execution
+    * shapes machine drift shows up in (parquet scan, hash agg, window,
+    * join/union, explode-heavy text, global-window layout), with their
+    * PINNED r12 driver-bench min-of-3 floors (BENCH_FULL.json, r12).
+    * Every full bench run re-times them min-of-5 and reports
+    * `basis_factor` = median(current_min / pinned_min) — the measured
+    * machine-weather multiplier of THIS run, so a gate readout states
+    * "deflated by the ambient factor" as a computed number instead of a
+    * per-round forensic argument. The pins are a measurement BASIS, not
+    * a target: they move only when a control's plan changes (which
+    * should instead rotate the control out).
+    */
+  val BasisControls: Map[String, Double] = Map(
+    "q04_revenue_filter" -> 0.3846,        // scan + pushed filter
+    "q10_search_parts" -> 0.1401,          // scan + string predicate
+    "q01_pricing_summary" -> 0.297,        // hash aggregate
+    "q03_region_rollup" -> 0.3393,         // join + rollup agg
+    "q06_distinct_customers" -> 0.2756,    // shuffle distinct
+    "q07_latest_event_per_user" -> 0.2787, // keyed window
+    "q02_topk_customers" -> 0.1346,        // global top-k
+    "q09_union_reconcile" -> 0.3005,       // union + dedup
+    "q85_bigram_perplexity" -> 1.494,      // explode + self-model join
+    "q100_zorder_layout" -> 1.0352)        // global window + bit kernel
+
+  /** Min-of-5 of each control on this machine, against the pinned
+    * floors. Returns (per-control current mins, basis_factor).
+    */
+  private def basisProbe(spark: SparkSession, sfDir: String,
+      force: DataFrame => Unit): (Map[String, Double], Double) = {
+    val qs = SparkEntry.queries
+    val mins = BasisControls.keys.toSeq.sorted.flatMap { name =>
+      qs.get(name).map { fn =>
+        val t = (1 to 5).map { _ =>
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          System.gc()
+          val t0 = System.nanoTime()
+          force(fn(spark, sfDir))
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        name -> t
+      }
+    }.toMap
+    val ratios = mins.map { case (n, t) => t / BasisControls(n) }.toSeq.sorted
+    val factor =
+      if (ratios.isEmpty) 1.0
+      else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
+    (mins, factor)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -143,6 +196,13 @@ object Bench {
       try forceEval(fn(spark, sfDir)) catch {
         case e: Throwable => System.err.println(s"[bench] warmup $name FAILED: ${e.getMessage}")
       }
+    }
+    // ambient-basis probe (full runs only — the gate context): min-of-5
+    // of the pinned control set, timed AFTER warmup and BEFORE the main
+    // loop so the factor describes the machine this suite ran on
+    val (controlMins, basisFactor) = onlyIds match {
+      case None => basisProbe(spark, sfDir, forceEval)
+      case Some(_) => (Map.empty[String, Double], 1.0)
     }
     // median of 3 timed runs per query: single-shot timing could not
     // distinguish a real 1.5x regression from ambient machine load (the
@@ -211,7 +271,9 @@ object Bench {
     // full-name medians + mins first — the human/PERF_NOTES record;
     // the phase decomposition is PERSISTED here too (VERDICT r11 #5:
     // stdout-only printing lost it from the driver's artifact)
-    val detailLine = s"""{"metric":"total_detail","value":${r4(total)},"unit":"sec","runs_per_query":$runsPerQuery,"phase_detail":$phaseJson,"queries_min":${jmap(identity, _._2)},"queries":${jmap(identity, _._1)},"sf":"$sfDir"}"""
+    val controlsJson = controlMins.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
+    val detailLine = s"""{"metric":"total_detail","value":${r4(total)},"unit":"sec","runs_per_query":$runsPerQuery,"basis_factor":${r4(basisFactor)},"controls_min":$controlsJson,"phase_detail":$phaseJson,"queries_min":${jmap(identity, _._2)},"queries":${jmap(identity, _._1)},"sf":"$sfDir"}"""
     println(detailLine)
     // full resolution also lands in the repo: the stdout tail window
     // truncates, this file never does. Path is cwd-relative (or
@@ -238,7 +300,7 @@ object Bench {
     def shortLine(qs: Seq[(String, Double)], p: Int): String = {
       val q = qs.map { case (k, v) => "\"" + k.split('_').head + "\":" + rp(p)(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs_per_query":$runsPerQuery,"queries":$q,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs_per_query":$runsPerQuery,"basis_factor":${r4(basisFactor)},"queries":$q,"sf":"$sfDir"}"""
     }
     val meds = results.toSeq.map { case (k, v) => (k, v._1) }
     val budget = 1900 // headroom inside the 2000-char capture window

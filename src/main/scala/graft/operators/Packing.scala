@@ -437,10 +437,21 @@ object Packing {
         .crossJoin(broadcast(tot))
         .select(col("n_shards"), col("total_tokens"),
           col("min_tokens"), col("max_tokens"),
-          expr("((2 * ssum - (n_shards + 1) * total_tokens) * 10000) " +
-            "div (n_shards * greatest(total_tokens, 1))").as("gini_bp"),
-          expr("(max_tokens * n_shards * 10000) " +
-            "div greatest(total_tokens, 1)").as("max_over_mean_bp")))
+          // the x10000 rides a DECIMAL(38,0) intermediate: in BIGINT the
+          // gini numerator x 10000 wraps near n_shards*total_tokens ~
+          // 9e14 (e.g. 64 shards over a ~2e13-token corpus under heavy
+          // skew) — silently, in non-ANSI Spark, exactly in the skewed
+          // case the audit exists to catch (ADVICE r12). The integral
+          // div returns BIGINT; values are unchanged wherever the
+          // BIGINT form was in range, so the DuckDB oracle (in-range at
+          // test SFs) still matches.
+          expr("(cast(2 * ssum - (n_shards + 1) * total_tokens " +
+            "as decimal(38,0)) * 10000) " +
+            "div (n_shards * greatest(total_tokens, 1))")
+            .cast("long").as("gini_bp"),
+          expr("(cast(max_tokens as decimal(38,0)) * n_shards * 10000) " +
+            "div greatest(total_tokens, 1)")
+            .cast("long").as("max_over_mean_bp")))
     }
   }
 

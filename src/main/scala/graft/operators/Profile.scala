@@ -281,14 +281,6 @@ object Profile {
       .limit(k)
   }
 
-  /** The Zipf-slope OLS over (ln rank, ln freq) micro-nat sums, as SQL
-    * expression text both engines interpolate VERBATIM (the q144
-    * FitExprs discipline). Reads BIGINT columns n, sx, sy, sxx, sxy;
-    * the closed-form 1-feature slope `(n·Σxy − Σx·Σy)/(n·Σxx − Σx²)`
-    * evaluates in doubles CAST per operand (never multiplied as BIGINT
-    * — n·Σxy would cross 2⁶³ first), quantized to micro-units.
-    * Fewer than two fit points, or a degenerate x spread, guards to 0.
-    */
   /** OLS slope over (x, y) sufficient sums (n, sx, sy, sxx, sxy) in
     * micro-units, degenerate inputs → 0 — one double division whose
     * expression text is interpolated VERBATIM into both engines (the
@@ -886,28 +878,6 @@ object Profile {
     }
   }
 
-  /** k-anonymity profile over a quasi-identifier set (Sweeney, "k-
-    * Anonymity: a model for protecting privacy", IJUFKS 2002) — the
-    * governance audit a pipeline runs before releasing a table: every
-    * row whose quasi-identifier combination is shared by fewer than k
-    * rows is re-identifiable at strength k. Complements the q103 PII
-    * scrub (which removes direct identifiers; quasi-identifiers survive
-    * scrubbing by design).
-    *
-    * Output is the equivalence-CLASS-SIZE histogram with cumulative
-    * at-risk mass: one row per observed class size k —
-    * (class_size, n_classes, n_rows, cum_rows [rows in classes of size
-    * ≤ k], risk_bp [cum_rows·10⁴ div total]). "What fraction of rows is
-    * k-anonymous at k = 5?" reads off the row with class_size 5 (or the
-    * last one below it).
-    *
-    * Shape: the count-of-counts discipline again — one hash aggregate
-    * on the quasi-identifier key (the only corpus-sized exchange,
-    * map-side combined), one aggregate to class-size levels, and a
-    * cumulative window over the LEVEL frame (≤ distinct-class-size
-    * rows, single-partition by construction — the frame a global
-    * window is actually fine on).
-    */
   /** The per-source DATA CARD (Gebru et al., "Datasheets for Datasets",
     * 2018): one wide audit row per source composing the four
     * independent profile aggregations a release review reads together —
@@ -943,6 +913,28 @@ object Profile {
       .withColumn("nucleus_share_bp",
         coalesce(col("nucleus_share_bp"), lit(0L)))
 
+  /** k-anonymity profile over a quasi-identifier set (Sweeney, "k-
+    * Anonymity: a model for protecting privacy", IJUFKS 2002) — the
+    * governance audit a pipeline runs before releasing a table: every
+    * row whose quasi-identifier combination is shared by fewer than k
+    * rows is re-identifiable at strength k. Complements the q103 PII
+    * scrub (which removes direct identifiers; quasi-identifiers survive
+    * scrubbing by design).
+    *
+    * Output is the equivalence-CLASS-SIZE histogram with cumulative
+    * at-risk mass: one row per observed class size k —
+    * (class_size, n_classes, n_rows, cum_rows [rows in classes of size
+    * ≤ k], risk_bp [cum_rows·10⁴ div total]). "What fraction of rows is
+    * k-anonymous at k = 5?" reads off the row with class_size 5 (or the
+    * last one below it).
+    *
+    * Shape: the count-of-counts discipline again — one hash aggregate
+    * on the quasi-identifier key (the only corpus-sized exchange,
+    * map-side combined), one aggregate to class-size levels, and a
+    * cumulative window over the LEVEL frame (≤ distinct-class-size
+    * rows, single-partition by construction — the frame a global
+    * window is actually fine on).
+    */
   def kAnonymityProfile(df: DataFrame, quasiIds: Seq[String]): DataFrame = {
     require(quasiIds.nonEmpty, "quasiIds must be non-empty")
     Iterate.loop(df.sparkSession) { l =>

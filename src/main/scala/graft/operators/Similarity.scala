@@ -697,6 +697,14 @@ object Similarity {
   private def centroidDecisionFrame(l: Iterate.Loop, vecs: DataFrame,
       idCol: String, labelCol: String, vecCol: String): DataFrame = {
     val cents = l.pin(labelCentroidsMicro(vecs, labelCol, vecCol))
+    // the "Requires >= 2 labels" doc contract, ENFORCED: with one label
+    // __d[1] is null, so second_label/margin go null and rows sort
+    // nulls-first into the top-k (or crash callers on getLong) instead
+    // of failing clearly (ADVICE r12). The pinned frame is ≤|labels|
+    // rows — the count is free.
+    require(cents.count() >= 2,
+      "uncertaintyMarginTopK/labelNoiseTopK need >= 2 distinct labels " +
+        "(margin is the best-vs-second-centroid gap)")
     val one = cents
       .agg(collect_list(struct(col("label"), col("cu"))).as("__cents"))
     vecs.crossJoin(broadcast(one))
