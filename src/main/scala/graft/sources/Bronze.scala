@@ -83,15 +83,19 @@ object Bronze {
       .parquet(path)
 
   /** [[parsePayload]] with a quarantine split: rows whose payload fails
-    * `from_json` (null struct) go to a dead-letter frame carrying the raw
-    * envelope, instead of surviving as default-valued shells. Returns
-    * (good, quarantined).
+    * `from_json` go to a dead-letter frame carrying the raw envelope,
+    * instead of surviving as default-valued shells. Returns
+    * (good, quarantined). Quarantine catches BOTH failure shapes
+    * (probed empirically, pinned by WireFormatFuzzSpec at 10k cases):
+    * malformed/mistyped payloads, which PERMISSIVE mode parses to a
+    * struct whose dedicated corrupt-record column is set, AND
+    * null/empty/whitespace payloads, which `from_json` maps to a NULL
+    * struct with NO corrupt marker — the r12 accounting hole: filtering
+    * on the corrupt column alone let empty envelopes through as
+    * all-null "good" rows.
     */
   def parsePayloadWithQuarantine(envelope: DataFrame, source: String,
       schema: StructType): (DataFrame, DataFrame) = {
-    // PERMISSIVE from_json yields a struct of nulls for corrupt input (not
-    // a null struct) — corruption is only observable via the dedicated
-    // corrupt-record column
     val probe = org.apache.spark.sql.types.StructType(
       schema.fields :+ org.apache.spark.sql.types.StructField("_corrupt_record",
         org.apache.spark.sql.types.StringType))
@@ -99,10 +103,11 @@ object Bronze {
       .filter(col("source") === source)
       .withColumn("__data", from_json(col("payload"), probe,
         Map("columnNameOfCorruptRecord" -> "_corrupt_record")))
-    val bad = tagged.filter(col("__data._corrupt_record").isNotNull)
+    val isBad = col("__data").isNull || col("__data._corrupt_record").isNotNull
+    val bad = tagged.filter(isBad)
       .select(col("kol_id"), col("platform"), col("source"), col("payload"), col("ingest_ts"))
     val good = parsePayload(
-      tagged.filter(col("__data._corrupt_record").isNull).drop("__data"), source, schema)
+      tagged.filter(!isBad).drop("__data"), source, schema)
     (good, bad)
   }
 
