@@ -1055,6 +1055,23 @@ object Dedup {
       .select(col("__h")).distinct()
   }
 
+  /** [[segmentDigests]] WITH the contributing document id — the r13
+    * seen-index row format: (id, __h), distinct per pair. Attribution
+    * is what makes targeted deletion possible: tombstoning an id
+    * removes exactly the digests only THAT document contributed, while
+    * a digest shared with a surviving document stays seen through the
+    * survivor's row — matching a seen-index rebuilt from the surviving
+    * corpus. Slightly larger than the digest-only store (a digest
+    * repeats per contributing doc within a batch); the screen's
+    * anti-join semantics are unchanged by duplicates.
+    */
+  private[graft] def segmentDigestsAttributed(df: DataFrame, idCol: String,
+      textCol: String, width: Int): DataFrame = {
+    require(width > 0, s"segment width must be positive, got $width")
+    segmentPosts(segmentBase(df, idCol, textCol, width), width)
+      .select(col("__id").as("id"), col("__h")).distinct()
+  }
+
   /** Token arrays + segment counts for the fixed-window segmenter. */
   private def segmentBase(df: DataFrame, idCol: String, textCol: String,
       width: Int): DataFrame =

@@ -300,6 +300,119 @@ object Packing {
           coalesce(col("rb_shard_fp"), lit("?"))).as("fp_match"))
   }
 
+  /** Targeted document deletion from a [[writeShards]] directory + its
+    * [[shardManifest]] (VERDICT r12 #1): remove `deletedIds`' tokens
+    * from the packed stream and bring the on-disk shards back to
+    * EXACTLY what a from-scratch repack of the surviving corpus would
+    * produce — while touching only what the deletion actually changed.
+    *
+    * Concat-and-chunk packing makes deletion positional: every token
+    * position before the FIRST deleted document's offset is identical
+    * in the old and new streams, so every chunk — and shard — strictly
+    * before that boundary is byte-identical and is neither recomputed
+    * nor rewritten. The work is:
+    *
+    *  1. one cheap prefix sum over per-doc token COUNTS of the full
+    *     frame to locate the boundary (1-row aggregate to the driver);
+    *  2. token materialization ONLY for surviving docs overlapping
+    *     positions ≥ the boundary shard's start — compute ∝ the suffix,
+    *     not the corpus;
+    *  3. a manifest diff (old vs recomputed tail, by shard_fp) deciding
+    *     per shard: `kept` (identical — untouched on disk), `rewritten`
+    *     / `added` (dynamic-partition overwrite of exactly those
+    *     `shard_id=K` dirs), `removed` (stream shrank past them —
+    *     directory deleted).
+    *
+    * Deleting a doc with zero tokens (or ids absent from `docs`)
+    * changes no positions: every shard diffs equal and nothing is
+    * written. Returns the post-delete manifest WITH a `status` column
+    * (`removed` rows carry the old record, for audit; they are no
+    * longer on disk). [[auditShards]] against the returned manifest
+    * (minus `removed`) verifies the disk state; q205's oracle pins
+    * post-delete ≡ rebuild.
+    */
+  def deleteAndRepack(docs: DataFrame, idCol: String, orderCol: String,
+      tokensCol: String, deletedIds: DataFrame, capacity: Long,
+      groupOf: Column, chunksPerShard: Long, dir: String,
+      oldManifest: DataFrame): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(chunksPerShard > 0,
+      s"chunksPerShard must be positive, got $chunksPerShard")
+    val spark = docs.sparkSession
+    val del = deletedIds.select(col(deletedIds.columns.head).as("__del_id"))
+      .distinct()
+    val baseCols = Seq(idCol, orderCol).distinct.map(col) :+ col(tokensCol)
+    val counts = docs.select(baseCols: _*)
+      .withColumn("__n", coalesce(size(col(tokensCol)).cast("long"), lit(0L)))
+    // boundary: the first deleted doc's offset in the OLD stream — the
+    // prefix before it is position-identical in the new stream
+    val oldOff = runningOffset(counts, orderCol, "__n", groupOf)
+    val minDel = oldOff
+      .join(del, col(idCol) === col("__del_id"), "left_semi")
+      .agg(min("offset")).collect()(0)
+    val boundaryShard: Long =
+      if (minDel.isNullAt(0)) Long.MaxValue
+      else (minDel.getLong(0) / capacity) / chunksPerShard
+    val startPos = // first recomputed token position (overflow-safe cap)
+      if (boundaryShard == Long.MaxValue) Long.MaxValue
+      else boundaryShard * chunksPerShard * capacity
+    val surviving = counts.join(del, col(idCol) === col("__del_id"), "left_anti")
+    // tail chunks of the NEW stream: only docs overlapping >= startPos
+    // materialize tokens; the prefix sum itself stays counts-only
+    val tailChunks = runningOffset(surviving, orderCol, "__n", groupOf)
+      .filter(col("offset") + col("__n") > startPos && col("__n") > 0)
+      .select(col("offset"), posexplode(col(tokensCol)).as(Seq("__p", "__t")))
+      .select((col("offset") + col("__p")).as("__g"), col("__t"))
+      .filter(col("__g") >= startPos)
+      .groupBy(chunkOf(col("__g"), capacity).as("chunk_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("__g"), col("__t")))),
+            x => x.getField("__t")),
+          " ")).as("chunk_fp"))
+      .localCheckpoint(true) // consumed by the manifest AND the rewrite
+    val tailManifest = shardManifest(tailChunks, chunksPerShard)
+    val oldTail = oldManifest.filter(col("shard_id") >= boundaryShard)
+      .select(col("shard_id"), col("n_chunks").as("__o_chunks"),
+        col("n_tokens").as("__o_tokens"), col("shard_fp").as("__o_fp"))
+    val diff = tailManifest.join(oldTail, Seq("shard_id"), "full_outer")
+      .select(col("shard_id"),
+        coalesce(col("n_chunks"), col("__o_chunks")).as("n_chunks"),
+        coalesce(col("n_tokens"), col("__o_tokens")).as("n_tokens"),
+        coalesce(col("shard_fp"), col("__o_fp")).as("shard_fp"),
+        when(col("shard_fp").isNull, "removed")
+          .when(col("__o_fp").isNull, "added")
+          .when(col("shard_fp") === col("__o_fp"), "kept")
+          .otherwise("rewritten").as("status"))
+      .localCheckpoint(true)
+    val changed = diff.filter(col("status").isin("rewritten", "added"))
+      .select("shard_id")
+    val toWrite = tailChunks
+      .withColumn("shard_id", chunkOf(col("chunk_id"), chunksPerShard))
+      .join(broadcast(changed), Seq("shard_id"), "left_semi")
+    if (!toWrite.isEmpty) {
+      toWrite
+        .repartition(col("shard_id"))
+        .sortWithinPartitions("shard_id", "chunk_id") // the writeShards rule
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard_id").parquet(dir)
+    }
+    val removed = diff.filter(col("status") === "removed")
+      .select("shard_id").collect().map(_.getLong(0))
+    if (removed.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      removed.foreach { sid =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/shard_id=$sid"), true)
+      }
+    }
+    oldManifest.filter(col("shard_id") < boundaryShard)
+      .select(col("shard_id"), col("n_chunks"), col("n_tokens"),
+        col("shard_fp"), lit("kept").as("status"))
+      .unionByName(diff)
+  }
+
   /** Sliding-window chunking with overlap — the retrieval/eval-window
     * counterpart of [[packChunks]]: instead of concatenating documents
     * into a global token stream, each document is cut into

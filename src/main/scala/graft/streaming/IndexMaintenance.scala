@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Compaction for the partition-per-micro-batch index stores
@@ -47,10 +47,21 @@ object IndexMaintenance {
     * compacting an id the stream could still replay would let the
     * replay's partition overwrite duplicate rows already folded into
     * the compacted store.
+    *
+    * `transform` is an optional row filter applied to the folded data
+    * before it lands in `<prefix>-1` — the tombstone-application hook:
+    * deletion writes tombstones into a side store and readers anti-join
+    * them; compaction passes that same anti-join here so folded history
+    * is PHYSICALLY rid of deleted rows (the at-rest half of
+    * right-to-be-forgotten — a read-side mask alone leaves the bytes on
+    * disk). Identity when absent. Applying an idempotent filter is
+    * replay-safe: rows it removes are exactly the rows every reader
+    * already masks.
     */
   def compactBatchStore(spark: SparkSession, dir: String, prefix: String,
       upToBatch: Long, shuffleCols: Seq[String],
-      targetPartitions: Int = 8): Long = {
+      targetPartitions: Int = 8,
+      transform: DataFrame => DataFrame = identity): Long = {
     require(upToBatch >= 0, s"upToBatch must be >= 0, got $upToBatch")
     require(targetPartitions > 0,
       s"targetPartitions must be positive, got $targetPartitions")
@@ -71,7 +82,7 @@ object IndexMaintenance {
       (if (hasPrior) Seq(s"$dir/$compactedName") else Nil)
     val tmp = new Path(root, ".compact_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    spark.read.parquet(srcPaths: _*)
+    transform(spark.read.parquet(srcPaths: _*))
       .repartition(targetPartitions, shuffleCols.map(col): _*)
       .write.mode("overwrite").parquet(tmp.toString)
     toCompact.foreach { case (n, _) => fs.delete(new Path(root, n), true) }
@@ -118,6 +129,57 @@ object IndexMaintenance {
         s"batch $batchId replays into $dir whose history is compacted " +
           s"through $ct — its partition was folded away; run the ingest " +
           "with a durable checkpointDir (renumbered batch ids)")
+    }
+
+  // -------------------------------------------------------------------
+  // Tombstones: targeted deletion across the partition-per-batch stores
+  // -------------------------------------------------------------------
+
+  /** Name of the tombstone side-store under a store root. The leading
+    * underscore keeps it INVISIBLE to the root's partition discovery
+    * (same mechanism as `_compacted_through` and Spark's own `_SUCCESS`)
+    * while staying readable as an explicit path — so index readers that
+    * `spark.read.parquet(root)` keep working unchanged, and the
+    * batch-id listing guards never see it.
+    */
+  val TombstonesName = "_tombstones"
+
+  /** Record `ids` as deleted from the store at `dir` — the
+    * right-to-be-forgotten front door (VERDICT r12 #1). Tombstones are
+    * partition-per-batch like the store itself (`_tombstones/batch=N`),
+    * so a replayed deletion batch overwrites exactly its own partition
+    * (idempotent under foreachBatch's at-least-once contract — the
+    * streaming deletion face rides this directly). Deletion is GLOBAL:
+    * a tombstoned id is masked out of every store batch, past and
+    * future, until compaction folds the rows away physically.
+    */
+  def writeTombstones(ids: DataFrame, idCol: String, dir: String,
+      batchId: Long): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .write.mode("overwrite")
+      .parquet(s"$dir/$TombstonesName/batch=$batchId")
+
+  /** The deleted-id frame of the store at `dir`, if any deletion has
+    * ever been recorded: one `id` column, duplicates possible across
+    * deletion batches (anti-join semantics don't care).
+    */
+  def tombstoneIds(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new Path(dir, TombstonesName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString).select("id"))
+  }
+
+  /** Mask tombstoned rows out of a store read — the read-side half of
+    * deletion (the write-side half is [[compactBatchStore]]'s
+    * `transform`). No tombstone store → the frame passes through
+    * untouched (zero cost on never-deleted stores).
+    */
+  def dropTombstoned(df: DataFrame, idCol: String, spark: SparkSession,
+      dir: String): DataFrame =
+    tombstoneIds(spark, dir).fold(df) { t =>
+      df.join(t.select(col("id").as("__tomb_id")),
+        df(idCol) === col("__tomb_id"), "left_anti")
     }
 
   /** Data files currently under `dir` (recursive, non-hidden) — the

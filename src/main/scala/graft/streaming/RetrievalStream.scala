@@ -74,11 +74,46 @@ object RetrievalStream {
       upToBatch: Option[Long] = None): DataFrame = {
     def scoped(df: DataFrame): DataFrame =
       upToBatch.fold(df)(b => df.filter(col("batch") <= b))
-    val posting = scoped(spark.read.parquet(s"$indexDir/postings"))
+    // tombstones mask BOTH stores, so N, total, df, and every score
+    // recompute over the surviving corpus exactly as a from-scratch
+    // rebuild would (DeletionSpec + q205 pin the hash equality).
+    // Deletion is global and retroactive — a probe replayed after a
+    // deletion reflects the post-deletion index (the point of RTBF).
+    def live(df: DataFrame): DataFrame =
+      IndexMaintenance.dropTombstoned(df, "doc", spark, indexDir)
+    val posting = live(scoped(spark.read.parquet(s"$indexDir/postings")))
       .select("doc", "dl", "term", "tf")
-    val docs = scoped(spark.read.parquet(s"$indexDir/docs"))
+    val docs = live(scoped(spark.read.parquet(s"$indexDir/docs")))
     val tot = docs.agg(count(lit(1)).as("n"), sum("dl").as("total"))
     Retrieval.bm25FromPostings(posting, tot, queryTerms, k)
+  }
+
+  /** Delete documents from the stored index (VERDICT r12 #1 — the
+    * most common compliance operation on a real corpus): record
+    * tombstones under the [[IndexMaintenance.writeTombstones]]
+    * convention. Every subsequent [[bm25OverIndex]] masks the ids from
+    * postings AND doc-lengths — so corpus statistics shrink exactly as
+    * a rebuild on the surviving corpus would — and the next [[compact]]
+    * removes the rows physically. Idempotent per (ids, batchId); the
+    * streaming face is [[deletionIngest]].
+    */
+  def deleteDocs(ids: DataFrame, idCol: String, indexDir: String,
+      batchId: Long): Unit =
+    IndexMaintenance.writeTombstones(ids, idCol, indexDir, batchId)
+
+  /** The streaming deletion face: a tombstone stream (one id column)
+    * retracts documents from the live index per micro-batch — the
+    * ingest-time mirror of [[deleteDocs]], replay-idempotent because
+    * tombstones are partition-per-batch like the index itself.
+    */
+  def deletionIngest(ids: DataFrame, idCol: String, indexDir: String,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = ids.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        deleteDocs(batch, idCol, indexDir, batchId)
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
   }
 
   /** One quality-probe tick: batch [[graft.operators.Evaluation
@@ -133,10 +168,15 @@ object RetrievalStream {
     */
   def compact(spark: SparkSession, indexDir: String, upToBatch: Long,
       targetPartitions: Int = 8): Long = {
+    // tombstoned docs are dropped from the folded data — deletion's
+    // at-rest half; the tombstone store itself stays (it keeps masking
+    // numbered partitions >= upToBatch and is tiny)
+    val live: DataFrame => DataFrame =
+      IndexMaintenance.dropTombstoned(_, "doc", spark, indexDir)
     val n = IndexMaintenance.compactBatchStore(spark, s"$indexDir/postings",
-      "batch=", upToBatch, Seq("term"), targetPartitions)
+      "batch=", upToBatch, Seq("term"), targetPartitions, live)
     IndexMaintenance.compactBatchStore(spark, s"$indexDir/docs",
-      "batch=", upToBatch, Seq("doc"), targetPartitions)
+      "batch=", upToBatch, Seq("doc"), targetPartitions, live)
     n
   }
 }

@@ -104,8 +104,9 @@ object StreamingDedup {
     val indexedIds = guardedIndexedBatchIds(batch, batchId, indexDir)
     val existing =
       if (indexedIds.isEmpty) newBands.limit(0)
-      else spark.read.parquet(indexDir)
-        .filter(col("batch_id") < batchId)
+      else IndexMaintenance.dropTombstoned(
+        spark.read.parquet(indexDir).filter(col("batch_id") < batchId),
+        "id", spark, indexDir)
         .select("id", "band", "bucket")
     val cands = Dedup.minhashCandidatesIncremental(batch, idCol, textCol,
       existing, bands, rowsPerBand, shingleW, family, maxBucketSize)
@@ -126,7 +127,8 @@ object StreamingDedup {
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, upToBatch: Long, targetPartitions: Int = 8): Long =
     IndexMaintenance.compactBatchStore(spark, indexDir, "batch_id=",
-      upToBatch, Seq("band", "bucket"), targetPartitions)
+      upToBatch, Seq("band", "bucket"), targetPartitions,
+      IndexMaintenance.dropTombstoned(_, "id", spark, indexDir))
 
   /** [[compactIndex]] for a [[screenSegmentsBatch]] seen-digest index:
     * closed batch partitions fold into `batch_id=-1` repartitioned on
@@ -135,7 +137,8 @@ object StreamingDedup {
   def compactSegmentIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, upToBatch: Long, targetPartitions: Int = 8): Long =
     IndexMaintenance.compactBatchStore(spark, indexDir, "batch_id=",
-      upToBatch, Seq("__h"), targetPartitions)
+      upToBatch, Seq("__h"), targetPartitions,
+      IndexMaintenance.dropTombstoned(_, "id", spark, indexDir))
 
   /** Batch ids already present in the partition-per-batch index at
     * `indexDir`, with the renumbered-restart guard applied.
@@ -195,15 +198,49 @@ object StreamingDedup {
       textCol: String, indexDir: String, width: Int = 16): DataFrame = {
     val spark = batch.sparkSession
     val indexedIds = guardedIndexedBatchIds(batch, batchId, indexDir)
+    // the seen-index rows are ATTRIBUTED (id, __h) since r13 so that a
+    // tombstoned document's digests become unseen again — unless a
+    // surviving document also contributed them (its row keeps the
+    // digest seen), exactly a rebuild on the surviving corpus
     val seen =
-      if (indexedIds.isEmpty) Dedup.segmentDigests(batch.limit(0), idCol, textCol, width)
-      else spark.read.parquet(indexDir)
-        .filter(col("batch_id") < batchId)
+      if (indexedIds.isEmpty)
+        Dedup.segmentDigestsAttributed(batch.limit(0), idCol, textCol, width)
+          .select("__h")
+      else IndexMaintenance.dropTombstoned(
+        spark.read.parquet(indexDir).filter(col("batch_id") < batchId),
+        "id", spark, indexDir)
         .select("__h")
     val screened = Dedup.segmentDedupAgainst(batch, idCol, textCol, width, seen)
-    Dedup.segmentDigests(batch, idCol, textCol, width)
+    Dedup.segmentDigestsAttributed(batch, idCol, textCol, width)
       .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
     screened
+  }
+
+  /** Delete documents from a screening index at `indexDir` (either the
+    * LSH band store or the attributed segment-digest store — both key
+    * their rows by the contributing `id`): record tombstones under the
+    * [[IndexMaintenance.writeTombstones]] convention. Every subsequent
+    * screen masks the ids (a deleted document can never again be
+    * emitted as the `existing` side of a candidate pair, and its
+    * segments count as unseen), and the next compaction drops the rows
+    * physically. Idempotent per (ids, batchId).
+    */
+  def deleteDocs(ids: DataFrame, idCol: String, indexDir: String,
+      batchId: Long): Unit =
+    IndexMaintenance.writeTombstones(ids, idCol, indexDir, batchId)
+
+  /** The streaming deletion face ([[deleteDocs]] per micro-batch of a
+    * tombstone id stream) — replay-idempotent by the
+    * partition-per-batch convention.
+    */
+  def deletionIngest(ids: DataFrame, idCol: String, indexDir: String,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = ids.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        deleteDocs(batch, idCol, indexDir, batchId)
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
   }
 
   /** The streaming face of [[screenSegmentsBatch]]: a `foreachBatch`
