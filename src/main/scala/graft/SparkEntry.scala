@@ -15,7 +15,7 @@ object SparkEntry {
     Relational.all ++ Scoring.all ++ Windows.all ++ TextOps.all ++
       VectorOps.all ++ ServingOps.all ++ MedallionOps.all ++ CurationOps.all ++
       PipelineOps.all ++ ValidationOps.all ++ RankingOps.all ++
-      TokenizerOps.all
+      TokenizerOps.all ++ LifecycleOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,338 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Packing, Similarity}
+import graft.streaming.{RetrievalStream, StreamingDedup}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus LIFECYCLE queries (VERDICT r12 #1/#2): the operations a
+  * 100 TB corpus needs BETWEEN builds — targeted deletion across every
+  * persisted store (q205) and delta-driven incremental refresh (q206).
+  * Both are verified the strongest way available: the Spark side
+  * mutates real on-disk stores and reads them back; the DuckDB oracle
+  * recomputes each readout FROM SCRATCH over the surviving/new corpus —
+  * a hash match proves the incremental path ≡ the rebuild.
+  */
+object LifecycleOps {
+
+  /** DuckDB tokenizer twin (TextOps.T). */
+  private val T = "list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)"
+
+  /** Deletion set: doc_id % 13 = 5 (~7.7% of the corpus). */
+  private val DelPred = "doc_id % 13 = 5"
+
+  /** Serialize-sort-md5 fingerprint of a readout frame — one audit row
+    * per store so the whole multi-store parity is one hash check.
+    * Spark twin of `md5(coalesce(string_agg(r, '|' ORDER BY r), ''))`.
+    */
+  private def fpRow(df: DataFrame, store: String, rowStr: Column): DataFrame =
+    df.select(rowStr.as("r"))
+      .agg(count(lit(1)).as("n_rows"),
+        md5(array_join(array_sort(collect_list(col("r"))), "|")).as("fp"))
+      .select(lit(store).as("store"), col("n_rows"), col("fp"))
+
+  /** The oracle-side fingerprint SELECT over a CTE exposing `r`. */
+  private def fpSql(store: String, from: String): String =
+    s"SELECT '$store' AS store, CAST(count(*) AS BIGINT) AS n_rows, " +
+      s"md5(coalesce(string_agg(r, '|' ORDER BY r), ''))" +
+      s" AS fp FROM $from"
+
+  /** Fresh scratch dir per (query, sf): deletes any prior state first —
+    * the batch-id guards refuse writes into a store already holding
+    * higher ids, so a bench re-run must start from empty.
+    */
+  private def scratch(spark: SparkSession, sfDir: String, tag: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_lifecycle/" +
+      s"$tag/${new java.io.File(sfDir).getName}"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    dir
+  }
+
+  // -------------------------------------------------------------------
+  // q205 oracle: five rebuild-from-scratch chains over the survivors
+  // -------------------------------------------------------------------
+
+  private def q205Sql: String = {
+    val F = Dedup.PortableHashFamily
+    val (perms, bands, rpb) = (16, 4, 4)
+    val mins = (0 until perms)
+      .map(i => s"min(${F.permuteSql("h", i)}) AS m$i").mkString(",\n  ")
+    val bandRows = (0 until bands).map { b =>
+      val cols = (b * rpb until (b + 1) * rpb).map(i => s"m$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS bucket FROM mh_sig"
+    }.mkString("\n  UNION ALL ")
+    val shingles =
+      """CASE WHEN len(tk) = 0 THEN []
+        |     ELSE list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
+        |       i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END""".stripMargin
+    s"""WITH sdocs AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE NOT ($DelPred)),
+       |-- A. BM25 over the surviving corpus (q109's chain)
+       |bq AS (SELECT CAST(a AS BIGINT) AS qid, b AS term
+       |  FROM (VALUES (1,'hash'),(1,'join'),(2,'window'),(2,'agg'),
+       |               (3,'spark'),(3,'stream'),(3,'data')) v(a, b)),
+       |btoks AS (SELECT doc_id, $T AS tk FROM sdocs),
+       |bposting AS (
+       |  SELECT doc_id, t AS term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(tk) AS t FROM btoks) GROUP BY 1, 2),
+       |bdl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM btoks),
+       |btot AS (SELECT count(*) AS n, CAST(sum(len(tk)) AS BIGINT) AS total
+       |         FROM btoks),
+       |bdft AS (
+       |  SELECT term, count(*) AS df FROM bposting
+       |  WHERE term IN (SELECT DISTINCT term FROM bq) GROUP BY 1),
+       |bidf AS (
+       |  SELECT term,
+       |    CAST(floor(ln(CAST(2 * btot.n + 2 AS DOUBLE) / (2 * df + 1))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS idf_u
+       |  FROM bdft CROSS JOIN btot),
+       |bcontrib AS (
+       |  SELECT bq.qid, p.doc_id,
+       |    (bidf.idf_u * 22 * p.tf * t.total)
+       |      // (10 * p.tf * t.total + 3 * t.total + 9 * bdl.dl * t.n) AS c
+       |  FROM bq JOIN bposting p USING (term) JOIN bidf USING (term)
+       |  JOIN bdl ON bdl.doc_id = p.doc_id CROSS JOIN btot t),
+       |bscore AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_u
+       |           FROM bcontrib GROUP BY 1, 2),
+       |branked AS (
+       |  SELECT qid, doc_id, score_u,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY score_u DESC, doc_id) AS rnk
+       |  FROM bscore),
+       |b_r AS (SELECT concat_ws(':', qid, doc_id, score_u, rnk) AS r
+       |        FROM branked WHERE rnk <= 10),
+       |-- B. segment screen of the deleted docs RE-INGESTED (w=16):
+       |-- kept = first batch occurrence of a digest not seen among the
+       |-- survivors (the forgotten-content readout)
+       |sg_st AS (SELECT doc_id, $T AS tk FROM sdocs),
+       |sg_sg AS (
+       |  SELECT doc_id, tk,
+       |    unnest(generate_series(0, CAST(ceil(len(tk)/16.0) AS BIGINT) - 1)) AS idx
+       |  FROM sg_st WHERE len(tk) > 0),
+       |sg_seen AS (
+       |  SELECT DISTINCT md5(array_to_string(tk[idx*16+1 : idx*16+16], ' ')) AS h
+       |  FROM sg_sg),
+       |sg_probe AS (
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE $DelPred),
+       |sg_pt AS (SELECT doc_id, $T AS tk FROM sg_probe),
+       |sg_pg AS (
+       |  SELECT doc_id, tk,
+       |    unnest(generate_series(0, CAST(ceil(len(tk)/16.0) AS BIGINT) - 1)) AS idx
+       |  FROM sg_pt WHERE len(tk) > 0),
+       |sg_ps AS (
+       |  SELECT doc_id, idx,
+       |    array_to_string(tk[idx*16+1 : idx*16+16], ' ') AS seg
+       |  FROM sg_pg),
+       |sg_k AS (
+       |  SELECT doc_id, idx, seg, md5(seg) AS h,
+       |    row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, idx) AS rn
+       |  FROM sg_ps),
+       |sg_kept AS (
+       |  SELECT doc_id, idx, seg FROM sg_k
+       |  WHERE rn = 1 AND h NOT IN (SELECT h FROM sg_seen)),
+       |sg_a AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    string_agg(seg, ' ' ORDER BY idx) AS kept_text
+       |  FROM sg_kept GROUP BY doc_id),
+       |sg_r AS (
+       |  SELECT concat_ws(':', p.doc_id,
+       |    CAST(ceil(len(tk)/16.0) AS BIGINT),
+       |    coalesce(a.n_kept, 0), md5(coalesce(a.kept_text, ''))) AS r
+       |  FROM sg_pt p LEFT JOIN sg_a a USING (doc_id)),
+       |-- C. shard manifest of the surviving corpus (q93's chain)
+       |sh_c AS (SELECT doc_id, $T AS tk FROM sdocs),
+       |sh_n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM sh_c),
+       |sh_o AS (
+       |  SELECT doc_id, tk, n,
+       |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS off
+       |  FROM sh_n),
+       |sh_g AS (
+       |  SELECT doc_id, off, unnest(generate_series(1, n)) AS i, tk
+       |  FROM sh_o WHERE n > 0),
+       |sh_tok AS (SELECT off + i - 1 AS gpos, tk[i] AS tok FROM sh_g),
+       |sh_chunks AS (
+       |  SELECT gpos // 256 AS chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    md5(string_agg(tok, ' ' ORDER BY gpos)) AS chunk_fp
+       |  FROM sh_tok GROUP BY 1),
+       |sh_man AS (
+       |  SELECT chunk_id // 4 AS shard_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |    md5(string_agg(chunk_fp, ' ' ORDER BY chunk_id)) AS shard_fp
+       |  FROM sh_chunks GROUP BY 1),
+       |sh_r AS (SELECT concat_ws(':', shard_id, n_chunks, n_tokens, shard_fp)
+       |           AS r FROM sh_man),
+       |-- D. IVF cell store: frozen centroids from the FULL corpus
+       |-- (deletion never refits the quantizer), cells/search over the
+       |-- survivors (q185's chain)
+       |cv AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ne
+       |       FROM embeddings WHERE vec_id % 13 <> 5),
+       |ccents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+       |           FROM embeddings
+       |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 12),
+       |cassign AS (
+       |  SELECT nid, ne, cid,
+       |    list_dot_product(ce, ce) - 2 * list_dot_product(ne, ce) AS dist
+       |  FROM cv CROSS JOIN ccents),
+       |ccells AS (
+       |  SELECT nid, ne, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY nid ORDER BY dist, cid) AS rn
+       |    FROM cassign) WHERE rn = 1),
+       |cq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+       |       FROM embeddings WHERE vec_id < 10 AND vec_id % 13 <> 5),
+       |cqassign AS (
+       |  SELECT qid, qe, cid,
+       |    list_dot_product(ce, ce) - 2 * list_dot_product(qe, ce) AS dist
+       |  FROM cq CROSS JOIN ccents),
+       |cprobes AS (
+       |  SELECT qid, qe, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+       |    FROM cqassign) WHERE rn <= 3),
+       |cscored AS (
+       |  SELECT qid, cprobes.cell AS cell, nid,
+       |    list_cosine_similarity(qe, ne) AS cos
+       |  FROM cprobes JOIN ccells ON cprobes.cell = ccells.cell
+       |  WHERE qid <> nid),
+       |cranked AS (
+       |  SELECT qid, cell, nid,
+       |    CAST(floor(cos * 10000.0 + 0.5) AS BIGINT) AS cos_u,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM cscored),
+       |c_r AS (SELECT concat_ws(':', qid, cell, nid, cos_u, rank) AS r
+       |        FROM cranked WHERE rank <= 3),
+       |-- E. MinHash screen: survivors (original ids) + re-ingested
+       |-- deleted docs (id+1000000) as the new side (q63's chain)
+       |mh_docs AS (
+       |  SELECT doc_id, text FROM sdocs
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE $DelPred),
+       |mh_toks AS (SELECT doc_id, $T AS tk FROM mh_docs),
+       |mh_sh AS (SELECT doc_id, $shingles AS shingles FROM mh_toks),
+       |mh_post AS (SELECT doc_id, unnest(shingles) AS s FROM mh_sh),
+       |mh_h AS (SELECT doc_id, ${F.firstLevelSql("s")} AS h FROM mh_post),
+       |mh_sig AS (SELECT doc_id,
+       |  $mins
+       |  FROM mh_h GROUP BY doc_id),
+       |mh_bnd AS ($bandRows),
+       |mh_tag AS (SELECT doc_id, band, bucket, (doc_id >= 1000000) AS is_new
+       |           FROM mh_bnd),
+       |mh_small AS (SELECT band, bucket FROM mh_tag
+       |             GROUP BY band, bucket HAVING count(*) <= 100000),
+       |mh_kept AS (SELECT t.* FROM mh_tag t JOIN mh_small USING (band, bucket)),
+       |mh_pairs AS (
+       |  SELECT least(a.doc_id, b.doc_id) AS id_a,
+       |    greatest(a.doc_id, b.doc_id) AS id_b,
+       |    CAST(count(*) AS BIGINT) AS nb
+       |  FROM mh_kept a JOIN mh_kept b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |   AND b.is_new AND a.doc_id <> b.doc_id
+       |   AND (NOT a.is_new OR a.doc_id < b.doc_id)
+       |  GROUP BY 1, 2),
+       |mh_r AS (SELECT concat_ws(':', id_a, id_b, nb) AS r FROM mh_pairs)
+       |${fpSql("bm25", "b_r")}
+       |UNION ALL ${fpSql("segment_screen", "sg_r")}
+       |UNION ALL ${fpSql("shards", "sh_r")}
+       |UNION ALL ${fpSql("cell_store", "c_r")}
+       |UNION ALL ${fpSql("minhash_screen", "mh_r")}""".stripMargin
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // q205: targeted deletion ≡ rebuild-from-scratch, across EVERY
+    // persisted store in one hash check (VERDICT r12 #1). The Spark
+    // side builds each store from the FULL corpus on disk (two ingest
+    // batches where the store is batch-partitioned), deletes
+    // doc_id % 13 = 5 through the store's own deletion path (tombstones
+    // for the inverted index and both screening indexes, targeted
+    // partition rewrite for the IVF cell store, boundary-restricted
+    // repack for the shards), then reads the post-delete store back.
+    // The oracle never sees a store: it recomputes all five readouts
+    // from the SURVIVING corpus directly — search results, the
+    // forgotten-content segment screen of the deleted docs re-ingested,
+    // the shard manifest, IVF hits under the frozen quantizer, and the
+    // minhash candidate pairs of the re-ingested deleted docs. One
+    // fingerprint row per store; DeletionSpec holds the file-level pins
+    // (untouched shards/cells not rewritten, physical compaction).
+    QueryDef.sql("q205_delete_rebuild_parity", q205Sql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val deleted = docs.filter(expr(DelPred)).select("doc_id")
+        .localCheckpoint(true) // consumed by five sections
+      val probe = docs.filter(expr(DelPred))
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val b0 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val b1 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+
+      // A. inverted index: ingest 2 batches, tombstone, search
+      val dirA = scratch(s, d, "bm25")
+      RetrievalStream.indexBatch(b0, 0L, "doc_id", "text", dirA)
+      RetrievalStream.indexBatch(b1, 1L, "doc_id", "text", dirA)
+      RetrievalStream.deleteDocs(deleted, "doc_id", dirA, 0L)
+      import s.implicits._
+      val q = Seq((1L, "hash"), (1L, "join"), (2L, "window"), (2L, "agg"),
+        (3L, "spark"), (3L, "stream"), (3L, "data")).toDF("qid", "term")
+      val bm25 = fpRow(
+        RetrievalStream.bm25OverIndex(s, dirA, q, 10),
+        "bm25", concat_ws(":", col("qid"), col("doc"), col("score_u"), col("rnk")))
+
+      // B. segment seen-index: ingest, tombstone, re-ingest the deleted
+      val dirB = scratch(s, d, "segment")
+      StreamingDedup.screenSegmentsBatch(b0, 0L, "doc_id", "text", dirB).count()
+      StreamingDedup.screenSegmentsBatch(b1, 1L, "doc_id", "text", dirB).count()
+      StreamingDedup.deleteDocs(deleted, "doc_id", dirB, 0L)
+      val seg = fpRow(
+        StreamingDedup.screenSegmentsBatch(probe, 2L, "doc_id", "text", dirB),
+        "segment_screen", concat_ws(":", col("doc_id"), col("n_segs"),
+          col("n_kept"), md5(col("kept_text"))))
+
+      // C. shards: write, boundary-restricted repack
+      val dirC = scratch(s, d, "shards")
+      val tdocs = docs.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("tk"))
+      val chunks = Packing.packChunks(tdocs, "doc_id", "tk",
+        capacity = 256, groupOf = expr("doc_id div 64"))
+      val manifest = Packing.shardManifest(chunks, 4).localCheckpoint(true)
+      Packing.writeShards(chunks, dirC, 4)
+      val shards = fpRow(
+        Packing.deleteAndRepack(tdocs, "doc_id", "doc_id", "tk", deleted,
+            256, expr("doc_id div 64"), 4, dirC, manifest)
+          .filter(col("status") =!= "removed"),
+        "shards", concat_ws(":", col("shard_id"), col("n_chunks"),
+          col("n_tokens"), col("shard_fp")))
+
+      // D. IVF cell store: frozen quantizer, targeted partition rewrite
+      val dirD = scratch(s, d, "cells") + "/store"
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val cents = Similarity.sampleCentroidsPortable(emb, 12)
+      Similarity.writeCellStore(emb, cents, dirD)
+      Similarity.deleteFromCellStore(s, dirD,
+        emb.filter(expr("id % 13 = 5")).select("id"))
+      val cells = fpRow(
+        Similarity.searchCellStore(s, dirD,
+          emb.filter(col("id") < 10 && expr("id % 13 <> 5")), 3, 3, cents),
+        "cell_store", concat_ws(":", col("qid"), col("cell"), col("nid"),
+          floor(col("cosine") * 10000.0 + 0.5).cast("long"), col("rank")))
+
+      // E. minhash band index: ingest, tombstone, screen the re-ingest
+      val dirE = scratch(s, d, "minhash")
+      val F = Dedup.PortableHashFamily
+      StreamingDedup.screenAndIndexBatch(b0, 0L, "doc_id", "text", dirE,
+        family = F).count()
+      StreamingDedup.screenAndIndexBatch(b1, 1L, "doc_id", "text", dirE,
+        family = F).count()
+      StreamingDedup.deleteDocs(deleted, "doc_id", dirE, 0L)
+      val minhash = fpRow(
+        StreamingDedup.screenAndIndexBatch(probe, 2L, "doc_id", "text", dirE,
+          family = F),
+        "minhash_screen", concat_ws(":", col("id_a"), col("id_b"),
+          col("n_bands_shared")))
+
+      bm25.unionByName(seg).unionByName(shards).unionByName(cells)
+        .unionByName(minhash)
+    })
+}
