@@ -357,9 +357,74 @@ object Packing {
       if (boundaryShard == Long.MaxValue) Long.MaxValue
       else boundaryShard * chunksPerShard * capacity
     val surviving = counts.join(del, col(idCol) === col("__del_id"), "left_anti")
-    // tail chunks of the NEW stream: only docs overlapping >= startPos
-    // materialize tokens; the prefix sum itself stays counts-only
-    val tailChunks = runningOffset(surviving, orderCol, "__n", groupOf)
+    repackFromBoundary(runningOffset(surviving, orderCol, "__n", groupOf),
+      tokensCol, capacity, chunksPerShard, boundaryShard, dir, oldManifest)
+  }
+
+  /** Incremental repack against an ARBITRARY prior packing input — the
+    * generalization of [[deleteAndRepack]] a refresh needs when the new
+    * stream differs by more than deletions (documents added, changed,
+    * reordered by shifted global thresholds): diff the prior and new
+    * packing inputs as (order key, token count, content fingerprint)
+    * frames — counts-only, no token materialization — take the FIRST
+    * differing key's stream position (the two streams are identical
+    * before it, so its offset agrees on whichever side defines it) as
+    * the boundary, and hand off to the shared boundary-restricted
+    * repack: shards strictly before the boundary are untouched, the
+    * suffix recomputes from the new stream, and only shards whose
+    * fingerprint actually changed are written.
+    *
+    * `oldInput`: (orderCol, countCol, fpCol) — the PRIOR run's packing
+    * input, persisted as an artifact next to the manifest. `newDocs`:
+    * (orderCol, tokensCol, fpCol) — the new stream. Returns the
+    * post-refresh manifest with `status` like [[deleteAndRepack]].
+    */
+  def incrementalRepack(oldInput: DataFrame, newDocs: DataFrame,
+      orderCol: String, tokensCol: String, fpCol: String, countCol: String,
+      capacity: Long, groupOf: Column, chunksPerShard: Long, dir: String,
+      oldManifest: DataFrame): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(chunksPerShard > 0,
+      s"chunksPerShard must be positive, got $chunksPerShard")
+    val newCounts = newDocs
+      .withColumn("__n", coalesce(size(col(tokensCol)).cast("long"), lit(0L)))
+    val newOff = runningOffset(newCounts, orderCol, "__n", groupOf)
+    val oldOff = runningOffset(
+      oldInput.withColumn("__n", col(countCol).cast("long")),
+      orderCol, "__n", groupOf)
+    val firstDiff = oldOff
+      .select(col(orderCol).as("__k"), col("__n").as("__on"),
+        col(fpCol).as("__ofp"), col("offset").as("__ooff"))
+      .join(newOff.select(col(orderCol).as("__k"), col("__n").as("__nn"),
+        col(fpCol).as("__nfp"), col("offset").as("__noff")),
+        Seq("__k"), "full_outer")
+      .filter(col("__on").isNull || col("__nn").isNull ||
+        col("__on") =!= col("__nn") || !(col("__ofp") <=> col("__nfp")))
+      .agg(min(coalesce(least(col("__ooff"), col("__noff")),
+        col("__ooff"), col("__noff")))).collect()(0)
+    val boundaryShard: Long =
+      if (firstDiff.isNullAt(0)) Long.MaxValue
+      else (firstDiff.getLong(0) / capacity) / chunksPerShard
+    repackFromBoundary(newOff, tokensCol, capacity, chunksPerShard,
+      boundaryShard, dir, oldManifest)
+  }
+
+  /** Shared boundary-restricted tail of [[deleteAndRepack]] and
+    * [[incrementalRepack]]: recompute the new stream's chunks from the
+    * boundary shard's first token position (tokens materialize only for
+    * overlapping docs), diff against the old manifest per shard, write
+    * only changed shard dirs (dynamic partition overwrite, the
+    * writeShards sort rule), delete removed ones, and return the
+    * post-refresh manifest with per-shard status.
+    */
+  private def repackFromBoundary(newOffsets: DataFrame, tokensCol: String,
+      capacity: Long, chunksPerShard: Long, boundaryShard: Long,
+      dir: String, oldManifest: DataFrame): DataFrame = {
+    val spark = newOffsets.sparkSession
+    val startPos =
+      if (boundaryShard == Long.MaxValue) Long.MaxValue
+      else boundaryShard * chunksPerShard * capacity
+    val tailChunks = newOffsets
       .filter(col("offset") + col("__n") > startPos && col("__n") > 0)
       .select(col("offset"), posexplode(col(tokensCol)).as(Seq("__p", "__t")))
       .select((col("offset") + col("__p")).as("__g"), col("__t"))

@@ -225,6 +225,67 @@ class DeletionSpec extends SparkSpec {
     assert(noop.filter(col("status") =!= "kept").count() == 0L)
   }
 
+  test("incrementalRepack: refresh ≡ rebuild; kept prefix untouched on disk") {
+    val dir = Files.createTempDirectory("increpack").toString + "/shards"
+    val groupOf = substring(col("okey"), 1, 8)
+    val (cap, cps) = (8L, 2L)
+    def input(rows: Seq[(String, String)]) = rows.toDF("okey", "text")
+      .select(col("okey"),
+        graft.functions.TextFunctions.tokens(col("text")).as("tk"),
+        md5(col("text")).as("fp"))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+    // prior stream: 6 docs of 8 tokens → 6 chunks → 3 shards
+    def tok8(seed: String) = (1 to 8).map(i => s"$seed$i").mkString(" ")
+    val aRows = (1 to 6).map(i => f"k$i%03d" -> tok8(s"a$i"))
+    val aIn = input(aRows)
+    val chunksA = Packing.packChunks(aIn, "okey", "tk", cap, groupOf)
+    val manifestA = Packing.shardManifest(chunksA, cps).localCheckpoint(true)
+    Packing.writeShards(chunksA, dir, cps)
+    val before = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("shard_id="))
+      .flatMap(_.listFiles).map(f => f.getPath -> f.lastModified).toMap
+    // new stream: doc 5 changed, doc 6 removed, doc 7 added — the first
+    // difference sits at position 4*8, i.e. shard 2; shards 0-1 keep
+    val bRows = aRows.take(4) ++ Seq("k005" -> tok8("c5"), "k007" -> tok8("a7"))
+    val bIn = input(bRows)
+    val result = Packing.incrementalRepack(
+        aIn.select("okey", "n_tokens", "fp"), bIn,
+        "okey", "tk", "fp", "n_tokens", cap, groupOf, cps, dir, manifestA)
+      .localCheckpoint(true)
+    val statuses = result.select("shard_id", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(statuses == Map(0L -> "kept", 1L -> "kept", 2L -> "rewritten"),
+      statuses.toString)
+    // the post-refresh disk state audits clean against a from-scratch
+    // repack of the new stream
+    val expect = Packing
+      .shardManifest(Packing.packChunks(bIn, "okey", "tk", cap, groupOf), cps)
+      .collect().map(r => (r.getLong(0), r.getString(3))).sortBy(_._1).toSeq
+    val got = result.filter(col("status") =!= "removed")
+      .select("shard_id", "shard_fp")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == expect)
+    val audit = Packing.auditShards(spark, dir,
+      result.filter(col("status") =!= "removed")
+        .select("shard_id", "n_chunks", "n_tokens", "shard_fp"))
+    assert(audit.filter(!col("fp_match")).count() == 0L)
+    // kept shard files untouched
+    before.foreach { case (path, mtime) =>
+      val sid = path.replaceAll(".*shard_id=([0-9]+).*", "$1").toLong
+      if (statuses.get(sid).contains("kept")) {
+        val f = new java.io.File(path)
+        assert(f.exists && f.lastModified == mtime, s"kept shard rewritten: $path")
+      }
+    }
+    // identical streams → every shard kept, nothing written
+    val noop = Packing.incrementalRepack(
+      bIn.select("okey", "n_tokens", "fp"), bIn,
+      "okey", "tk", "fp", "n_tokens", cap, groupOf, cps, dir,
+      result.filter(col("status") =!= "removed")
+        .select("shard_id", "n_chunks", "n_tokens", "shard_fp"))
+    assert(noop.filter(col("status") =!= "kept").count() == 0L)
+  }
+
   test("streaming deletion face: tombstone stream ≡ batch deleteDocs") {
     implicit val ctx = spark.sqlContext
     val dir = Files.createTempDirectory("delstream").toString
