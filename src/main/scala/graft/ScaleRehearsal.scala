@@ -687,6 +687,72 @@ object ScaleRehearsal {
     // all closed batches into the term-partitioned batch=-1 store),
     // re-measure: results identical (spec-pinned), files collapse
     // ~100× and the read wall drops to the single-store cost.
+    // Incremental-refresh ladder (r13, q206): prior shards from an
+    // n-doc append-ordered stream; the refresh changes the LAST f% and
+    // adds f/2% new docs. Full rebuild repacks (and rewrites) the whole
+    // stream; incrementalRepack pays a counts-only prefix sum over the
+    // corpus plus token materialization and writes for the suffix only
+    // — the claim is wall ∝ delta at fixed n, and incremental ≪ full at
+    // every n. Outputs both walls plus the kept/rewritten shard split.
+    if (args.contains("--refresh-only")) {
+      import graft.operators.Packing
+      val (cap, cps) = (2048L, 8L)
+      val groupOf = substring(col("okey"), 1, 7)
+      def stream(n: Long, changedFrom: Long, salt: String) =
+        corpus(spark, n).select(
+          lpad(col("id").cast("string"), 10, "0").as("okey"),
+          expr(s"""CASE WHEN id >= $changedFrom
+                   THEN concat(text, ' $salt', cast(id AS string))
+                   ELSE text END""").as("text"))
+          .select(col("okey"),
+            graft.functions.TextFunctions.tokens(col("text")).as("tk"),
+            md5(col("text")).as("fp"))
+          .withColumn("n_tokens", size(col("tk")).cast("long"))
+      val rScales = if (posArgs.nonEmpty) posArgs.map(_.toLong)
+      else Seq(100000L, 400000L)
+      val ladder = rScales.flatMap { n =>
+        Seq(100L, 400L, 1600L).map { fBp => // delta in bp of n
+          val delta = n * fBp / 10000L
+          val dir = java.nio.file.Files
+            .createTempDirectory(s"refresh_rung_$n").toString + "/shards"
+          val aIn = stream(n, n, "x").cache(); aIn.count()
+          val chunksA = Packing.packChunks(aIn, "okey", "tk", cap, groupOf)
+          val manifestA = Packing.shardManifest(chunksA, cps)
+            .localCheckpoint(true)
+          Packing.writeShards(chunksA, dir, cps)
+          // new stream: last `delta` docs changed + delta/2 added
+          val bIn = stream(n + delta / 2, n - delta, "y").cache(); bIn.count()
+          val (tInc, _) = timed {
+            Packing.incrementalRepack(aIn.select("okey", "n_tokens", "fp"),
+              bIn, "okey", "tk", "fp", "n_tokens", cap, groupOf, cps, dir,
+              manifestA)
+              .agg(count(lit(1)),
+                sum(when(col("status") === "kept", 1L).otherwise(0L)))
+              .head().getLong(0)
+          }
+          val statuses = Packing.incrementalRepack(
+              aIn.select("okey", "n_tokens", "fp"), bIn,
+              "okey", "tk", "fp", "n_tokens", cap, groupOf, cps, dir,
+              manifestA)
+            .groupBy("status").count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val fullDir = dir + "_full"
+          val (tFull, _) = timed {
+            val chunksB = Packing.packChunks(bIn, "okey", "tk", cap, groupOf)
+            Packing.writeShards(chunksB, fullDir, cps)
+            Packing.shardManifest(chunksB, cps).count()
+          }
+          aIn.unpersist(); bIn.unpersist()
+          f"""{"n":$n,"delta_bp":$fBp,"inc_sec":$tInc%.2f,""" +
+            f""""full_sec":$tFull%.2f,"kept":${statuses.getOrElse("kept", 0L)},""" +
+            f""""rewritten":${statuses.getOrElse("rewritten", 0L)},""" +
+            f""""added":${statuses.getOrElse("added", 0L)}}"""
+        }
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"refresh_rehearsal","scales":$ladder}""")
+      spark.stop(); return
+    }
+
     if (args.contains("--compact-only")) {
       import graft.streaming.{IndexMaintenance, RetrievalStream}
       val dir = java.nio.file.Files.createTempDirectory("compact_rung")

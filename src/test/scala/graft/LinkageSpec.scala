@@ -88,12 +88,22 @@ class LinkageSpec extends AnyFunSuite with SparkSpec {
       val dir = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
       val plan = Influence.wedgeTriangles(dir, und)
         .queryExecution.executedPlan.toString
-      // the close join is keyed on (x, y) and must hash, streaming the
-      // wedge side; the wedge BUILD (self-equi-join on src over the
-      // m-row dir frame) may stay SMJ — sorting m rows is not the
-      // watch item, sorting m^1.5 is
-      assert(plan.contains("ShuffledHashJoin [x#"), plan)
-      assert(!plan.contains("SortMergeJoin [x#"), plan)
+      // the close join must hash, streaming the wedge side; the wedge
+      // BUILD (self-equi-join on src over the m-row dir frame) may stay
+      // SMJ — sorting m rows is not the watch item, sorting m^1.5 is.
+      // Small ids take the PACKED single-key path (xy = x·2³¹ + y)
+      assert(plan.contains("ShuffledHashJoin [xy#"), plan)
+      assert(!plan.contains("SortMergeJoin [xy#"), plan)
+      // ids past 2³¹ fall back to the two-column close — still hashed
+      val big = 1L << 40
+      val undB = Seq((big + 1, big + 2), (big + 2, big + 3), (big + 1, big + 3))
+        .toDF("a", "b")
+      val dirB = Seq((big + 1, big + 2), (big + 1, big + 3), (big + 2, big + 3))
+        .toDF("src", "dst")
+      val planB = Influence.wedgeTriangles(dirB, undB)
+        .queryExecution.executedPlan.toString
+      assert(planB.contains("ShuffledHashJoin [x#"), planB)
+      assert(!planB.contains("SortMergeJoin [x#"), planB)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
