@@ -135,14 +135,17 @@ object IndexMaintenance {
   // Tombstones: targeted deletion across the partition-per-batch stores
   // -------------------------------------------------------------------
 
-  /** Name of the tombstone side-store under a store root. The leading
+  /** Path of the tombstone side-store under a store root. The leading
     * underscore keeps it INVISIBLE to the root's partition discovery
     * (same mechanism as `_compacted_through` and Spark's own `_SUCCESS`)
     * while staying readable as an explicit path — so index readers that
     * `spark.read.parquet(root)` keep working unchanged, and the
-    * batch-id listing guards never see it.
+    * batch-id listing guards never see it. The non-hidden `ids` leaf is
+    * what tombstone readers address directly: pointing a read AT a
+    * hidden directory name makes DataSource emit a scary (if harmless)
+    * "All paths were ignored" warning on every deletion-masked read.
     */
-  val TombstonesName = "_tombstones"
+  val TombstonesName = "_tombstones/ids"
 
   /** Record `ids` as deleted from the store at `dir` — the
     * right-to-be-forgotten front door (VERDICT r12 #1). Tombstones are

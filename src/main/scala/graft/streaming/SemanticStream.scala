@@ -60,8 +60,9 @@ object SemanticStream {
     val indexedIds = StreamingDedup.guardedIndexedBatchIds(batch, batchId, indexDir)
     val existing =
       if (indexedIds.isEmpty) assigned.limit(0)
-      else spark.read.parquet(indexDir)
-        .filter(col("batch_id") < batchId)
+      else IndexMaintenance.dropTombstoned(
+        spark.read.parquet(indexDir).filter(col("batch_id") < batchId),
+        "id", spark, indexDir)
         .select("id", "embedding", "cell")
     val cos = VectorExpressions.cosineNative(col("a.embedding"), col("b.embedding"))
     val histPairs = existing.as("a")
@@ -106,5 +107,16 @@ object SemanticStream {
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, upToBatch: Long, targetPartitions: Int = 8): Long =
     IndexMaintenance.compactBatchStore(spark, indexDir, "batch_id=",
-      upToBatch, Seq("cell"), targetPartitions)
+      upToBatch, Seq("cell"), targetPartitions,
+      IndexMaintenance.dropTombstoned(_, "id", spark, indexDir))
+
+  /** Delete vectors from the semantic cell index — the
+    * [[StreamingDedup.deleteDocs]] convention: tombstones mask every
+    * screen read (a deleted vector can never again surface as the
+    * historical side of a candidate pair) and the next [[compactIndex]]
+    * drops its rows physically. Idempotent per (ids, batchId).
+    */
+  def deleteDocs(ids: DataFrame, idCol: String, indexDir: String,
+      batchId: Long): Unit =
+    IndexMaintenance.writeTombstones(ids, idCol, indexDir, batchId)
 }

@@ -225,6 +225,39 @@ class DeletionSpec extends SparkSpec {
     assert(noop.filter(col("status") =!= "kept").count() == 0L)
   }
 
+  test("semantic cell index: deleted vector never a historical candidate") {
+    import graft.streaming.SemanticStream
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id").as("id"), col("embedding"))
+    val cents = Similarity.sampleCentroidsPortable(emb, 4)
+    val dir = Files.createTempDirectory("delsem").toString
+    val dirRebuild = Files.createTempDirectory("delsemrb").toString
+    val delIds = emb.filter(expr("id % 7 = 3")).select("id")
+    val delSet = delIds.collect().map(_.getLong(0)).toSet
+    val hist = emb.filter(col("id") >= 10)
+    val probe = emb.filter(col("id") < 10)
+    SemanticStream.screenAndIndexBatch(hist, 0L, "id", "embedding",
+      dir, cents, tau = -1.0).count()
+    SemanticStream.deleteDocs(delIds, "id", dir, 0L)
+    SemanticStream.screenAndIndexBatch(
+      hist.join(delIds, Seq("id"), "left_anti"), 0L, "id", "embedding",
+      dirRebuild, cents, tau = -1.0).count()
+    def pairs(d: String, b: Long) = SemanticStream.screenAndIndexBatch(
+        probe.join(delIds, Seq("id"), "left_anti"), b, "id", "embedding",
+        d, cents, tau = -1.0)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    val got = pairs(dir, 1L)
+    assert(got == pairs(dirRebuild, 1L) && got.nonEmpty)
+    assert(!got.exists(p => delSet.contains(p._1) || delSet.contains(p._2)),
+      "deleted vector surfaced as candidate")
+    // compaction applies tombstones physically
+    assert(SemanticStream.compactIndex(spark, dir, upToBatch = 2L) >= 1L)
+    val onDisk = spark.read.parquet(dir).filter(col("batch_id") === -1L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(onDisk.intersect(delSet).isEmpty, onDisk.toString)
+  }
+
   test("incrementalRepack: refresh ≡ rebuild; kept prefix untouched on disk") {
     val dir = Files.createTempDirectory("increpack").toString + "/shards"
     val groupOf = substring(col("okey"), 1, 8)
