@@ -349,7 +349,7 @@ object LifecycleOps {
     * only, everything corpus-global downstream being aggregates over
     * these compact rows.
     */
-  private def docArtifacts(docs: DataFrame): DataFrame =
+  private[graft] def docArtifacts(docs: DataFrame): DataFrame =
     graft.operators.Classifier.qualityClassify(docs, "text")
       .select(col("doc_id"), col("lang"), col("text"),
         TextFunctions.fingerprint(col("text")).as("fp"),
@@ -366,7 +366,7 @@ object LifecycleOps {
     * (okey, tk, fp, n_tokens) plus the funnel counts — every step an
     * aggregate/filter over artifact rows; only PACKED docs tokenize.
     */
-  private def globalStages(art: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def globalStages(art: DataFrame): (DataFrame, DataFrame) = {
     val dd = art.withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("fp").orderBy("doc_id")))
@@ -385,6 +385,78 @@ object LifecycleOps {
       .crossJoin(gated.agg(count(lit(1)).as("n_gated")))
       .crossJoin(mixed.agg(count(lit(1)).as("n_mixed")))
     (packIn, counts)
+  }
+
+  /** The prior FULL build: per-doc artifacts, packing input, shards,
+    * and manifest all persisted under `base` — the durable state a
+    * later [[refreshTo]] consumes and replaces.
+    */
+  private[graft] def priorBuild(s: SparkSession, base: String,
+      docs: DataFrame): Unit = {
+    val groupOf = substring(col("okey"), 1, 8)
+    docArtifacts(docs).write.mode("overwrite").parquet(s"$base/artifacts")
+    val (pack0, _) = globalStages(s.read.parquet(s"$base/artifacts"))
+    val pack = pack0.localCheckpoint()
+    val chunks = Packing.packChunks(pack, "okey", "tk", 256, groupOf)
+    Packing.shardManifest(chunks, 4).write.mode("overwrite")
+      .parquet(s"$base/manifest")
+    Packing.writeShards(chunks, s"$base/shards", 4)
+    pack.select("okey", "n_tokens", "fp").write.mode("overwrite")
+      .parquet(s"$base/pack_input")
+  }
+
+  /** ONE refresh cycle against the persisted state at `base`: corpusDiff
+    * locates the delta, the tokenization-bound per-doc stage runs on the
+    * delta only, artifacts merge, the downstream stages recompute over
+    * merged rows, the shards repack incrementally — and the merged
+    * artifacts / new packing input / new manifest are WRITTEN BACK, so
+    * the next refresh consumes this one's state (spec-pinned over two
+    * consecutive cycles). Every written frame is eagerly checkpointed
+    * first: each derives from the parquet state it then overwrites.
+    *
+    * Returns the post-refresh manifest with per-shard status plus the
+    * funnel counts.
+    */
+  private[graft] def refreshTo(s: SparkSession, base: String,
+      newDocs: DataFrame): DataFrame = {
+    val groupOf = substring(col("okey"), 1, 8)
+    val artPrior = s.read.parquet(s"$base/artifacts")
+    val newFps = newDocs.select(col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+    val diff = graft.operators.Snapshot.corpusDiff(
+        artPrior.select("doc_id", "fp"), newFps, "doc_id", "fp")
+      .localCheckpoint()
+    val deltaIds = diff.filter(col("status").isin("added", "changed"))
+      .select(col("id").as("doc_id"))
+    // the ONLY tokenization-bound work of the refresh: the delta
+    val deltaArt = docArtifacts(
+      newDocs.join(deltaIds, Seq("doc_id"), "left_semi"))
+    val gone = diff.filter(col("status").isin("removed", "changed"))
+      .select(col("id").as("doc_id"))
+    val merged = artPrior.join(gone, Seq("doc_id"), "left_anti")
+      .unionByName(deltaArt)
+      .localCheckpoint()
+    val (pack0, counts) = globalStages(merged)
+    val pack = pack0.localCheckpoint()
+    val result = Packing.incrementalRepack(
+        s.read.parquet(s"$base/pack_input"), pack,
+        "okey", "tk", "fp", "n_tokens", 256, groupOf, 4, s"$base/shards",
+        s.read.parquet(s"$base/manifest"))
+      .localCheckpoint(true)
+    // persist the cycle's state for the NEXT refresh (sources above are
+    // all eagerly materialized, so overwriting their parquet is safe)
+    merged.write.mode("overwrite").parquet(s"$base/artifacts")
+    pack.select("okey", "n_tokens", "fp").write.mode("overwrite")
+      .parquet(s"$base/pack_input")
+    result.filter(col("status") =!= "removed")
+      .select("shard_id", "n_chunks", "n_tokens", "shard_fp")
+      .write.mode("overwrite").parquet(s"$base/manifest")
+    val funnel = newDocs.agg(count(lit(1)).as("n_b"))
+      .crossJoin(deltaIds.agg(count(lit(1)).as("n_delta")))
+      .crossJoin(diff.filter(col("status") === "removed")
+        .agg(count(lit(1)).as("n_removed")))
+      .crossJoin(counts)
+    result.crossJoin(broadcast(funnel))
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -518,44 +590,7 @@ object LifecycleOps {
           .select((col("doc_id") + 2000000L).as("doc_id"),
             concat(col("text"), lit(" legacy")).as("text"), col("lang")))
       val base = scratch(s, d, "refresh")
-      val shardsDir = s"$base/shards"
-      val groupOf = substring(col("okey"), 1, 8)
-
-      // ---- prior build on snapshot A, artifacts persisted
-      docArtifacts(a).write.parquet(s"$base/artifacts")
-      val artA = s.read.parquet(s"$base/artifacts")
-      val (packA0, _) = globalStages(artA)
-      val packA = packA0.localCheckpoint()
-      val chunksA = Packing.packChunks(packA, "okey", "tk", 256, groupOf)
-      Packing.shardManifest(chunksA, 4).write.parquet(s"$base/manifest")
-      Packing.writeShards(chunksA, shardsDir, 4)
-      packA.select("okey", "n_tokens", "fp").write.parquet(s"$base/pack_input")
-
-      // ---- incremental refresh to snapshot B
-      val bFps = b.select(col("doc_id"),
-        TextFunctions.fingerprint(col("text")).as("fp"))
-      val diff = graft.operators.Snapshot.corpusDiff(
-          artA.select("doc_id", "fp"), bFps, "doc_id", "fp")
-        .localCheckpoint()
-      val deltaIds = diff.filter(col("status").isin("added", "changed"))
-        .select(col("id").as("doc_id"))
-      // the ONLY tokenization-bound work of the refresh: the delta
-      val deltaArt = docArtifacts(b.join(deltaIds, Seq("doc_id"), "left_semi"))
-      val gone = diff.filter(col("status").isin("removed", "changed"))
-        .select(col("id").as("doc_id"))
-      val merged = artA.join(gone, Seq("doc_id"), "left_anti")
-        .unionByName(deltaArt)
-        .localCheckpoint()
-      val (packB, countsB) = globalStages(merged)
-      val result = Packing.incrementalRepack(
-        s.read.parquet(s"$base/pack_input"), packB,
-        "okey", "tk", "fp", "n_tokens", 256, groupOf, 4, shardsDir,
-        s.read.parquet(s"$base/manifest"))
-      val funnel = b.agg(count(lit(1)).as("n_b"))
-        .crossJoin(deltaIds.agg(count(lit(1)).as("n_delta")))
-        .crossJoin(diff.filter(col("status") === "removed")
-          .agg(count(lit(1)).as("n_removed")))
-        .crossJoin(countsB)
-      result.crossJoin(broadcast(funnel))
+      priorBuild(s, base, a)
+      refreshTo(s, base, b)
     })
 }

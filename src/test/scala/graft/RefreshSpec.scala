@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import graft.operators.Packing
+import graft.queries.LifecycleOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The refresh cycle is DURABLE: each [[LifecycleOps.refreshTo]] writes
+  * its merged artifacts / packing input / manifest back, so consecutive
+  * refreshes chain — and every cycle's outcome still hash-matches a
+  * from-scratch rebuild of that snapshot (the q206 contract, iterated).
+  */
+class RefreshSpec extends SparkSpec {
+
+  private def fromScratchManifest(docs: DataFrame) = {
+    val (pack, _) = LifecycleOps.globalStages(LifecycleOps.docArtifacts(docs))
+    Packing.shardManifest(
+        Packing.packChunks(pack, "okey", "tk", 256,
+          substring(col("okey"), 1, 8)), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1).toSeq
+  }
+
+  private def manifestOf(result: DataFrame) = result
+    .filter(col("status") =!= "removed")
+    .select("shard_id", "n_chunks", "n_tokens", "shard_fp")
+    .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getString(3))).sortBy(_._1).toSeq
+
+  test("two consecutive refreshes each equal a from-scratch rebuild") {
+    val all = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text", "lang")
+    val ids = all.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut1 = ids(ids.length * 8 / 10)
+    val cut2 = ids(ids.length * 9 / 10)
+    val a = all.filter(col("doc_id") < cut1)
+    // B: growth + one tail change
+    val b = all.filter(col("doc_id") < cut2)
+      .select(col("doc_id"),
+        when(col("doc_id") === cut1 - 1, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"), col("lang"))
+    // C: full corpus, one doc from B removed, another changed again
+    val c = all.filter(col("doc_id") =!= cut1 - 2)
+      .select(col("doc_id"),
+        when(col("doc_id") === cut2 - 1, concat(col("text"), lit(" v3")))
+          .otherwise(col("text")).as("text"), col("lang"))
+
+    val base = Files.createTempDirectory("refreshcycle").toString
+    LifecycleOps.priorBuild(spark, base, a)
+    val r1 = LifecycleOps.refreshTo(spark, base, b)
+    assert(manifestOf(r1) == fromScratchManifest(b), "cycle 1 != rebuild(B)")
+    // the SECOND cycle consumes cycle 1's written-back state
+    val r2 = LifecycleOps.refreshTo(spark, base, c)
+    assert(manifestOf(r2) == fromScratchManifest(c), "cycle 2 != rebuild(C)")
+    // the delta stays a delta: cycle 2 reprocessed only C's changes vs B
+    val n2 = r2.select("n_delta", "n_removed").collect()(0)
+    assert(n2.getLong(0) >= 1 && n2.getLong(0) < ids.length / 2,
+      s"cycle-2 delta not delta-sized: ${n2.getLong(0)}")
+    assert(n2.getLong(1) == 1L, s"cycle-2 removed ${n2.getLong(1)}")
+    // and the on-disk shards audit clean against the written-back manifest
+    val audit = Packing.auditShards(spark, s"$base/shards",
+      spark.read.parquet(s"$base/manifest"))
+    assert(audit.filter(!col("fp_match") || !col("chunks_match") ||
+      !col("tokens_match")).count() == 0L)
+  }
+}
