@@ -173,6 +173,18 @@ object IndexMaintenance {
     else Some(spark.read.parquet(p.toString).select("id"))
   }
 
+  /** Fold closed tombstone batches (ids < `upToBatch` of the DELETION
+    * stream's checkpoint) into one partition — a long-lived deletion
+    * ingest otherwise accumulates tiny directories exactly like the
+    * index itself. Masking is unchanged: readers union every tombstone
+    * partition, folded or not. Same replay guards as the index
+    * compaction (a replayed folded deletion batch is refused).
+    */
+  def compactTombstones(spark: SparkSession, dir: String, upToBatch: Long,
+      targetPartitions: Int = 1): Long =
+    compactBatchStore(spark, s"$dir/$TombstonesName", "batch=", upToBatch,
+      Seq("id"), targetPartitions)
+
   /** Mask tombstoned rows out of a store read — the read-side half of
     * deletion (the write-side half is [[compactBatchStore]]'s
     * `transform`). No tombstone store → the frame passes through

@@ -337,5 +337,9 @@ class DeletionSpec extends SparkSpec {
     // tombstones are partition-per-batch: the IndexMaintenance store is
     // visible as an explicit path, invisible to the index read
     assert(IndexMaintenance.tombstoneIds(spark, dir).get.count() == deleted.size)
+    // folding the tombstone store changes nothing a reader sees
+    assert(IndexMaintenance.compactTombstones(spark, dir, upToBatch = 1L) == 1L)
+    assert(IndexMaintenance.tombstoneIds(spark, dir).get.count() == deleted.size)
+    assert(bm25Rows(RetrievalStream.bm25OverIndex(spark, dir, q, 10)) == expect)
   }
 }
