@@ -722,18 +722,18 @@ object ScaleRehearsal {
           Packing.writeShards(chunksA, dir, cps)
           // new stream: last `delta` docs changed + delta/2 added
           val bIn = stream(n + delta / 2, n - delta, "y").cache(); bIn.count()
+          var incResult: org.apache.spark.sql.DataFrame = null
           val (tInc, _) = timed {
-            Packing.incrementalRepack(aIn.select("okey", "n_tokens", "fp"),
-              bIn, "okey", "tk", "fp", "n_tokens", cap, groupOf, cps, dir,
-              manifestA)
-              .agg(count(lit(1)),
-                sum(when(col("status") === "kept", 1L).otherwise(0L)))
-              .head().getLong(0)
-          }
-          val statuses = Packing.incrementalRepack(
+            // incrementalRepack materializes eagerly (internal
+            // localCheckpoints + the shard writes) — keep the frame so
+            // the status histogram reads it without a second repack
+            incResult = Packing.incrementalRepack(
               aIn.select("okey", "n_tokens", "fp"), bIn,
               "okey", "tk", "fp", "n_tokens", cap, groupOf, cps, dir,
-              manifestA)
+              manifestA).localCheckpoint(true)
+            incResult.count()
+          }
+          val statuses = incResult
             .groupBy("status").count().collect()
             .map(r => r.getString(0) -> r.getLong(1)).toMap
           val fullDir = dir + "_full"

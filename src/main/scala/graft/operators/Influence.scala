@@ -324,16 +324,20 @@ object Influence {
         greatest(col("u"), col("v")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
-      .filter(conv(substring(md5(concat_ws(":",
-          col("a").cast("string"), col("b").cast("string"))), 1, 8), 16, 10)
-        .cast("long") % 10000 < pBp)
+      .filter(Sampling.hashBucket(concat_ws(":",
+        col("a").cast("string"), col("b").cast("string")), 10000) < pBp)
       .persist()
+    // same physical machine as [[triangleStats]]: deg persisted (two
+    // attaches), attaches hash-building the small deg side
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      .persist()
     val dir = und
-      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .join(deg.select(col("node").as("a"), col("deg").as("da"))
+        .hint("shuffle_hash"), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db"))
+        .hint("shuffle_hash"), "b")
       .select(
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")),
@@ -349,6 +353,7 @@ object Influence {
           s"(cast($pBp as bigint) * $pBp * $pBp)").as("n_est"))
       .localCheckpoint(true)
     und.unpersist()
+    deg.unpersist()
     out
   }
 

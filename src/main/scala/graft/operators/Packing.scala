@@ -338,7 +338,6 @@ object Packing {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     require(chunksPerShard > 0,
       s"chunksPerShard must be positive, got $chunksPerShard")
-    val spark = docs.sparkSession
     val del = deletedIds.select(col(deletedIds.columns.head).as("__del_id"))
       .distinct()
     val baseCols = Seq(idCol, orderCol).distinct.map(col) :+ col(tokensCol)
@@ -353,9 +352,6 @@ object Packing {
     val boundaryShard: Long =
       if (minDel.isNullAt(0)) Long.MaxValue
       else (minDel.getLong(0) / capacity) / chunksPerShard
-    val startPos = // first recomputed token position (overflow-safe cap)
-      if (boundaryShard == Long.MaxValue) Long.MaxValue
-      else boundaryShard * chunksPerShard * capacity
     val surviving = counts.join(del, col(idCol) === col("__del_id"), "left_anti")
     repackFromBoundary(runningOffset(surviving, orderCol, "__n", groupOf),
       tokensCol, capacity, chunksPerShard, boundaryShard, dir, oldManifest)

@@ -555,9 +555,11 @@ object LifecycleOps {
     },
 
     // q206: delta-driven incremental refresh ≡ full rebuild (VERDICT
-    // r12 #2). Snapshot A = the corpus with doc_id % 17 = 2 perturbed,
-    // doc_id % 19 = 3 absent, plus legacy extras (% 29 = 11, id
-    // +2000000) that snapshot B drops. The Spark side runs the PRIOR
+    // r12 #2). Snapshot A = the corpus minus the newest 10% of ids
+    // (added later), with upper-30% ids at % 17 = 2 perturbed
+    // (changed), plus legacy extras (% 29 = 11, id +2000000) that
+    // snapshot B drops — a TAIL-heavy delta, the realistic refresh
+    // shape under append-order packing. The Spark side runs the PRIOR
     // build on A and persists its artifacts to disk (per-doc artifact
     // table, packing input, shards, manifest), then refreshes to B the
     // incremental way: q92's corpusDiff finds the delta, the HEAVY

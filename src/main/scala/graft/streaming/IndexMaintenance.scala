@@ -157,10 +157,32 @@ object IndexMaintenance {
     * future, until compaction folds the rows away physically.
     */
   def writeTombstones(ids: DataFrame, idCol: String, dir: String,
-      batchId: Long): Unit =
+      batchId: Long): Unit = {
+    // the SAME replay guards as the index ingests, on the tombstone
+    // store itself: a deletion stream restarted with a lost/renumbered
+    // checkpoint would otherwise overwrite a prior tombstone partition
+    // and silently RESURRECT its deleted documents — the one failure
+    // mode right-to-be-forgotten cannot afford. Refuse a batch id the
+    // store has already folded (marker) or exceeded (live partitions).
+    val spark = ids.sparkSession
+    val tombDir = s"$dir/$TombstonesName"
+    requireReplayable(spark, tombDir, batchId)
+    val root = new Path(tombDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) {
+      val present = fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+      require(present.forall(_ <= batchId),
+        s"tombstone store $tombDir already holds deletion batches " +
+          s"${present.filter(_ > batchId).sorted.mkString(",")} > current " +
+          s"$batchId — deletion stream restarted with renumbered batch " +
+          "ids (run it with a durable checkpointDir); refusing to " +
+          "overwrite deletion history")
+    }
     ids.select(col(idCol).as("id")).distinct()
       .write.mode("overwrite")
-      .parquet(s"$dir/$TombstonesName/batch=$batchId")
+      .parquet(s"$tombDir/batch=$batchId")
+  }
 
   /** The deleted-id frame of the store at `dir`, if any deletion has
     * ever been recorded: one `id` column, duplicates possible across
@@ -205,11 +227,17 @@ object IndexMaintenance {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
     val it = fs.listFiles(root, true)
+    val rootUri = root.toUri.getPath
     var n = 0L
     while (it.hasNext) {
       val f = it.next()
-      val name = f.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+      // hidden check applies to EVERY path segment below the root, not
+      // just the file name: tombstone parquet under _tombstones/ is
+      // invisible to readers and must not inflate the payoff metric
+      val rel = f.getPath.toUri.getPath.stripPrefix(rootUri)
+      val hidden = rel.split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (!hidden) n += 1
     }
     n
   }

@@ -225,6 +225,28 @@ class DeletionSpec extends SparkSpec {
     assert(noop.filter(col("status") =!= "kept").count() == 0L)
   }
 
+  test("tombstone writes refuse renumbered/folded deletion batches") {
+    // a deletion stream restarted with a lost checkpoint would renumber
+    // from 0 and its overwrite would RESURRECT previously deleted docs —
+    // the guard must stop it loudly (the index-side renumbered-restart
+    // contract, mirrored onto the tombstone store)
+    val dir = Files.createTempDirectory("deltombguard").toString
+    RetrievalStream.indexBatch(docsDF, 0L, "doc_id", "text", dir)
+    RetrievalStream.deleteDocs(Seq(2L).toDF("doc_id"), "doc_id", dir, 5L)
+    // same id replays fine (idempotent); a LOWER id is refused
+    RetrievalStream.deleteDocs(Seq(2L).toDF("doc_id"), "doc_id", dir, 5L)
+    val e = intercept[IllegalArgumentException] {
+      RetrievalStream.deleteDocs(Seq(9L).toDF("doc_id"), "doc_id", dir, 0L)
+    }
+    assert(e.getMessage.contains("renumbered"), e.getMessage)
+    // after folding, a replay of the folded id is refused too
+    assert(IndexMaintenance.compactTombstones(spark, dir, upToBatch = 6L) == 1L)
+    val e2 = intercept[IllegalArgumentException] {
+      RetrievalStream.deleteDocs(Seq(9L).toDF("doc_id"), "doc_id", dir, 5L)
+    }
+    assert(e2.getMessage.contains("compacted"), e2.getMessage)
+  }
+
   test("semantic cell index: deleted vector never a historical candidate") {
     import graft.streaming.SemanticStream
     val emb = Tables.embeddings(spark, sf("sf0.001"))
