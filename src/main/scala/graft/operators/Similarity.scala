@@ -314,16 +314,19 @@ object Similarity {
       .select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
     if (affected.isEmpty) return 0L
+    // eager materialization BEFORE the overwrite (the repo's
+    // read-then-overwrite discipline): survivors lazily reads the very
+    // parquet path the write below replaces, and persist() alone would
+    // leave correctness resting on dynamic-overwrite staging order
     val survivors = store
       .filter(col("cell").isin(affected: _*))
       .join(del, col("id") === col("__del_id"), "left_anti")
-      .persist()
+      .localCheckpoint(true)
     survivors.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell").parquet(path)
     val nonEmpty = survivors.select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSet
-    survivors.unpersist()
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     affected.filterNot(nonEmpty).foreach { c =>

@@ -2,8 +2,8 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Packing, Similarity}
-import graft.streaming.{RetrievalStream, StreamingDedup}
+import graft.operators.{Dedup, Generations, Packing, Similarity}
+import graft.streaming.{IndexMaintenance, RetrievalStream, StreamingDedup}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -248,12 +248,6 @@ object LifecycleOps {
 
   /** The refresh pipeline over a `(doc_id, text, lang)` CTE as DuckDB
     * CTE text: content-fingerprint exact dedup (keep min id) → q97
-    * integer quality score → per-language median gate → √-temperature
-    * mix → seeded-shuffle concat-and-chunk pack → 4-chunk manifest.
-    * Exposes `<p>dd`, `<p>gated`, `<p>mixed`, `<p>man`.
-    */
-  /** The refresh pipeline over a `(doc_id, text, lang)` CTE as DuckDB
-    * CTE text: content-fingerprint exact dedup (keep min id) → q97
     * integer quality gate (score ≥ 0 — the published per-doc rule, so
     * gate membership never couples documents) → fixed-rate 90% hash mix
     * → append-ordered concat-and-chunk pack → 4-chunk manifest. The one
@@ -308,18 +302,48 @@ object LifecycleOps {
        |    md5(string_agg(chunk_fp, ' ' ORDER BY chunk_id)) AS shard_fp
        |  FROM ${p}chunks GROUP BY 1)""".stripMargin
 
+  /** The q206/q210/q211 snapshot pair as oracle CTEs: snapshot A = the
+    * corpus minus the newest 10% of ids, with upper-30% ids at
+    * % 17 = 2 perturbed, plus legacy extras (% 29 = 11, id +2000000)
+    * that snapshot B (= the corpus as-is) drops.
+    */
+  private val SnapshotCtes: String =
+    """mx AS (SELECT max(doc_id) AS m FROM documents),
+      |a_docs AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 17 = 2 AND doc_id * 10 >= 7 * (SELECT m FROM mx)
+      |         THEN text || ' draft' ELSE text END AS text,
+      |    lang
+      |  FROM documents WHERE doc_id * 10 < 9 * (SELECT m FROM mx)
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, text || ' legacy' AS text, lang
+      |  FROM documents WHERE doc_id % 29 = 11),
+      |b_docs AS MATERIALIZED (SELECT doc_id, text, lang FROM documents)"""
+      .stripMargin
+
+  /** The Spark twin of [[SnapshotCtes]]: (snapshot A, snapshot B). */
+  private def snapshots(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val b = Tables.documents(s, d).select("doc_id", "text", "lang")
+    val maxId = b.agg(max("doc_id")).collect()(0).getLong(0)
+    // legacy extras ride synthetic ids doc_id + 2e6 — same collision
+    // guard as q205's probe offset (ADVICE r13)
+    require(maxId < 2000000L,
+      s"legacy-id offset 2000000 collides: max doc_id = $maxId")
+    val a = b.filter(col("doc_id") * 10 < lit(9L * maxId))
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(17)) === 2 &&
+            col("doc_id") * 10 >= lit(7L * maxId),
+          concat(col("text"), lit(" draft"))).otherwise(col("text"))
+          .as("text"),
+        col("lang"))
+      .unionByName(b.filter(pmod(col("doc_id"), lit(29)) === 11)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" legacy")).as("text"), col("lang")))
+    (a, b)
+  }
+
   private def q206Sql: String =
-    s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
-       |a_docs AS MATERIALIZED (
-       |  SELECT doc_id,
-       |    CASE WHEN doc_id % 17 = 2 AND doc_id * 10 >= 7 * (SELECT m FROM mx)
-       |         THEN text || ' draft' ELSE text END AS text,
-       |    lang
-       |  FROM documents WHERE doc_id * 10 < 9 * (SELECT m FROM mx)
-       |  UNION ALL
-       |  SELECT doc_id + 2000000 AS doc_id, text || ' legacy' AS text, lang
-       |  FROM documents WHERE doc_id % 29 = 11),
-       |b_docs AS MATERIALIZED (SELECT doc_id, text, lang FROM documents),
+    s"""WITH $SnapshotCtes,
        |${refreshChainSql("a_docs", "a_")},
        |${refreshChainSql("b_docs", "b_")},
        |fo AS (
@@ -334,6 +358,7 @@ object LifecycleOps {
        |  FROM a_man a FULL OUTER JOIN b_man b ON a.shard_id = b.shard_id),
        |counts AS (SELECT
        |  (SELECT count(*) FROM b_docs) AS n_b,
+       |  CAST(0 AS BIGINT) AS n_masked,
        |  (SELECT count(*) FROM documents
        |     WHERE doc_id * 10 >= 9 * (SELECT m FROM mx)
        |        OR (doc_id % 17 = 2 AND doc_id * 10 >= 7 * (SELECT m FROM mx)))
@@ -342,6 +367,72 @@ object LifecycleOps {
        |  (SELECT count(*) FROM b_dd) AS n_dedup,
        |  (SELECT count(*) FROM b_gated) AS n_gated,
        |  (SELECT count(*) FROM b_mixed) AS n_mixed)
+       |SELECT fo.*, counts.* FROM fo CROSS JOIN counts""".stripMargin
+
+  /** q210 oracle: both snapshots rebuilt from scratch; the result is
+    * the ROLLED-BACK (A) manifest with the per-shard status of the
+    * rollback direction — new side = A, old side = the B state the
+    * rollback replaced.
+    */
+  private def q210Sql: String =
+    s"""WITH $SnapshotCtes,
+       |${refreshChainSql("a_docs", "a_")},
+       |${refreshChainSql("b_docs", "b_")},
+       |fo AS (
+       |  SELECT coalesce(a.shard_id, b.shard_id) AS shard_id,
+       |    coalesce(a.n_chunks, b.n_chunks) AS n_chunks,
+       |    coalesce(a.n_tokens, b.n_tokens) AS n_tokens,
+       |    coalesce(a.shard_fp, b.shard_fp) AS shard_fp,
+       |    CASE WHEN a.shard_fp IS NULL THEN 'removed'
+       |         WHEN b.shard_fp IS NULL THEN 'added'
+       |         WHEN a.shard_fp = b.shard_fp THEN 'kept'
+       |         ELSE 'rewritten' END AS status
+       |  FROM b_man b FULL OUTER JOIN a_man a ON a.shard_id = b.shard_id)
+       |SELECT fo.*, CAST(3 AS BIGINT) AS n_generations FROM fo""".stripMargin
+
+  /** q211 oracle: rebuild-from-scratch on (A minus D) and (B minus D)
+    * where D = the tombstoned id SET (every A doc with id % 23 = 7 —
+    * note "id IN A": a brand-new B doc matching the predicate was
+    * never deleted and stays in). The final manifest, the per-shard
+    * status of the composed refresh, and the funnel all derive from
+    * those masked chains.
+    */
+  private def q211Sql: String =
+    s"""WITH $SnapshotCtes,
+       |ad_docs AS MATERIALIZED (
+       |  SELECT doc_id, text, lang FROM a_docs WHERE doc_id % 23 <> 7),
+       |bd_docs AS MATERIALIZED (
+       |  SELECT doc_id, text, lang FROM b_docs
+       |  WHERE NOT (doc_id % 23 = 7
+       |    AND doc_id IN (SELECT doc_id FROM a_docs))),
+       |${refreshChainSql("ad_docs", "ad_")},
+       |${refreshChainSql("bd_docs", "bd_")},
+       |fo AS (
+       |  SELECT coalesce(nb.shard_id, oa.shard_id) AS shard_id,
+       |    coalesce(nb.n_chunks, oa.n_chunks) AS n_chunks,
+       |    coalesce(nb.n_tokens, oa.n_tokens) AS n_tokens,
+       |    coalesce(nb.shard_fp, oa.shard_fp) AS shard_fp,
+       |    CASE WHEN nb.shard_fp IS NULL THEN 'removed'
+       |         WHEN oa.shard_fp IS NULL THEN 'added'
+       |         WHEN nb.shard_fp = oa.shard_fp THEN 'kept'
+       |         ELSE 'rewritten' END AS status
+       |  FROM ad_man oa FULL OUTER JOIN bd_man nb
+       |    ON oa.shard_id = nb.shard_id),
+       |counts AS (SELECT
+       |  (SELECT count(*) FROM b_docs) AS n_b,
+       |  (SELECT count(*) FROM b_docs WHERE doc_id % 23 = 7
+       |     AND doc_id IN (SELECT doc_id FROM a_docs)) AS n_masked,
+       |  (SELECT count(*) FROM bd_docs nd LEFT JOIN ad_docs od
+       |     USING (doc_id)
+       |     WHERE od.doc_id IS NULL OR (od.text = nd.text) IS NOT TRUE)
+       |    AS n_delta,
+       |  (SELECT count(*) FROM ad_docs
+       |     WHERE doc_id NOT IN (SELECT doc_id FROM bd_docs)) AS n_removed,
+       |  (SELECT count(*) FROM bd_dd) AS n_dedup,
+       |  (SELECT count(*) FROM bd_gated) AS n_gated,
+       |  (SELECT count(*) FROM bd_mixed) AS n_mixed,
+       |  (SELECT count(*) FROM a_docs WHERE doc_id % 23 = 7)
+       |    AS n_tombstoned)
        |SELECT fo.*, counts.* FROM fo CROSS JOIN counts""".stripMargin
 
   /** Per-doc artifact stage — the HEAVY half of the refresh pipeline
@@ -353,6 +444,12 @@ object LifecycleOps {
     graft.operators.Classifier.qualityClassify(docs, "text")
       .select(col("doc_id"), col("lang"), col("text"),
         TextFunctions.fingerprint(col("text")).as("fp"),
+        // raw (case/whitespace-sensitive) content hash — the DIFF key.
+        // The normalized `fp` above drives DEDUP; using it as the
+        // refresh diff key would classify a case-only edit as
+        // unchanged and leave its stale shard on disk, because the
+        // chunk fingerprints hash the raw token stream (ADVICE r13)
+        md5(col("text")).as("raw_fp"),
         col("score_micro"),
         coalesce(size(TextFunctions.tokens(col("text"))).cast("long"), lit(0L))
           .as("n_tokens"))
@@ -365,98 +462,258 @@ object LifecycleOps {
     * append-order packing key. Returns the packing input
     * (okey, tk, fp, n_tokens) plus the funnel counts — every step an
     * aggregate/filter over artifact rows; only PACKED docs tokenize.
+    *
+    * The returned frames are LAZY: since r14 every refresh cycle's
+    * sources live in an immutable committed generation directory
+    * (never overwritten mid-cycle), so the eager localCheckpoints the
+    * in-place-overwrite design needed — which pinned corpus TEXT into
+    * the block manager, the exact churn VERDICT r13 #4 flagged — are
+    * gone. The packing key rides `n_tokens` from the artifact row, so
+    * downstream consumers that never touch `tk` never tokenize.
     */
   private[graft] def globalStages(art: DataFrame): (DataFrame, DataFrame) = {
     val dd = art.withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("fp").orderBy("doc_id")))
       .filter(col("__rn") === 1).drop("__rn")
-      .localCheckpoint()
-    val gated = dd.filter(col("score_micro") >= 0).localCheckpoint()
+    val gated = dd.filter(col("score_micro") >= 0)
     val mixed = gated
       .filter(graft.operators.Sampling.hashBucket(col("doc_id"), 1000000)
         < 900000)
-      .localCheckpoint()
     val packIn = mixed.select(
       lpad(col("doc_id").cast("string"), 10, "0").as("okey"),
       TextFunctions.tokens(col("text")).as("tk"),
-      col("fp"), col("n_tokens"))
+      col("fp"), col("raw_fp"), col("n_tokens"))
     val counts = dd.agg(count(lit(1)).as("n_dedup"))
       .crossJoin(gated.agg(count(lit(1)).as("n_gated")))
       .crossJoin(mixed.agg(count(lit(1)).as("n_mixed")))
     (packIn, counts)
   }
 
-  /** The prior FULL build: per-doc artifacts, packing input, shards,
-    * and manifest all persisted under `base` — the durable state a
-    * later [[refreshTo]] consumes and replaces.
+  /** Generations of tiny state kept for rollback (the big per-doc
+    * artifacts frame is always pruned to the current generation only).
+    */
+  private[graft] val KeepGenerations = 8
+
+  /** The packing-input columns persisted per generation — counts and
+    * fingerprints, never tokens or text.
+    */
+  private val PackInputCols = Seq("okey", "n_tokens", "fp", "raw_fp")
+
+  private[graft] def currentManifest(s: SparkSession, base: String): DataFrame =
+    s.read.parquet(s"${Generations.dir(base, requireCurrent(s, base))}/manifest")
+
+  private[graft] def currentPackInput(s: SparkSession, base: String): DataFrame =
+    s.read.parquet(s"${Generations.dir(base, requireCurrent(s, base))}/pack_input")
+
+  private def requireCurrent(s: SparkSession, base: String): Long =
+    Generations.current(s, base).getOrElse(throw new IllegalStateException(
+      s"no committed generation under $base — run priorBuild first"))
+
+  /** The prior FULL build: per-doc artifacts, packing input, and
+    * manifest persisted as generation 0 under `base` (committed via
+    * [[Generations.commit]]), shards written to `base/shards` — the
+    * durable state a later [[refreshTo]] / [[deleteDocs]] /
+    * [[rollbackTo]] consumes.
     */
   private[graft] def priorBuild(s: SparkSession, base: String,
       docs: DataFrame): Unit = {
     val groupOf = substring(col("okey"), 1, 8)
-    docArtifacts(docs).write.mode("overwrite").parquet(s"$base/artifacts")
-    val (pack0, _) = globalStages(s.read.parquet(s"$base/artifacts"))
+    val g0 = Generations.dir(base, 0L)
+    docArtifacts(docs).write.mode("overwrite").parquet(s"$g0/artifacts")
+    val (pack0, _) = globalStages(s.read.parquet(s"$g0/artifacts"))
     val pack = pack0.localCheckpoint()
     val chunks = Packing.packChunks(pack, "okey", "tk", 256, groupOf)
     Packing.shardManifest(chunks, 4).write.mode("overwrite")
-      .parquet(s"$base/manifest")
+      .parquet(s"$g0/manifest")
     Packing.writeShards(chunks, s"$base/shards", 4)
-    pack.select("okey", "n_tokens", "fp").write.mode("overwrite")
-      .parquet(s"$base/pack_input")
+    pack.select(PackInputCols.map(col): _*).write.mode("overwrite")
+      .parquet(s"$g0/pack_input")
+    Generations.commit(s, base, 0L)
   }
 
-  /** ONE refresh cycle against the persisted state at `base`: corpusDiff
-    * locates the delta, the tokenization-bound per-doc stage runs on the
-    * delta only, artifacts merge, the downstream stages recompute over
-    * merged rows, the shards repack incrementally — and the merged
-    * artifacts / new packing input / new manifest are WRITTEN BACK, so
-    * the next refresh consumes this one's state (spec-pinned over two
-    * consecutive cycles). Every written frame is eagerly checkpointed
-    * first: each derives from the parquet state it then overwrites.
+  /** ONE refresh cycle against the committed state at `base`:
+    * tombstoned ids are masked out of the new snapshot FIRST (a refresh
+    * must never resurrect a deleted doc the snapshot still carries —
+    * VERDICT r13 #6), corpusDiff locates the delta on the raw content
+    * hash, the tokenization-bound per-doc stage runs on the delta only,
+    * artifacts merge, the downstream stages recompute over merged rows,
+    * the shards repack incrementally — and every frame lands in the
+    * next UNCOMMITTED generation directory, committed atomically by the
+    * final marker write (crash at any point before it leaves the prior
+    * generation current and a re-run converges — CommitProtocolSpec).
+    *
+    * `failAt` is the kill-point injection hook for that spec: naming a
+    * point throws immediately after the corresponding write.
     *
     * Returns the post-refresh manifest with per-shard status plus the
-    * funnel counts.
+    * funnel counts (n_b, n_masked, n_delta, n_removed, n_dedup,
+    * n_gated, n_mixed).
     */
   private[graft] def refreshTo(s: SparkSession, base: String,
-      newDocs: DataFrame): DataFrame = {
+      newDocs: DataFrame, failAt: Option[String] = None): DataFrame = {
+    def inject(point: String): Unit =
+      if (failAt.contains(point))
+        throw new RuntimeException(s"injected lifecycle failure at $point")
     val groupOf = substring(col("okey"), 1, 8)
-    val artPrior = s.read.parquet(s"$base/artifacts")
-    val newFps = newDocs.select(col("doc_id"),
-      TextFunctions.fingerprint(col("text")).as("fp"))
+    val cur = requireCurrent(s, base)
+    Generations.cleanUncommitted(s, base)
+    val gC = Generations.dir(base, cur)
+    val gN = Generations.dir(base, cur + 1)
+    // right-to-be-forgotten composition: ids tombstoned between
+    // refreshes stay deleted even if the new snapshot still holds them
+    val masked = IndexMaintenance.dropTombstoned(newDocs, "doc_id", s, base)
+    val artPrior = s.read.parquet(s"$gC/artifacts")
+    val newFps = masked.select(col("doc_id"), md5(col("text")).as("raw_fp"))
     val diff = graft.operators.Snapshot.corpusDiff(
-        artPrior.select("doc_id", "fp"), newFps, "doc_id", "fp")
+        artPrior.select("doc_id", "raw_fp"), newFps, "doc_id", "raw_fp")
       .localCheckpoint()
     val deltaIds = diff.filter(col("status").isin("added", "changed"))
       .select(col("id").as("doc_id"))
     // the ONLY tokenization-bound work of the refresh: the delta
     val deltaArt = docArtifacts(
-      newDocs.join(deltaIds, Seq("doc_id"), "left_semi"))
+      masked.join(deltaIds, Seq("doc_id"), "left_semi"))
     val gone = diff.filter(col("status").isin("removed", "changed"))
       .select(col("id").as("doc_id"))
-    val merged = artPrior.join(gone, Seq("doc_id"), "left_anti")
+    artPrior.join(gone, Seq("doc_id"), "left_anti")
       .unionByName(deltaArt)
-      .localCheckpoint()
-    val (pack0, counts) = globalStages(merged)
-    val pack = pack0.localCheckpoint()
+      .write.mode("overwrite").parquet(s"$gN/artifacts")
+    inject("after-artifacts")
+    val (pack, counts) = globalStages(s.read.parquet(s"$gN/artifacts"))
+    // pack_input never references tk, so this write tokenizes nothing
+    pack.select(PackInputCols.map(col): _*).write.mode("overwrite")
+      .parquet(s"$gN/pack_input")
+    inject("after-pack-input")
+    // the one in-place mutation of the cycle. Convergent under crash +
+    // re-run: the rewrite decision diffs the COMMITTED pack_input
+    // against the new stream (deterministic, never reads shard disk
+    // state), so a re-run overwrites exactly the same shard dirs
     val result = Packing.incrementalRepack(
-        s.read.parquet(s"$base/pack_input"), pack,
-        "okey", "tk", "fp", "n_tokens", 256, groupOf, 4, s"$base/shards",
-        s.read.parquet(s"$base/manifest"))
+        s.read.parquet(s"$gC/pack_input"), pack,
+        "okey", "tk", "raw_fp", "n_tokens", 256, groupOf, 4, s"$base/shards",
+        s.read.parquet(s"$gC/manifest"))
       .localCheckpoint(true)
-    // persist the cycle's state for the NEXT refresh (sources above are
-    // all eagerly materialized, so overwriting their parquet is safe)
-    merged.write.mode("overwrite").parquet(s"$base/artifacts")
-    pack.select("okey", "n_tokens", "fp").write.mode("overwrite")
-      .parquet(s"$base/pack_input")
+    inject("after-shards")
     result.filter(col("status") =!= "removed")
       .select("shard_id", "n_chunks", "n_tokens", "shard_fp")
-      .write.mode("overwrite").parquet(s"$base/manifest")
+      .write.mode("overwrite").parquet(s"$gN/manifest")
+    inject("after-manifest")
+    Generations.commit(s, base, cur + 1)
+    Generations.prune(s, base, KeepGenerations)
     val funnel = newDocs.agg(count(lit(1)).as("n_b"))
+      .crossJoin(masked.agg(count(lit(1)).as("__n_after_mask")))
+      .withColumn("n_masked", col("n_b") - col("__n_after_mask"))
+      .drop("__n_after_mask")
       .crossJoin(deltaIds.agg(count(lit(1)).as("n_delta")))
       .crossJoin(diff.filter(col("status") === "removed")
         .agg(count(lit(1)).as("n_removed")))
       .crossJoin(counts)
     result.crossJoin(broadcast(funnel))
+  }
+
+  /** Targeted deletion from the lifecycle state — tombstones first (the
+    * durable right-to-be-forgotten record every later [[refreshTo]]
+    * masks), then the physical fold: one refresh cycle whose target is
+    * the current corpus minus the deleted ids, read straight from the
+    * current generation's artifacts (no caller-side corpus needed).
+    * The delta is removals-only, so the cycle tokenizes nothing and
+    * rewrites only shards past the first deleted doc's stream offset.
+    * Returns the refresh result (manifest + status + funnel).
+    */
+  private[graft] def deleteDocs(s: SparkSession, base: String,
+      ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val cur = requireCurrent(s, base)
+    IndexMaintenance.writeTombstones(ids, idCol, base,
+      nextTombstoneBatch(s, base))
+    refreshTo(s, base,
+      s.read.parquet(s"${Generations.dir(base, cur)}/artifacts")
+        .select("doc_id", "text", "lang"))
+  }
+
+  /** Next deletion batch id for `base`'s tombstone store: one past the
+    * highest live partition and the folded-history marker, so manual
+    * [[deleteDocs]] calls interleave safely with a streamed deletion
+    * face and with [[IndexMaintenance.compactTombstones]].
+    */
+  private def nextTombstoneBatch(s: SparkSession, base: String): Long = {
+    val tombDir = s"$base/${IndexMaintenance.TombstonesName}"
+    val p = new org.apache.hadoop.fs.Path(tombDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fromDirs =
+      if (!fs.exists(p)) -1L
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong)
+        .foldLeft(-1L)(math.max)
+    val fromMarker = IndexMaintenance.compactedThrough(s, tombDir)
+      .map(_ - 1L).getOrElse(-1L)
+    math.max(fromDirs, fromMarker) + 1L
+  }
+
+  /** Roll the lifecycle state back to a committed `version` (VERDICT
+    * r13 #1): one refresh cycle targeting `docsOfVersion` — the corpus
+    * snapshot that generation was built from, supplied by the caller
+    * (bronze snapshots are durable; derived state is not a copy of
+    * them) — so the repack stays boundary-restricted and only the
+    * artifact DELTA between current and target reprocesses. The
+    * restored state lands as a NEW generation (history only moves
+    * forward; a rollback of a rollback needs no special case).
+    *
+    * The versioned tiny state then serves as the VERIFICATION: the
+    * restored pack_input and manifest must hash-match generation
+    * `version`'s recorded frames exactly — a caller supplying the
+    * wrong snapshot fails loudly instead of committing a silently
+    * divergent "rollback". When tombstones were written AFTER the
+    * target generation, exact equality is impossible by design
+    * (right-to-be-forgotten survives rollback — deleted docs must NOT
+    * resurrect, and a masked doc can release a dedup duplicate); the
+    * check then degrades to pinning that no tombstoned doc re-entered
+    * the restored packing input, and the rebuild-parity contract is
+    * "≡ rebuild of (snapshot minus tombstones)" (spec-pinned).
+    */
+  private[graft] def rollbackTo(s: SparkSession, base: String,
+      version: Long, docsOfVersion: DataFrame): DataFrame = {
+    val gens = Generations.committed(s, base)
+    require(gens.contains(version),
+      s"generation $version is not committed under $base " +
+        s"(committed: ${gens.mkString(", ")}) — pruned past the " +
+        s"$KeepGenerations-generation rollback window or never built")
+    val gV = Generations.dir(base, version)
+    val result = refreshTo(s, base, docsOfVersion)
+    val restored = currentPackInput(s, base)
+    IndexMaintenance.tombstoneIds(s, base) match {
+      case None =>
+        val recordedPack = s.read.parquet(s"$gV/pack_input")
+        requireFramesEqual(restored, recordedPack, PackInputCols,
+          s"rollback to generation $version: restored pack_input " +
+            "diverges from the recorded generation — the supplied docs " +
+            "are not that generation's snapshot")
+        requireFramesEqual(currentManifest(s, base),
+          s.read.parquet(s"$gV/manifest"),
+          Seq("shard_id", "n_chunks", "n_tokens", "shard_fp"),
+          s"rollback to generation $version: restored manifest " +
+            "diverges from the recorded generation")
+      case Some(tombs) =>
+        val resurrected = restored
+          .join(tombs.select(lpad(col("id").cast("string"), 10, "0")
+            .as("okey")), Seq("okey"), "left_semi")
+          .limit(1).collect()
+        require(resurrected.isEmpty,
+          s"rollback to generation $version resurrected tombstoned doc " +
+            s"okey=${if (resurrected.nonEmpty) resurrected(0).get(0) else ""}")
+    }
+    result
+  }
+
+  /** Loud exact-equality check of two small frames on `cols` (order-
+    * insensitive multiset comparison via symmetric exceptAll).
+    */
+  private def requireFramesEqual(a: DataFrame, b: DataFrame,
+      cols: Seq[String], msg: String): Unit = {
+    val pa = a.select(cols.map(col): _*)
+    val pb = b.select(cols.map(col): _*)
+    val n = pa.exceptAll(pb).union(pb.exceptAll(pa)).limit(1).count()
+    require(n == 0L, msg)
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -478,6 +735,13 @@ object LifecycleOps {
     // (untouched shards/cells not rewritten, physical compaction).
     QueryDef.sql("q205_delete_rebuild_parity", q205Sql) { (s, d) =>
       val docs = Tables.documents(s, d)
+      // the re-ingested probes ride synthetic ids doc_id + 1e6; a corpus
+      // whose ids reach that offset would silently collide probe ids
+      // with surviving docs and corrupt the parity readout — fail loudly
+      // instead (ADVICE r13)
+      val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0)
+      require(maxId < 1000000L,
+        s"q205 probe-id offset 1000000 collides: max doc_id = $maxId")
       val deleted = docs.filter(expr(DelPred)).select("doc_id")
         .localCheckpoint(true) // consumed by five sections
       val probe = docs.filter(expr(DelPred))
@@ -565,8 +829,9 @@ object LifecycleOps {
     // incremental way: q92's corpusDiff finds the delta, the HEAVY
     // per-doc stage (tokenize/fingerprint/quality) runs on the DELTA
     // only, artifacts merge (removed/changed out, recomputed in), the
-    // corpus-global stages (exact dedup, median gate, √-mix) recompute
-    // as aggregates over the merged artifact rows, and
+    // corpus-global stages (exact keep-min-id dedup, the per-doc q97
+    // score ≥ 0 gate, the fixed-rate 90% hash mix) recompute as
+    // aggregates over the merged artifact rows, and
     // Packing.incrementalRepack diffs the old/new packing inputs
     // counts-only to rewrite only shards past the first changed stream
     // position. The oracle runs the FULL pipeline on BOTH snapshots
@@ -575,24 +840,65 @@ object LifecycleOps {
     // final state but that the incremental path kept exactly what a
     // rebuild would have left identical. Funnel counts ride every row.
     QueryDef.sql("q206_incremental_refresh", q206Sql) { (s, d) =>
-      val b = Tables.documents(s, d).select("doc_id", "text", "lang")
       // the delta is TAIL-heavy (the newest 10% added, some upper-30%
       // docs changed) — the realistic refresh shape under append-order
       // packing, where the unchanged stream prefix stays byte-identical
       // and the kept-shard restriction has something to keep
-      val maxId = b.agg(max("doc_id")).collect()(0).getLong(0)
-      val a = b.filter(col("doc_id") * 10 < lit(9L * maxId))
-        .select(col("doc_id"),
-          when(pmod(col("doc_id"), lit(17)) === 2 &&
-              col("doc_id") * 10 >= lit(7L * maxId),
-            concat(col("text"), lit(" draft"))).otherwise(col("text"))
-            .as("text"),
-          col("lang"))
-        .unionByName(b.filter(pmod(col("doc_id"), lit(29)) === 11)
-          .select((col("doc_id") + 2000000L).as("doc_id"),
-            concat(col("text"), lit(" legacy")).as("text"), col("lang")))
+      val (a, b) = snapshots(s, d)
       val base = scratch(s, d, "refresh")
       priorBuild(s, base, a)
       refreshTo(s, base, b)
+    },
+
+    // q210: versioned rollback ≡ rebuild of the rolled-back snapshot
+    // (VERDICT r13 #1). The Spark side builds generation 0 from A,
+    // refreshes to B (generation 1), then ROLLS BACK to generation 0 —
+    // one refresh cycle targeting the caller-supplied snapshot A, with
+    // the restored pack_input and manifest hash-verified against
+    // generation 0's recorded frames (a wrong snapshot fails loudly
+    // instead of committing a divergent state). The oracle never sees
+    // a generation: it runs the full pipeline on BOTH snapshots from
+    // scratch and derives the rolled-back manifest plus the per-shard
+    // status of the rollback direction (B-state → A-state) — so the
+    // hash pins both the restored content and that rollback rewrote
+    // exactly what the two builds disagree on. n_generations pins that
+    // history only moves forward (build + refresh + rollback = 3
+    // committed generations).
+    QueryDef.sql("q210_rollback_restore", q210Sql) { (s, d) =>
+      val (a, b) = snapshots(s, d)
+      val base = scratch(s, d, "rollback")
+      priorBuild(s, base, a)
+      refreshTo(s, base, b)
+      rollbackTo(s, base, 0L, a)
+        .select(col("shard_id"), col("n_chunks"), col("n_tokens"),
+          col("shard_fp"), col("status"))
+        .withColumn("n_generations",
+          lit(Generations.committed(s, base).size.toLong))
+    },
+
+    // q211: deletion ∘ refresh composition (VERDICT r13 #6). q205 and
+    // q206 are each ≡ rebuild in isolation; the real lifecycle
+    // interleaves them — tombstones arrive BETWEEN refreshes, and the
+    // refresh that follows must not resurrect a tombstoned doc its new
+    // snapshot still carries. The Spark side builds from A, deletes
+    // every A doc with id % 23 = 7 (tombstones written first, then the
+    // physical fold — a removals-only refresh cycle), then refreshes
+    // to B, which STILL CONTAINS most deleted ids. The oracle rebuilds
+    // from scratch on (A minus D) and (B minus D) and derives the
+    // final manifest + per-shard status + the funnel — so the hash
+    // pins that the composed end state ≡ rebuild on (new snapshot
+    // minus deletions), that masking is an ID SET and not a predicate
+    // (a brand-new B doc with id % 23 = 7 that was never deleted stays
+    // IN), and that n_masked counts exactly the tombstoned survivors.
+    QueryDef.sql("q211_delete_refresh_compose", q211Sql) { (s, d) =>
+      val (a, b) = snapshots(s, d)
+      val base = scratch(s, d, "compose")
+      priorBuild(s, base, a)
+      deleteDocs(s, base,
+        a.filter(pmod(col("doc_id"), lit(23)) === 7).select("doc_id"))
+      val res = refreshTo(s, base, b)
+      val nTomb = IndexMaintenance.tombstoneIds(s, base)
+        .map(_.distinct().count()).getOrElse(0L)
+      res.withColumn("n_tombstoned", lit(nTomb))
     })
 }

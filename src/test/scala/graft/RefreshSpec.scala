@@ -58,9 +58,9 @@ class RefreshSpec extends SparkSpec {
     assert(n2.getLong(0) >= 1 && n2.getLong(0) < ids.length / 2,
       s"cycle-2 delta not delta-sized: ${n2.getLong(0)}")
     assert(n2.getLong(1) == 1L, s"cycle-2 removed ${n2.getLong(1)}")
-    // and the on-disk shards audit clean against the written-back manifest
+    // and the on-disk shards audit clean against the committed manifest
     val audit = Packing.auditShards(spark, s"$base/shards",
-      spark.read.parquet(s"$base/manifest"))
+      LifecycleOps.currentManifest(spark, base))
     assert(audit.filter(!col("fp_match") || !col("chunks_match") ||
       !col("tokens_match")).count() == 0L)
   }
