@@ -88,6 +88,31 @@ object Generations {
       .foreach(n => fs.delete(new Path(root, n), true))
   }
 
+  /** Write a small text marker file (atomic create+close, overwrite). */
+  def writeMarker(spark: SparkSession, path: String, content: String): Unit = {
+    val p = new Path(path)
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read a marker written by [[writeMarker]], if present. */
+  def readMarker(spark: SparkSession, path: String): Option[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  /** Delete a marker file if present. */
+  def dropMarker(spark: SparkSession, path: String): Unit =
+    fsOf(spark, path).delete(new Path(path), false)
+
   /** Bound the generation history: drop whole generations older than
     * the newest `keepGenerations` (their manifests leave the rollback
     * window), and drop the big per-doc `artifacts` frame from every

@@ -300,6 +300,33 @@ object Packing {
           coalesce(col("rb_shard_fp"), lit("?"))).as("fp_match"))
   }
 
+  /** The manifest of what is ACTUALLY ON DISK under a [[writeShards]]
+    * directory — [[auditShards]]'s read-back half as a standalone frame
+    * (shard_id, n_chunks, n_tokens, shard_fp). This is the repair
+    * baseline when a crashed repack may have left the shards diverged
+    * from every recorded manifest: diffing a new stream against the
+    * disk-derived manifest rewrites exactly the shards whose bytes
+    * differ, whatever history produced them. An empty/missing store
+    * yields an empty frame (a fully-deleted corpus is a valid state).
+    */
+  def diskManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    if (graft.streaming.IndexMaintenance.dataFileCount(spark, dir) == 0L)
+      return Seq.empty[(Long, Long, Long, String)]
+        .toDF("shard_id", "n_chunks", "n_tokens", "shard_fp")
+    spark.read.parquet(dir)
+      .select(col("shard_id").cast("long").as("shard_id"),
+        col("chunk_id"), col("n_tokens"), col("chunk_fp"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("n_tokens").cast("long").as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("chunk_id"), col("chunk_fp")))),
+            x => x.getField("chunk_fp")),
+          " ")).as("shard_fp"))
+  }
+
   /** Targeted document deletion from a [[writeShards]] directory + its
     * [[shardManifest]] (VERDICT r12 #1): remove `deletedIds`' tokens
     * from the packed stream and bring the on-disk shards back to
@@ -389,7 +416,8 @@ object Packing {
   def incrementalRepack(oldInput: DataFrame, newDocs: DataFrame,
       orderCol: String, tokensCol: String, fpCol: String, countCol: String,
       capacity: Long, groupOf: Column, chunksPerShard: Long, dir: String,
-      oldManifest: DataFrame): DataFrame = {
+      oldManifest: DataFrame,
+      forcedBoundaryShard: Option[Long] = None): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     require(chunksPerShard > 0,
       s"chunksPerShard must be positive, got $chunksPerShard")
@@ -406,6 +434,16 @@ object Packing {
         newDocs.withColumn("__n", coalesce(col(countCol).cast("long"), lit(0L)))
       else newDocs
         .withColumn("__n", coalesce(size(col(tokensCol)).cast("long"), lit(0L)))
+    forcedBoundaryShard.foreach { b =>
+      // the crash-REPAIR entry (LifecycleOps.refreshTo): the caller
+      // already knows the streams cannot be trusted to share a prefix
+      // (oldManifest is disk-derived), so skip the diff and recompute
+      // from shard `b` — rewriting still only touches shards whose
+      // fingerprint differs from oldManifest
+      val off = runningOffset(newCounts, orderCol, "__n", groupOf)
+      return repackFromBoundary(off, tokensCol, capacity, chunksPerShard,
+        b, dir, oldManifest)
+    }
     val newOff = runningOffset(newCounts, orderCol, "__n", groupOf)
     val oldOff = runningOffset(
       oldInput.withColumn("__n", col(countCol).cast("long")),

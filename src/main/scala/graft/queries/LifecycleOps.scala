@@ -529,6 +529,8 @@ object LifecycleOps {
     Packing.writeShards(chunks, s"$base/shards", 4)
     pack.select(PackInputCols.map(col): _*).write.mode("overwrite")
       .parquet(s"$g0/pack_input")
+    // a full write replaces whatever an interrupted repack left behind
+    Generations.dropMarker(s, s"$base/shards/_REPACK_IN_PROGRESS")
     Generations.commit(s, base, 0L)
   }
 
@@ -543,15 +545,38 @@ object LifecycleOps {
     * final marker write (crash at any point before it leaves the prior
     * generation current and a re-run converges — CommitProtocolSpec).
     *
-    * `failAt` is the kill-point injection hook for that spec: naming a
-    * point throws immediately after the corresponding write.
+    * The in-place shard mutation is bracketed by a DIRTY MARKER
+    * (`shards/_REPACK_IN_PROGRESS`) carrying an order-independent
+    * signature of the target stream (count + Σ xxhash64 over the
+    * counts-only pack input — one aggregate, no tokens). A re-run after
+    * a crash with the SAME target matches the signature and keeps the
+    * cheap boundary-restricted path (rewrite decisions are
+    * deterministic, so it overwrites exactly the same shard dirs). A
+    * re-run with a DIFFERENT target — the one case where "shards
+    * before the boundary are byte-identical" can be false, because the
+    * interrupted run may have rewritten below the new boundary —
+    * detects the mismatch and REPAIRS: it diffs the new stream against
+    * the manifest recomputed from what is actually on disk
+    * ([[Packing.diskManifest]]) with the boundary at zero, rewriting
+    * exactly the shards whose bytes differ, whatever history produced
+    * them.
+    *
+    * `failAt` is the kill-point injection hook for CommitProtocolSpec:
+    * naming a point throws immediately after the corresponding write.
+    * `packGate`/`manifestGate` run with the uncommitted generation dir
+    * right after its pack_input/manifest land — [[rollbackTo]]'s
+    * verification hooks; a gate that throws aborts the cycle BEFORE
+    * the commit marker (and `packGate` even before any shard
+    * mutation), leaving the prior generation current.
     *
     * Returns the post-refresh manifest with per-shard status plus the
     * funnel counts (n_b, n_masked, n_delta, n_removed, n_dedup,
     * n_gated, n_mixed).
     */
   private[graft] def refreshTo(s: SparkSession, base: String,
-      newDocs: DataFrame, failAt: Option[String] = None): DataFrame = {
+      newDocs: DataFrame, failAt: Option[String] = None,
+      packGate: String => Unit = _ => (),
+      manifestGate: String => Unit = _ => ()): DataFrame = {
     def inject(point: String): Unit =
       if (failAt.contains(point))
         throw new RuntimeException(s"injected lifecycle failure at $point")
@@ -584,21 +609,42 @@ object LifecycleOps {
     pack.select(PackInputCols.map(col): _*).write.mode("overwrite")
       .parquet(s"$gN/pack_input")
     inject("after-pack-input")
-    // the one in-place mutation of the cycle. Convergent under crash +
-    // re-run: the rewrite decision diffs the COMMITTED pack_input
-    // against the new stream (deterministic, never reads shard disk
-    // state), so a re-run overwrites exactly the same shard dirs
+    packGate(gN)
+    // the one in-place mutation of the cycle, bracketed by the dirty
+    // marker. Same-signature re-run: convergent (the rewrite decision
+    // diffs the COMMITTED pack_input against the new stream —
+    // deterministic, never reads shard disk state — so it overwrites
+    // exactly the same shard dirs). Different-signature re-run after a
+    // crash: repair against the disk-derived manifest from boundary 0.
+    val shardsDir = s"$base/shards"
+    val dirtyPath = s"$shardsDir/_REPACK_IN_PROGRESS"
+    val sig = streamSignature(s.read.parquet(s"$gN/pack_input"))
+    val priorDirty = Generations.readMarker(s, dirtyPath)
+    val repair = priorDirty.exists(_ != sig)
+    val (oldInput, oldManifest) =
+      if (repair)
+        (s.emptyDataFrame
+          .select(lit("").as("okey"), lit(0L).as("n_tokens"),
+            lit("").as("raw_fp")).limit(0),
+          Packing.diskManifest(s, shardsDir).localCheckpoint(true))
+      else
+        (s.read.parquet(s"$gC/pack_input"),
+          s.read.parquet(s"$gC/manifest"))
+    Generations.writeMarker(s, dirtyPath, sig)
     val result = Packing.incrementalRepack(
-        s.read.parquet(s"$gC/pack_input"), pack,
-        "okey", "tk", "raw_fp", "n_tokens", 256, groupOf, 4, s"$base/shards",
-        s.read.parquet(s"$gC/manifest"))
+        oldInput, pack,
+        "okey", "tk", "raw_fp", "n_tokens", 256, groupOf, 4, shardsDir,
+        oldManifest,
+        forcedBoundaryShard = if (repair) Some(0L) else None)
       .localCheckpoint(true)
     inject("after-shards")
     result.filter(col("status") =!= "removed")
       .select("shard_id", "n_chunks", "n_tokens", "shard_fp")
       .write.mode("overwrite").parquet(s"$gN/manifest")
     inject("after-manifest")
+    manifestGate(gN)
     Generations.commit(s, base, cur + 1)
+    Generations.dropMarker(s, dirtyPath)
     Generations.prune(s, base, KeepGenerations)
     val funnel = newDocs.agg(count(lit(1)).as("n_b"))
       .crossJoin(masked.agg(count(lit(1)).as("__n_after_mask")))
@@ -630,6 +676,20 @@ object LifecycleOps {
         .select("doc_id", "text", "lang"))
   }
 
+  /** Order-independent signature of a counts-only packing input (row
+    * count + Σ xxhash64 over (okey, n_tokens, raw_fp)) — the dirty
+    * marker's identity of a repack target. One aggregate, no tokens;
+    * at 100 TB this is a scan of the tiny pack_input frame.
+    */
+  private def streamSignature(packInput: DataFrame): String = {
+    val r = packInput.agg(count(lit(1)).as("n"),
+      coalesce(sum(xxhash64(col("okey"), col("n_tokens"), col("raw_fp"))
+          .cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("h"))
+      .collect()(0)
+    s"${r.getLong(0)}:${r.getDecimal(1).toBigInteger.toString}"
+  }
+
   /** Next deletion batch id for `base`'s tombstone store: one past the
     * highest live partition and the folded-history marker, so manual
     * [[deleteDocs]] calls interleave safely with a streamed deletion
@@ -659,17 +719,21 @@ object LifecycleOps {
     * restored state lands as a NEW generation (history only moves
     * forward; a rollback of a rollback needs no special case).
     *
-    * The versioned tiny state then serves as the VERIFICATION: the
-    * restored pack_input and manifest must hash-match generation
-    * `version`'s recorded frames exactly — a caller supplying the
-    * wrong snapshot fails loudly instead of committing a silently
-    * divergent "rollback". When tombstones were written AFTER the
-    * target generation, exact equality is impossible by design
+    * The versioned tiny state then serves as the VERIFICATION, run as
+    * GATES inside the cycle so nothing bad ever lands: the rebuilt
+    * pack_input must hash-match generation `version`'s recorded frame
+    * BEFORE the first shard is touched (a caller supplying the wrong
+    * snapshot fails loudly with the prior generation still current and
+    * the shard store untouched), and the rebuilt manifest must match
+    * the recorded one before the commit marker (an internal repack
+    * divergence aborts the commit). When tombstones were written AFTER
+    * the target generation, exact equality is impossible by design
     * (right-to-be-forgotten survives rollback — deleted docs must NOT
     * resurrect, and a masked doc can release a dedup duplicate); the
-    * check then degrades to pinning that no tombstoned doc re-entered
-    * the restored packing input, and the rebuild-parity contract is
-    * "≡ rebuild of (snapshot minus tombstones)" (spec-pinned).
+    * pack gate then degrades to pinning that no tombstoned doc
+    * re-entered the restored packing input, and the rebuild-parity
+    * contract is "≡ rebuild of (snapshot minus tombstones)"
+    * (spec-pinned).
     */
   private[graft] def rollbackTo(s: SparkSession, base: String,
       version: Long, docsOfVersion: DataFrame): DataFrame = {
@@ -679,30 +743,37 @@ object LifecycleOps {
         s"(committed: ${gens.mkString(", ")}) — pruned past the " +
         s"$KeepGenerations-generation rollback window or never built")
     val gV = Generations.dir(base, version)
-    val result = refreshTo(s, base, docsOfVersion)
-    val restored = currentPackInput(s, base)
-    IndexMaintenance.tombstoneIds(s, base) match {
-      case None =>
-        val recordedPack = s.read.parquet(s"$gV/pack_input")
-        requireFramesEqual(restored, recordedPack, PackInputCols,
-          s"rollback to generation $version: restored pack_input " +
-            "diverges from the recorded generation — the supplied docs " +
-            "are not that generation's snapshot")
-        requireFramesEqual(currentManifest(s, base),
+    val tombs = IndexMaintenance.tombstoneIds(s, base)
+    val packGate: String => Unit = { gN =>
+      tombs match {
+        case None =>
+          requireFramesEqual(s.read.parquet(s"$gN/pack_input"),
+            s.read.parquet(s"$gV/pack_input"), PackInputCols,
+            s"rollback to generation $version: rebuilt pack_input " +
+              "diverges from the recorded generation — the supplied " +
+              "docs are not that generation's snapshot (aborted before " +
+              "any shard was touched)")
+        case Some(t) =>
+          val resurrected = s.read.parquet(s"$gN/pack_input")
+            .join(t.select(lpad(col("id").cast("string"), 10, "0")
+              .as("okey")), Seq("okey"), "left_semi")
+            .limit(1).collect()
+          require(resurrected.isEmpty,
+            s"rollback to generation $version would resurrect " +
+              s"tombstoned doc okey=${resurrected.headOption
+                .map(_.get(0)).getOrElse("")}")
+      }
+    }
+    val manifestGate: String => Unit = { gN =>
+      if (tombs.isEmpty)
+        requireFramesEqual(s.read.parquet(s"$gN/manifest"),
           s.read.parquet(s"$gV/manifest"),
           Seq("shard_id", "n_chunks", "n_tokens", "shard_fp"),
-          s"rollback to generation $version: restored manifest " +
-            "diverges from the recorded generation")
-      case Some(tombs) =>
-        val resurrected = restored
-          .join(tombs.select(lpad(col("id").cast("string"), 10, "0")
-            .as("okey")), Seq("okey"), "left_semi")
-          .limit(1).collect()
-        require(resurrected.isEmpty,
-          s"rollback to generation $version resurrected tombstoned doc " +
-            s"okey=${if (resurrected.nonEmpty) resurrected(0).get(0) else ""}")
+          s"rollback to generation $version: rebuilt manifest diverges " +
+            "from the recorded generation (commit aborted)")
     }
-    result
+    refreshTo(s, base, docsOfVersion, packGate = packGate,
+      manifestGate = manifestGate)
   }
 
   /** Loud exact-equality check of two small frames on `cols` (order-

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+import graft.operators.{Generations, Packing}
+import graft.queries.LifecycleOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Crash safety of the lifecycle commit protocol (VERDICT r13 #2):
+  * a refresh cycle killed between EVERY pair of writes leaves the
+  * prior generation current, and a re-run converges to exactly the
+  * uninterrupted run's state — manifest hash, shard-disk audit,
+  * generation history. Plus the harder case the dirty marker exists
+  * for: a crash mid-shard-rewrite followed by a refresh to a
+  * DIFFERENT target (where the boundary-restricted prefix assumption
+  * is false) detects the signature mismatch and repairs against the
+  * disk-derived manifest.
+  */
+class CommitProtocolSpec extends SparkSpec {
+
+  // a halved corpus keeps the five-build suite fast; the machinery
+  // under test is identical at any size
+  private def docs: DataFrame =
+    Tables.documents(spark, sf("sf0.001"))
+      .filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select("doc_id", "text", "lang")
+
+  private def snapA(all: DataFrame, cut: Long): DataFrame =
+    all.filter(col("doc_id") < cut)
+
+  private def snapB(all: DataFrame, cut: Long): DataFrame =
+    all.select(col("doc_id"),
+      when(col("doc_id") === cut - 2, concat(col("text"), lit(" v2")))
+        .otherwise(col("text")).as("text"), col("lang"))
+
+  private def manifestRows(df: DataFrame) = df
+    .select("shard_id", "n_chunks", "n_tokens", "shard_fp")
+    .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getString(3))).sortBy(_._1).toSeq
+
+  private def assertCleanAudit(base: String, label: String): Unit = {
+    val audit = Packing.auditShards(spark, s"$base/shards",
+      LifecycleOps.currentManifest(spark, base))
+    assert(audit.filter(!col("fp_match") || !col("chunks_match") ||
+      !col("tokens_match")).count() == 0L, s"$label: dirty shard audit")
+  }
+
+  test("a refresh killed between every pair of writes converges on re-run") {
+    val all = docs
+    val ids = all.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length * 8 / 10)
+    val (a, b) = (snapA(all, cut), snapB(all, cut))
+
+    val refBase = Files.createTempDirectory("commit_ref").toString
+    LifecycleOps.priorBuild(spark, refBase, a)
+    LifecycleOps.refreshTo(spark, refBase, b)
+    val want = manifestRows(LifecycleOps.currentManifest(spark, refBase))
+
+    for (kp <- Seq("after-artifacts", "after-pack-input", "after-shards",
+        "after-manifest")) {
+      val base = Files.createTempDirectory(s"commit_$kp").toString
+      LifecycleOps.priorBuild(spark, base, a)
+      val e = intercept[RuntimeException] {
+        LifecycleOps.refreshTo(spark, base, b, failAt = Some(kp))
+      }
+      assert(e.getMessage.contains(kp))
+      // the crash never moved the commit pointer
+      assert(Generations.current(spark, base).contains(0L),
+        s"$kp: commit pointer moved before the marker write")
+      // the re-run converges to the uninterrupted run
+      LifecycleOps.refreshTo(spark, base, b)
+      assert(Generations.committed(spark, base) == Seq(0L, 1L),
+        s"$kp: unexpected generation history")
+      assert(manifestRows(LifecycleOps.currentManifest(spark, base)) == want,
+        s"$kp: re-run diverged from the uninterrupted run")
+      assertCleanAudit(base, kp)
+    }
+  }
+
+  test("crash mid-rewrite then a DIFFERENT target repairs from disk state") {
+    val all = docs
+    val ids = all.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length * 8 / 10)
+    val a = snapA(all, cut)
+    val b = snapB(all, cut)
+    // target C diverges from A EARLIER than B does (so the interrupted
+    // B-rewrite sits past C's boundary) with a TOKEN-COUNT-PRESERVING
+    // change (upper-casing one mid-stream doc): every C position past
+    // that doc's shard matches A exactly, so a cycle that trusted the
+    // committed manifest's prefix would mark the B-rewritten tail
+    // "kept" and leave stale bytes — the precise hazard the dirty
+    // marker's signature mismatch repairs
+    val cCut = ids(ids.length / 2)
+    val c = all.select(col("doc_id"),
+      when(col("doc_id") === cCut, upper(col("text")))
+        .otherwise(col("text")).as("text"), col("lang"))
+
+    // reference: build(A) then refresh(C) with no interruption
+    val refBase = Files.createTempDirectory("repair_ref").toString
+    LifecycleOps.priorBuild(spark, refBase, a)
+    LifecycleOps.refreshTo(spark, refBase, c)
+    val want = manifestRows(LifecycleOps.currentManifest(spark, refBase))
+
+    val base = Files.createTempDirectory("repair").toString
+    LifecycleOps.priorBuild(spark, base, a)
+    // kill AFTER the shard rewrite to B (the worst point: disk is fully
+    // at B past B's boundary, but nothing committed)
+    intercept[RuntimeException] {
+      LifecycleOps.refreshTo(spark, base, b, failAt = Some("after-shards"))
+    }
+    // now refresh to C instead of re-running B
+    LifecycleOps.refreshTo(spark, base, c)
+    assert(manifestRows(LifecycleOps.currentManifest(spark, base)) == want,
+      "repair path diverged from the clean A->C refresh")
+    assertCleanAudit(base, "repair")
+  }
+}

@@ -64,4 +64,39 @@ class RefreshSpec extends SparkSpec {
     assert(audit.filter(!col("fp_match") || !col("chunks_match") ||
       !col("tokens_match")).count() == 0L)
   }
+
+  test("a case-only edit repacks its shard (raw diff key, ADVICE r13)") {
+    val all = Tables.documents(spark, sf("sf0.001"))
+      .filter(col("doc_id") % 2 === 0).select("doc_id", "text", "lang")
+    val base = Files.createTempDirectory("caseonly").toString
+    LifecycleOps.priorBuild(spark, base, all)
+    // flip the case of one MID-STREAM doc that actually PACKED (a
+    // gate/mix-dropped doc would make the check vacuous) and whose
+    // text has case to flip: the normalized fingerprint and token
+    // count are both unchanged, so a normalized diff key would
+    // classify the doc as unchanged and leave its stale shard on
+    // disk; the raw md5(text) key must catch it
+    val packed = LifecycleOps.currentPackInput(spark, base)
+      .select(col("okey").cast("long").as("doc_id"))
+      .join(all.filter(col("text") =!= upper(col("text"))), Seq("doc_id"),
+        "left_semi")
+      .collect().map(_.getLong(0)).sorted
+    val target = packed(packed.length / 2)
+    val b = all.select(col("doc_id"),
+      when(col("doc_id") === target, upper(col("text")))
+        .otherwise(col("text")).as("text"), col("lang"))
+    val r = LifecycleOps.refreshTo(spark, base, b)
+    assert(manifestOf(r) == fromScratchManifest(b),
+      "case-only edit left a stale shard (diff key missed it)")
+    // the edit was detected as exactly one delta doc...
+    assert(r.select("n_delta").collect()(0).getLong(0) == 1L)
+    // ...and at least one shard actually rewrote (the upper-cased
+    // chunk's fingerprint differs even though every position matches)
+    assert(r.filter(col("status") === "rewritten").count() >= 1L)
+    // the disk matches, not just the manifest arithmetic
+    val audit = Packing.auditShards(spark, s"$base/shards",
+      LifecycleOps.currentManifest(spark, base))
+    assert(audit.filter(!col("fp_match") || !col("chunks_match") ||
+      !col("tokens_match")).count() == 0L)
+  }
 }
