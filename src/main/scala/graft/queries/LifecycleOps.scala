@@ -645,7 +645,9 @@ object LifecycleOps {
     manifestGate(gN)
     Generations.commit(s, base, cur + 1)
     Generations.dropMarker(s, dirtyPath)
-    Generations.prune(s, base, KeepGenerations)
+    // the funnel materializes (one row) BEFORE prune: newDocs/masked
+    // may lazily read the PRIOR generation's artifacts (deleteDocs
+    // does exactly that), and prune deletes them
     val funnel = newDocs.agg(count(lit(1)).as("n_b"))
       .crossJoin(masked.agg(count(lit(1)).as("__n_after_mask")))
       .withColumn("n_masked", col("n_b") - col("__n_after_mask"))
@@ -654,6 +656,8 @@ object LifecycleOps {
       .crossJoin(diff.filter(col("status") === "removed")
         .agg(count(lit(1)).as("n_removed")))
       .crossJoin(counts)
+      .localCheckpoint(true)
+    Generations.prune(s, base, KeepGenerations)
     result.crossJoin(broadcast(funnel))
   }
 
