@@ -174,6 +174,17 @@ object Bench {
     (mins, factor)
   }
 
+  /** Queries that MUTATE on-disk stores inside their timed run
+    * (VERDICT r13 #4): they churn the block manager and page cache —
+    * the proven mechanism behind late-suite inflation (PERF_NOTES r13,
+    * q179) — so the bench runs them in their own phase AFTER every
+    * pure query, keeping per-query numbers comparable across rounds.
+    * BENCH_FULL.json carries the phase per entry (`phase_of`).
+    */
+  val LifecyclePhase: Set[String] = Set(
+    "q205_delete_rebuild_parity", "q206_incremental_refresh",
+    "q210_rollback_restore", "q211_delete_refresh_compose")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -184,15 +195,23 @@ object Bench {
     // the full suite remains the default and the driver-run contract
     val onlyIds = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    val benchQueries = onlyIds match {
+    val selected = onlyIds match {
       case Some(ids) => SparkEntry.queries.filter { case (name, _) =>
         ids.contains(name) || ids.contains(name.split('_').head)
       }
       case None => SparkEntry.queries
     }
+    // phase split: every pure query first (sorted), the store-mutating
+    // lifecycle queries last — their block-manager/page-cache churn
+    // then cannot inflate a pure query's timed run
+    val orderedQueries = {
+      val (lc, pure) = selected.toSeq.sortBy(_._1)
+        .partition(q => LifecyclePhase(q._1))
+      pure ++ lc
+    }
     // untimed warmup pass: JVM/JIT + codegen caches, so round-over-round
     // per-query numbers don't depend on which query drew the warmup slot
-    benchQueries.foreach { case (name, fn) =>
+    orderedQueries.foreach { case (name, fn) =>
       try forceEval(fn(spark, sfDir)) catch {
         case e: Throwable => System.err.println(s"[bench] warmup $name FAILED: ${e.getMessage}")
       }
@@ -213,7 +232,7 @@ object Bench {
     require(runsPerQuery >= 1,
       s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runsPerQuery — 0 would " +
         "crash on the median index after the full warmup pass")
-    val results = benchQueries.map { case (name, fn) =>
+    val results = orderedQueries.map { case (name, fn) =>
       val times = (1 to runsPerQuery).map { _ =>
         // drop cached frames so a query that caches an intermediate
         // (q71's hourly aggregate) measures END-TO-END like every other
@@ -254,7 +273,7 @@ object Bench {
     def jmap(key: String => String, sel: ((Double, Double)) => Double) = results
       .map { case (k, v) => "\"" + key(k) + "\":" + r4(sel(v)) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val total = results.map(_._2._1).sum
     // build/query phase decomposition for q108/q114 — printed BEFORE the
     // machine-read line so that line stays last in the driver's window
     // subset runs compute phase splits only for the selected queries
@@ -273,7 +292,11 @@ object Bench {
     // stdout-only printing lost it from the driver's artifact)
     val controlsJson = controlMins.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
-    val detailLine = s"""{"metric":"total_detail","value":${r4(total)},"unit":"sec","runs_per_query":$runsPerQuery,"basis_factor":${r4(basisFactor)},"controls_min":$controlsJson,"phase_detail":$phaseJson,"queries_min":${jmap(identity, _._2)},"queries":${jmap(identity, _._1)},"sf":"$sfDir"}"""
+    val phaseOfJson = orderedQueries.map { case (k, _) =>
+      "\"" + k + "\":\"" +
+        (if (LifecyclePhase(k)) "lifecycle" else "query") + "\""
+    }.mkString("{", ",", "}")
+    val detailLine = s"""{"metric":"total_detail","value":${r4(total)},"unit":"sec","runs_per_query":$runsPerQuery,"basis_factor":${r4(basisFactor)},"controls_min":$controlsJson,"phase_detail":$phaseJson,"phase_of":$phaseOfJson,"queries_min":${jmap(identity, _._2)},"queries":${jmap(identity, _._1)},"sf":"$sfDir"}"""
     println(detailLine)
     // full resolution also lands in the repo: the stdout tail window
     // truncates, this file never does. Path is cwd-relative (or

@@ -753,6 +753,112 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // Deletion-cost ladder (r14, VERDICT r13 #5): the two physically-
+    // rewriting deletion paths vs their full rebuilds.
+    //
+    //  A. IVF CELL STORE — deletion is partition-pruned to the cells
+    //     that contain a deleted id, so rewrite volume ≈ affected_cells
+    //     × cell size. Cells scale with the corpus (n/400, capped at
+    //     the 1024 literal-assign limit) so cell SIZE is ~constant:
+    //     the fixed-absolute-count rung (512 ids) should be ~flat in n
+    //     while the fraction rungs scale with n × fraction.
+    //  B. SHARD REPACK — concat-and-chunk deletion is POSITIONAL: cost
+    //     is the stream suffix from the FIRST deleted doc, not the
+    //     deletion count. The honest grid fixes the count (256 docs)
+    //     and varies the placement depth (10/50/90% into the stream,
+    //     plus uniform-random ≈ worst case): wall + shards rewritten
+    //     must track the suffix (affected partitions), and uniform ≈
+    //     the head placement ≈ the full repack.
+    if (args.contains("--delete-only")) {
+      import graft.operators.{Packing, Similarity}
+      import graft.functions.TextFunctions
+      val dScales = if (posArgs.nonEmpty) posArgs.map(_.toLong)
+      else Seq(100000L, 400000L)
+      def vecs(n: Long) = spark.range(n).select(col("id"),
+        expr("""transform(sequence(0, 63), j -> CAST(
+          CAST(pmod(xxhash64(concat(cast(id AS string), ':',
+            cast(j AS string))), 2001) AS DOUBLE) / 1000.0 - 1.0
+          AS FLOAT))""").as("embedding"))
+      def randomIds(v: DataFrame, nDel: Long) = v.select("id")
+        .orderBy(md5(col("id").cast("string")), col("id")).limit(nDel.toInt)
+        .localCheckpoint(true)
+      // the store build uses the broadcast-join argmin (the engine's
+      // own dispatch for cell counts past the literal-assign limit —
+      // hundreds of plan-time literal centroids fall out of codegen
+      // and crawl); deleteFromCellStore itself never re-assigns
+      def writeStore(v: DataFrame, cents: Seq[(Long, Array[Float])],
+          path: String): Unit =
+        Similarity.assignCellsJoin(v, cents)
+          .write.mode("overwrite").partitionBy("cell").parquet(path)
+      val cellLadder = dScales.flatMap { n =>
+        val v = vecs(n).localCheckpoint(true)
+        val nCents = math.min(1024L, math.max(16L, n / 400L)).toInt
+        val cents = Similarity.sampleCentroidsPortable(v, nCents)
+        (Seq(10L, 100L, 1000L).map(bp => (s"frac_bp_$bp", n * bp / 10000L)) :+
+          ("fixed_abs_512" -> 512L)).map { case (kind, nDel) =>
+          val dir = java.nio.file.Files
+            .createTempDirectory(s"delcell_$n").toString + "/store"
+          writeStore(v, cents, dir)
+          val del = randomIds(v, nDel)
+          val (tDel, cellsTouched) = timed {
+            Similarity.deleteFromCellStore(spark, dir, del) }
+          val dir2 = dir + "_full"
+          val (tFull, _) = timed {
+            writeStore(
+              v.join(del.withColumnRenamed("id", "__d"),
+                col("id") === col("__d"), "left_anti"), cents, dir2)
+            1L
+          }
+          f"""{"n":$n,"kind":"$kind","n_del":$nDel,"cells_touched":$cellsTouched,""" +
+            f""""n_cells":$nCents,"delete_sec":$tDel%.2f,"rebuild_sec":$tFull%.2f}"""
+        }
+      }.mkString("[", ",", "]")
+      val (cap, cps) = (2048L, 8L)
+      val groupOf = substring(col("okey"), 1, 7)
+      val shardLadder = dScales.flatMap { n =>
+        val docs = corpus(spark, n).select(col("id"),
+            lpad(col("id").cast("string"), 10, "0").as("okey"),
+            TextFunctions.tokens(col("text")).as("tk"))
+          .localCheckpoint(true)
+        Seq("depth_90" -> (n * 9L / 10L), "depth_50" -> (n / 2L),
+          "depth_10" -> (n / 10L), "uniform" -> -1L).map {
+          case (kind, firstId) =>
+            val dir = java.nio.file.Files
+              .createTempDirectory(s"delshard_$n").toString + "/shards"
+            val chunks = Packing.packChunks(docs, "okey", "tk", cap, groupOf)
+            val manifest = Packing.shardManifest(chunks, cps)
+              .localCheckpoint(true)
+            Packing.writeShards(chunks, dir, cps)
+            val totalShards = manifest.count()
+            val del =
+              if (firstId >= 0)
+                docs.select("id")
+                  .filter(col("id") >= firstId && col("id") < firstId + 256L)
+                  .localCheckpoint(true)
+              else randomIds(docs.select(col("id")), 256L)
+            var res: DataFrame = null
+            val (tDel, _) = timed {
+              res = Packing.deleteAndRepack(docs, "id", "okey", "tk", del,
+                cap, groupOf, cps, dir, manifest).localCheckpoint(true)
+              res.count()
+            }
+            val touched = res.filter(col("status") =!= "kept").count()
+            val dir2 = dir + "_full"
+            val (tFull, _) = timed {
+              val survivors = docs.join(del.withColumnRenamed("id", "__d"),
+                col("id") === col("__d"), "left_anti")
+              val ch = Packing.packChunks(survivors, "okey", "tk", cap, groupOf)
+              Packing.writeShards(ch, dir2, cps)
+              Packing.shardManifest(ch, cps).count()
+            }
+            f"""{"n":$n,"kind":"$kind","n_del":256,"shards_touched":$touched,""" +
+              f""""n_shards":$totalShards,"delete_sec":$tDel%.2f,"rebuild_sec":$tFull%.2f}"""
+        }
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"delete_rehearsal","cells":$cellLadder,"shards":$shardLadder}""")
+      spark.stop(); return
+    }
+
     if (args.contains("--compact-only")) {
       import graft.streaming.{IndexMaintenance, RetrievalStream}
       val dir = java.nio.file.Files.createTempDirectory("compact_rung")

@@ -518,6 +518,14 @@ object LifecycleOps {
     */
   private[graft] def priorBuild(s: SparkSession, base: String,
       docs: DataFrame): Unit = {
+    // a from-scratch build into a base that already holds committed
+    // generations would commit gen_0 UNDER the existing current
+    // generation — refuse loudly; rebuilds start from a cleared base
+    val existing = Generations.committed(s, base)
+    require(existing.isEmpty,
+      s"priorBuild into $base which already holds committed generations " +
+        s"${existing.mkString(", ")} — refresh/rollback instead, or " +
+        "clear the base for a from-scratch build")
     val groupOf = substring(col("okey"), 1, 8)
     val g0 = Generations.dir(base, 0L)
     docArtifacts(docs).write.mode("overwrite").parquet(s"$g0/artifacts")
