@@ -65,6 +65,41 @@ class RefreshSpec extends SparkSpec {
       !col("tokens_match")).count() == 0L)
   }
 
+  test("streamed tombstones fold at the next refresh (stream ≡ batch)") {
+    implicit val ctx = spark.sqlContext
+    import sqlImplicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.RetrievalStream
+    val all = Tables.documents(spark, sf("sf0.001"))
+      .filter(col("doc_id") % 2 === 1).select("doc_id", "text", "lang")
+    val ids = all.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length * 8 / 10)
+    val a = all.filter(col("doc_id") < cut)
+    val base = Files.createTempDirectory("streamtomb").toString
+    LifecycleOps.priorBuild(spark, base, a)
+    // the deletion STREAM records tombstones per micro-batch (the same
+    // generic face the index stores use — cheap, replay-idempotent);
+    // the PHYSICAL fold is deferred to the next refresh cycle, the
+    // maintenance split a per-batch repack could never afford at 100 TB
+    val del = ids.filter(_ % 19 == 3).filter(_ < cut)
+    val source = MemoryStream[Long]
+    val sq = RetrievalStream.deletionIngest(
+      source.toDF().select(col("value").as("doc_id")), "doc_id", base)
+    try {
+      source.addData(del.take(del.length / 2): _*)
+      sq.processAllAvailable()
+      source.addData(del.drop(del.length / 2): _*) // second micro-batch
+      sq.processAllAvailable()
+    } finally sq.stop()
+    // the next refresh targets the FULL corpus (which still contains
+    // every streamed id) and must fold the stream's deletions
+    val r = LifecycleOps.refreshTo(spark, base, all)
+    val survivors = all.filter(!col("doc_id").isin(del: _*))
+    assert(manifestOf(r) == fromScratchManifest(survivors),
+      "refresh after a tombstone stream != rebuild(snapshot minus stream)")
+    assert(r.select("n_masked").collect()(0).getLong(0) == del.length.toLong)
+  }
+
   test("a case-only edit repacks its shard (raw diff key, ADVICE r13)") {
     val all = Tables.documents(spark, sf("sf0.001"))
       .filter(col("doc_id") % 2 === 0).select("doc_id", "text", "lang")
