@@ -435,6 +435,33 @@ object LifecycleOps {
        |    AS n_tombstoned)
        |SELECT fo.*, counts.* FROM fo CROSS JOIN counts""".stripMargin
 
+  /** q212 oracle: the generation-history datasheet derived from the
+    * two from-scratch chains — generation 0 (built from A), 1
+    * (refreshed to B), 2 (rolled back to A): per generation the packed
+    * doc count, packed token total, shard count, shard token total,
+    * and the order-pinned manifest fingerprint (gen 2's row must equal
+    * gen 0's except the generation number — rollback restored the
+    * recorded state bit-for-bit).
+    */
+  private def q212Sql: String = {
+    def gen(g: Int, p: String): String =
+      s"""SELECT CAST($g AS BIGINT) AS generation,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ${p}cn) AS n_docs,
+         |  (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM ${p}cn)
+         |    AS n_doc_tokens,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ${p}man) AS n_shards,
+         |  (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM ${p}man)
+         |    AS n_shard_tokens,
+         |  (SELECT md5(string_agg(shard_fp, ' ' ORDER BY shard_id))
+         |   FROM ${p}man) AS manifest_fp""".stripMargin
+    s"""WITH $SnapshotCtes,
+       |${refreshChainSql("a_docs", "a_")},
+       |${refreshChainSql("b_docs", "b_")}
+       |${gen(0, "a_")}
+       |UNION ALL ${gen(1, "b_")}
+       |UNION ALL ${gen(2, "a_")}""".stripMargin
+  }
+
   /** Per-doc artifact stage — the HEAVY half of the refresh pipeline
     * (tokenization-bound); the incremental path runs it on the DELTA
     * only, everything corpus-global downstream being aggregates over
@@ -983,5 +1010,43 @@ object LifecycleOps {
       val nTomb = IndexMaintenance.tombstoneIds(s, base)
         .map(_.distinct().count()).getOrElse(0L)
       res.withColumn("n_tombstoned", lit(nTomb))
+    },
+
+    // q212: the generation-history datasheet — the observability
+    // readout a versioned 100 TB store needs before anyone trusts a
+    // rollback window: one row per committed generation with its
+    // packed doc/token totals, shard totals, and the order-pinned
+    // manifest fingerprint, read straight from the tiny versioned
+    // frames (never the shards). The Spark side builds gen 0 from A,
+    // refreshes to B (gen 1), rolls back to A (gen 2); the oracle
+    // derives all three rows from the two from-scratch chains — so the
+    // hash also pins that gen 2's record is bit-identical to gen 0's
+    // (rollback restored the recorded state, not an approximation).
+    QueryDef.sql("q212_generation_history", q212Sql) { (s, d) =>
+      val (a, b) = snapshots(s, d)
+      val base = scratch(s, d, "history")
+      priorBuild(s, base, a)
+      refreshTo(s, base, b)
+      rollbackTo(s, base, 0L, a)
+      Generations.committed(s, base).map { g =>
+        val gd = Generations.dir(base, g)
+        val pi = s.read.parquet(s"$gd/pack_input")
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum("n_tokens"), lit(0L)).cast("long")
+              .as("n_doc_tokens"))
+        val mf = s.read.parquet(s"$gd/manifest")
+          .agg(count(lit(1)).as("n_shards"),
+            coalesce(sum("n_tokens"), lit(0L)).cast("long")
+              .as("n_shard_tokens"),
+            md5(array_join(
+              transform(
+                array_sort(collect_list(struct(col("shard_id"),
+                  col("shard_fp")))),
+                x => x.getField("shard_fp")),
+              " ")).as("manifest_fp"))
+        pi.crossJoin(mf).select(lit(g).as("generation"), col("n_docs"),
+          col("n_doc_tokens"), col("n_shards"), col("n_shard_tokens"),
+          col("manifest_fp"))
+      }.reduce(_ unionByName _)
     })
 }
