@@ -96,7 +96,11 @@ object ScaleRehearsal {
     val posArgs = args.toSeq.filterNot(_.startsWith("--"))
     val scales = if (posArgs.nonEmpty) posArgs.map(_.toLong)
     else Seq(15000L, 50000L, 150000L)
-    if (!semOnly && !segDigestOnly && !pqOnly && !prOnly && !bpeOnly)
+    // the cap-regime floor concerns the DEDUP ladders' planted
+    // megabucket; the positional-packing/vector ladders never run the
+    // capped operators and take any rung size
+    if (!semOnly && !segDigestOnly && !pqOnly && !prOnly && !bpeOnly &&
+        !args.contains("--delete-only") && !args.contains("--refresh-only"))
       require(scales.forall(_ > 10000L),
       "rungs below 10k docs keep the exact-copy megabucket (n/50 <= cap " +
         "200) while larger rungs drop it — incomparable cap regimes; " +

@@ -272,18 +272,14 @@ object Packing {
     */
   def auditShards(spark: org.apache.spark.sql.SparkSession, dir: String,
       manifest: DataFrame): DataFrame = {
-    // partition-column inference types shard_id as INT; align with the
-    // manifest's BIGINT before the join
-    val onDisk = spark.read.parquet(dir)
-      .select(col("shard_id").cast("long").as("shard_id"),
-        col("chunk_id"), col("n_tokens"), col("chunk_fp"))
-      .groupBy("shard_id")
-      .agg(count(lit(1)).as("rb_n_chunks"),
-        sum("n_tokens").cast("long").as("rb_n_tokens"),
-        md5(array_join(
-          transform(array_sort(collect_list(struct(col("chunk_id"), col("chunk_fp")))),
-            x => x.getField("chunk_fp")),
-          " ")).as("rb_shard_fp"))
+    // the read-back side IS diskManifest — one definition of the
+    // on-disk fingerprint formula, shared with the crash-repair
+    // baseline (a drift between the two would silently break either
+    // the audit or the repair)
+    val onDisk = diskManifest(spark, dir)
+      .select(col("shard_id"), col("n_chunks").as("rb_n_chunks"),
+        col("n_tokens").as("rb_n_tokens"),
+        col("shard_fp").as("rb_shard_fp"))
     manifest
       .select(col("shard_id").cast("long").as("shard_id"), col("n_chunks"),
         col("n_tokens"), col("shard_fp"))

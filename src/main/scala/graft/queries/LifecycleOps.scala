@@ -665,13 +665,26 @@ object LifecycleOps {
       else
         (s.read.parquet(s"$gC/pack_input"),
           s.read.parquet(s"$gC/manifest"))
-    Generations.writeMarker(s, dirtyPath, sig)
+    // a REPAIR run writes a sentinel that can never equal a clean
+    // signature: a crash MID-REPAIR leaves disk in a three-way mix, and
+    // a re-run of the same target must repair AGAIN, not take the cheap
+    // path its matching signature would otherwise permit (the marker
+    // only flips to the clean signature when the repair's rewrite has
+    // completed, just before the manifest write)
+    Generations.writeMarker(s, dirtyPath,
+      if (repair) s"REPAIR:$sig" else sig)
+    inject("mid-repair")
     val result = Packing.incrementalRepack(
         oldInput, pack,
         "okey", "tk", "raw_fp", "n_tokens", 256, groupOf, 4, shardsDir,
         oldManifest,
         forcedBoundaryShard = if (repair) Some(0L) else None)
       .localCheckpoint(true)
+    // the rewrite completed (result is eagerly materialized, so every
+    // shard write ran): disk now equals the target stream — flip the
+    // repair sentinel to the clean signature so a later same-target
+    // re-run may take the cheap path
+    if (repair) Generations.writeMarker(s, dirtyPath, sig)
     inject("after-shards")
     result.filter(col("status") =!= "removed")
       .select("shard_id", "n_chunks", "n_tokens", "shard_fp")

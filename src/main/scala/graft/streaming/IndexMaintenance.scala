@@ -94,27 +94,22 @@ object IndexMaintenance {
     // low id would duplicate rows already inside batch -1 — the marker
     // carries that bound ([[requireReplayable]] enforces it)
     val bound = math.max(upToBatch, compactedThrough(spark, dir).getOrElse(0L))
-    val out = fs.create(new Path(root, MarkerName), true)
-    try out.write(bound.toString.getBytes("UTF-8")) finally out.close()
+    graft.operators.Generations.writeMarker(spark,
+      new Path(root, MarkerName).toString, bound.toString)
     toCompact.size.toLong
   }
 
   private val MarkerName = "_compacted_through"
 
   /** The exclusive upper bound of batch ids folded into `<prefix>-1`,
-    * if this store has ever been compacted.
+    * if this store has ever been compacted. Marker I/O shares
+    * [[graft.operators.Generations]]'s helpers — one place for the
+    * small-file create/read semantics.
     */
-  def compactedThrough(spark: SparkSession, dir: String): Option[Long] = {
-    val p = new Path(dir, MarkerName)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
-      finally in.close()
-    }
-  }
+  def compactedThrough(spark: SparkSession, dir: String): Option[Long] =
+    graft.operators.Generations
+      .readMarker(spark, new Path(dir, MarkerName).toString)
+      .map(_.toLong)
 
   /** Refuse a write of `batchId` into a store whose history is already
     * folded past it: the batch's own partition no longer exists, so the

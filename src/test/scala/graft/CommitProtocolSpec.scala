@@ -113,5 +113,22 @@ class CommitProtocolSpec extends SparkSpec {
     assert(manifestRows(LifecycleOps.currentManifest(spark, base)) == want,
       "repair path diverged from the clean A->C refresh")
     assertCleanAudit(base, "repair")
+
+    // the DOUBLE-crash hole the sentinel closes: crash mid-B-rewrite,
+    // then crash the C refresh AFTER its repair marker landed but
+    // BEFORE the repair rewrote anything — a clean-signature marker
+    // would let the re-run of C take the cheap path over B-stale disk
+    val base2 = Files.createTempDirectory("repair2").toString
+    LifecycleOps.priorBuild(spark, base2, a)
+    intercept[RuntimeException] {
+      LifecycleOps.refreshTo(spark, base2, b, failAt = Some("after-shards"))
+    }
+    intercept[RuntimeException] {
+      LifecycleOps.refreshTo(spark, base2, c, failAt = Some("mid-repair"))
+    }
+    LifecycleOps.refreshTo(spark, base2, c)
+    assert(manifestRows(LifecycleOps.currentManifest(spark, base2)) == want,
+      "double-crash re-run took the cheap path over mixed disk state")
+    assertCleanAudit(base2, "double-crash repair")
   }
 }
