@@ -511,9 +511,15 @@ object LifecycleOps {
       lpad(col("doc_id").cast("string"), 10, "0").as("okey"),
       TextFunctions.tokens(col("text")).as("tk"),
       col("fp"), col("raw_fp"), col("n_tokens"))
-    val counts = dd.agg(count(lit(1)).as("n_dedup"))
-      .crossJoin(gated.agg(count(lit(1)).as("n_gated")))
-      .crossJoin(mixed.agg(count(lit(1)).as("n_mixed")))
+    // one pass over the dedup window for all three funnel counts
+    // (gated ⊆ dd and mixed ⊆ gated are per-row predicates): three
+    // chained aggregates would re-run the corpus-wide window per count
+    val gateP = col("score_micro") >= 0
+    val mixP = gateP &&
+      graft.operators.Sampling.hashBucket(col("doc_id"), 1000000) < 900000
+    val counts = dd.agg(count(lit(1)).as("n_dedup"),
+      count(when(gateP, lit(1))).as("n_gated"),
+      count(when(mixP, lit(1))).as("n_mixed"))
     (packIn, counts)
   }
 
