@@ -863,6 +863,61 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // End-to-end lifecycle-cycle ladder (r14): the r13 refresh ladder
+    // priced the repack PRIMITIVE; this one prices the whole
+    // generation-versioned cycle — docArtifacts on the delta, the
+    // global stages, the commit protocol (uncommitted gen dirs, dirty
+    // marker + signature aggregate, atomic marker, prune) — against
+    // the full prior build of the same target. Claim: refresh wall ∝
+    // delta at fixed n AND ~flat in n at fixed absolute delta (the
+    // corpus-global stages are counts-only aggregates), with the
+    // protocol overhead lost in the noise.
+    if (args.contains("--lifecycle-only")) {
+      import graft.queries.LifecycleOps
+      val lScales = if (posArgs.nonEmpty) posArgs.map(_.toLong)
+      else Seq(100000L, 400000L)
+      val ladder = lScales.flatMap { n =>
+        val docs = corpus(spark, n).select(col("id").as("doc_id"),
+            col("text"), lit("en").as("lang"))
+          .localCheckpoint(true)
+        // full-rebuild comparator: the prior build of the TARGET corpus
+        val fullDir = java.nio.file.Files
+          .createTempDirectory(s"lc_full_$n").toString
+        val (tFull, _) = timed {
+          LifecycleOps.priorBuild(spark, fullDir, docs); 1L }
+        Seq("frac_bp_100" -> (n / 100L), "fixed_abs_1000" -> 1000L).map {
+          case (kind, delta) =>
+            val base = java.nio.file.Files
+              .createTempDirectory(s"lc_cycle_$n").toString
+            val a = docs.filter(col("doc_id") < n - delta)
+            LifecycleOps.priorBuild(spark, base, a)
+            var nDelta = -1L
+            val (tRefresh, _) = timed {
+              val r = LifecycleOps.refreshTo(spark, base, docs)
+                .localCheckpoint(true)
+              nDelta = r.select("n_delta").collect()(0).getLong(0)
+              r.count()
+            }
+            // a tail deletion on the refreshed state: the cheap
+            // positional case plus the full protocol
+            val del = docs.filter(col("doc_id") >= n - 256L)
+              .select("doc_id")
+            var kept = -1L
+            val (tDelete, _) = timed {
+              val r = LifecycleOps.deleteDocs(spark, base, del)
+                .localCheckpoint(true)
+              kept = r.filter(col("status") === "kept").count()
+              r.count()
+            }
+            f"""{"n":$n,"kind":"$kind","n_delta":$nDelta,""" +
+              f""""refresh_sec":$tRefresh%.2f,"rebuild_sec":$tFull%.2f,""" +
+              f""""delete_tail256_sec":$tDelete%.2f,"shards_kept":$kept}"""
+        }
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"lifecycle_rehearsal","scales":$ladder}""")
+      spark.stop(); return
+    }
+
     if (args.contains("--compact-only")) {
       import graft.streaming.{IndexMaintenance, RetrievalStream}
       val dir = java.nio.file.Files.createTempDirectory("compact_rung")

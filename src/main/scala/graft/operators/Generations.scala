@@ -5,9 +5,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Versioned generations + crash-safe commit markers for the corpus
   * lifecycle state (VERDICT r13 #1/#2). A lifecycle state root `base`
-  * holds one mutable shard store (`base/shards`, incrementally
-  * rewritten in place) plus a sequence of immutable GENERATION
-  * directories `base/gen_N/{artifacts,pack_input,manifest}`:
+  * holds two mutable stores — the shards (`base/shards`, incrementally
+  * rewritten in place under the dirty marker) and the content-
+  * addressed per-doc artifact cache (`base/artifacts`, range-
+  * partitioned, self-healing) — plus a sequence of immutable
+  * GENERATION directories `base/gen_N/{pack_input,manifest}` holding
+  * ONLY the tiny counts/fingerprint frames:
   *
   *  - a refresh cycle writes every frame into the next (uncommitted)
   *    `gen_N` — the committed generation is never mutated, so "a bad
@@ -115,10 +118,8 @@ object Generations {
 
   /** Bound the generation history: drop whole generations older than
     * the newest `keepGenerations` (their manifests leave the rollback
-    * window), and drop the big per-doc `artifacts` frame from every
-    * committed generation except the current one (the next cycle's
-    * diff only ever reads the current artifacts; rollback re-derives
-    * per-doc state from the caller's snapshot, not from history).
+    * window). Generations hold only the tiny frames; the per-doc
+    * artifact cache lives outside them and is never versioned.
     */
   def prune(spark: SparkSession, base: String, keepGenerations: Int): Unit = {
     require(keepGenerations >= 1,
@@ -127,8 +128,5 @@ object Generations {
     val gens = committed(spark, base)
     gens.dropRight(keepGenerations)
       .foreach(n => fs.delete(new Path(dir(base, n)), true))
-    gens.takeRight(keepGenerations).dropRight(1).foreach { n =>
-      fs.delete(new Path(dir(base, n), "artifacts"), true)
-    }
   }
 }

@@ -533,6 +533,102 @@ object LifecycleOps {
     */
   private val PackInputCols = Seq("okey", "n_tokens", "fp", "raw_fp")
 
+  // -------------------------------------------------------------------
+  // The per-doc artifact store: ONE mutable doc_id-range-partitioned
+  // parquet table (`base/artifacts/part=K`, K = doc_id div width) — a
+  // CONTENT-ADDRESSED CACHE of the heavy per-doc stage, never
+  // versioned. Generations version only the tiny counts/fingerprint
+  // frames; copying the corpus TEXT into a new generation directory
+  // per cycle (the r14-first design) made every refresh a corpus-sized
+  // write no matter how small the delta — the lifecycle ladder
+  // measured it. Range partitioning makes a refresh rewrite ∝ its
+  // delta: tail-heavy/append deltas (the realistic shape) touch only
+  // the partitions their doc_ids land in, via dynamic partition
+  // overwrite — the IVF cell store's exact mechanism.
+  //
+  // Crash safety needs no marker here: the store is keyed by raw
+  // content hash, so ANY mixed state a crashed cycle leaves behind
+  // self-heals — the next cycle's corpusDiff recomputes exactly the
+  // rows whose raw_fp differs from ITS target and removes the ids the
+  // target lacks. The store is never authoritative; the committed
+  // pack_input/manifest are.
+  // -------------------------------------------------------------------
+
+  private[graft] val ArtifactCols =
+    Seq("doc_id", "lang", "text", "fp", "raw_fp", "score_micro", "n_tokens")
+
+  private def artifactsDir(base: String): String = s"$base/artifacts"
+
+  private def partWidth(s: SparkSession, base: String): Long =
+    Generations.readMarker(s, s"${artifactsDir(base)}/_PART_WIDTH")
+      .map(_.toLong).getOrElse(1024L)
+
+  private def emptyArtifacts(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(Long, String, String, String, String, Long, Long)]
+      .toDF(ArtifactCols: _*)
+  }
+
+  /** The artifact store's rows (empty-store safe, no partition column
+    * — a fully-deleted corpus is a valid state).
+    */
+  private[graft] def readArtifacts(s: SparkSession, base: String): DataFrame =
+    if (IndexMaintenance.dataFileCount(s, artifactsDir(base)) == 0L)
+      emptyArtifacts(s)
+    else s.read.parquet(artifactsDir(base)).select(ArtifactCols.map(col): _*)
+
+  /** Rewrite ONLY the artifact partitions that contain a removed id or
+    * an added/recomputed row: locate affected `part=` dirs from the id
+    * frames (≤ |delta| values to the driver), eagerly checkpoint the
+    * affected partitions' surviving rows (they are about to be
+    * overwritten — the read-then-overwrite discipline, volume ∝
+    * delta × partition width), dynamic-partition-overwrite them
+    * together with the new rows, and explicitly remove partitions the
+    * rewrite emptied (dynamic overwrite never touches a partition
+    * absent from its output). Checkpoint blocks are released by
+    * tracked id afterwards.
+    */
+  private def flushArtifacts(s: SparkSession, base: String,
+      removeIds: DataFrame, addArt: DataFrame): Unit = {
+    val dir = artifactsDir(base)
+    val w = partWidth(s, base)
+    def partsOf(ids: DataFrame): DataFrame =
+      ids.select(expr(s"doc_id div $w").as("part"))
+    val affected = partsOf(removeIds.select("doc_id"))
+      .union(partsOf(addArt.select("doc_id")))
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (affected.isEmpty) return
+    val sc = s.sparkContext
+    val beforeIds = sc.getPersistentRDDs.keySet.toSet
+    val priorRows =
+      if (IndexMaintenance.dataFileCount(s, dir) == 0L) emptyArtifacts(s)
+      else s.read.parquet(dir)
+        .filter(col("part").isin(affected: _*))
+        .select(ArtifactCols.map(col): _*)
+    val survivors = priorRows
+      .join(removeIds.select(col("doc_id").as("__rm")),
+        col("doc_id") === col("__rm"), "left_anti")
+      .join(addArt.select(col("doc_id").as("__add")),
+        col("doc_id") === col("__add"), "left_anti")
+      .localCheckpoint(true)
+    val ckptIds = sc.getPersistentRDDs.keySet.toSet -- beforeIds
+    survivors.unionByName(addArt.select(ArtifactCols.map(col): _*))
+      .withColumn("part", expr(s"doc_id div $w"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part").parquet(dir)
+    val nonEmpty = partsOf(survivors.select("doc_id"))
+      .union(partsOf(addArt.select("doc_id")))
+      .distinct().collect().map(_.getLong(0)).toSet
+    ckptIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    affected.filterNot(nonEmpty).foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/part=$p"), true)
+    }
+  }
+
   private[graft] def currentManifest(s: SparkSession, base: String): DataFrame =
     s.read.parquet(s"${Generations.dir(base, requireCurrent(s, base))}/manifest")
 
@@ -561,8 +657,19 @@ object LifecycleOps {
         "clear the base for a from-scratch build")
     val groupOf = substring(col("okey"), 1, 8)
     val g0 = Generations.dir(base, 0L)
-    docArtifacts(docs).write.mode("overwrite").parquet(s"$g0/artifacts")
-    val (pack0, _) = globalStages(s.read.parquet(s"$g0/artifacts"))
+    // partition width: ~256 initial partitions, ≥1024 ids wide — new
+    // ids later land in NEW partitions, so the store's partition count
+    // grows with the corpus while a tail/append delta touches few dirs
+    val maxId = docs.agg(coalesce(max("doc_id"), lit(0L))).collect()(0)
+      .getLong(0)
+    val w = math.max(1024L, (maxId + 256L) / 256L)
+    docArtifacts(docs)
+      .withColumn("part", expr(s"doc_id div $w"))
+      .write.mode("overwrite").partitionBy("part")
+      .parquet(artifactsDir(base))
+    Generations.writeMarker(s, s"${artifactsDir(base)}/_PART_WIDTH",
+      w.toString)
+    val (pack0, _) = globalStages(readArtifacts(s, base))
     val pack = pack0.localCheckpoint()
     val chunks = Packing.packChunks(pack, "okey", "tk", 256, groupOf)
     Packing.shardManifest(chunks, 4).write.mode("overwrite")
@@ -580,11 +687,14 @@ object LifecycleOps {
     * must never resurrect a deleted doc the snapshot still carries —
     * VERDICT r13 #6), corpusDiff locates the delta on the raw content
     * hash, the tokenization-bound per-doc stage runs on the delta only,
-    * artifacts merge, the downstream stages recompute over merged rows,
-    * the shards repack incrementally — and every frame lands in the
-    * next UNCOMMITTED generation directory, committed atomically by the
-    * final marker write (crash at any point before it leaves the prior
-    * generation current and a re-run converges — CommitProtocolSpec).
+    * the artifact store rewrites ONLY the partitions the delta touches
+    * ([[flushArtifacts]] — write ∝ delta, and self-healing under crash
+    * because it is content-addressed), the downstream stages recompute
+    * over the store, the shards repack incrementally — and the tiny
+    * pack_input/manifest frames land in the next UNCOMMITTED
+    * generation directory, committed atomically by the final marker
+    * write (crash at any point before it leaves the prior generation
+    * current and a re-run converges — CommitProtocolSpec).
     *
     * The in-place shard mutation is bracketed by a DIRTY MARKER
     * (`shards/_REPACK_IN_PROGRESS`) carrying an order-independent
@@ -618,18 +728,15 @@ object LifecycleOps {
       newDocs: DataFrame, failAt: Option[String] = None,
       packGate: String => Unit = _ => (),
       manifestGate: String => Unit = _ => ()): DataFrame = {
-    def inject(point: String): Unit =
-      if (failAt.contains(point))
-        throw new RuntimeException(s"injected lifecycle failure at $point")
-    val groupOf = substring(col("okey"), 1, 8)
     val cur = requireCurrent(s, base)
     Generations.cleanUncommitted(s, base)
-    val gC = Generations.dir(base, cur)
-    val gN = Generations.dir(base, cur + 1)
     // right-to-be-forgotten composition: ids tombstoned between
-    // refreshes stay deleted even if the new snapshot still holds them
+    // refreshes stay deleted even if the new snapshot still holds them.
+    // Contract: newDocs must NOT derive from this base's artifact
+    // store — the cycle mutates it in place (deleteDocs works from the
+    // id set for exactly this reason)
     val masked = IndexMaintenance.dropTombstoned(newDocs, "doc_id", s, base)
-    val artPrior = s.read.parquet(s"$gC/artifacts")
+    val artPrior = readArtifacts(s, base)
     val newFps = masked.select(col("doc_id"), md5(col("text")).as("raw_fp"))
     val diff = graft.operators.Snapshot.corpusDiff(
         artPrior.select("doc_id", "raw_fp"), newFps, "doc_id", "raw_fp")
@@ -641,11 +748,40 @@ object LifecycleOps {
       masked.join(deltaIds, Seq("doc_id"), "left_semi"))
     val gone = diff.filter(col("status").isin("removed", "changed"))
       .select(col("id").as("doc_id"))
-    artPrior.join(gone, Seq("doc_id"), "left_anti")
-      .unionByName(deltaArt)
-      .write.mode("overwrite").parquet(s"$gN/artifacts")
+    // write ∝ delta: only affected artifact partitions rewritten
+    flushArtifacts(s, base, gone, deltaArt)
+    // the funnel's newDocs/masked halves materialize here (one row):
+    // they are caller frames the cycle tail must not re-evaluate late
+    val funnel = newDocs.agg(count(lit(1)).as("n_b"))
+      .crossJoin(masked.agg(count(lit(1)).as("__n_after_mask")))
+      .withColumn("n_masked", col("n_b") - col("__n_after_mask"))
+      .drop("__n_after_mask")
+      .crossJoin(deltaIds.agg(count(lit(1)).as("n_delta")))
+      .crossJoin(diff.filter(col("status") === "removed")
+        .agg(count(lit(1)).as("n_removed")))
+      .localCheckpoint(true)
+    cycleTail(s, base, cur, funnel, failAt, packGate, manifestGate)
+  }
+
+  /** The shared back half of a lifecycle cycle ([[refreshTo]],
+    * [[deleteDocs]]): global stages over the (already-flushed)
+    * artifact store, the uncommitted-generation writes, the dirty-
+    * marker-bracketed repack, gates, atomic commit, prune. `funnel` is
+    * the caller's eagerly-materialized 1-row (n_b, n_masked, n_delta,
+    * n_removed) frame.
+    */
+  private def cycleTail(s: SparkSession, base: String, cur: Long,
+      funnel: DataFrame, failAt: Option[String],
+      packGate: String => Unit,
+      manifestGate: String => Unit): DataFrame = {
+    def inject(point: String): Unit =
+      if (failAt.contains(point))
+        throw new RuntimeException(s"injected lifecycle failure at $point")
+    val groupOf = substring(col("okey"), 1, 8)
+    val gC = Generations.dir(base, cur)
+    val gN = Generations.dir(base, cur + 1)
     inject("after-artifacts")
-    val (pack, counts) = globalStages(s.read.parquet(s"$gN/artifacts"))
+    val (pack, counts) = globalStages(readArtifacts(s, base))
     // pack_input never references tk, so this write tokenizes nothing
     pack.select(PackInputCols.map(col): _*).write.mode("overwrite")
       .parquet(s"$gN/pack_input")
@@ -699,39 +835,40 @@ object LifecycleOps {
     manifestGate(gN)
     Generations.commit(s, base, cur + 1)
     Generations.dropMarker(s, dirtyPath)
-    // the funnel materializes (one row) BEFORE prune: newDocs/masked
-    // may lazily read the PRIOR generation's artifacts (deleteDocs
-    // does exactly that), and prune deletes them
-    val funnel = newDocs.agg(count(lit(1)).as("n_b"))
-      .crossJoin(masked.agg(count(lit(1)).as("__n_after_mask")))
-      .withColumn("n_masked", col("n_b") - col("__n_after_mask"))
-      .drop("__n_after_mask")
-      .crossJoin(deltaIds.agg(count(lit(1)).as("n_delta")))
-      .crossJoin(diff.filter(col("status") === "removed")
-        .agg(count(lit(1)).as("n_removed")))
-      .crossJoin(counts)
-      .localCheckpoint(true)
+    // counts reads the flushed artifact store (never pruned); the
+    // caller-side funnel half is already materialized
+    val funnelFull = funnel.crossJoin(counts).localCheckpoint(true)
     Generations.prune(s, base, KeepGenerations)
-    result.crossJoin(broadcast(funnel))
+    result.crossJoin(broadcast(funnelFull))
   }
 
   /** Targeted deletion from the lifecycle state — tombstones first (the
     * durable right-to-be-forgotten record every later [[refreshTo]]
-    * masks), then the physical fold: one refresh cycle whose target is
-    * the current corpus minus the deleted ids, read straight from the
-    * current generation's artifacts (no caller-side corpus needed).
-    * The delta is removals-only, so the cycle tokenizes nothing and
-    * rewrites only shards past the first deleted doc's stream offset.
-    * Returns the refresh result (manifest + status + funnel).
+    * masks), then the physical fold driven by the ID SET alone (no
+    * corpus frame anywhere): the deleted ids leave exactly their
+    * artifact partitions, and the shared cycle tail repacks only
+    * shards past the first deleted doc's stream offset. Nothing
+    * tokenizes. Returns the cycle result (manifest + status + funnel;
+    * n_b counts the pre-deletion store, n_removed the ids that were
+    * actually present).
     */
   private[graft] def deleteDocs(s: SparkSession, base: String,
       ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val cur = requireCurrent(s, base)
+    Generations.cleanUncommitted(s, base)
     IndexMaintenance.writeTombstones(ids, idCol, base,
       nextTombstoneBatch(s, base))
-    refreshTo(s, base,
-      s.read.parquet(s"${Generations.dir(base, cur)}/artifacts")
-        .select("doc_id", "text", "lang"))
+    val del = ids.select(col(idCol).as("doc_id")).distinct()
+    val art = readArtifacts(s, base)
+    val gone = art.select("doc_id").join(del, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val funnel = art.agg(count(lit(1)).as("n_b"))
+      .withColumn("n_masked", lit(0L))
+      .withColumn("n_delta", lit(0L))
+      .crossJoin(gone.agg(count(lit(1)).as("n_removed")))
+      .localCheckpoint(true)
+    flushArtifacts(s, base, gone, emptyArtifacts(s))
+    cycleTail(s, base, cur, funnel, None, _ => (), _ => ())
   }
 
   /** Order-independent signature of a counts-only packing input (row
