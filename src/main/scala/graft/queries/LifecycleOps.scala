@@ -589,13 +589,16 @@ object LifecycleOps {
     * tracked id afterwards.
     */
   private def flushArtifacts(s: SparkSession, base: String,
-      removeIds: DataFrame, addArt: DataFrame): Unit = {
+      removeIds: DataFrame, addIds: DataFrame, addArt: DataFrame): Unit = {
     val dir = artifactsDir(base)
     val w = partWidth(s, base)
     def partsOf(ids: DataFrame): DataFrame =
       ids.select(expr(s"doc_id div $w").as("part"))
+    // removeIds/addIds are the callers' CHECKPOINTED small id frames —
+    // deriving parts from addArt itself would re-run the delta
+    // semi-join per consumer (measured seconds per cycle at 400k)
     val affected = partsOf(removeIds.select("doc_id"))
-      .union(partsOf(addArt.select("doc_id")))
+      .union(partsOf(addIds.select("doc_id")))
       .distinct().collect().map(_.getLong(0)).sorted
     if (affected.isEmpty) return
     val sc = s.sparkContext
@@ -608,17 +611,23 @@ object LifecycleOps {
     val survivors = priorRows
       .join(removeIds.select(col("doc_id").as("__rm")),
         col("doc_id") === col("__rm"), "left_anti")
-      .join(addArt.select(col("doc_id").as("__add")),
+      .join(addIds.select(col("doc_id").as("__add")),
         col("doc_id") === col("__add"), "left_anti")
       .localCheckpoint(true)
     val ckptIds = sc.getPersistentRDDs.keySet.toSet -- beforeIds
     survivors.unionByName(addArt.select(ArtifactCols.map(col): _*))
       .withColumn("part", expr(s"doc_id div $w"))
+      // ONE file per partition dir: without the repartition every
+      // shuffle partition emits a file into every touched part dir and
+      // the store explodes into parts × tasks small files — each of
+      // the cycle's store scans then pays thousands of file opens
+      // (measured: the 400k refresh rung tripled)
+      .repartition(col("part"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("part").parquet(dir)
     val nonEmpty = partsOf(survivors.select("doc_id"))
-      .union(partsOf(addArt.select("doc_id")))
+      .union(partsOf(addIds.select("doc_id")))
       .distinct().collect().map(_.getLong(0)).toSet
     ckptIds.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
@@ -665,6 +674,7 @@ object LifecycleOps {
     val w = math.max(1024L, (maxId + 256L) / 256L)
     docArtifacts(docs)
       .withColumn("part", expr(s"doc_id div $w"))
+      .repartition(col("part")) // one file per part dir (see flushArtifacts)
       .write.mode("overwrite").partitionBy("part")
       .parquet(artifactsDir(base))
     Generations.writeMarker(s, s"${artifactsDir(base)}/_PART_WIDTH",
@@ -742,14 +752,14 @@ object LifecycleOps {
         artPrior.select("doc_id", "raw_fp"), newFps, "doc_id", "raw_fp")
       .localCheckpoint()
     val deltaIds = diff.filter(col("status").isin("added", "changed"))
-      .select(col("id").as("doc_id"))
+      .select(col("id").as("doc_id")).localCheckpoint(true)
     // the ONLY tokenization-bound work of the refresh: the delta
     val deltaArt = docArtifacts(
       masked.join(deltaIds, Seq("doc_id"), "left_semi"))
     val gone = diff.filter(col("status").isin("removed", "changed"))
-      .select(col("id").as("doc_id"))
+      .select(col("id").as("doc_id")).localCheckpoint(true)
     // write ∝ delta: only affected artifact partitions rewritten
-    flushArtifacts(s, base, gone, deltaArt)
+    flushArtifacts(s, base, gone, deltaIds, deltaArt)
     // the funnel's newDocs/masked halves materialize here (one row):
     // they are caller frames the cycle tail must not re-evaluate late
     val funnel = newDocs.agg(count(lit(1)).as("n_b"))
@@ -867,7 +877,8 @@ object LifecycleOps {
       .withColumn("n_delta", lit(0L))
       .crossJoin(gone.agg(count(lit(1)).as("n_removed")))
       .localCheckpoint(true)
-    flushArtifacts(s, base, gone, emptyArtifacts(s))
+    flushArtifacts(s, base, gone, emptyArtifacts(s).select("doc_id"),
+      emptyArtifacts(s))
     cycleTail(s, base, cur, funnel, None, _ => (), _ => ())
   }
 
