@@ -118,6 +118,96 @@ object Bench {
         .localCheckpoint(true)) { chunks =>
       Packing.shardManifest(chunks, chunksPerShard = 4)
     }
+
+    // Lifecycle build/mutate/readback decomposition (VERDICT r14 #4):
+    // the five lifecycle queries are end-to-end store cycles whose
+    // in-suite numbers mix store-BUILD noise with the mutate/readback
+    // slice that actually changes round over round. Each phase is timed
+    // SINGLE-SHOT (attribution, not precision — a med-3 would triple
+    // the five store builds; the end-to-end medians in `queries` remain
+    // the headline numbers). Cycle results materialize inside their
+    // cycle, so mutate includes result materialization; a separate
+    // readback slice exists where the readout is a distinct pass (q205's
+    // five store readbacks, q212's datasheet over the tiny frames).
+    {
+      import graft.queries.LifecycleOps
+      def lifecycleSection(qid: String)(steps: (String, () => Unit)*): Unit = {
+        if (only.exists(ids => !ids.contains(qid))) return
+        try steps.foreach { case (suffix, body) =>
+          spark.catalog.clearCache(); System.gc()
+          val t0 = System.nanoTime(); body()
+          out(s"${qid}_$suffix") = (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] phase $qid FAILED: ${e.getMessage}")
+        } finally releaseAll()
+      }
+      val d = sfDir
+      locally {
+        var ctx: LifecycleOps.Q205Ctx = null
+        var sr: DataFrame = null
+        lifecycleSection("q205")(
+          "build" -> (() => ctx = LifecycleOps.q205Build(spark, d)),
+          "mutate" -> (() => sr = LifecycleOps.q205Mutate(spark, ctx)),
+          "read" -> (() =>
+            forceEval(LifecycleOps.q205Readout(spark, ctx, sr))))
+      }
+      locally {
+        var base: String = null; var b: DataFrame = null
+        lifecycleSection("q206")(
+          "build" -> { () =>
+            val (sa, sb) = LifecycleOps.benchSnapshots(spark, d)
+            b = sb
+            base = LifecycleOps.benchScratch(spark, d, "refresh")
+            LifecycleOps.priorBuild(spark, base, sa)
+          },
+          "mutate" -> (() =>
+            forceEval(LifecycleOps.refreshTo(spark, base, b))))
+      }
+      locally {
+        var base: String = null; var a: DataFrame = null
+        lifecycleSection("q210")(
+          "build" -> { () =>
+            val (sa, sb) = LifecycleOps.benchSnapshots(spark, d)
+            a = sa
+            base = LifecycleOps.benchScratch(spark, d, "rollback")
+            LifecycleOps.priorBuild(spark, base, sa)
+            forceEval(LifecycleOps.refreshTo(spark, base, sb))
+          },
+          "mutate" -> (() =>
+            forceEval(LifecycleOps.rollbackTo(spark, base, 0L, a))))
+      }
+      locally {
+        var base: String = null
+        var a: DataFrame = null; var b: DataFrame = null
+        lifecycleSection("q211")(
+          "build" -> { () =>
+            val (sa, sb) = LifecycleOps.benchSnapshots(spark, d)
+            a = sa; b = sb
+            base = LifecycleOps.benchScratch(spark, d, "compose")
+            LifecycleOps.priorBuild(spark, base, sa)
+          },
+          "delete" -> (() =>
+            forceEval(LifecycleOps.deleteDocs(spark, base,
+              a.filter(pmod(col("doc_id"), lit(23)) === 7)
+                .select("doc_id")))),
+          "mutate" -> (() =>
+            forceEval(LifecycleOps.refreshTo(spark, base, b))))
+      }
+      locally {
+        var base: String = null
+        lifecycleSection("q212")(
+          "build" -> { () =>
+            val (sa, sb) = LifecycleOps.benchSnapshots(spark, d)
+            base = LifecycleOps.benchScratch(spark, d, "history")
+            LifecycleOps.priorBuild(spark, base, sa)
+            forceEval(LifecycleOps.refreshTo(spark, base, sb))
+            forceEval(LifecycleOps.rollbackTo(spark, base, 0L, sa))
+          },
+          "read" -> (() =>
+            forceEval(LifecycleOps.generationDatasheet(spark, base))))
+      }
+    }
     out.toMap
   }
 

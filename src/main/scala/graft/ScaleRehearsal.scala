@@ -100,7 +100,8 @@ object ScaleRehearsal {
     // megabucket; the positional-packing/vector ladders never run the
     // capped operators and take any rung size
     if (!semOnly && !segDigestOnly && !pqOnly && !prOnly && !bpeOnly &&
-        !args.contains("--delete-only") && !args.contains("--refresh-only"))
+        !args.contains("--delete-only") && !args.contains("--refresh-only") &&
+        !args.contains("--lifecycle-only"))
       require(scales.forall(_ > 10000L),
       "rungs below 10k docs keep the exact-copy megabucket (n/50 <= cap " +
         "200) while larger rungs drop it — incomparable cap regimes; " +

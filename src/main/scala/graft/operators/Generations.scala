@@ -38,9 +38,28 @@ import org.apache.spark.sql.SparkSession
   *    `keepGenerations` — the rollback window.
   *
   * Like [[graft.streaming.IndexMaintenance]]'s compaction, the
-  * protocol assumes ONE maintenance writer at a time (the usual
-  * single-writer lifecycle job); readers are safe concurrently with a
-  * writer because they only ever resolve committed generations.
+  * protocol requires ONE maintenance writer at a time — and since r15
+  * that is ENFORCED, not assumed: every lifecycle cycle (build,
+  * refresh, delete, rollback — and the streamed refresh face, which
+  * drives the same cycles per micro-batch) brackets itself with
+  * [[acquireLease]]/[[releaseLease]] on the state root. A second
+  * concurrent writer fails loudly with the incumbent's holder id
+  * instead of interleaving [[cleanUncommitted]]/[[commit]] and
+  * corrupting silently; a CRASHED holder's lease is reclaimable once
+  * its expiry passes. Readers need no lease — they only ever resolve
+  * committed generations.
+  *
+  * Ownership contract with the streaming layer (VERDICT r14 #3): the
+  * streamed index faces (StreamingDedup, RetrievalStream,
+  * SemanticStream, PackingStream, IndexMaintenance compaction) own
+  * their OWN index roots — batch-partitioned stores plus
+  * `_compacted_through` markers — and never touch a lifecycle state
+  * root. Lifecycle cycles own `base/gen_*`, `base/shards`,
+  * `base/artifacts`, and `base/_tombstones`. The one face that crosses
+  * the line, [[graft.streaming.RefreshStream]], crosses it BY driving
+  * lifecycle cycles (priorBuild/refreshTo) under this same lease — so
+  * a streamed ingest and a batch refresh over one state root serialize
+  * on the lease instead of having undefined interleaving.
   */
 object Generations {
 
@@ -91,12 +110,34 @@ object Generations {
       .foreach(n => fs.delete(new Path(root, n), true))
   }
 
-  /** Write a small text marker file (atomic create+close, overwrite). */
+  /** Write a small text marker file ATOMICALLY: the content lands in a
+    * hidden temp sibling first and is renamed into place. A truncate-in-
+    * place write (the pre-r15 shape) could crash mid-call and leave an
+    * EMPTY marker — safe for the dirty repack marker (empty ≠ any clean
+    * signature, so it forces repair) but fatal for the numeric markers
+    * routed through here (`_compacted_through`, `_PART_WIDTH`): every
+    * later `readMarker(...).map(_.toLong)` would throw and wedge
+    * deletion/tombstone writes until manual repair (ADVICE r14). On a
+    * POSIX filesystem rename replaces the target in one atomic step
+    * (LocalFileSystem renames the checksum twin alongside), so readers
+    * observe the old content or the new, never a partial write.
+    */
   def writeMarker(spark: SparkSession, path: String, content: String): Unit = {
     val p = new Path(path)
-    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .create(p, true)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, p)) {
+      // non-POSIX fallback (a FileSystem whose rename refuses existing
+      // targets): delete-then-rename is not atomic, but its crash window
+      // leaves the marker ABSENT — never partial — and absence is the
+      // recoverable state for every marker in the protocol (numeric
+      // markers fall back to their defaults; a vanished dirty marker is
+      // re-derived by the next cycle's signature write)
+      fs.delete(p, false)
+      require(fs.rename(tmp, p), s"atomic marker rename failed for $path")
+    }
   }
 
   /** Read a marker written by [[writeMarker]], if present. */
@@ -115,6 +156,143 @@ object Generations {
   /** Delete a marker file if present. */
   def dropMarker(spark: SparkSession, path: String): Unit =
     fsOf(spark, path).delete(new Path(path), false)
+
+  // -------------------------------------------------------------------
+  // Writer lease (VERDICT r14 #1): an atomic-create lock marker with
+  // holder id + expiry, acquired at cycle start, released after commit.
+  // -------------------------------------------------------------------
+
+  private[graft] val LeaseName = "_WRITER_LEASE"
+
+  /** Default lease lifetime. Generous relative to a cycle at test
+    * scale; a 100 TB cycle should pass an explicit ttl sized to its
+    * expected wall clock (or [[renewLease]] at stage boundaries) — an
+    * expiry shorter than the cycle lets a second writer reclaim a LIVE
+    * writer's lease, which the protocol cannot detect.
+    */
+  private[graft] val DefaultLeaseTtlMs: Long = 30L * 60L * 1000L
+
+  private def leasePath(base: String) = new Path(base, LeaseName)
+
+  /** The lease on `base` as (holder, expiresAtMs), parsed from
+    * `holder|expiresAtMs`. An UNPARSEABLE lease — the visibility window
+    * between the atomic create and the content write, or an acquire
+    * that crashed inside it — must NOT read as expired-at-0: a racer
+    * would reclaim a lease whose winner is mid-write (the exact
+    * double-writer the lease exists to prevent). It reads instead as
+    * held-with-unknown-holder expiring at file mtime + the default TTL,
+    * so a fresh claim stays protected while true crash debris expires
+    * on the normal clock, never wedging the base.
+    */
+  private def leaseState(spark: SparkSession,
+      base: String): Option[(String, Long)] = {
+    val p = leasePath(base)
+    val fs = fsOf(spark, base)
+    if (!fs.exists(p)) return None
+    val content = readMarker(spark, p.toString).getOrElse("")
+    val i = content.lastIndexOf('|')
+    val parsed =
+      if (i <= 0) None
+      else scala.util.Try((content.substring(0, i),
+        content.substring(i + 1).toLong)).toOption
+    Some(parsed.getOrElse {
+      val mtime = scala.util.Try(fs.getFileStatus(p).getModificationTime)
+        .getOrElse(0L)
+      ("<unparseable>", mtime + DefaultLeaseTtlMs)
+    })
+  }
+
+  /** The live (unexpired) lease on `base`, if any: (holder, expiresAt). */
+  def leaseHolder(spark: SparkSession, base: String): Option[(String, Long)] =
+    leaseState(spark, base).filter(_._2 > System.currentTimeMillis())
+
+  /** Acquire the single-writer lease on `base` for `holder`, or fail
+    * loudly naming the incumbent. The create-if-absent is the atomic
+    * primitive: exactly one of two racing writers gets the
+    * `FileAlreadyExistsException`-free create. A lease whose expiry has
+    * passed (its holder crashed without releasing) is RECLAIMED —
+    * deleted and re-acquired through the same atomic create, so two
+    * racing reclaimers still resolve to one winner. Re-acquiring a
+    * lease already held by `holder` renews it (rollback drives a
+    * refresh cycle under one logical writer).
+    */
+  def acquireLease(spark: SparkSession, base: String, holder: String,
+      ttlMs: Long = DefaultLeaseTtlMs): Unit = {
+    require(holder.nonEmpty && !holder.contains('|') &&
+      !holder.contains('\n'), s"bad lease holder id: '$holder'")
+    val fs = fsOf(spark, base)
+    val root = new Path(base)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val p = leasePath(base)
+    def content = s"$holder|${System.currentTimeMillis() + ttlMs}"
+    def tryCreate(): Boolean =
+      if (fs.getScheme == "file") {
+        // RawLocalFileSystem.create(overwrite = false) is CHECK-then-
+        // create, not O_EXCL — two racers can both pass the exists
+        // check. File.createNewFile is the JVM's true atomic
+        // create-if-absent; the content write lands in the claimed
+        // file afterwards (the mtime+TTL fallback in [[leaseState]]
+        // covers that visibility window).
+        val f = new java.io.File(p.toUri.getPath)
+        if (!f.createNewFile()) false
+        else {
+          val out = new java.io.FileOutputStream(f)
+          try out.write(content.getBytes("UTF-8")) finally out.close()
+          true
+        }
+      } else
+        try {
+          // create-if-absent is atomic at the namenode on HDFS-likes
+          val out = fs.create(p, false)
+          try out.write(content.getBytes("UTF-8")) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+    if (tryCreate()) return
+    val (curHolder, exp) = leaseState(spark, base)
+      .getOrElse(("<vanished>", 0L))
+    if (curHolder == holder) { // re-entrant renew
+      writeMarker(spark, p.toString, content); return
+    }
+    require(System.currentTimeMillis() > exp,
+      s"lifecycle writer lease on $base is held by '$curHolder' " +
+        s"(expires ${java.time.Instant.ofEpochMilli(exp)}) — a second " +
+        "concurrent maintenance writer would interleave the commit " +
+        "protocol; wait for release or expiry")
+    fs.delete(p, false) // stale: reclaim through the same atomic create
+    require(tryCreate(),
+      s"lost the lease-reclaim race on $base to another writer")
+    // delete+create is not one atomic step: a second reclaimer that
+    // read the SAME stale lease can interleave (delete our fresh claim,
+    // create its own). Verify the claim held; losing here is loud and
+    // leaves exactly one winner standing.
+    Thread.sleep(50)
+    require(leaseState(spark, base).exists(_._1 == holder),
+      s"lost the lease-reclaim race on $base to another writer")
+  }
+
+  /** Extend a held lease's expiry (long cycles renew at stage
+    * boundaries). Fails loudly if `holder` no longer holds it.
+    */
+  def renewLease(spark: SparkSession, base: String, holder: String,
+      ttlMs: Long = DefaultLeaseTtlMs): Unit = {
+    val cur = leaseState(spark, base)
+    require(cur.exists(_._1 == holder),
+      s"renewLease: $holder does not hold the lease on $base " +
+        s"(holder: ${cur.map(_._1).getOrElse("<none>")})")
+    writeMarker(spark, leasePath(base).toString,
+      s"$holder|${System.currentTimeMillis() + ttlMs}")
+  }
+
+  /** Release `holder`'s lease. A lease held by someone else (this
+    * holder's expired lease was reclaimed mid-cycle) is left alone —
+    * deleting the new writer's lease would be the exact corruption the
+    * lease exists to prevent.
+    */
+  def releaseLease(spark: SparkSession, base: String, holder: String): Unit = {
+    val p = leasePath(base)
+    if (leaseState(spark, base).exists(_._1 == holder))
+      fsOf(spark, base).delete(p, false)
+  }
 
   /** Bound the generation history: drop whole generations older than
     * the newest `keepGenerations` (their manifests leave the rollback

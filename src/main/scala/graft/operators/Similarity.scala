@@ -319,24 +319,19 @@ object Similarity {
     // parquet path the write below replaces, and persist() alone would
     // leave correctness resting on dynamic-overwrite staging order.
     // Checkpoint blocks live OUTSIDE the cache manager, so they are
-    // released by tracked RDD id once both consumers have run — the
-    // Iterate.Loop discipline (a leaked survivor frame per deletion
-    // call is exactly the block-manager creep the bench phase split
-    // exists to avoid)
-    val sc = spark.sparkContext
-    val beforeIds = sc.getPersistentRDDs.keySet.toSet
-    val survivors = store
-      .filter(col("cell").isin(affected: _*))
-      .join(del, col("id") === col("__del_id"), "left_anti")
-      .localCheckpoint(true)
-    val ckptIds = sc.getPersistentRDDs.keySet.toSet -- beforeIds
+    // released by the frame's OWN handle once both consumers have run
+    // (Eager — a registry-keySet diff here would capture a concurrent
+    // query's RDDs, ADVICE r14)
+    val (survivors, releaseSurvivors) = graft.operators.Eager.checkpoint(
+      store
+        .filter(col("cell").isin(affected: _*))
+        .join(del, col("id") === col("__del_id"), "left_anti"))
     survivors.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell").parquet(path)
     val nonEmpty = survivors.select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSet
-    ckptIds.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    releaseSurvivors()
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     affected.filterNot(nonEmpty).foreach { c =>

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Generations, Packing, Similarity}
+import graft.operators.{Dedup, Eager, Generations, Packing, Similarity}
 import graft.streaming.{IndexMaintenance, RetrievalStream, StreamingDedup}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -601,20 +601,20 @@ object LifecycleOps {
       .union(partsOf(addIds.select("doc_id")))
       .distinct().collect().map(_.getLong(0)).sorted
     if (affected.isEmpty) return
-    val sc = s.sparkContext
-    val beforeIds = sc.getPersistentRDDs.keySet.toSet
     val priorRows =
       if (IndexMaintenance.dataFileCount(s, dir) == 0L) emptyArtifacts(s)
       else s.read.parquet(dir)
         .filter(col("part").isin(affected: _*))
         .select(ArtifactCols.map(col): _*)
-    val survivors = priorRows
-      .join(removeIds.select(col("doc_id").as("__rm")),
-        col("doc_id") === col("__rm"), "left_anti")
-      .join(addIds.select(col("doc_id").as("__add")),
-        col("doc_id") === col("__add"), "left_anti")
-      .localCheckpoint(true)
-    val ckptIds = sc.getPersistentRDDs.keySet.toSet -- beforeIds
+    // eager survivors BEFORE the overwrite (read-then-overwrite rule),
+    // released by the frame's own handle — not a registry diff, which
+    // would capture a concurrent query's RDDs (ADVICE r14)
+    val (survivors, releaseSurvivors) = graft.operators.Eager.checkpoint(
+      priorRows
+        .join(removeIds.select(col("doc_id").as("__rm")),
+          col("doc_id") === col("__rm"), "left_anti")
+        .join(addIds.select(col("doc_id").as("__add")),
+          col("doc_id") === col("__add"), "left_anti"))
     survivors.unionByName(addArt.select(ArtifactCols.map(col): _*))
       .withColumn("part", expr(s"doc_id div $w"))
       // ONE file per partition dir: without the repartition every
@@ -629,8 +629,7 @@ object LifecycleOps {
     val nonEmpty = partsOf(survivors.select("doc_id"))
       .union(partsOf(addIds.select("doc_id")))
       .distinct().collect().map(_.getLong(0)).toSet
-    ckptIds.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    releaseSurvivors()
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     affected.filterNot(nonEmpty).foreach { p =>
@@ -656,6 +655,14 @@ object LifecycleOps {
     */
   private[graft] def priorBuild(s: SparkSession, base: String,
       docs: DataFrame): Unit = {
+    val holder = s"build-${java.util.UUID.randomUUID()}"
+    Generations.acquireLease(s, base, holder)
+    try priorBuildLeased(s, base, docs)
+    finally Generations.releaseLease(s, base, holder)
+  }
+
+  private def priorBuildLeased(s: SparkSession, base: String,
+      docs: DataFrame): Unit = {
     // a from-scratch build into a base that already holds committed
     // generations would commit gen_0 UNDER the existing current
     // generation — refuse loudly; rebuilds start from a cleared base
@@ -680,13 +687,14 @@ object LifecycleOps {
     Generations.writeMarker(s, s"${artifactsDir(base)}/_PART_WIDTH",
       w.toString)
     val (pack0, _) = globalStages(readArtifacts(s, base))
-    val pack = pack0.localCheckpoint()
+    val (pack, releasePack) = Eager.checkpoint(pack0)
     val chunks = Packing.packChunks(pack, "okey", "tk", 256, groupOf)
     Packing.shardManifest(chunks, 4).write.mode("overwrite")
       .parquet(s"$g0/manifest")
     Packing.writeShards(chunks, s"$base/shards", 4)
     pack.select(PackInputCols.map(col): _*).write.mode("overwrite")
       .parquet(s"$g0/pack_input")
+    releasePack()
     // a full write replaces whatever an interrupted repack left behind
     Generations.dropMarker(s, s"$base/shards/_REPACK_IN_PROGRESS")
     Generations.commit(s, base, 0L)
@@ -737,40 +745,86 @@ object LifecycleOps {
   private[graft] def refreshTo(s: SparkSession, base: String,
       newDocs: DataFrame, failAt: Option[String] = None,
       packGate: String => Unit = _ => (),
-      manifestGate: String => Unit = _ => ()): DataFrame = {
-    val cur = requireCurrent(s, base)
-    Generations.cleanUncommitted(s, base)
-    // right-to-be-forgotten composition: ids tombstoned between
-    // refreshes stay deleted even if the new snapshot still holds them.
-    // Contract: newDocs must NOT derive from this base's artifact
-    // store — the cycle mutates it in place (deleteDocs works from the
-    // id set for exactly this reason)
-    val masked = IndexMaintenance.dropTombstoned(newDocs, "doc_id", s, base)
-    val artPrior = readArtifacts(s, base)
-    val newFps = masked.select(col("doc_id"), md5(col("text")).as("raw_fp"))
-    val diff = graft.operators.Snapshot.corpusDiff(
-        artPrior.select("doc_id", "raw_fp"), newFps, "doc_id", "raw_fp")
-      .localCheckpoint()
-    val deltaIds = diff.filter(col("status").isin("added", "changed"))
-      .select(col("id").as("doc_id")).localCheckpoint(true)
-    // the ONLY tokenization-bound work of the refresh: the delta
-    val deltaArt = docArtifacts(
-      masked.join(deltaIds, Seq("doc_id"), "left_semi"))
-    val gone = diff.filter(col("status").isin("removed", "changed"))
-      .select(col("id").as("doc_id")).localCheckpoint(true)
-    // write ∝ delta: only affected artifact partitions rewritten
-    flushArtifacts(s, base, gone, deltaIds, deltaArt)
-    // the funnel's newDocs/masked halves materialize here (one row):
-    // they are caller frames the cycle tail must not re-evaluate late
+      manifestGate: String => Unit = _ => (),
+      skipIfNoop: Boolean = false): DataFrame = {
+    val holder = s"refresh-${java.util.UUID.randomUUID()}"
+    Generations.acquireLease(s, base, holder)
+    try {
+      val cur = requireCurrent(s, base)
+      Generations.cleanUncommitted(s, base)
+      // right-to-be-forgotten composition: ids tombstoned between
+      // refreshes stay deleted even if the new snapshot still holds them.
+      // Contract: newDocs must NOT derive from this base's artifact
+      // store — the cycle mutates it in place (deleteDocs works from the
+      // id set for exactly this reason)
+      val masked = IndexMaintenance.dropTombstoned(newDocs, "doc_id", s, base)
+      val artPrior = readArtifacts(s, base)
+      val newFps = masked.select(col("doc_id"), md5(col("text")).as("raw_fp"))
+      val (diff, releaseDiff) = Eager.checkpoint(
+        graft.operators.Snapshot.corpusDiff(
+          artPrior.select("doc_id", "raw_fp"), newFps, "doc_id", "raw_fp"))
+      // noop short-circuit (the streamed refresh face's replay
+      // idempotence): an empty diff means the committed state already
+      // equals the target — commit NOTHING, mint no generation
+      if (skipIfNoop &&
+          diff.filter(col("status") =!= "unchanged").limit(1).count() == 0L) {
+        releaseDiff()
+        return noopResult(s, base, newDocs, masked)
+      }
+      val (deltaIds, releaseDeltaIds) = Eager.checkpoint(
+        diff.filter(col("status").isin("added", "changed"))
+          .select(col("id").as("doc_id")))
+      // the ONLY tokenization-bound work of the refresh: the delta
+      val deltaArt = docArtifacts(
+        masked.join(deltaIds, Seq("doc_id"), "left_semi"))
+      val (gone, releaseGone) = Eager.checkpoint(
+        diff.filter(col("status").isin("removed", "changed"))
+          .select(col("id").as("doc_id")))
+      // write ∝ delta: only affected artifact partitions rewritten
+      flushArtifacts(s, base, gone, deltaIds, deltaArt)
+      // the funnel's newDocs/masked halves materialize here (one row):
+      // they are caller frames the cycle tail must not re-evaluate late
+      val (funnel, releaseFunnel) = Eager.checkpoint(
+        newDocs.agg(count(lit(1)).as("n_b"))
+          .crossJoin(masked.agg(count(lit(1)).as("__n_after_mask")))
+          .withColumn("n_masked", col("n_b") - col("__n_after_mask"))
+          .drop("__n_after_mask")
+          .crossJoin(deltaIds.agg(count(lit(1)).as("n_delta")))
+          .crossJoin(diff.filter(col("status") === "removed")
+            .agg(count(lit(1)).as("n_removed"))))
+      // every pre-tail checkpoint is consumed by here (deltaArt inside
+      // flushArtifacts, the counts inside funnel) — release them now
+      // instead of leaking blocks per cycle (ADVICE r14)
+      releaseDiff(); releaseDeltaIds(); releaseGone()
+      cycleTail(s, base, cur, funnel, releaseFunnel, failAt, packGate,
+        manifestGate)
+    } finally Generations.releaseLease(s, base, holder)
+  }
+
+  /** The readout of a [[refreshTo]] whose diff is EMPTY under
+    * `skipIfNoop`: nothing was written and no generation committed —
+    * the replay-idempotence contract of the streamed refresh face (a
+    * micro-batch redelivered after a crash between commit and source
+    * checkpoint must not mint a second generation for the same state).
+    * Every current shard reports 'kept'; the funnel recomputes over the
+    * unchanged artifact store (counts-only aggregates).
+    */
+  private def noopResult(s: SparkSession, base: String,
+      newDocs: DataFrame, masked: DataFrame): DataFrame = {
+    val (_, counts) = globalStages(readArtifacts(s, base))
     val funnel = newDocs.agg(count(lit(1)).as("n_b"))
       .crossJoin(masked.agg(count(lit(1)).as("__n_after_mask")))
       .withColumn("n_masked", col("n_b") - col("__n_after_mask"))
       .drop("__n_after_mask")
-      .crossJoin(deltaIds.agg(count(lit(1)).as("n_delta")))
-      .crossJoin(diff.filter(col("status") === "removed")
-        .agg(count(lit(1)).as("n_removed")))
-      .localCheckpoint(true)
-    cycleTail(s, base, cur, funnel, failAt, packGate, manifestGate)
+      .withColumn("n_delta", lit(0L))
+      .withColumn("n_removed", lit(0L))
+      .crossJoin(counts)
+    val (out, _) = Eager.checkpoint(
+      currentManifest(s, base)
+        .select("shard_id", "n_chunks", "n_tokens", "shard_fp")
+        .withColumn("status", lit("kept"))
+        .crossJoin(broadcast(funnel)))
+    out
   }
 
   /** The shared back half of a lifecycle cycle ([[refreshTo]],
@@ -778,10 +832,11 @@ object LifecycleOps {
     * artifact store, the uncommitted-generation writes, the dirty-
     * marker-bracketed repack, gates, atomic commit, prune. `funnel` is
     * the caller's eagerly-materialized 1-row (n_b, n_masked, n_delta,
-    * n_removed) frame.
+    * n_removed) frame with `releaseFunnel` its checkpoint handle —
+    * released here once folded into the returned frame.
     */
   private def cycleTail(s: SparkSession, base: String, cur: Long,
-      funnel: DataFrame, failAt: Option[String],
+      funnel: DataFrame, releaseFunnel: () => Unit, failAt: Option[String],
       packGate: String => Unit,
       manifestGate: String => Unit): DataFrame = {
     def inject(point: String): Unit =
@@ -808,15 +863,16 @@ object LifecycleOps {
     val sig = streamSignature(s.read.parquet(s"$gN/pack_input"))
     val priorDirty = Generations.readMarker(s, dirtyPath)
     val repair = priorDirty.exists(_ != sig)
-    val (oldInput, oldManifest) =
-      if (repair)
+    val (oldInput, oldManifest, releaseOldManifest) =
+      if (repair) {
+        val (m, rel) = Eager.checkpoint(Packing.diskManifest(s, shardsDir))
         (s.emptyDataFrame
           .select(lit("").as("okey"), lit(0L).as("n_tokens"),
             lit("").as("raw_fp")).limit(0),
-          Packing.diskManifest(s, shardsDir).localCheckpoint(true))
-      else
+          m, rel)
+      } else
         (s.read.parquet(s"$gC/pack_input"),
-          s.read.parquet(s"$gC/manifest"))
+          s.read.parquet(s"$gC/manifest"), () => ())
     // a REPAIR run writes a sentinel that can never equal a clean
     // signature: a crash MID-REPAIR leaves disk in a three-way mix, and
     // a re-run of the same target must repair AGAIN, not take the cheap
@@ -826,12 +882,12 @@ object LifecycleOps {
     Generations.writeMarker(s, dirtyPath,
       if (repair) s"REPAIR:$sig" else sig)
     inject("mid-repair")
-    val result = Packing.incrementalRepack(
+    val (result, releaseResult) = Eager.checkpoint(
+      Packing.incrementalRepack(
         oldInput, pack,
         "okey", "tk", "raw_fp", "n_tokens", 256, groupOf, 4, shardsDir,
         oldManifest,
-        forcedBoundaryShard = if (repair) Some(0L) else None)
-      .localCheckpoint(true)
+        forcedBoundaryShard = if (repair) Some(0L) else None))
     // the rewrite completed (result is eagerly materialized, so every
     // shard write ran): disk now equals the target stream — flip the
     // repair sentinel to the clean signature so a later same-target
@@ -847,9 +903,19 @@ object LifecycleOps {
     Generations.dropMarker(s, dirtyPath)
     // counts reads the flushed artifact store (never pruned); the
     // caller-side funnel half is already materialized
-    val funnelFull = funnel.crossJoin(counts).localCheckpoint(true)
+    val (funnelFull, releaseFunnelFull) =
+      Eager.checkpoint(funnel.crossJoin(counts))
     Generations.prune(s, base, KeepGenerations)
-    result.crossJoin(broadcast(funnelFull))
+    // the returned frame is itself eagerly materialized — the ONE
+    // checkpoint that outlives the cycle (tiny: manifest rows × funnel
+    // columns). The rule (VERDICT r14 #7): every frame crossing the
+    // lifecycle API boundary either holds its own materialized rows or
+    // reads only the immutable committed generation of its birth —
+    // never mutable store paths a later cycle/prune rewrites. Every
+    // intermediate checkpoint is released here (ADVICE r14).
+    val (out, _) = Eager.checkpoint(result.crossJoin(broadcast(funnelFull)))
+    releaseFunnel(); releaseOldManifest(); releaseResult(); releaseFunnelFull()
+    out
   }
 
   /** Targeted deletion from the lifecycle state — tombstones first (the
@@ -857,29 +923,49 @@ object LifecycleOps {
     * masks), then the physical fold driven by the ID SET alone (no
     * corpus frame anywhere): the deleted ids leave exactly their
     * artifact partitions, and the shared cycle tail repacks only
-    * shards past the first deleted doc's stream offset. Nothing
-    * tokenizes. Returns the cycle result (manifest + status + funnel;
-    * n_b counts the pre-deletion store, n_removed the ids that were
-    * actually present).
+    * shards past the first deleted doc's stream offset — so
+    * tokenization is proportional to the stream SUFFIX past that
+    * offset (ADVICE r14): a tail deletion (retention expiry under
+    * append-order packing, the realistic shape) tokenizes almost
+    * nothing, while a head-of-stream deletion re-tokenizes nearly the
+    * whole corpus — a property of positional packing the --delete-only
+    * ladder measures. Returns the cycle result (manifest + status +
+    * funnel; n_b counts the pre-deletion store, n_removed the ids that
+    * were actually present).
+    *
+    * `failAt` is the kill-point injection for CommitProtocolSpec's
+    * deletion matrix: the tombstone write precedes every other effect,
+    * so a crash at ANY later point leaves the durable
+    * right-to-be-forgotten record in place and a re-run converges.
     */
   private[graft] def deleteDocs(s: SparkSession, base: String,
-      ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val cur = requireCurrent(s, base)
-    Generations.cleanUncommitted(s, base)
-    IndexMaintenance.writeTombstones(ids, idCol, base,
-      nextTombstoneBatch(s, base))
-    val del = ids.select(col(idCol).as("doc_id")).distinct()
-    val art = readArtifacts(s, base)
-    val gone = art.select("doc_id").join(del, Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
-    val funnel = art.agg(count(lit(1)).as("n_b"))
-      .withColumn("n_masked", lit(0L))
-      .withColumn("n_delta", lit(0L))
-      .crossJoin(gone.agg(count(lit(1)).as("n_removed")))
-      .localCheckpoint(true)
-    flushArtifacts(s, base, gone, emptyArtifacts(s).select("doc_id"),
-      emptyArtifacts(s))
-    cycleTail(s, base, cur, funnel, None, _ => (), _ => ())
+      ids: DataFrame, idCol: String = "doc_id",
+      failAt: Option[String] = None): DataFrame = {
+    val holder = s"delete-${java.util.UUID.randomUUID()}"
+    Generations.acquireLease(s, base, holder)
+    try {
+      val cur = requireCurrent(s, base)
+      Generations.cleanUncommitted(s, base)
+      IndexMaintenance.writeTombstones(ids, idCol, base,
+        nextTombstoneBatch(s, base))
+      if (failAt.contains("after-tombstones"))
+        throw new RuntimeException(
+          "injected lifecycle failure at after-tombstones")
+      val del = ids.select(col(idCol).as("doc_id")).distinct()
+      val art = readArtifacts(s, base)
+      val (gone, releaseGone) = Eager.checkpoint(
+        art.select("doc_id").join(del, Seq("doc_id"), "left_semi"))
+      val (funnel, releaseFunnel) = Eager.checkpoint(
+        art.agg(count(lit(1)).as("n_b"))
+          .withColumn("n_masked", lit(0L))
+          .withColumn("n_delta", lit(0L))
+          .crossJoin(gone.agg(count(lit(1)).as("n_removed"))))
+      flushArtifacts(s, base, gone, emptyArtifacts(s).select("doc_id"),
+        emptyArtifacts(s))
+      releaseGone()
+      cycleTail(s, base, cur, funnel, releaseFunnel, failAt, _ => (),
+        _ => ())
+    } finally Generations.releaseLease(s, base, holder)
   }
 
   /** Order-independent signature of a counts-only packing input (row
@@ -942,7 +1028,8 @@ object LifecycleOps {
     * (spec-pinned).
     */
   private[graft] def rollbackTo(s: SparkSession, base: String,
-      version: Long, docsOfVersion: DataFrame): DataFrame = {
+      version: Long, docsOfVersion: DataFrame,
+      failAt: Option[String] = None): DataFrame = {
     val gens = Generations.committed(s, base)
     require(gens.contains(version),
       s"generation $version is not committed under $base " +
@@ -978,9 +1065,186 @@ object LifecycleOps {
           s"rollback to generation $version: rebuilt manifest diverges " +
             "from the recorded generation (commit aborted)")
     }
-    refreshTo(s, base, docsOfVersion, packGate = packGate,
+    refreshTo(s, base, docsOfVersion, failAt = failAt, packGate = packGate,
       manifestGate = manifestGate)
   }
+
+  /** Per-shard diff of two committed generations' recorded manifests —
+    * the post-hoc readout of what a cycle between them did, derived
+    * entirely from the tiny versioned frames (no shard file is opened).
+    * Status semantics match the cycle result: new side = `to`.
+    */
+  private[graft] def manifestDiff(s: SparkSession, base: String,
+      from: Long, to: Long): DataFrame = {
+    def man(g: Long, p: String) =
+      s.read.parquet(s"${Generations.dir(base, g)}/manifest")
+        .select(col("shard_id"), col("n_chunks").as(s"${p}nc"),
+          col("n_tokens").as(s"${p}nt"), col("shard_fp").as(s"${p}fp"))
+    man(to, "n_").join(man(from, "o_"), Seq("shard_id"), "full_outer")
+      .select(col("shard_id"),
+        coalesce(col("n_nc"), col("o_nc")).as("n_chunks"),
+        coalesce(col("n_nt"), col("o_nt")).as("n_tokens"),
+        coalesce(col("n_fp"), col("o_fp")).as("shard_fp"),
+        when(col("n_fp").isNull, "removed")
+          .when(col("o_fp").isNull, "added")
+          .when(col("n_fp") === col("o_fp"), "kept")
+          .otherwise("rewritten").as("status"))
+  }
+
+  /** q213 oracle: the batch-only chain over the same arrival sequence —
+    * the stream delivers three micro-batches whose cumulative snapshots
+    * are S0 = snapshot A, S1 = the corpus minus its newest 10% (the
+    * changed docs restored, the legacy docs deleted), S2 = the corpus.
+    * The readout is the LAST batch's manifest diff (S1 chain vs S2
+    * chain, rebuilt from scratch) plus the generation count — one
+    * committed generation per effective micro-batch, never more (replay
+    * idempotence).
+    */
+  private def q213Sql: String =
+    s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+       |s1_docs AS MATERIALIZED (
+       |  SELECT doc_id, text, lang FROM documents
+       |  WHERE doc_id * 10 < 9 * (SELECT m FROM mx)),
+       |b_docs AS MATERIALIZED (SELECT doc_id, text, lang FROM documents),
+       |${refreshChainSql("s1_docs", "o_")},
+       |${refreshChainSql("b_docs", "n_")},
+       |fo AS (
+       |  SELECT coalesce(n.shard_id, o.shard_id) AS shard_id,
+       |    coalesce(n.n_chunks, o.n_chunks) AS n_chunks,
+       |    coalesce(n.n_tokens, o.n_tokens) AS n_tokens,
+       |    coalesce(n.shard_fp, o.shard_fp) AS shard_fp,
+       |    CASE WHEN n.shard_fp IS NULL THEN 'removed'
+       |         WHEN o.shard_fp IS NULL THEN 'added'
+       |         WHEN n.shard_fp = o.shard_fp THEN 'kept'
+       |         ELSE 'rewritten' END AS status
+       |  FROM o_man o FULL OUTER JOIN n_man n ON o.shard_id = n.shard_id)
+       |SELECT fo.*, CAST(3 AS BIGINT) AS n_generations FROM fo""".stripMargin
+
+  /** Whole-state-root audit — the lifecycle `fsck` (VERDICT r14 #5):
+    * what an operator runs FIRST on a 100 TB corpus that survived a
+    * crash, before trusting any cycle to build on it. One row per
+    * check, long format (check_name, violations, passed), q104-style:
+    *
+    *  - `committed_frames`: every committed generation's tiny frames
+    *    (pack_input, manifest) actually hold data files — a commit
+    *    marker over missing frames means the atomic-marker invariant
+    *    was violated from outside the protocol;
+    *  - `orphan_generations`: uncommitted `gen_*` debris (a crashed
+    *    cycle not yet swept — the next cycle's cleanUncommitted will,
+    *    but an operator should know it is there);
+    *  - `repack_dirty`: the shard dirty marker is present — an
+    *    interrupted rewrite; the next cycle will converge or repair;
+    *  - `stale_lease`: a writer lease whose expiry has passed — a
+    *    crashed holder (a LIVE lease is not a violation: it means a
+    *    writer is running, and fsck is read-only/lease-free);
+    *  - `tombstone_resurrected`: tombstoned ids present in the CURRENT
+    *    packing input — right-to-be-forgotten violated at rest;
+    *  - `tombstone_in_artifacts`: tombstoned ids still in the artifact
+    *    cache — deleted content whose physical fold never ran;
+    *  - `artifact_missing`: packed docs whose artifact row is absent or
+    *    carries a different raw content hash than the committed
+    *    pack_input records;
+    *  - `shard_audit`: [[Packing.auditShards]] against the current
+    *    manifest — fingerprint/count mismatches, missing shard dirs,
+    *    orphan shard dirs, in one full-outer readback.
+    *
+    * Every check is a counts-only distributed aggregate; the heaviest
+    * (shard_audit) reads the shard bytes once — exactly what a
+    * post-crash audit must do. Assumes the CURRENT generation's frames
+    * are readable (committed_frames reports the ones that are not).
+    */
+  private[graft] def fsck(s: SparkSession, base: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val gens = Generations.committed(s, base)
+    val missingFrames = (for {
+      g <- gens; f <- Seq("pack_input", "manifest")
+    } yield s"${Generations.dir(base, g)}/$f")
+      .count(p => IndexMaintenance.dataFileCount(s, p) == 0L).toLong
+    val orphans =
+      if (!fs.exists(new Path(base))) 0L
+      else fs.listStatus(new Path(base)).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("gen_"))
+        .flatMap(n => scala.util.Try(n.stripPrefix("gen_").toLong).toOption)
+        .count(g => !gens.contains(g)).toLong
+    val dirty =
+      if (Generations.readMarker(s,
+        s"$base/shards/_REPACK_IN_PROGRESS").isDefined) 1L else 0L
+    val staleLease =
+      if (fs.exists(new Path(base, Generations.LeaseName)) &&
+        Generations.leaseHolder(s, base).isEmpty) 1L else 0L
+    val packIn = currentPackInput(s, base)
+      .select(col("okey").cast("long").as("doc_id"), col("raw_fp"))
+    val tombs = IndexMaintenance.tombstoneIds(s, base)
+      .map(_.select(col("id").as("doc_id")).distinct())
+    val art = readArtifacts(s, base)
+      .select(col("doc_id"), col("raw_fp").as("art_fp"))
+    val resurrected = tombs
+      .map(t => packIn.join(t, Seq("doc_id"), "left_semi").count())
+      .getOrElse(0L)
+    val tombInArt = tombs
+      .map(t => art.join(t, Seq("doc_id"), "left_semi").count())
+      .getOrElse(0L)
+    val artMissing = packIn.join(art, Seq("doc_id"), "left_outer")
+      .filter(col("art_fp").isNull || col("art_fp") =!= col("raw_fp"))
+      .count()
+    val shardViol = Packing
+      .auditShards(s, s"$base/shards", currentManifest(s, base))
+      .filter(!col("fp_match") || !col("chunks_match") ||
+        !col("tokens_match"))
+      .count()
+    import s.implicits._
+    Seq(
+      ("artifact_missing", artMissing),
+      ("committed_frames", missingFrames),
+      ("orphan_generations", orphans),
+      ("repack_dirty", dirty),
+      ("shard_audit", shardViol),
+      ("stale_lease", staleLease),
+      ("tombstone_in_artifacts", tombInArt),
+      ("tombstone_resurrected", resurrected))
+      .toDF("check_name", "violations")
+      .withColumn("passed", col("violations") === 0L)
+  }
+
+  /** q214 oracle: the violation count of each planted corruption class,
+    * derived from the from-scratch rebuild of the state the root held
+    * before the plants (the b-chain). The marker/directory plants are
+    * literal 1s; the frame plants count through the pipeline (packed
+    * set for pack_input checks, the full snapshot for the artifact
+    * store).
+    */
+  private def q214Sql: String =
+    s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+       |b_docs AS MATERIALIZED (SELECT doc_id, text, lang FROM documents),
+       |${refreshChainSql("b_docs", "b_")},
+       |vals AS (SELECT
+       |  (SELECT count(*) FROM b_mixed WHERE doc_id % 41 = 6)
+       |    AS artifact_missing,
+       |  (SELECT count(*) FROM b_man WHERE shard_id = 1) AS shard_audit,
+       |  (SELECT count(*) FROM b_docs
+       |     WHERE doc_id % 31 = 3 AND doc_id % 41 <> 6)
+       |    AS tombstone_in_artifacts,
+       |  (SELECT count(*) FROM b_mixed WHERE doc_id % 31 = 3)
+       |    AS tombstone_resurrected)
+       |SELECT 'artifact_missing' AS check_name,
+       |  CAST(artifact_missing AS BIGINT) AS violations,
+       |  artifact_missing = 0 AS passed FROM vals
+       |UNION ALL SELECT 'committed_frames', CAST(1 AS BIGINT), false
+       |  FROM vals
+       |UNION ALL SELECT 'orphan_generations', CAST(1 AS BIGINT), false
+       |  FROM vals
+       |UNION ALL SELECT 'repack_dirty', CAST(1 AS BIGINT), false FROM vals
+       |UNION ALL SELECT 'shard_audit', CAST(shard_audit AS BIGINT),
+       |  shard_audit = 0 FROM vals
+       |UNION ALL SELECT 'stale_lease', CAST(1 AS BIGINT), false FROM vals
+       |UNION ALL SELECT 'tombstone_in_artifacts',
+       |  CAST(tombstone_in_artifacts AS BIGINT),
+       |  tombstone_in_artifacts = 0 FROM vals
+       |UNION ALL SELECT 'tombstone_resurrected',
+       |  CAST(tombstone_resurrected AS BIGINT),
+       |  tombstone_resurrected = 0 FROM vals""".stripMargin
 
   /** Loud exact-equality check of two small frames on `cols` (order-
     * insensitive multiset comparison via symmetric exceptAll).
@@ -992,6 +1256,161 @@ object LifecycleOps {
     val n = pa.exceptAll(pb).union(pb.exceptAll(pa)).limit(1).count()
     require(n == 0L, msg)
   }
+
+  // -------------------------------------------------------------------
+  // Bench decomposition hooks (VERDICT r14 #4): the five lifecycle
+  // queries are end-to-end store cycles, so their suite numbers mix
+  // store-build noise with the mutate work that actually changes round
+  // over round. These expose each query's build / mutate / readback
+  // phases to Bench.phaseMetrics so BENCH_FULL.json can attribute a
+  // lifecycle delta to a phase. The end-to-end medians stay the
+  // headline numbers.
+  // -------------------------------------------------------------------
+
+  private[graft] def benchSnapshots(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = snapshots(s, d)
+
+  private[graft] def benchScratch(s: SparkSession, d: String,
+      tag: String): String = scratch(s, d, tag)
+
+  /** q205's five-store context, built by [[q205Build]] and consumed by
+    * [[q205Mutate]]/[[q205Readout]].
+    */
+  private[graft] case class Q205Ctx(dirA: String, dirB: String,
+      dirC: String, dirD: String, dirE: String, deleted: DataFrame,
+      probe: DataFrame, tdocs: DataFrame, manifest: DataFrame,
+      emb: DataFrame, cents: Seq[(Long, Array[Float])],
+      queries: DataFrame)
+
+  /** q205 BUILD phase: ingest all five stores from the full corpus. */
+  private[graft] def q205Build(s: SparkSession, d: String): Q205Ctx = {
+    val docs = Tables.documents(s, d)
+    // the re-ingested probes ride synthetic ids doc_id + 1e6; a corpus
+    // whose ids reach that offset would silently collide probe ids
+    // with surviving docs and corrupt the parity readout — fail loudly
+    // instead (ADVICE r13)
+    val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0)
+    require(maxId < 1000000L,
+      s"q205 probe-id offset 1000000 collides: max doc_id = $maxId")
+    val deleted = docs.filter(expr(DelPred)).select("doc_id")
+      .localCheckpoint(true) // consumed by five sections
+    val probe = docs.filter(expr(DelPred))
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val b0 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val b1 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+
+    // A. inverted index: ingest 2 batches
+    val dirA = scratch(s, d, "bm25")
+    RetrievalStream.indexBatch(b0, 0L, "doc_id", "text", dirA)
+    RetrievalStream.indexBatch(b1, 1L, "doc_id", "text", dirA)
+    import s.implicits._
+    val q = Seq((1L, "hash"), (1L, "join"), (2L, "window"), (2L, "agg"),
+      (3L, "spark"), (3L, "stream"), (3L, "data")).toDF("qid", "term")
+
+    // B. segment seen-index: ingest
+    val dirB = scratch(s, d, "segment")
+    StreamingDedup.screenSegmentsBatch(b0, 0L, "doc_id", "text", dirB).count()
+    StreamingDedup.screenSegmentsBatch(b1, 1L, "doc_id", "text", dirB).count()
+
+    // C. shards: write + record the manifest
+    val dirC = scratch(s, d, "shards")
+    val tdocs = docs.select(col("doc_id"),
+      TextFunctions.tokens(col("text")).as("tk"))
+    val chunks = Packing.packChunks(tdocs, "doc_id", "tk",
+      capacity = 256, groupOf = expr("doc_id div 64"))
+    val manifest = Packing.shardManifest(chunks, 4).localCheckpoint(true)
+    Packing.writeShards(chunks, dirC, 4)
+
+    // D. IVF cell store under a frozen quantizer
+    val dirD = scratch(s, d, "cells") + "/store"
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val cents = Similarity.sampleCentroidsPortable(emb, 12)
+    Similarity.writeCellStore(emb, cents, dirD)
+
+    // E. minhash band index: ingest
+    val dirE = scratch(s, d, "minhash")
+    val F = Dedup.PortableHashFamily
+    StreamingDedup.screenAndIndexBatch(b0, 0L, "doc_id", "text", dirE,
+      family = F).count()
+    StreamingDedup.screenAndIndexBatch(b1, 1L, "doc_id", "text", dirE,
+      family = F).count()
+    Q205Ctx(dirA, dirB, dirC, dirD, dirE, deleted, probe, tdocs, manifest,
+      emb, cents, q)
+  }
+
+  /** q205 MUTATE phase: delete doc_id % 13 = 5 through each store's own
+    * deletion path. Returns the shard repack's result frame (consumed
+    * by the readout).
+    */
+  private[graft] def q205Mutate(s: SparkSession, ctx: Q205Ctx): DataFrame = {
+    RetrievalStream.deleteDocs(ctx.deleted, "doc_id", ctx.dirA, 0L)
+    StreamingDedup.deleteDocs(ctx.deleted, "doc_id", ctx.dirB, 0L)
+    val shardsResult = Packing.deleteAndRepack(ctx.tdocs, "doc_id",
+      "doc_id", "tk", ctx.deleted, 256, expr("doc_id div 64"), 4,
+      ctx.dirC, ctx.manifest)
+    Similarity.deleteFromCellStore(s, ctx.dirD,
+      ctx.emb.filter(expr("id % 13 = 5")).select("id"))
+    StreamingDedup.deleteDocs(ctx.deleted, "doc_id", ctx.dirE, 0L)
+    shardsResult
+  }
+
+  /** q205 READBACK phase: one fingerprint row per post-delete store. */
+  private[graft] def q205Readout(s: SparkSession, ctx: Q205Ctx,
+      shardsResult: DataFrame): DataFrame = {
+    val bm25 = fpRow(
+      RetrievalStream.bm25OverIndex(s, ctx.dirA, ctx.queries, 10),
+      "bm25", concat_ws(":", col("qid"), col("doc"), col("score_u"),
+        col("rnk")))
+    val seg = fpRow(
+      StreamingDedup.screenSegmentsBatch(ctx.probe, 2L, "doc_id", "text",
+        ctx.dirB),
+      "segment_screen", concat_ws(":", col("doc_id"), col("n_segs"),
+        col("n_kept"), md5(col("kept_text"))))
+    val shards = fpRow(
+      shardsResult.filter(col("status") =!= "removed"),
+      "shards", concat_ws(":", col("shard_id"), col("n_chunks"),
+        col("n_tokens"), col("shard_fp")))
+    val cells = fpRow(
+      Similarity.searchCellStore(s, ctx.dirD,
+        ctx.emb.filter(col("id") < 10 && expr("id % 13 <> 5")), 3, 3,
+        ctx.cents),
+      "cell_store", concat_ws(":", col("qid"), col("cell"), col("nid"),
+        floor(col("cosine") * 10000.0 + 0.5).cast("long"), col("rank")))
+    val minhash = fpRow(
+      StreamingDedup.screenAndIndexBatch(ctx.probe, 2L, "doc_id", "text",
+        ctx.dirE, family = Dedup.PortableHashFamily),
+      "minhash_screen", concat_ws(":", col("id_a"), col("id_b"),
+        col("n_bands_shared")))
+    bm25.unionByName(seg).unionByName(shards).unionByName(cells)
+      .unionByName(minhash)
+  }
+
+  /** q212's READBACK: the generation-history datasheet from the tiny
+    * versioned frames (never the shards).
+    */
+  private[graft] def generationDatasheet(s: SparkSession,
+      base: String): DataFrame =
+    Generations.committed(s, base).map { g =>
+      val gd = Generations.dir(base, g)
+      val pi = s.read.parquet(s"$gd/pack_input")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("n_tokens"), lit(0L)).cast("long")
+            .as("n_doc_tokens"))
+      val mf = s.read.parquet(s"$gd/manifest")
+        .agg(count(lit(1)).as("n_shards"),
+          coalesce(sum("n_tokens"), lit(0L)).cast("long")
+            .as("n_shard_tokens"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("shard_id"),
+                col("shard_fp")))),
+              x => x.getField("shard_fp")),
+            " ")).as("manifest_fp"))
+      pi.crossJoin(mf).select(lit(g).as("generation"), col("n_docs"),
+        col("n_doc_tokens"), col("n_shards"), col("n_shard_tokens"),
+        col("manifest_fp"))
+    }.reduce(_ unionByName _)
 
   val all: Seq[QueryDef] = Seq(
 
@@ -1011,88 +1430,9 @@ object LifecycleOps {
     // fingerprint row per store; DeletionSpec holds the file-level pins
     // (untouched shards/cells not rewritten, physical compaction).
     QueryDef.sql("q205_delete_rebuild_parity", q205Sql) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      // the re-ingested probes ride synthetic ids doc_id + 1e6; a corpus
-      // whose ids reach that offset would silently collide probe ids
-      // with surviving docs and corrupt the parity readout — fail loudly
-      // instead (ADVICE r13)
-      val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0)
-      require(maxId < 1000000L,
-        s"q205 probe-id offset 1000000 collides: max doc_id = $maxId")
-      val deleted = docs.filter(expr(DelPred)).select("doc_id")
-        .localCheckpoint(true) // consumed by five sections
-      val probe = docs.filter(expr(DelPred))
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      val b0 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
-      val b1 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
-
-      // A. inverted index: ingest 2 batches, tombstone, search
-      val dirA = scratch(s, d, "bm25")
-      RetrievalStream.indexBatch(b0, 0L, "doc_id", "text", dirA)
-      RetrievalStream.indexBatch(b1, 1L, "doc_id", "text", dirA)
-      RetrievalStream.deleteDocs(deleted, "doc_id", dirA, 0L)
-      import s.implicits._
-      val q = Seq((1L, "hash"), (1L, "join"), (2L, "window"), (2L, "agg"),
-        (3L, "spark"), (3L, "stream"), (3L, "data")).toDF("qid", "term")
-      val bm25 = fpRow(
-        RetrievalStream.bm25OverIndex(s, dirA, q, 10),
-        "bm25", concat_ws(":", col("qid"), col("doc"), col("score_u"), col("rnk")))
-
-      // B. segment seen-index: ingest, tombstone, re-ingest the deleted
-      val dirB = scratch(s, d, "segment")
-      StreamingDedup.screenSegmentsBatch(b0, 0L, "doc_id", "text", dirB).count()
-      StreamingDedup.screenSegmentsBatch(b1, 1L, "doc_id", "text", dirB).count()
-      StreamingDedup.deleteDocs(deleted, "doc_id", dirB, 0L)
-      val seg = fpRow(
-        StreamingDedup.screenSegmentsBatch(probe, 2L, "doc_id", "text", dirB),
-        "segment_screen", concat_ws(":", col("doc_id"), col("n_segs"),
-          col("n_kept"), md5(col("kept_text"))))
-
-      // C. shards: write, boundary-restricted repack
-      val dirC = scratch(s, d, "shards")
-      val tdocs = docs.select(col("doc_id"),
-        TextFunctions.tokens(col("text")).as("tk"))
-      val chunks = Packing.packChunks(tdocs, "doc_id", "tk",
-        capacity = 256, groupOf = expr("doc_id div 64"))
-      val manifest = Packing.shardManifest(chunks, 4).localCheckpoint(true)
-      Packing.writeShards(chunks, dirC, 4)
-      val shards = fpRow(
-        Packing.deleteAndRepack(tdocs, "doc_id", "doc_id", "tk", deleted,
-            256, expr("doc_id div 64"), 4, dirC, manifest)
-          .filter(col("status") =!= "removed"),
-        "shards", concat_ws(":", col("shard_id"), col("n_chunks"),
-          col("n_tokens"), col("shard_fp")))
-
-      // D. IVF cell store: frozen quantizer, targeted partition rewrite
-      val dirD = scratch(s, d, "cells") + "/store"
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id").as("id"), col("embedding"))
-      val cents = Similarity.sampleCentroidsPortable(emb, 12)
-      Similarity.writeCellStore(emb, cents, dirD)
-      Similarity.deleteFromCellStore(s, dirD,
-        emb.filter(expr("id % 13 = 5")).select("id"))
-      val cells = fpRow(
-        Similarity.searchCellStore(s, dirD,
-          emb.filter(col("id") < 10 && expr("id % 13 <> 5")), 3, 3, cents),
-        "cell_store", concat_ws(":", col("qid"), col("cell"), col("nid"),
-          floor(col("cosine") * 10000.0 + 0.5).cast("long"), col("rank")))
-
-      // E. minhash band index: ingest, tombstone, screen the re-ingest
-      val dirE = scratch(s, d, "minhash")
-      val F = Dedup.PortableHashFamily
-      StreamingDedup.screenAndIndexBatch(b0, 0L, "doc_id", "text", dirE,
-        family = F).count()
-      StreamingDedup.screenAndIndexBatch(b1, 1L, "doc_id", "text", dirE,
-        family = F).count()
-      StreamingDedup.deleteDocs(deleted, "doc_id", dirE, 0L)
-      val minhash = fpRow(
-        StreamingDedup.screenAndIndexBatch(probe, 2L, "doc_id", "text", dirE,
-          family = F),
-        "minhash_screen", concat_ws(":", col("id_a"), col("id_b"),
-          col("n_bands_shared")))
-
-      bm25.unionByName(seg).unionByName(shards).unionByName(cells)
-        .unionByName(minhash)
+      val ctx = q205Build(s, d)
+      val shardsResult = q205Mutate(s, ctx)
+      q205Readout(s, ctx, shardsResult)
     },
 
     // q206: delta-driven incremental refresh ≡ full rebuild (VERDICT
@@ -1195,25 +1535,107 @@ object LifecycleOps {
       priorBuild(s, base, a)
       refreshTo(s, base, b)
       rollbackTo(s, base, 0L, a)
-      Generations.committed(s, base).map { g =>
-        val gd = Generations.dir(base, g)
-        val pi = s.read.parquet(s"$gd/pack_input")
-          .agg(count(lit(1)).as("n_docs"),
-            coalesce(sum("n_tokens"), lit(0L)).cast("long")
-              .as("n_doc_tokens"))
-        val mf = s.read.parquet(s"$gd/manifest")
-          .agg(count(lit(1)).as("n_shards"),
-            coalesce(sum("n_tokens"), lit(0L)).cast("long")
-              .as("n_shard_tokens"),
-            md5(array_join(
-              transform(
-                array_sort(collect_list(struct(col("shard_id"),
-                  col("shard_fp")))),
-                x => x.getField("shard_fp")),
-              " ")).as("manifest_fp"))
-        pi.crossJoin(mf).select(lit(g).as("generation"), col("n_docs"),
-          col("n_doc_tokens"), col("n_shards"), col("n_shard_tokens"),
-          col("manifest_fp"))
-      }.reduce(_ unionByName _)
+      generationDatasheet(s, base)
+    },
+
+    // q213: the streamed refresh face ≡ the batch-only chain over the
+    // same arrival sequence (VERDICT r14 #3). The Spark side drives a
+    // REAL Structured Streaming query: three micro-batches of
+    // upsert/delete events (batch 0 = snapshot A; batch 1 = the changed
+    // docs restored + the legacy docs deleted; batch 2 = the newest 10%
+    // appended) flow through foreachBatch, each folding the bronze
+    // snapshot and driving one leased lifecycle cycle with an atomic
+    // per-batch commit. The oracle never sees a stream: it rebuilds the
+    // S1 and S2 cumulative snapshots from scratch and derives the last
+    // batch's manifest diff — so the hash pins that three micro-batches
+    // land exactly the state (and the per-shard kept/rewritten/added
+    // set) the equivalent batch refreshes would have. n_generations
+    // pins one commit per effective batch. The arrival data is
+    // collected to the driver because MemoryStream is a driver-local
+    // source; the face itself is distributed (each micro-batch is a
+    // cluster job).
+    QueryDef.sql("q213_streamed_refresh", q213Sql) { (s, d) =>
+      import graft.streaming.RefreshStream
+      val (a, b) = snapshots(s, d)
+      val maxId = b.agg(max("doc_id")).collect()(0).getLong(0)
+      val base = scratch(s, d, "stream_refresh")
+      val bronzeDir = scratch(s, d, "stream_bronze")
+      val ckpt = scratch(s, d, "stream_ckpt")
+      def events(df: DataFrame, op: String): Seq[RefreshStream.DocEvent] =
+        df.select("doc_id", "text", "lang").collect().toSeq.map(r =>
+          RefreshStream.DocEvent(r.getLong(0), r.getString(1),
+            r.getString(2), op))
+      val batch0 = events(a, "upsert")
+      val batch1 =
+        events(b.filter(pmod(col("doc_id"), lit(17)) === 2 &&
+          col("doc_id") * 10 >= lit(7L * maxId) &&
+          col("doc_id") * 10 < lit(9L * maxId)), "upsert") ++
+        a.filter(col("doc_id") >= 2000000L).select("doc_id").collect()
+          .toSeq.map(r => RefreshStream.DocEvent(r.getLong(0), "", "",
+            "delete"))
+      val batch2 = events(
+        b.filter(col("doc_id") * 10 >= lit(9L * maxId)), "upsert")
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[RefreshStream.DocEvent]
+      val q = RefreshStream.attach(source.toDF(), base, bronzeDir, ckpt)
+      try {
+        source.addData(batch0); q.processAllAvailable()
+        source.addData(batch1); q.processAllAvailable()
+        source.addData(batch2); q.processAllAvailable()
+      } finally q.stop()
+      manifestDiff(s, base, 1L, 2L)
+        .withColumn("n_generations",
+          lit(Generations.committed(s, base).size.toLong))
+    },
+
+    // q214: the lifecycle fsck over a state root with PLANTED corruption
+    // of every class it audits (VERDICT r14 #5). The Spark side builds a
+    // healthy root (build from A, refresh to B), then plants: a
+    // committed generation stripped of its manifest frame, an orphan
+    // uncommitted gen dir, a dirty repack marker, an expired writer
+    // lease, never-folded tombstones (ids % 31 = 3), vanished artifact
+    // rows (ids % 41 = 6, removed through the store's own
+    // partition-targeted rewrite), and a deleted shard directory. The
+    // oracle computes each class's violation count from the from-scratch
+    // rebuild of the pre-plant state — so the hash pins both that every
+    // planted class is DETECTED and that the counts are exactly the
+    // affected populations (packed set for pack_input checks, the full
+    // snapshot for the artifact store), not just nonzero flags.
+    QueryDef.sql("q214_lifecycle_fsck", q214Sql) { (s, d) =>
+      val (a, b) = snapshots(s, d)
+      val base = scratch(s, d, "fsck")
+      priorBuild(s, base, a)
+      refreshTo(s, base, b)
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // committed generation missing a frame (non-current, so every
+      // other check still reads the current generation normally)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"${Generations.dir(base, 0L)}/manifest"), true)
+      // crashed-cycle debris: an uncommitted generation directory
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/gen_99"))
+      // an interrupted shard rewrite
+      Generations.writeMarker(s, s"$base/shards/_REPACK_IN_PROGRESS",
+        "planted-interrupted-signature")
+      // a crashed writer's expired lease
+      Generations.writeMarker(s, s"$base/${Generations.LeaseName}",
+        "crashed-writer|12345")
+      // tombstones recorded but never physically folded
+      IndexMaintenance.writeTombstones(
+        b.filter(pmod(col("doc_id"), lit(31)) === 3).select("doc_id"),
+        "doc_id", base, 0L)
+      // artifact rows vanished (through the store's own targeted
+      // partition rewrite — the realistic shape of silent data loss)
+      val (vanished, releaseVanished) = Eager.checkpoint(
+        b.filter(pmod(col("doc_id"), lit(41)) === 6).select("doc_id"))
+      flushArtifacts(s, base, vanished,
+        emptyArtifacts(s).select("doc_id"), emptyArtifacts(s))
+      releaseVanished()
+      // a shard directory gone from under its manifest
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$base/shards/shard_id=1"), true)
+      fsck(s, base)
     })
 }

@@ -77,6 +77,82 @@ class CommitProtocolSpec extends SparkSpec {
     }
   }
 
+  test("a deletion killed at every point converges AND keeps its tombstones") {
+    val all = docs
+    val ids = all.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length * 8 / 10)
+    val a = snapA(all, cut)
+    // delete a mid-stream slice so the boundary-restricted repack has
+    // real work at every kill point
+    val delIds = a.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id")
+    val wantTombs = delIds.collect().map(_.getLong(0)).toSet
+    assert(wantTombs.nonEmpty)
+
+    val refBase = Files.createTempDirectory("delkill_ref").toString
+    LifecycleOps.priorBuild(spark, refBase, a)
+    LifecycleOps.deleteDocs(spark, refBase, delIds)
+    val want = manifestRows(LifecycleOps.currentManifest(spark, refBase))
+
+    for (kp <- Seq("after-tombstones", "after-artifacts", "after-pack-input",
+        "after-shards", "after-manifest")) {
+      val base = Files.createTempDirectory(s"delkill_$kp").toString
+      LifecycleOps.priorBuild(spark, base, a)
+      val e = intercept[RuntimeException] {
+        LifecycleOps.deleteDocs(spark, base, delIds, failAt = Some(kp))
+      }
+      assert(e.getMessage.contains(kp))
+      assert(Generations.current(spark, base).contains(0L),
+        s"$kp: commit pointer moved before the marker write")
+      // the durable right-to-be-forgotten record outlives the crash:
+      // tombstones are the FIRST write of the cycle, so they are on
+      // disk at every kill point
+      val survived = graft.streaming.IndexMaintenance
+        .tombstoneIds(spark, base)
+        .map(_.collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
+      assert(survived == wantTombs,
+        s"$kp: tombstones did not survive the crash")
+      // the re-run converges to the uninterrupted deletion
+      LifecycleOps.deleteDocs(spark, base, delIds)
+      assert(manifestRows(LifecycleOps.currentManifest(spark, base)) == want,
+        s"$kp: re-run diverged from the uninterrupted deletion")
+      assertCleanAudit(base, s"delete-$kp")
+    }
+  }
+
+  test("a rollback killed at every point leaves the prior generation " +
+      "current, and the re-run lands the recorded state whole") {
+    val all = docs
+    val ids = all.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length * 8 / 10)
+    val (a, b) = (snapA(all, cut), snapB(all, cut))
+
+    // the recorded target: generation 0's own manifest
+    val refBase = Files.createTempDirectory("rbkill_ref").toString
+    LifecycleOps.priorBuild(spark, refBase, a)
+    val want = manifestRows(LifecycleOps.currentManifest(spark, refBase))
+
+    for (kp <- Seq("after-artifacts", "after-pack-input", "mid-repair",
+        "after-shards", "after-manifest")) {
+      val base = Files.createTempDirectory(s"rbkill_$kp").toString
+      LifecycleOps.priorBuild(spark, base, a)
+      LifecycleOps.refreshTo(spark, base, b)
+      val e = intercept[RuntimeException] {
+        LifecycleOps.rollbackTo(spark, base, 0L, a, failAt = Some(kp))
+      }
+      assert(e.getMessage.contains(kp))
+      // every kill point precedes the commit marker: the pre-rollback
+      // generation is still current (the rollback never half-lands)
+      assert(Generations.current(spark, base).contains(1L),
+        s"$kp: a killed rollback moved the commit pointer")
+      LifecycleOps.rollbackTo(spark, base, 0L, a)
+      assert(Generations.committed(spark, base) == Seq(0L, 1L, 2L),
+        s"$kp: unexpected generation history after re-run")
+      assert(manifestRows(LifecycleOps.currentManifest(spark, base)) == want,
+        s"$kp: re-run rollback diverged from the recorded generation")
+      assertCleanAudit(base, s"rollback-$kp")
+    }
+  }
+
   test("crash mid-rewrite then a DIFFERENT target repairs from disk state") {
     val all = docs
     val ids = all.select("doc_id").collect().map(_.getLong(0)).sorted
