@@ -274,7 +274,8 @@ object Bench {
   val LifecyclePhase: Set[String] = Set(
     "q205_delete_rebuild_parity", "q206_incremental_refresh",
     "q210_rollback_restore", "q211_delete_refresh_compose",
-    "q212_generation_history")
+    "q212_generation_history", "q213_streamed_refresh",
+    "q214_lifecycle_fsck")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

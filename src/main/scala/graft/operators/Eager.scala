@@ -28,9 +28,14 @@ object Eager {
     */
   def checkpoint(df: DataFrame): (DataFrame, () => Unit) = {
     val ck = df.localCheckpoint(true)
-    val rdd = ck.queryExecution.analyzed.collectFirst {
-      case l: LogicalRDD => l.rdd
-    }
-    (ck, () => rdd.foreach(_.unpersist(blocking = false)))
+    (ck, () => release(ck))
   }
+
+  /** Unpersist the checkpointed RDD backing an ALREADY-checkpointed
+    * frame (a no-op on frames that are not checkpoint leaves) — for
+    * releasing a frame some callee checkpointed and handed back.
+    */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
+      .foreach(_.unpersist(blocking = false))
 }

@@ -474,7 +474,8 @@ object Packing {
       dir: String, oldManifest: DataFrame): DataFrame = {
     val spark = newOffsets.sparkSession
     val startPos = shardStartPos(boundaryShard, capacity, chunksPerShard)
-    val tailChunks = newOffsets
+    // consumed by the manifest AND the rewrite; released before return
+    val (tailChunks, releaseTailChunks) = Eager.checkpoint(newOffsets
       .filter(col("offset") + col("__n") > startPos && col("__n") > 0)
       .select(col("offset"), posexplode(col(tokensCol)).as(Seq("__p", "__t")))
       .select((col("offset") + col("__p")).as("__g"), col("__t"))
@@ -484,22 +485,21 @@ object Packing {
         md5(array_join(
           transform(array_sort(collect_list(struct(col("__g"), col("__t")))),
             x => x.getField("__t")),
-          " ")).as("chunk_fp"))
-      .localCheckpoint(true) // consumed by the manifest AND the rewrite
+          " ")).as("chunk_fp")))
     val tailManifest = shardManifest(tailChunks, chunksPerShard)
     val oldTail = oldManifest.filter(col("shard_id") >= boundaryShard)
       .select(col("shard_id"), col("n_chunks").as("__o_chunks"),
         col("n_tokens").as("__o_tokens"), col("shard_fp").as("__o_fp"))
-    val diff = tailManifest.join(oldTail, Seq("shard_id"), "full_outer")
-      .select(col("shard_id"),
-        coalesce(col("n_chunks"), col("__o_chunks")).as("n_chunks"),
-        coalesce(col("n_tokens"), col("__o_tokens")).as("n_tokens"),
-        coalesce(col("shard_fp"), col("__o_fp")).as("shard_fp"),
-        when(col("shard_fp").isNull, "removed")
-          .when(col("__o_fp").isNull, "added")
-          .when(col("shard_fp") === col("__o_fp"), "kept")
-          .otherwise("rewritten").as("status"))
-      .localCheckpoint(true)
+    val (diff, releaseDiff) = Eager.checkpoint(
+      tailManifest.join(oldTail, Seq("shard_id"), "full_outer")
+        .select(col("shard_id"),
+          coalesce(col("n_chunks"), col("__o_chunks")).as("n_chunks"),
+          coalesce(col("n_tokens"), col("__o_tokens")).as("n_tokens"),
+          coalesce(col("shard_fp"), col("__o_fp")).as("shard_fp"),
+          when(col("shard_fp").isNull, "removed")
+            .when(col("__o_fp").isNull, "added")
+            .when(col("shard_fp") === col("__o_fp"), "kept")
+            .otherwise("rewritten").as("status")))
     val changed = diff.filter(col("status").isin("rewritten", "added"))
       .select("shard_id")
     val toWrite = tailChunks
@@ -522,10 +522,16 @@ object Packing {
         fs.delete(new org.apache.hadoop.fs.Path(s"$dir/shard_id=$sid"), true)
       }
     }
-    oldManifest.filter(col("shard_id") < boundaryShard)
-      .select(col("shard_id"), col("n_chunks"), col("n_tokens"),
-        col("shard_fp"), lit("kept").as("status"))
-      .unionByName(diff)
+    // the returned frame is SELF-CONTAINED (its own tiny checkpoint of
+    // manifest-sized rows): every intermediate block is released here
+    // instead of leaking per repack (ADVICE r14's cycle-leak class)
+    val (out, _) = Eager.checkpoint(
+      oldManifest.filter(col("shard_id") < boundaryShard)
+        .select(col("shard_id"), col("n_chunks"), col("n_tokens"),
+          col("shard_fp"), lit("kept").as("status"))
+        .unionByName(diff))
+    releaseTailChunks(); releaseDiff()
+    out
   }
 
   /** Sliding-window chunking with overlap — the retrieval/eval-window

@@ -229,12 +229,21 @@ object Tokenizer {
     * per-word segmentation — and Σ n_tokens equals the final round's
     * `tokens_after` (spec-pinned).
     *
-    * Scale shape: pure map-side projection, zero shuffle before the
-    * per-doc sum — the merge list ships as ONE literal array and the
-    * replay is a single `aggregate` higher-order function folding
-    * `replace` over it, so expression depth stays CONSTANT in the merge
-    * count (a 30k-merge chain of nested `replace` calls would blow
-    * codegen; the HOF evaluates the same fold in a loop).
+    * Scale shape: the DICTIONARY pattern (r15 — the r7 one-pass-kernel
+    * playbook applied to the watch-listed per-occurrence fold). The
+    * merge replay (regexp explode to boundary-spaced form + one
+    * `replace` fold per merge + split/count) costs O(word length ×
+    * merges) per evaluation; evaluating it per word OCCURRENCE pays
+    * that for every token in the corpus, when the distinct vocabulary
+    * is orders of magnitude smaller (Heaps' law — ~30k words vs ~3M
+    * occurrences at sf0.1, and the ratio only grows with corpus size).
+    * So the fold runs ONCE per distinct word ([[wordPieceCounts]]) and
+    * a join stamps the counts onto occurrences: AQE sizes the
+    * vocab-side at runtime and broadcasts it (a plan-time hint would
+    * hard-fail on a web-scale vocabulary; left to AQE it degrades
+    * gracefully to a shuffled join). The merge list still ships as ONE
+    * literal array folded by a HOF `aggregate`, so expression depth
+    * stays CONSTANT in the merge count.
     *
     * Output: (`idCol`, n_tokens) — one row per document that has at
     * least one whitespace token.
@@ -242,11 +251,20 @@ object Tokenizer {
   def applyMerges(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     require(merges.nonEmpty, "applyMerges needs at least one merge")
-    docs
+    val occ = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("word"))
-      .select(col(idCol), pieceCount(col("word"), merges).as("__n"))
+    occ.join(wordPieceCounts(occ, merges), Seq("word"))
       .groupBy(idCol).agg(sum("__n").as("n_tokens"))
   }
+
+  /** The fold evaluated once per DISTINCT word: (word, __n). The
+    * distinct is a map-side-combined hash aggregate over occurrences —
+    * its shuffle volume is the vocabulary, not the corpus.
+    */
+  private def wordPieceCounts(occ: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    occ.select("word").distinct()
+      .select(col("word"), pieceCount(col("word"), merges).as("__n"))
 
   /** Subword pieces a word segments into under the trained merge list —
     * the [[applyMerges]] fold (boundary-spaced replay, HOF `aggregate`
@@ -276,10 +294,10 @@ object Tokenizer {
     * mixture under-serves a slice (high fertility = more compute per
     * word of that slice at train time).
     *
-    * Scale shape: same as [[applyMerges]] — map-side explode + the
-    * constant-depth merge fold projected ONCE per word occurrence, then
-    * one hash aggregate on `groupCol`. No shuffle before the aggregate,
-    * no driver work beyond the vocab-sized merge list literal.
+    * Scale shape: same as [[applyMerges]] — the dictionary pattern:
+    * the constant-depth merge fold runs once per DISTINCT word, an
+    * AQE-sized join stamps it onto occurrences, then one hash aggregate
+    * on `groupCol`.
     *
     * Output: (groupCol, n_words, n_pieces, fertility, pct_split), one
     * row per group with ≥ 1 whitespace token.
@@ -287,9 +305,10 @@ object Tokenizer {
   def fertilityByGroup(docs: DataFrame, groupCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     require(merges.nonEmpty, "fertilityByGroup needs at least one merge")
-    docs
+    val occ = docs
       .select(col(groupCol), explode(tokens(col(textCol))).as("word"))
-      .select(col(groupCol), pieceCount(col("word"), merges).as("__p"))
+    occ.join(wordPieceCounts(occ, merges)
+        .withColumnRenamed("__n", "__p"), Seq("word"))
       .groupBy(groupCol)
       .agg(
         count(lit(1)).as("n_words"),

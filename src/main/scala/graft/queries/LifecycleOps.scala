@@ -570,7 +570,10 @@ object LifecycleOps {
   }
 
   /** The artifact store's rows (empty-store safe, no partition column
-    * — a fully-deleted corpus is a valid state).
+    * — a fully-deleted corpus is a valid state). MUTABLE-store read:
+    * per the read-safety rule on [[currentManifest]], frames from here
+    * are cycle-internal and must be consumed before the next
+    * [[flushArtifacts]] rewrites the partitions they lazily reference.
     */
   private[graft] def readArtifacts(s: SparkSession, base: String): DataFrame =
     if (IndexMaintenance.dataFileCount(s, artifactsDir(base)) == 0L)
@@ -637,9 +640,28 @@ object LifecycleOps {
     }
   }
 
+  /** THE READ-SAFETY RULE (VERDICT r14 #7) for every frame crossing the
+    * lifecycle API boundary — the systematic form of the prune-vs-lazy-
+    * reader hazard the r14 q211 funnel hit (a lazy frame whose source
+    * directory a later `prune`/`flushArtifacts` deletes):
+    *
+    *  - CYCLE RESULTS ([[refreshTo]]/[[deleteDocs]]/[[rollbackTo]]
+    *    returns) hold their own eagerly-materialized rows — valid
+    *    forever, immune to any later cycle or prune;
+    *  - GENERATION READS ([[currentManifest]], [[currentPackInput]])
+    *    read only the immutable committed generation of their BIRTH —
+    *    valid until that generation leaves the [[KeepGenerations]]
+    *    window (a consumer that outlives the window must
+    *    `localCheckpoint(true)` what it keeps);
+    *  - STORE READS ([[readArtifacts]]) read the MUTABLE artifact
+    *    store — cycle-internal only; consume before the next flush.
+    *
+    * LifecycleReadSafetySpec pins all three clauses.
+    */
   private[graft] def currentManifest(s: SparkSession, base: String): DataFrame =
     s.read.parquet(s"${Generations.dir(base, requireCurrent(s, base))}/manifest")
 
+  /** See the read-safety rule on [[currentManifest]]. */
   private[graft] def currentPackInput(s: SparkSession, base: String): DataFrame =
     s.read.parquet(s"${Generations.dir(base, requireCurrent(s, base))}/pack_input")
 
@@ -882,12 +904,15 @@ object LifecycleOps {
     Generations.writeMarker(s, dirtyPath,
       if (repair) s"REPAIR:$sig" else sig)
     inject("mid-repair")
-    val (result, releaseResult) = Eager.checkpoint(
-      Packing.incrementalRepack(
-        oldInput, pack,
-        "okey", "tk", "raw_fp", "n_tokens", 256, groupOf, 4, shardsDir,
-        oldManifest,
-        forcedBoundaryShard = if (repair) Some(0L) else None))
+    // incrementalRepack returns a SELF-CONTAINED eager frame (every
+    // shard write has run by the time it returns); release its own
+    // checkpoint once folded into the cycle result below
+    val result = Packing.incrementalRepack(
+      oldInput, pack,
+      "okey", "tk", "raw_fp", "n_tokens", 256, groupOf, 4, shardsDir,
+      oldManifest,
+      forcedBoundaryShard = if (repair) Some(0L) else None)
+    val releaseResult = () => Eager.release(result)
     // the rewrite completed (result is eagerly materialized, so every
     // shard write ran): disk now equals the target stream — flip the
     // repair sentinel to the clean signature so a later same-target

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+import graft.operators.Generations
+import graft.queries.LifecycleOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The lifecycle read-safety rule (VERDICT r14 #7) — the systematic
+  * guard for the prune-vs-lazy-reader hazard: every frame crossing the
+  * LifecycleOps/Generations API boundary either holds its own
+  * materialized rows (cycle results) or reads only the immutable
+  * committed generation of its birth (generation reads, valid for the
+  * keep window). This spec calls every public lifecycle read API,
+  * then refreshes/deletes/prunes aggressively, then consumes the
+  * captured frames.
+  */
+class LifecycleReadSafetySpec extends SparkSpec {
+
+  private def docs: DataFrame =
+    Tables.documents(spark, sf("sf0.001"))
+      .filter(col("doc_id") < 250).select("doc_id", "text", "lang")
+
+  private def rows(df: DataFrame): Set[String] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(concat_ws("|", cols.map(c => col(c).cast("string")): _*)
+      .as("r")).collect().map(_.getString(0)).toSet
+  }
+
+  test("cycle results stay consumable through later cycles and an " +
+      "aggressive prune") {
+    val base = Files.createTempDirectory("readsafe_results").toString
+    val all = docs
+    LifecycleOps.priorBuild(spark, base, all.filter(col("doc_id") < 150))
+    // capture a cycle result from each cycle type WITHOUT consuming it
+    val rRefresh = LifecycleOps.refreshTo(spark, base,
+      all.filter(col("doc_id") < 200))
+    val rDelete = LifecycleOps.deleteDocs(spark, base,
+      all.filter(pmod(col("doc_id"), lit(9)) === 2).select("doc_id"))
+    // record what they hold now...
+    val wantRefresh = rows(rRefresh)
+    val wantDelete = rows(rDelete)
+    // ...then churn the state root hard: another refresh, a prune down
+    // to ONE generation (deleting both results' birth generations), and
+    // an artifact rewrite via one more cycle
+    LifecycleOps.refreshTo(spark, base, all)
+    Generations.prune(spark, base, 1)
+    LifecycleOps.deleteDocs(spark, base,
+      all.filter(pmod(col("doc_id"), lit(9)) === 5).select("doc_id"))
+    Generations.prune(spark, base, 1)
+    // the results are self-contained: identical content, no dead reads
+    assert(rows(rRefresh) == wantRefresh,
+      "a refresh result changed after later cycles/prunes")
+    assert(rows(rDelete) == wantDelete,
+      "a deletion result changed after later cycles/prunes")
+  }
+
+  test("generation reads stay valid while the birth generation is in " +
+      "the keep window — and the window boundary is real") {
+    val base = Files.createTempDirectory("readsafe_gens").toString
+    val all = docs
+    LifecycleOps.priorBuild(spark, base, all.filter(col("doc_id") < 150))
+    LifecycleOps.refreshTo(spark, base, all.filter(col("doc_id") < 200))
+    // frames born of generation 1 (the current generation right now)
+    val m1 = LifecycleOps.currentManifest(spark, base)
+    val p1 = LifecycleOps.currentPackInput(spark, base)
+    val wantM = rows(m1)
+    val wantP = rows(p1)
+    // two more cycles: gen 1 is no longer current but stays inside the
+    // KeepGenerations = 8 window every cycle's own prune enforces
+    LifecycleOps.deleteDocs(spark, base,
+      all.filter(pmod(col("doc_id"), lit(9)) === 2).select("doc_id"))
+    LifecycleOps.refreshTo(spark, base, all)
+    assert(rows(m1) == wantM,
+      "a generation read changed while its birth generation was kept")
+    assert(rows(p1) == wantP,
+      "a generation read changed while its birth generation was kept")
+    // the documented boundary: prune the birth generation away and the
+    // lazy frame dies LOUDLY (never silently wrong) — the clause that
+    // makes 'localCheckpoint what outlives the window' load-bearing
+    Generations.prune(spark, base, 1)
+    intercept[Exception] { m1.collect() }
+  }
+
+  test("a lifecycle cycle leaves exactly its one result checkpoint behind") {
+    val base = Files.createTempDirectory("readsafe_leak").toString
+    val all = docs
+    LifecycleOps.priorBuild(spark, base, all.filter(col("doc_id") < 150))
+    // every intermediate checkpoint (diff, delta ids, funnel, repack
+    // result, survivors) is released inside the cycle (ADVICE r14);
+    // only the returned frame's own materialization may remain
+    assertReleases("refreshTo", allowed = 1) {
+      LifecycleOps.refreshTo(spark, base,
+        all.filter(col("doc_id") < 200)).collect()
+    }
+    assertReleases("deleteDocs", allowed = 1) {
+      LifecycleOps.deleteDocs(spark, base,
+        all.filter(pmod(col("doc_id"), lit(9)) === 2).select("doc_id"))
+        .collect()
+    }
+  }
+}
