@@ -1012,7 +1012,7 @@ object LifecycleOps {
     * [[deleteDocs]] calls interleave safely with a streamed deletion
     * face and with [[IndexMaintenance.compactTombstones]].
     */
-  private def nextTombstoneBatch(s: SparkSession, base: String): Long = {
+  private[graft] def nextTombstoneBatch(s: SparkSession, base: String): Long = {
     val tombDir = s"$base/${IndexMaintenance.TombstonesName}"
     val p = new org.apache.hadoop.fs.Path(tombDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)

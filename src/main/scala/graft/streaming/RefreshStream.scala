@@ -44,8 +44,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object RefreshStream {
 
-  /** One arrival: `op` ∈ upsert | delete (text/lang ignored for
-    * deletes).
+  /** One arrival: `op` ∈ upsert | delete | forget (text/lang ignored
+    * for the last two). `delete` is SNAPSHOT removal — the doc leaves
+    * the corpus but a later upsert re-admits it. `forget` is
+    * right-to-be-forgotten: a durable tombstone is written into the
+    * state root BEFORE the cycle, so this and every later refresh
+    * masks the id — a later upsert of a forgotten doc stays out
+    * (RefreshStreamSpec pins non-resurrection and parity with the
+    * batch deleteDocs chain).
     */
   case class DocEvent(doc_id: Long, text: String, lang: String, op: String)
 
@@ -115,8 +121,19 @@ object RefreshStream {
       s"micro-batch $batchId carries doc_id ${dup.headOption.map(_.getLong(0))
         .getOrElse(-1L)} more than once — per-batch events must be " +
         "unique per doc_id")
+    // right-to-be-forgotten events: the durable tombstone is the FIRST
+    // write (same discipline as LifecycleOps.deleteDocs — a crash
+    // anywhere later leaves the record in place; the replay re-writes
+    // the same ids, and tombstone anti-joins are duplicate-tolerant).
+    // The cycle below then sees the ids as removed AND masks them out
+    // of every later snapshot.
+    val forgets = evs.filter(col("op") === "forget").select("doc_id")
+    if (forgets.limit(1).count() > 0L)
+      IndexMaintenance.writeTombstones(forgets, "doc_id", base,
+        LifecycleOps.nextTombstoneBatch(s, base))
     val prior = readBronze(s, bronzeDir)
-    // fold: touched ids out, upserts back in (delete = not re-added)
+    // fold: touched ids out, upserts back in (delete/forget = not
+    // re-added)
     val (next, releaseNext) = Eager.checkpoint(
       prior.join(evs.select(col("doc_id").as("__ev_id")),
           col("doc_id") === col("__ev_id"), "left_anti")

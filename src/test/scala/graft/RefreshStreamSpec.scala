@@ -131,6 +131,44 @@ class RefreshStreamSpec extends SparkSpec {
       s"$base/${RefreshStream.BatchMarker}").contains("1"))
   }
 
+  test("a forgotten doc cannot resurrect through a later upsert, and the " +
+      "streamed forget ≡ the batch deleteDocs chain per generation") {
+    val all = docs
+    val s0 = all.filter(col("doc_id") < 200)
+    val forgetIds = s0.filter(pmod(col("doc_id"), lit(13)) === 6)
+    val forgotten = forgetIds.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(forgotten.nonEmpty)
+    val b0 = events(s0, "upsert")
+    val b1 = forgotten.toSeq.sorted
+      .map(id => RefreshStream.DocEvent(id, "", "", "forget"))
+    // batch 2 re-upserts the forgotten docs (plus the fresh tail): the
+    // resurrection attempt right-to-be-forgotten must survive
+    val b2 = events(all.filter(col("doc_id") >= 200)
+      .unionByName(s0.join(eventsDf(b1.toSeq).select("doc_id"),
+        Seq("doc_id"), "left_semi")), "upsert")
+
+    val base = Files.createTempDirectory("rs_forget").toString
+    val bronze = Files.createTempDirectory("rs_forget_bronze").toString
+    RefreshStream.applyBatch(eventsDf(b0), 0L, base, bronze)
+    RefreshStream.applyBatch(eventsDf(b1), 1L, base, bronze)
+    RefreshStream.applyBatch(eventsDf(b2), 2L, base, bronze)
+    // no forgotten id in the final packing input
+    val packedIds = LifecycleOps.currentPackInput(spark, base)
+      .select(col("okey").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(packedIds.intersect(forgotten).isEmpty,
+      "a forgotten doc resurrected through a later upsert")
+    // parity: the batch chain is build(S0) → deleteDocs(forgotten) →
+    // refreshTo(final bronze) — tombstones mask the re-upserts there too
+    val refBase = Files.createTempDirectory("rs_forget_ref").toString
+    LifecycleOps.priorBuild(spark, refBase, s0)
+    LifecycleOps.deleteDocs(spark, refBase, forgetIds.select("doc_id"))
+    LifecycleOps.refreshTo(spark, refBase,
+      RefreshStream.readBronze(spark, bronze))
+    assert(generationState(base) == generationState(refBase),
+      "streamed forget diverges from the batch deleteDocs chain")
+  }
+
   test("duplicate doc_id within one micro-batch is refused loudly") {
     val (b0, _, _) = arrivals
     val base = Files.createTempDirectory("rs_dup").toString
