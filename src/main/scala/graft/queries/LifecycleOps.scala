@@ -708,6 +708,10 @@ object LifecycleOps {
       .parquet(artifactsDir(base))
     Generations.writeMarker(s, s"${artifactsDir(base)}/_PART_WIDTH",
       w.toString)
+    // the artifact write above is the build's first long pole; keep
+    // the lease fresh before the pack stage (see cycleTail's renewals)
+    Generations.leaseHolder(s, base).map(_._1)
+      .foreach(h => Generations.renewLease(s, base, h))
     val (pack0, _) = globalStages(readArtifacts(s, base))
     val (pack, releasePack) = Eager.checkpoint(pack0)
     val chunks = Packing.packChunks(pack, "okey", "tk", 256, groupOf)
@@ -818,8 +822,8 @@ object LifecycleOps {
       // flushArtifacts, the counts inside funnel) — release them now
       // instead of leaking blocks per cycle (ADVICE r14)
       releaseDiff(); releaseDeltaIds(); releaseGone()
-      cycleTail(s, base, cur, funnel, releaseFunnel, failAt, packGate,
-        manifestGate)
+      cycleTail(s, base, cur, holder, funnel, releaseFunnel, failAt,
+        packGate, manifestGate)
     } finally Generations.releaseLease(s, base, holder)
   }
 
@@ -858,7 +862,8 @@ object LifecycleOps {
     * released here once folded into the returned frame.
     */
   private def cycleTail(s: SparkSession, base: String, cur: Long,
-      funnel: DataFrame, releaseFunnel: () => Unit, failAt: Option[String],
+      holder: String, funnel: DataFrame, releaseFunnel: () => Unit,
+      failAt: Option[String],
       packGate: String => Unit,
       manifestGate: String => Unit): DataFrame = {
     def inject(point: String): Unit =
@@ -868,6 +873,11 @@ object LifecycleOps {
     val gC = Generations.dir(base, cur)
     val gN = Generations.dir(base, cur + 1)
     inject("after-artifacts")
+    // a 100 TB cycle can outlive the default lease TTL: renew at the
+    // stage boundaries that bracket the long poles (the global stages
+    // here, the shard rewrite below), so a LIVE writer's lease is
+    // never reclaimable mid-cycle
+    Generations.renewLease(s, base, holder)
     val (pack, counts) = globalStages(readArtifacts(s, base))
     // pack_input never references tk, so this write tokenizes nothing
     pack.select(PackInputCols.map(col): _*).write.mode("overwrite")
@@ -919,6 +929,7 @@ object LifecycleOps {
     // re-run may take the cheap path
     if (repair) Generations.writeMarker(s, dirtyPath, sig)
     inject("after-shards")
+    Generations.renewLease(s, base, holder)
     result.filter(col("status") =!= "removed")
       .select("shard_id", "n_chunks", "n_tokens", "shard_fp")
       .write.mode("overwrite").parquet(s"$gN/manifest")
@@ -988,8 +999,8 @@ object LifecycleOps {
       flushArtifacts(s, base, gone, emptyArtifacts(s).select("doc_id"),
         emptyArtifacts(s))
       releaseGone()
-      cycleTail(s, base, cur, funnel, releaseFunnel, failAt, _ => (),
-        _ => ())
+      cycleTail(s, base, cur, holder, funnel, releaseFunnel, failAt,
+        _ => (), _ => ())
     } finally Generations.releaseLease(s, base, holder)
   }
 
