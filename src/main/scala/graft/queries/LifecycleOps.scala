@@ -1423,11 +1423,29 @@ object LifecycleOps {
   }
 
   /** q212's READBACK: the generation-history datasheet from the tiny
-    * versioned frames (never the shards).
+    * versioned frames (never the shards). This is the lifecycle's one
+    * MULTI-generation reader — the weakest shape under the read-safety
+    * rule (a lazy frame over every committed generation is invalidated
+    * by any concurrent prune) — so it runs under reader PINS: every
+    * generation it enumerates is pinned for the build, the datasheet is
+    * eagerly materialized (counts-only, a handful of rows), and the
+    * pins drop before the self-contained frame returns. A prune racing
+    * the enumerate-then-pin window fails the pin loudly
+    * ([[Generations.pinGeneration]]) — the caller re-runs against the
+    * new history; never a silent half-read.
     */
   private[graft] def generationDatasheet(s: SparkSession,
-      base: String): DataFrame =
-    Generations.committed(s, base).map { g =>
+      base: String): DataFrame = {
+    val holder = s"datasheet-${java.util.UUID.randomUUID()}"
+    val gens = Generations.committed(s, base)
+    gens.foreach(g => Generations.pinGeneration(s, base, g, holder))
+    try generationDatasheetUnpinned(s, base, gens)
+    finally gens.foreach(g => Generations.unpinGeneration(s, base, g, holder))
+  }
+
+  private def generationDatasheetUnpinned(s: SparkSession, base: String,
+      gens: Seq[Long]): DataFrame = {
+    val lazyFrame = gens.map { g =>
       val gd = Generations.dir(base, g)
       val pi = s.read.parquet(s"$gd/pack_input")
         .agg(count(lit(1)).as("n_docs"),
@@ -1447,6 +1465,9 @@ object LifecycleOps {
         col("n_doc_tokens"), col("n_shards"), col("n_shard_tokens"),
         col("manifest_fp"))
     }.reduce(_ unionByName _)
+    // materialize under the pins; the returned frame holds its own rows
+    lazyFrame.localCheckpoint(true)
+  }
 
   val all: Seq[QueryDef] = Seq(
 

@@ -82,6 +82,66 @@ class LifecycleReadSafetySpec extends SparkSpec {
     intercept[Exception] { m1.collect() }
   }
 
+  test("a reader pin holds its generation open across an aggressive " +
+      "prune — the structural guard, not discipline") {
+    val base = Files.createTempDirectory("readsafe_pin").toString
+    val all = docs
+    LifecycleOps.priorBuild(spark, base, all.filter(col("doc_id") < 150))
+    LifecycleOps.refreshTo(spark, base, all.filter(col("doc_id") < 200))
+    val g1 = Generations.current(spark, base).get
+    Generations.pinGeneration(spark, base, g1, "exporter")
+    val m1 = LifecycleOps.currentManifest(spark, base)
+    val wantM = rows(m1)
+    // churn past the pin's generation, then prune to ONE generation:
+    // the pinned generation SURVIVES and the lazy read stays identical
+    LifecycleOps.deleteDocs(spark, base,
+      all.filter(pmod(col("doc_id"), lit(9)) === 2).select("doc_id"))
+    LifecycleOps.refreshTo(spark, base, all)
+    Generations.prune(spark, base, 1)
+    assert(Generations.committed(spark, base).contains(g1),
+      "prune deleted a generation under a live reader pin")
+    assert(rows(m1) == wantM,
+      "a pinned generation read changed across churn + prune")
+    // unpin → the next prune collects it and the frame dies loudly
+    Generations.unpinGeneration(spark, base, g1, "exporter")
+    Generations.prune(spark, base, 1)
+    assert(!Generations.committed(spark, base).contains(g1))
+    intercept[Exception] { m1.collect() }
+  }
+
+  test("pin protocol: expired pins collect, expired siblings sweep, " +
+      "uncommitted generations refuse pins, withPinnedCurrent brackets") {
+    val base = Files.createTempDirectory("readsafe_pinproto").toString
+    (0L to 4L).foreach(n => Generations.commit(spark, base, n))
+    // an expired pin reads as absent and never wedges pruning
+    Generations.pinGeneration(spark, base, 0L, "dead", ttlMs = -1000L)
+    assert(Generations.pins(spark, base, 0L).isEmpty)
+    Generations.prune(spark, base, 2)
+    assert(Generations.committed(spark, base) == Seq(3L, 4L))
+    // pinning a generation that is not committed is refused
+    intercept[IllegalArgumentException] {
+      Generations.pinGeneration(spark, base, 99L, "reader")
+    }
+    // a live pin holds its generation; an expired sibling pin is swept
+    // by the prune that honors the live one
+    Generations.pinGeneration(spark, base, 3L, "live")
+    Generations.pinGeneration(spark, base, 3L, "gone", ttlMs = -1000L)
+    Generations.prune(spark, base, 1)
+    assert(Generations.committed(spark, base).contains(3L))
+    assert(Generations.pins(spark, base, 3L) == Seq("live"))
+    assert(!new java.io.File(s"${Generations.dir(base, 3L)}/_PIN_gone")
+      .exists, "prune left an expired pin file behind")
+    // unpin → collectable
+    Generations.unpinGeneration(spark, base, 3L, "live")
+    Generations.prune(spark, base, 1)
+    assert(Generations.committed(spark, base) == Seq(4L))
+    // withPinnedCurrent pins for the body and releases on the way out
+    val got = Generations.withPinnedCurrent(spark, base, "audit") { g =>
+      assert(Generations.pins(spark, base, g) == Seq("audit")); g
+    }
+    assert(got == 4L && Generations.pins(spark, base, 4L).isEmpty)
+  }
+
   test("a lifecycle cycle leaves exactly its one result checkpoint behind") {
     val base = Files.createTempDirectory("readsafe_leak").toString
     val all = docs
