@@ -275,7 +275,7 @@ object Bench {
     "q205_delete_rebuild_parity", "q206_incremental_refresh",
     "q210_rollback_restore", "q211_delete_refresh_compose",
     "q212_generation_history", "q213_streamed_refresh",
-    "q214_lifecycle_fsck")
+    "q214_lifecycle_fsck", "q215_fsck_repair")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

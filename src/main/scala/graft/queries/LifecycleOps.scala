@@ -1244,6 +1244,146 @@ object LifecycleOps {
       .withColumn("passed", col("violations") === 0L)
   }
 
+  /** Repair the repairable [[fsck]] classes IN PLACE — what an operator
+    * runs after fsck reports violations on a state root whose source
+    * snapshot is long gone. Everything derives from the committed state
+    * plus the content-addressed artifact store (the corpus text the
+    * store itself holds), never from a caller snapshot:
+    *
+    *  - a STALE lease is reclaimed by taking the writer lease (the
+    *    repair runs as the single writer, like every cycle);
+    *  - ORPHAN (uncommitted) generation debris is swept;
+    *  - committed NON-CURRENT generations whose tiny frames lost their
+    *    data files are dropped — a commit marker over missing frames
+    *    cannot serve rollback, and keeping it would wedge every
+    *    multi-generation read; the CURRENT generation is never dropped
+    *    (the repair cycle supersedes it);
+    *  - TOMBSTONED ids still in the artifact store are physically
+    *    folded out (store-targeted partition rewrite, write ∝ touched
+    *    partitions) — which also un-resurrects them from the packing
+    *    input the cycle rederives;
+    *  - packed docs whose artifact row VANISHED are dropped from the
+    *    corpus: their content is unrecoverable in place (restoring
+    *    them needs a [[refreshTo]] with the source snapshot), so the
+    *    repair makes the loss CONSISTENT instead of silent;
+    *  - the shards are reconciled against what is ACTUALLY on disk: a
+    *    forced `REPAIR:` dirty marker routes the cycle's repack through
+    *    [[Packing.diskManifest]] from boundary 0, so externally
+    *    corrupted or missing shard dirs are rewritten and orphan dirs
+    *    deleted, whatever history produced them.
+    *
+    * The whole repair lands as ONE forward-only generation through the
+    * normal commit protocol (crash mid-repair ⇒ prior generation stays
+    * current, re-run converges). Returns the post-repair [[fsck]] — all
+    * eight checks green on a repairable root — unioned with one
+    * `repair_*` action row per class (violations = actions taken,
+    * passed = true; they record work done, not live corruption).
+    */
+  private[graft] def fsckRepair(s: SparkSession, base: String,
+      failAt: Option[String] = None): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // observed BEFORE acquiring: taking the lease reclaims a stale one
+    val staleLease =
+      if (fs.exists(new Path(base, Generations.LeaseName)) &&
+        Generations.leaseHolder(s, base).isEmpty) 1L else 0L
+    val holder = s"fsck-repair-${java.util.UUID.randomUUID()}"
+    Generations.acquireLease(s, base, holder)
+    val actions = try {
+      val cur = requireCurrent(s, base)
+      val gens = Generations.committed(s, base)
+      val orphans = fs.listStatus(new Path(base)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("gen_"))
+        .flatMap(n => scala.util.Try(n.stripPrefix("gen_").toLong).toOption)
+        .count(g => !gens.contains(g)).toLong
+      Generations.cleanUncommitted(s, base)
+      val broken = gens.filter(_ != cur).filter(g =>
+        Seq("pack_input", "manifest").exists(f => IndexMaintenance
+          .dataFileCount(s, s"${Generations.dir(base, g)}/$f") == 0L))
+      broken.foreach(g =>
+        fs.delete(new Path(Generations.dir(base, g)), true))
+      val art = readArtifacts(s, base)
+      val dropped = currentPackInput(s, base)
+        .select(col("okey").cast("long").as("doc_id"))
+        .join(art.select(col("doc_id"), col("raw_fp").as("art_fp")),
+          Seq("doc_id"), "left_outer")
+        .filter(col("art_fp").isNull).count()
+      val tombs = IndexMaintenance.tombstoneIds(s, base)
+        .map(_.select(col("id").as("doc_id")).distinct())
+      val (gone, releaseGone) = Eager.checkpoint(tombs
+        .map(t => art.select("doc_id").join(t, Seq("doc_id"), "left_semi"))
+        .getOrElse(emptyArtifacts(s).select("doc_id")))
+      val folded = gone.count()
+      // pre-flush counts (store reads are cycle-internal — consume
+      // before the fold mutates the store)
+      val (funnel, releaseFunnel) = Eager.checkpoint(
+        art.agg(count(lit(1)).as("n_b"))
+          .withColumn("n_masked", lit(0L))
+          .withColumn("n_delta", lit(0L))
+          .crossJoin(gone.agg(count(lit(1)).as("n_removed"))))
+      flushArtifacts(s, base, gone, emptyArtifacts(s).select("doc_id"),
+        emptyArtifacts(s))
+      releaseGone()
+      // force the disk-derived repair: external shard corruption leaves
+      // the committed-vs-target diff EMPTY (the pack is unchanged), so
+      // only a bytes-on-disk reconciliation can find and rewrite it
+      Generations.writeMarker(s, s"$base/shards/_REPACK_IN_PROGRESS",
+        "REPAIR:fsck-forced")
+      val res = cycleTail(s, base, cur, holder, funnel, releaseFunnel,
+        failAt, _ => (), _ => ())
+      Eager.release(res)
+      Seq(
+        ("repair_docs_dropped", dropped),
+        ("repair_generations_dropped", broken.size.toLong),
+        ("repair_lease_reclaimed", staleLease),
+        ("repair_orphans_swept", orphans),
+        ("repair_tombstones_folded", folded))
+    } finally Generations.releaseLease(s, base, holder)
+    import s.implicits._
+    fsck(s, base).unionByName(actions.toDF("check_name", "violations")
+      .withColumn("passed", lit(true)))
+  }
+
+  /** q215 oracle: every post-repair fsck check reads zero, and the
+    * repair action counts equal the planted populations — docs dropped
+    * = the packed docs whose artifacts were vanished, tombstones folded
+    * = the tombstoned docs still in the (full-corpus) artifact store;
+    * the marker/directory/lease repairs are literal 1s.
+    */
+  private def q215Sql: String =
+    s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+       |b_docs AS MATERIALIZED (SELECT doc_id, text, lang FROM documents),
+       |${refreshChainSql("b_docs", "b_")},
+       |vals AS (SELECT
+       |  (SELECT count(*) FROM b_mixed WHERE doc_id % 41 = 6)
+       |    AS docs_dropped,
+       |  (SELECT count(*) FROM b_docs
+       |     WHERE doc_id % 31 = 3 AND doc_id % 41 <> 6) AS tomb_folded)
+       |SELECT 'artifact_missing' AS check_name,
+       |  CAST(0 AS BIGINT) AS violations, true AS passed FROM vals
+       |UNION ALL SELECT 'committed_frames', CAST(0 AS BIGINT), true
+       |  FROM vals
+       |UNION ALL SELECT 'orphan_generations', CAST(0 AS BIGINT), true
+       |  FROM vals
+       |UNION ALL SELECT 'repack_dirty', CAST(0 AS BIGINT), true FROM vals
+       |UNION ALL SELECT 'shard_audit', CAST(0 AS BIGINT), true FROM vals
+       |UNION ALL SELECT 'stale_lease', CAST(0 AS BIGINT), true FROM vals
+       |UNION ALL SELECT 'tombstone_in_artifacts', CAST(0 AS BIGINT), true
+       |  FROM vals
+       |UNION ALL SELECT 'tombstone_resurrected', CAST(0 AS BIGINT), true
+       |  FROM vals
+       |UNION ALL SELECT 'repair_docs_dropped',
+       |  CAST(docs_dropped AS BIGINT), true FROM vals
+       |UNION ALL SELECT 'repair_generations_dropped', CAST(1 AS BIGINT),
+       |  true FROM vals
+       |UNION ALL SELECT 'repair_lease_reclaimed', CAST(1 AS BIGINT), true
+       |  FROM vals
+       |UNION ALL SELECT 'repair_orphans_swept', CAST(1 AS BIGINT), true
+       |  FROM vals
+       |UNION ALL SELECT 'repair_tombstones_folded',
+       |  CAST(tomb_folded AS BIGINT), true FROM vals""".stripMargin
+
   /** q214 oracle: the violation count of each planted corruption class,
     * derived from the from-scratch rebuild of the state the root held
     * before the plants (the b-chain). The marker/directory plants are
@@ -1694,5 +1834,40 @@ object LifecycleOps {
       fs.delete(new org.apache.hadoop.fs.Path(
         s"$base/shards/shard_id=1"), true)
       fsck(s, base)
+    },
+
+    // q215: fsck REPAIR — the same planted corruption as q214, healed
+    // in place from the committed state + the content-addressed
+    // artifact store (no source snapshot anywhere), landing as one
+    // forward-only generation through the normal commit protocol. The
+    // readout is the post-repair fsck (all eight checks green) plus
+    // one action row per repaired class; the oracle derives the action
+    // counts from the planted populations and pins every violation at
+    // zero — so the repair is verified to FIX, not merely to run.
+    QueryDef.sql("q215_fsck_repair", q215Sql) { (s, d) =>
+      val (a, b) = snapshots(s, d)
+      val base = scratch(s, d, "fsckrepair")
+      priorBuild(s, base, a)
+      refreshTo(s, base, b)
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"${Generations.dir(base, 0L)}/manifest"), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/gen_99"))
+      Generations.writeMarker(s, s"$base/shards/_REPACK_IN_PROGRESS",
+        "planted-interrupted-signature")
+      Generations.writeMarker(s, s"$base/${Generations.LeaseName}",
+        "crashed-writer|12345")
+      IndexMaintenance.writeTombstones(
+        b.filter(pmod(col("doc_id"), lit(31)) === 3).select("doc_id"),
+        "doc_id", base, 0L)
+      val (vanished, releaseVanished) = Eager.checkpoint(
+        b.filter(pmod(col("doc_id"), lit(41)) === 6).select("doc_id"))
+      flushArtifacts(s, base, vanished,
+        emptyArtifacts(s).select("doc_id"), emptyArtifacts(s))
+      releaseVanished()
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$base/shards/shard_id=1"), true)
+      fsckRepair(s, base)
     })
 }

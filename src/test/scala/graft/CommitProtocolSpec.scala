@@ -207,4 +207,58 @@ class CommitProtocolSpec extends SparkSpec {
       "double-crash re-run took the cheap path over mixed disk state")
     assertCleanAudit(base2, "double-crash repair")
   }
+
+  test("an fsck repair killed at every point leaves the prior " +
+      "generation current and a re-run heals the root fully") {
+    import graft.streaming.IndexMaintenance
+    val all = docs
+    val ids = all.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length * 8 / 10)
+    val (a, b) = (snapA(all, cut), snapB(all, cut))
+    // every repairable corruption class except the artifact vanish
+    // (q215's two-SF oracle covers that one; emptyArtifacts is
+    // cycle-internal): broken old generation, orphan debris, planted
+    // dirty marker, crashed writer's lease, unfolded tombstones, a
+    // shard directory deleted from under its manifest
+    def plant(base: String): Unit = {
+      LifecycleOps.priorBuild(spark, base, a)
+      LifecycleOps.refreshTo(spark, base, b)
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"${Generations.dir(base, 0L)}/manifest"), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/gen_99"))
+      Generations.writeMarker(spark, s"$base/shards/_REPACK_IN_PROGRESS",
+        "planted-interrupted-signature")
+      Generations.writeMarker(spark, s"$base/${Generations.LeaseName}",
+        "crashed-writer|12345")
+      IndexMaintenance.writeTombstones(
+        b.filter(pmod(col("doc_id"), lit(31)) === 3).select("doc_id"),
+        "doc_id", base, 0L)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$base/shards/shard_id=1"), true)
+    }
+    val refBase = Files.createTempDirectory("fsckrep_ref").toString
+    plant(refBase)
+    LifecycleOps.fsckRepair(spark, refBase)
+    val want = manifestRows(LifecycleOps.currentManifest(spark, refBase))
+    // before / during / after the shard mutation
+    for (kp <- Seq("after-pack-input", "mid-repair", "after-shards")) {
+      val base = Files.createTempDirectory(s"fsckrep_$kp").toString
+      plant(base)
+      val curBefore = Generations.current(spark, base).get
+      intercept[RuntimeException] {
+        LifecycleOps.fsckRepair(spark, base, failAt = Some(kp))
+      }
+      assert(Generations.current(spark, base).contains(curBefore),
+        s"$kp: a killed repair advanced the committed generation")
+      val healed = LifecycleOps.fsckRepair(spark, base)
+      assert(healed.filter(!col("check_name").startsWith("repair_") &&
+        col("violations") =!= 0L).count() == 0L,
+        s"$kp: re-run repair left live violations")
+      assert(manifestRows(LifecycleOps.currentManifest(spark, base)) == want,
+        s"$kp: re-run repair diverged from the uninterrupted repair")
+      assertCleanAudit(base, s"fsck-repair-$kp")
+    }
+  }
 }

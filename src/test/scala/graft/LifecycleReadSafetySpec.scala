@@ -158,5 +158,10 @@ class LifecycleReadSafetySpec extends SparkSpec {
         all.filter(pmod(col("doc_id"), lit(9)) === 2).select("doc_id"))
         .collect()
     }
+    // the repair's readout is a driver-local literal — it must release
+    // even its own cycle's result checkpoint
+    assertReleases("fsckRepair", allowed = 0) {
+      LifecycleOps.fsckRepair(spark, base).collect()
+    }
   }
 }
