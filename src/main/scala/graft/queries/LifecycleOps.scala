@@ -1253,11 +1253,15 @@ object LifecycleOps {
     *  - a STALE lease is reclaimed by taking the writer lease (the
     *    repair runs as the single writer, like every cycle);
     *  - ORPHAN (uncommitted) generation debris is swept;
-    *  - committed NON-CURRENT generations whose tiny frames lost their
-    *    data files are dropped — a commit marker over missing frames
-    *    cannot serve rollback, and keeping it would wedge every
-    *    multi-generation read; the CURRENT generation is never dropped
-    *    (the repair cycle supersedes it);
+    *  - committed generations whose tiny frames lost their data files
+    *    are dropped (after the repair cycle commits, so even a damaged
+    *    formerly-CURRENT generation — whose frames the repair never
+    *    reads; everything rederives from the store — is superseded
+    *    then swept): a commit marker over missing frames cannot serve
+    *    rollback, and keeping it would wedge every multi-generation
+    *    read. The freshly-committed generation is never swept, and a
+    *    live reader pin is honored (the pinned husk collects on a
+    *    later repair once the pin lapses);
     *  - TOMBSTONED ids still in the artifact store are physically
     *    folded out (store-targeted partition rewrite, write ∝ touched
     *    partitions) — which also un-resurrects them from the packing
@@ -1298,17 +1302,17 @@ object LifecycleOps {
         .flatMap(n => scala.util.Try(n.stripPrefix("gen_").toLong).toOption)
         .count(g => !gens.contains(g)).toLong
       Generations.cleanUncommitted(s, base)
-      val broken = gens.filter(_ != cur).filter(g =>
-        Seq("pack_input", "manifest").exists(f => IndexMaintenance
-          .dataFileCount(s, s"${Generations.dir(base, g)}/$f") == 0L))
-      broken.foreach(g =>
-        fs.delete(new Path(Generations.dir(base, g)), true))
       val art = readArtifacts(s, base)
-      val dropped = currentPackInput(s, base)
+      // the ONE read of the possibly-damaged current generation: if its
+      // pack_input is itself unreadable (the worst case — the repair
+      // cycle never touches it, deriving everything from the artifact
+      // store), the dropped count is unknowable and reads 0; the
+      // post-cycle broken-generation sweep below removes the husk
+      val dropped = scala.util.Try(currentPackInput(s, base)
         .select(col("okey").cast("long").as("doc_id"))
         .join(art.select(col("doc_id"), col("raw_fp").as("art_fp")),
           Seq("doc_id"), "left_outer")
-        .filter(col("art_fp").isNull).count()
+        .filter(col("art_fp").isNull).count()).getOrElse(0L)
       val tombs = IndexMaintenance.tombstoneIds(s, base)
         .map(_.select(col("id").as("doc_id")).distinct())
       val (gone, releaseGone) = Eager.checkpoint(tombs
@@ -1333,6 +1337,18 @@ object LifecycleOps {
       val res = cycleTail(s, base, cur, holder, funnel, releaseFunnel,
         failAt, _ => (), _ => ())
       Eager.release(res)
+      // sweep broken generations AFTER the cycle commits, when the
+      // fresh generation is current — so a root whose CURRENT frames
+      // were the damaged ones (now superseded) heals too; the new
+      // current is never swept (its frames were just written whole)
+      val newCur = requireCurrent(s, base)
+      val broken = Generations.committed(s, base).filter(_ != newCur)
+        .filter(g => Seq("pack_input", "manifest").exists(f =>
+          IndexMaintenance.dataFileCount(s,
+            s"${Generations.dir(base, g)}/$f") == 0L))
+        .filter(g => Generations.pins(s, base, g).isEmpty) // honor pins
+      broken.foreach(g =>
+        fs.delete(new Path(Generations.dir(base, g)), true))
       Seq(
         ("repair_docs_dropped", dropped),
         ("repair_generations_dropped", broken.size.toLong),

@@ -261,4 +261,37 @@ class CommitProtocolSpec extends SparkSpec {
       assertCleanAudit(base, s"fsck-repair-$kp")
     }
   }
+
+  test("fsck repair heals a root whose CURRENT generation frames were " +
+      "destroyed — the corpus rederives from the artifact store") {
+    val all = docs
+    val ids = all.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length * 8 / 10)
+    val (a, b) = (snapA(all, cut), snapB(all, cut))
+    val refBase = Files.createTempDirectory("curgone_ref").toString
+    LifecycleOps.priorBuild(spark, refBase, a)
+    LifecycleOps.refreshTo(spark, refBase, b)
+    val want = manifestRows(LifecycleOps.currentManifest(spark, refBase))
+    val base = Files.createTempDirectory("curgone").toString
+    LifecycleOps.priorBuild(spark, base, a)
+    LifecycleOps.refreshTo(spark, base, b)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // destroy BOTH tiny frames of the CURRENT generation — the worst
+    // repairable case: the repair cycle must derive everything from
+    // the content-addressed artifact store
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"${Generations.dir(base, 1L)}/pack_input"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"${Generations.dir(base, 1L)}/manifest"), true)
+    val healed = LifecycleOps.fsckRepair(spark, base)
+    assert(healed.filter(!col("check_name").startsWith("repair_") &&
+      col("violations") =!= 0L).count() == 0L,
+      "repair left live violations on a current-gen-destroyed root")
+    assert(manifestRows(LifecycleOps.currentManifest(spark, base)) == want,
+      "the rederived corpus diverged from the undamaged twin")
+    assertCleanAudit(base, "current-gen-destroyed")
+    assert(!Generations.committed(spark, base).contains(1L),
+      "the destroyed generation's husk survived the post-cycle sweep")
+  }
 }
