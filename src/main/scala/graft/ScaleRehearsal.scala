@@ -101,7 +101,7 @@ object ScaleRehearsal {
     // capped operators and take any rung size
     if (!semOnly && !segDigestOnly && !pqOnly && !prOnly && !bpeOnly &&
         !args.contains("--delete-only") && !args.contains("--refresh-only") &&
-        !args.contains("--lifecycle-only"))
+        !args.contains("--lifecycle-only") && !args.contains("--repair-only"))
       require(scales.forall(_ > 10000L),
       "rungs below 10k docs keep the exact-copy megabucket (n/50 <= cap " +
         "200) while larger rungs drop it — incomparable cap regimes; " +
@@ -916,6 +916,59 @@ object ScaleRehearsal {
         }
       }.mkString("[", ",", "]")
       println(s"""{"metric":"lifecycle_rehearsal","scales":$ladder}""")
+      spark.stop(); return
+    }
+
+    // Fsck-repair ladder (r15): prices the repair's two components
+    // separately — the unavoidable AUDIT FLOOR (diskManifest reads and
+    // fingerprints every shard byte; the pack rederives from the
+    // artifact store with no tokenization) and the REWRITE, which must
+    // scale with the corrupted shards, not the corpus. Three rungs per
+    // scale on one state root: repair of a pristine root (floor), after
+    // ONE tail shard destroyed, after ~10% of shards destroyed.
+    if (args.contains("--repair-only")) {
+      import graft.queries.LifecycleOps
+      val rScales = if (posArgs.nonEmpty) posArgs.map(_.toLong)
+      else Seq(100000L, 400000L)
+      def repairGreen(base: String): Double = {
+        val (t, _) = timed {
+          val r = LifecycleOps.fsckRepair(spark, base)
+          require(r.filter(!col("check_name").startsWith("repair_") &&
+            col("violations") =!= 0L).count() == 0L,
+            s"repair left live violations on $base")
+          1L
+        }
+        t
+      }
+      val ladder = rScales.map { n =>
+        val docs = corpus(spark, n).select(col("id").as("doc_id"),
+            col("text"), lit("en").as("lang"))
+          .localCheckpoint(true)
+        val base = java.nio.file.Files
+          .createTempDirectory(s"repair_$n").toString
+        LifecycleOps.priorBuild(spark, base, docs)
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def shardIds(): Seq[Long] =
+          fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/shards"))
+            .toSeq.map(_.getPath.getName)
+            .filter(_.startsWith("shard_id="))
+            .map(_.stripPrefix("shard_id=").toLong).sorted
+        val nShards = shardIds().size
+        val tClean = repairGreen(base)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$base/shards/shard_id=${shardIds().last}"), true)
+        val tOne = repairGreen(base)
+        val tenPct = shardIds().grouped(10).map(_.head).toSeq
+        tenPct.foreach(sid => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$base/shards/shard_id=$sid"),
+          true))
+        val tTen = repairGreen(base)
+        f"""{"n":$n,"n_shards":$nShards,"clean_sec":$tClean%.2f,""" +
+          f""""one_shard_sec":$tOne%.2f,""" +
+          f""""tenpct_shards_sec":$tTen%.2f,"tenpct_count":${tenPct.size}}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"repair_rehearsal","scales":$ladder}""")
       spark.stop(); return
     }
 
