@@ -308,10 +308,20 @@ object Packing {
   def diskManifest(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import spark.implicits._
-    if (graft.streaming.IndexMaintenance.dataFileCount(spark, dir) == 0L)
-      return Seq.empty[(Long, Long, Long, String)]
-        .toDF("shard_id", "n_chunks", "n_tokens", "shard_fp")
-    spark.read.parquet(dir)
+    // emptiness is detected by the READ itself (missing path or no
+    // inferable schema both raise AnalysisException), never by a
+    // driver-side recursive file walk: dataFileCount over a shard
+    // store is serial in the number of shard DIRECTORIES and was
+    // measured at 3x the cost of the actual pruned read at 1k shards
+    // (PERF_NOTES r15) — a guard that outweighs the work it guards
+    def empty = Seq.empty[(Long, Long, Long, String)]
+      .toDF("shard_id", "n_chunks", "n_tokens", "shard_fp")
+    val rows = try {
+      spark.read.parquet(dir)
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => return empty
+    }
+    rows
       .select(col("shard_id").cast("long").as("shard_id"),
         col("chunk_id"), col("n_tokens"), col("chunk_fp"))
       .groupBy("shard_id")

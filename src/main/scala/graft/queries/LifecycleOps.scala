@@ -576,9 +576,13 @@ object LifecycleOps {
     * [[flushArtifacts]] rewrites the partitions they lazily reference.
     */
   private[graft] def readArtifacts(s: SparkSession, base: String): DataFrame =
-    if (IndexMaintenance.dataFileCount(s, artifactsDir(base)) == 0L)
-      emptyArtifacts(s)
-    else s.read.parquet(artifactsDir(base)).select(ArtifactCols.map(col): _*)
+    // emptiness via the read's own AnalysisException (missing path or
+    // nothing to infer a schema from), not a driver-side recursive
+    // walk of every part dir — the diskManifest lesson (PERF_NOTES r15)
+    try s.read.parquet(artifactsDir(base)).select(ArtifactCols.map(col): _*)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException => emptyArtifacts(s)
+    }
 
   /** Rewrite ONLY the artifact partitions that contain a removed id or
     * an added/recomputed row: locate affected `part=` dirs from the id
@@ -605,10 +609,12 @@ object LifecycleOps {
       .distinct().collect().map(_.getLong(0)).sorted
     if (affected.isEmpty) return
     val priorRows =
-      if (IndexMaintenance.dataFileCount(s, dir) == 0L) emptyArtifacts(s)
-      else s.read.parquet(dir)
+      try s.read.parquet(dir)
         .filter(col("part").isin(affected: _*))
         .select(ArtifactCols.map(col): _*)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => emptyArtifacts(s)
+      }
     // eager survivors BEFORE the overwrite (read-then-overwrite rule),
     // released by the frame's own handle — not a registry diff, which
     // would capture a concurrent query's RDDs (ADVICE r14)
