@@ -126,14 +126,50 @@ object Packing {
     // keep the caller's column names: groupOf is an expression over them
     val counts = df.select(col(orderCol), col(tokensCol))
       .withColumn("__n", size(col(tokensCol)).cast("long"))
-    runningOffset(counts, orderCol, "__n", groupOf)
-      .select(col("offset"), posexplode(col(tokensCol)).as(Seq("__p", "__t")))
-      .select((col("offset") + col("__p")).as("__g"), col("__t"))
-      .groupBy(chunkOf(col("__g"), capacity).as("chunk_id"))
-      .agg(count(lit(1)).as("n_tokens"),
+    chunkAgg(runningOffset(counts, orderCol, "__n", groupOf), tokensCol,
+      capacity, 0L)
+  }
+
+  /** Chunk rows (chunk_id, n_tokens, chunk_fp) of the token stream at
+    * positions ≥ `startPos`, from a placement frame carrying
+    * (`offset`, `tokensCol`, `__n`) — the shared tail of [[packChunks]]
+    * (startPos 0) and [[repackFromBoundary]] (startPos = the boundary
+    * shard's first position).
+    *
+    * The exchange feeding the per-chunk aggregate carries ONE pre-sliced,
+    * pre-joined text part per (document × spanned chunk) instead of one
+    * (position, token) row per TOKEN: the same text bytes cross the
+    * shuffle, but ~capacity× fewer rows and no per-token framing — and
+    * the per-chunk collect_list sorts ≤⌈capacity/1⌉ parts, typically a
+    * handful, instead of `capacity` tokens. The fingerprint is
+    * unchanged: parts are non-empty by construction and ordered by
+    * their first global position, and joining space-joined parts with
+    * " " equals the space-join of the chunk's tokens in stream order.
+    */
+  private def chunkAgg(offsets: DataFrame, tokensCol: String,
+      capacity: Long, startPos: Long): DataFrame = {
+    val cap = lit(capacity)
+    offsets
+      .filter(col("offset") + col("__n") > startPos && col("__n") > 0)
+      .select(explode(transform(
+        sequence(chunkOf(greatest(col("offset"), lit(startPos)), capacity),
+          chunkOf(col("offset") + col("__n") - 1, capacity)),
+        c => {
+          // part = this doc's tokens inside chunk c, clipped at startPos
+          val start = greatest(col("offset"), c * cap, lit(startPos))
+          val end = least(col("offset") + col("__n"), (c + 1) * cap)
+          struct(c.as("chunk_id"), start.as("start"),
+            (end - start).as("len"),
+            array_join(slice(col(tokensCol),
+              (start - col("offset") + 1).cast("int"),
+              (end - start).cast("int")), " ").as("part"))
+        })).as("__part"))
+      .groupBy(col("__part.chunk_id").as("chunk_id"))
+      .agg(sum(col("__part.len")).cast("long").as("n_tokens"),
         md5(array_join(
-          transform(array_sort(collect_list(struct(col("__g"), col("__t")))),
-            x => x.getField("__t")),
+          transform(array_sort(collect_list(
+            struct(col("__part.start"), col("__part.part")))),
+            x => x.getField("part")),
           " ")).as("chunk_fp"))
   }
 
@@ -485,17 +521,8 @@ object Packing {
     val spark = newOffsets.sparkSession
     val startPos = shardStartPos(boundaryShard, capacity, chunksPerShard)
     // consumed by the manifest AND the rewrite; released before return
-    val (tailChunks, releaseTailChunks) = Eager.checkpoint(newOffsets
-      .filter(col("offset") + col("__n") > startPos && col("__n") > 0)
-      .select(col("offset"), posexplode(col(tokensCol)).as(Seq("__p", "__t")))
-      .select((col("offset") + col("__p")).as("__g"), col("__t"))
-      .filter(col("__g") >= startPos)
-      .groupBy(chunkOf(col("__g"), capacity).as("chunk_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        md5(array_join(
-          transform(array_sort(collect_list(struct(col("__g"), col("__t")))),
-            x => x.getField("__t")),
-          " ")).as("chunk_fp")))
+    val (tailChunks, releaseTailChunks) = Eager.checkpoint(
+      chunkAgg(newOffsets, tokensCol, capacity, startPos))
     val tailManifest = shardManifest(tailChunks, chunksPerShard)
     val oldTail = oldManifest.filter(col("shard_id") >= boundaryShard)
       .select(col("shard_id"), col("n_chunks").as("__o_chunks"),
