@@ -126,15 +126,31 @@ object Packing {
     // keep the caller's column names: groupOf is an expression over them
     val counts = df.select(col(orderCol), col(tokensCol))
       .withColumn("__n", size(col(tokensCol)).cast("long"))
-    chunkAgg(runningOffset(counts, orderCol, "__n", groupOf), tokensCol,
+    chunkAgg(runningOffset(counts, orderCol, "__n", groupOf),
+      df.select(col(orderCol), col(tokensCol)), orderCol, tokensCol,
       capacity, 0L)
   }
 
   /** Chunk rows (chunk_id, n_tokens, chunk_fp) of the token stream at
-    * positions ≥ `startPos`, from a placement frame carrying
-    * (`offset`, `tokensCol`, `__n`) — the shared tail of [[packChunks]]
+    * positions ≥ `startPos` — the shared tail of [[packChunks]]
     * (startPos 0) and [[repackFromBoundary]] (startPos = the boundary
-    * shard's first position).
+    * shard's first position). `offsets` carries the placement METADATA
+    * (`orderCol`, `__n`, `offset` — counts only; extra columns are
+    * pruned); `payload` carries (`orderCol`, `tokensCol`) and is
+    * attached by an equi-join AFTER the startPos filter.
+    *
+    * Split rationale (guide §2.3 "shuffle keys and metadata instead of
+    * payloads"): the prefix-sum window only needs (orderCol, __n,
+    * group), so its exchange+sort move a few dozen bytes per DOC
+    * instead of the token payload — and the payload attaches only to
+    * docs overlapping positions ≥ startPos, so a boundary-restricted
+    * repack never moves tokens for the untouched prefix. At bench scale
+    * the filtered offsets side broadcasts (AQE); at cluster scale it
+    * degrades to one payload shuffle by `orderCol` — the same single
+    * payload exchange the fused window plan paid. Contract: `orderCol`
+    * unique per row (already the packing contract — a duplicate key
+    * would fan out the join where the window formulation merely
+    * produced an undefined order).
     *
     * The exchange feeding the per-chunk aggregate carries ONE pre-sliced,
     * pre-joined text part per (document × spanned chunk) instead of one
@@ -146,11 +162,14 @@ object Packing {
     * their first global position, and joining space-joined parts with
     * " " equals the space-join of the chunk's tokens in stream order.
     */
-  private def chunkAgg(offsets: DataFrame, tokensCol: String,
+  private def chunkAgg(offsets: DataFrame, payload: DataFrame,
+      orderCol: String, tokensCol: String,
       capacity: Long, startPos: Long): DataFrame = {
     val cap = lit(capacity)
-    offsets
+    val suffix = offsets
       .filter(col("offset") + col("__n") > startPos && col("__n") > 0)
+      .select(col(orderCol), col("offset"), col("__n"))
+    payload.join(suffix, Seq(orderCol))
       .select(explode(transform(
         sequence(chunkOf(greatest(col("offset"), lit(startPos)), capacity),
           chunkOf(col("offset") + col("__n") - 1, capacity)),
@@ -425,6 +444,7 @@ object Packing {
       else boundaryShardOf(minDel.getLong(0), capacity, chunksPerShard)
     val surviving = counts.join(del, col(idCol) === col("__del_id"), "left_anti")
     repackFromBoundary(runningOffset(surviving, orderCol, "__n", groupOf),
+      surviving.select(col(orderCol), col(tokensCol)), orderCol,
       tokensCol, capacity, chunksPerShard, boundaryShard, dir, oldManifest)
   }
 
@@ -483,8 +503,9 @@ object Packing {
       // from shard `b` — rewriting still only touches shards whose
       // fingerprint differs from oldManifest
       val off = runningOffset(newCounts, orderCol, "__n", groupOf)
-      return repackFromBoundary(off, tokensCol, capacity, chunksPerShard,
-        b, dir, oldManifest)
+      return repackFromBoundary(off,
+        newDocs.select(col(orderCol), col(tokensCol)), orderCol,
+        tokensCol, capacity, chunksPerShard, b, dir, oldManifest)
     }
     val newOff = runningOffset(newCounts, orderCol, "__n", groupOf)
     val oldOff = runningOffset(
@@ -503,26 +524,32 @@ object Packing {
     val boundaryShard: Long =
       if (firstDiff.isNullAt(0)) Long.MaxValue
       else boundaryShardOf(firstDiff.getLong(0), capacity, chunksPerShard)
-    repackFromBoundary(newOff, tokensCol, capacity, chunksPerShard,
-      boundaryShard, dir, oldManifest)
+    repackFromBoundary(newOff,
+      newDocs.select(col(orderCol), col(tokensCol)), orderCol,
+      tokensCol, capacity, chunksPerShard, boundaryShard, dir, oldManifest)
   }
 
   /** Shared boundary-restricted tail of [[deleteAndRepack]] and
     * [[incrementalRepack]]: recompute the new stream's chunks from the
     * boundary shard's first token position (tokens materialize only for
-    * overlapping docs), diff against the old manifest per shard, write
-    * only changed shard dirs (dynamic partition overwrite, the
-    * writeShards sort rule), delete removed ones, and return the
-    * post-refresh manifest with per-shard status.
+    * overlapping docs — and since the [[chunkAgg]] meta/payload split,
+    * never enter the prefix-sum exchange either), diff against the old
+    * manifest per shard, write only changed shard dirs (dynamic
+    * partition overwrite, the writeShards sort rule), delete removed
+    * ones, and return the post-refresh manifest with per-shard status.
+    * `newOffsets` is the placement frame (pruned to counts-only
+    * columns); `payload` carries (`orderCol`, `tokensCol`).
     */
-  private def repackFromBoundary(newOffsets: DataFrame, tokensCol: String,
+  private def repackFromBoundary(newOffsets: DataFrame, payload: DataFrame,
+      orderCol: String, tokensCol: String,
       capacity: Long, chunksPerShard: Long, boundaryShard: Long,
       dir: String, oldManifest: DataFrame): DataFrame = {
     val spark = newOffsets.sparkSession
     val startPos = shardStartPos(boundaryShard, capacity, chunksPerShard)
     // consumed by the manifest AND the rewrite; released before return
     val (tailChunks, releaseTailChunks) = Eager.checkpoint(
-      chunkAgg(newOffsets, tokensCol, capacity, startPos))
+      chunkAgg(newOffsets, payload, orderCol, tokensCol, capacity,
+        startPos))
     val tailManifest = shardManifest(tailChunks, chunksPerShard)
     val oldTail = oldManifest.filter(col("shard_id") >= boundaryShard)
       .select(col("shard_id"), col("n_chunks").as("__o_chunks"),

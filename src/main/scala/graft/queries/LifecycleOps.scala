@@ -499,10 +499,22 @@ object LifecycleOps {
     * downstream consumers that never touch `tk` never tokenize.
     */
   private[graft] def globalStages(art: DataFrame): (DataFrame, DataFrame) = {
-    val dd = art.withColumn("__rn", row_number().over(
+    // keep-min-id dedup as an ANTI-JOIN against the loser ids instead of
+    // a row_number window over the full artifact row (guide §2.3/§8:
+    // decide with small rows, never shuffle the payload): the window
+    // formulation carried the corpus TEXT through its fp exchange+sort
+    // on every evaluation; the loser set is computed from a
+    // (fp, doc_id) projection — the parquet scan prunes to two columns
+    // — and duplicates are a small fraction of the corpus, so the
+    // anti-join broadcasts (AQE) and the payload never enters an
+    // exchange. Row set is identical: losers are exactly the rows the
+    // window gave __rn > 1.
+    val losers = art.select(col("fp"), col("doc_id"))
+      .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("fp").orderBy("doc_id")))
-      .filter(col("__rn") === 1).drop("__rn")
+      .filter(col("__rn") > 1).select("doc_id")
+    val dd = art.join(losers, Seq("doc_id"), "left_anti")
     val gated = dd.filter(col("score_micro") >= 0)
     val mixed = gated
       .filter(graft.operators.Sampling.hashBucket(col("doc_id"), 1000000)
