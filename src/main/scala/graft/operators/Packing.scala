@@ -479,7 +479,17 @@ object Packing {
       orderCol: String, tokensCol: String, fpCol: String, countCol: String,
       capacity: Long, groupOf: Column, chunksPerShard: Long, dir: String,
       oldManifest: DataFrame,
-      forcedBoundaryShard: Option[Long] = None): DataFrame = {
+      forcedBoundaryShard: Option[Long] = None,
+      payloadOverride: Option[DataFrame] = None): DataFrame = {
+    // payloadOverride: (orderCol, tokensCol) supplied SEPARATELY from the
+    // counts-only newDocs — the lifecycle cycle passes its just-written
+    // pack_input as newDocs (so the diff/prefix-sum passes re-read a tiny
+    // immutable parquet frame instead of re-deriving the dedup pipeline
+    // per action) and the raw store scan as payload; rows absent from
+    // newDocs fall out of the suffix equi-join, so the payload may be a
+    // SUPERSET of the packed stream.
+    val payload = payloadOverride.getOrElse(
+      newDocs.select(col(orderCol), col(tokensCol)))
     require(capacity > 0, s"capacity must be positive, got $capacity")
     require(chunksPerShard > 0,
       s"chunksPerShard must be positive, got $chunksPerShard")
@@ -503,8 +513,7 @@ object Packing {
       // from shard `b` — rewriting still only touches shards whose
       // fingerprint differs from oldManifest
       val off = runningOffset(newCounts, orderCol, "__n", groupOf)
-      return repackFromBoundary(off,
-        newDocs.select(col(orderCol), col(tokensCol)), orderCol,
+      return repackFromBoundary(off, payload, orderCol,
         tokensCol, capacity, chunksPerShard, b, dir, oldManifest)
     }
     val newOff = runningOffset(newCounts, orderCol, "__n", groupOf)
@@ -524,8 +533,7 @@ object Packing {
     val boundaryShard: Long =
       if (firstDiff.isNullAt(0)) Long.MaxValue
       else boundaryShardOf(firstDiff.getLong(0), capacity, chunksPerShard)
-    repackFromBoundary(newOff,
-      newDocs.select(col(orderCol), col(tokensCol)), orderCol,
+    repackFromBoundary(newOff, payload, orderCol,
       tokensCol, capacity, chunksPerShard, boundaryShard, dir, oldManifest)
   }
 

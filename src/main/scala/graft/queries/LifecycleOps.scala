@@ -902,6 +902,19 @@ object LifecycleOps {
       .parquet(s"$gN/pack_input")
     inject("after-pack-input")
     packGate(gN)
+    // every counts-only repack pass below (duplicate-key guard, first-
+    // diff, prefix sums) re-reads the just-written IMMUTABLE pack_input
+    // instead of re-deriving the dedup/gate/mix pipeline per action —
+    // the lazy `pack` frame re-ran its store scan + dedup anti-join on
+    // every one of the repack's ~4 internal actions. The token payload
+    // joins straight off the artifact store: store rows outside the
+    // packed stream fall out of the suffix equi-join (membership is
+    // pack_input's), and pack_input rows always have a store row (the
+    // pipeline derives from the store).
+    val packMeta = s.read.parquet(s"$gN/pack_input")
+    val payload = readArtifacts(s, base).select(
+      lpad(col("doc_id").cast("string"), 10, "0").as("okey"),
+      TextFunctions.tokens(col("text")).as("tk"))
     // the one in-place mutation of the cycle, bracketed by the dirty
     // marker. Same-signature re-run: convergent (the rewrite decision
     // diffs the COMMITTED pack_input against the new stream —
@@ -910,7 +923,7 @@ object LifecycleOps {
     // crash: repair against the disk-derived manifest from boundary 0.
     val shardsDir = s"$base/shards"
     val dirtyPath = s"$shardsDir/_REPACK_IN_PROGRESS"
-    val sig = streamSignature(s.read.parquet(s"$gN/pack_input"))
+    val sig = streamSignature(packMeta)
     val priorDirty = Generations.readMarker(s, dirtyPath)
     val repair = priorDirty.exists(_ != sig)
     val (oldInput, oldManifest, releaseOldManifest) =
@@ -936,10 +949,11 @@ object LifecycleOps {
     // shard write has run by the time it returns); release its own
     // checkpoint once folded into the cycle result below
     val result = Packing.incrementalRepack(
-      oldInput, pack,
+      oldInput, packMeta,
       "okey", "tk", "raw_fp", "n_tokens", 256, groupOf, 4, shardsDir,
       oldManifest,
-      forcedBoundaryShard = if (repair) Some(0L) else None)
+      forcedBoundaryShard = if (repair) Some(0L) else None,
+      payloadOverride = Some(payload))
     val releaseResult = () => Eager.release(result)
     // the rewrite completed (result is eagerly materialized, so every
     // shard write ran): disk now equals the target stream — flip the
