@@ -732,10 +732,16 @@ object LifecycleOps {
       .foreach(h => Generations.renewLease(s, base, h))
     val (pack0, _) = globalStages(readArtifacts(s, base))
     val (pack, releasePack) = Eager.checkpoint(pack0)
-    val chunks = Packing.packChunks(pack, "okey", "tk", 256, groupOf)
+    // TWO consumers (manifest write + writeShards) — checkpoint the
+    // compact chunk frame once so the pack subtree (prefix sum + payload
+    // join + explode + per-chunk md5 over the corpus) computes once
+    // (the q138 diamond rule; chunk rows are (id, count, fp) — tiny)
+    val (chunks, releaseChunks) = Eager.checkpoint(
+      Packing.packChunks(pack, "okey", "tk", 256, groupOf))
     Packing.shardManifest(chunks, 4).write.mode("overwrite")
       .parquet(s"$g0/manifest")
     Packing.writeShards(chunks, s"$base/shards", 4)
+    releaseChunks()
     pack.select(PackInputCols.map(col): _*).write.mode("overwrite")
       .parquet(s"$g0/pack_input")
     releasePack()
@@ -1540,10 +1546,15 @@ object LifecycleOps {
     val dirC = scratch(s, d, "shards")
     val tdocs = docs.select(col("doc_id"),
       TextFunctions.tokens(col("text")).as("tk"))
-    val chunks = Packing.packChunks(tdocs, "doc_id", "tk",
-      capacity = 256, groupOf = expr("doc_id div 64"))
+    // TWO consumers (manifest + writeShards): checkpoint the compact
+    // chunk frame once — the un-checkpointed frame re-ran tokenize +
+    // prefix sum + chunk md5 over the corpus per consumer (q138 rule)
+    val (chunks, releaseChunks) = graft.operators.Eager.checkpoint(
+      Packing.packChunks(tdocs, "doc_id", "tk",
+        capacity = 256, groupOf = expr("doc_id div 64")))
     val manifest = Packing.shardManifest(chunks, 4).localCheckpoint(true)
     Packing.writeShards(chunks, dirC, 4)
+    releaseChunks()
 
     // D. IVF cell store under a frozen quantizer
     val dirD = scratch(s, d, "cells") + "/store"
