@@ -105,16 +105,26 @@ object Serving {
     */
   def distributionStats(df: DataFrame, groupCol: String, valueCol: String,
       exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
-    def pct(q: Double) =
-      if (exact) expr(s"percentile($valueCol, $q)")
-      else expr(s"approx_percentile($valueCol, $q, $accuracy)")
+    // ONE percentile aggregate with an array of fractions instead of
+    // four: Spark's Percentile/ApproximatePercentile buffers the whole
+    // column per aggregate INSTANCE, so the scalar form built, merged,
+    // and serialized four identical value buffers per group — 4x the
+    // dominant cost of this shape for byte-identical results (the
+    // array form interpolates each fraction from the same buffer).
+    val fracs = "array(0.25D, 0.5D, 0.75D, 0.90D)"
+    val pcts =
+      if (exact) expr(s"percentile($valueCol, $fracs)")
+      else expr(s"approx_percentile($valueCol, $fracs, $accuracy)")
     df.groupBy(groupCol).agg(
-      round(pct(0.25), 4).as("p25"),
-      round(pct(0.50), 4).as("p50"),
-      round(pct(0.75), 4).as("p75"),
-      round(pct(0.90), 4).as("p90"),
+      pcts.as("__ps"),
       round(stddev_samp(col(valueCol)), 2).as("sd"),
       count(lit(1)).as("n"))
+      .select(col(groupCol),
+        round(element_at(col("__ps"), 1), 4).as("p25"),
+        round(element_at(col("__ps"), 2), 4).as("p50"),
+        round(element_at(col("__ps"), 3), 4).as("p75"),
+        round(element_at(col("__ps"), 4), 4).as("p90"),
+        col("sd"), col("n"))
   }
 
   /** In-engine certificate for the approx-percentile path: recompute each
@@ -129,10 +139,17 @@ object Serving {
   def approxPercentileRankCheck(df: DataFrame, groupCol: String,
       valueCol: String, percentiles: Seq[(String, Double)],
       accuracy: Int = 10000): DataFrame = {
-    val apxAggs = percentiles.map { case (nm, q) =>
-      expr(s"approx_percentile($valueCol, $q, $accuracy)").as(s"apx_$nm")
-    }
-    val sketch = df.groupBy(groupCol).agg(apxAggs.head, apxAggs.tail: _*)
+    // one sketch per group queried at every fraction (array form)
+    // instead of one independent sketch PER fraction: identical
+    // estimates (the summaries see the same data), 1/k the sketch
+    // build/merge cost — the q41 lesson applied to the approx path
+    val fracs = percentiles.map(_._2).mkString("array(", ", ", ")")
+    val sketch = df.groupBy(groupCol)
+      .agg(expr(s"approx_percentile($valueCol, $fracs, $accuracy)")
+        .as("__apx"))
+      .select(col(groupCol) +: percentiles.zipWithIndex.map {
+        case ((nm, _), i) => element_at(col("__apx"), i + 1).as(s"apx_$nm")
+      }: _*)
     // merging per-partition GK summaries degrades the worst-case rank
     // error beyond the single-pass 1/accuracy (observed 1.004e-4 at
     // accuracy=10000 on 32 partitions; the GK merge bound is ~2x) — the
