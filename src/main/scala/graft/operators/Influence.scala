@@ -225,14 +225,18 @@ object Influence {
       .union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
       .persist()
-    // degree attaches hash-build the ≤|V|-row deg side so the m-row
-    // edge list is never sorted (same allocation-variance argument as
-    // the wedge close in [[wedgeTriangles]])
+    // degree attaches BROADCAST the ≤|V|-row deg side under the session
+    // budget (the wedgeTriangles rule: the planner cannot size an
+    // aggregate output) so the m-row edge list is never exchanged at
+    // all for the orientation; past the budget, hash-build deg so the
+    // edge list is at least never SORTED (the r12 allocation-variance
+    // argument)
+    val degSide = degAttachSide(deg)
     val dir = und
-      .join(deg.select(col("node").as("a"), col("deg").as("da"))
-        .hint("shuffle_hash"), "a")
-      .join(deg.select(col("node").as("b"), col("deg").as("db"))
-        .hint("shuffle_hash"), "b")
+      .join(degSide(deg.select(col("node").as("a"), col("deg").as("da"))),
+        "a")
+      .join(degSide(deg.select(col("node").as("b"), col("deg").as("db"))),
+        "b")
       .select(
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")),
@@ -266,33 +270,63 @@ object Influence {
     * partition costs O(m/parts) memory and streams the wedges through
     * untouched; results are identical (LinkageSpec pins the strategy).
     */
+  /** Join-side chooser for the degree attaches: broadcast the ≤|V|-row
+    * persisted deg frame when it fits the session broadcast budget
+    * (counted, not estimated — 32 B/row against
+    * autoBroadcastJoinThreshold, −1 disabling), else hash-build it so
+    * the m-row edge side is streamed, never sorted. The count triggers
+    * deg's persist, which its later consumers reuse.
+    */
+  private def degAttachSide(deg: DataFrame): DataFrame => DataFrame = {
+    val bc = deg.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val nNodes = deg.count()
+    if (bc > 0 && nNodes <= bc / 32) df => broadcast(df)
+    else df => df.hint("shuffle_hash")
+  }
+
   private[graft] def wedgeTriangles(dir: DataFrame, und: DataFrame): DataFrame = {
-    // the wedge build also hash-joins (building one m-row dir copy per
-    // partition) so neither input of the fan-out is sorted either
-    val wedges = dir.select(col("src"), col("dst").as("x"))
-      .join(dir.select(col("src"), col("dst").as("y")).hint("shuffle_hash"),
-        "src")
-      .where(col("x") < col("y"))
     // when node ids fit 31 bits (checked on the — typically cached —
     // canonical edges: one 1-row aggregate), pack the (x, y) close key
     // into ONE BIGINT: the wedge exchange carries two longs instead of
     // three (−33% of the operator's dominant byte volume) and the close
     // probes a single-key hash map. Ids outside [0, 2³¹) keep the
     // two-column path — identical results either way.
-    val stats = und.agg(min("a").as("lo"), max("b").as("hi")).collect()(0)
+    val stats = und.agg(min("a").as("lo"), max("b").as("hi"),
+      count(lit(1)).as("m")).collect()(0)
     val packable = !stats.isNullAt(0) && stats.getLong(0) >= 0 &&
       stats.getLong(1) < (1L << 31)
+    // broadcast BOTH fan-out sides (the wedge build's right copy of
+    // `dir` and the close's edge list) when the canonical edge list
+    // fits the session's broadcast budget — conservative 32 B/edge
+    // against spark.sql.autoBroadcastJoinThreshold, −1 disabling
+    // exactly like the planner's knob (guide §3.1: pick the strategy
+    // deliberately; the planner cannot, because both sides derive from
+    // aggregates with unknown size estimates). Under the budget the
+    // O(m^1.5) wedge frame never enters ANY exchange: wedges generate
+    // map-side and probe the broadcast edge hash in the same stage.
+    // Past it (the 100 TB regime) the shuffled-hash path is the shape
+    // that scales — wedges stream through one hash exchange, never an
+    // external sort (the r12 variance fix; LinkageSpec pins both).
+    val bcBytes = und.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val m = stats.getLong(2)
+    val small = bcBytes > 0 && m <= bcBytes / 32
+    def fanSide(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df.hint("shuffle_hash")
+    val wedges = dir.select(col("src"), col("dst").as("x"))
+      .join(fanSide(dir.select(col("src"), col("dst").as("y"))),
+        "src")
+      .where(col("x") < col("y"))
     if (packable) {
       val p = 1L << 31
       val undP = und.select((col("a") * p + col("b")).as("ab"))
       wedges
         .select(col("src"), (col("x") * p + col("y")).as("xy"))
-        .join(undP.hint("shuffle_hash"), col("xy") === col("ab"))
+        .join(fanSide(undP), col("xy") === col("ab"))
         .select(col("src"), expr(s"xy div $p").as("x"),
           pmod(col("xy"), lit(p)).as("y"))
     } else {
       wedges
-        .join(und.hint("shuffle_hash"),
+        .join(fanSide(und),
           wedges("x") === und("a") && wedges("y") === und("b"))
         .select(col("src"), col("x"), col("y"))
     }
@@ -328,16 +362,17 @@ object Influence {
         col("a").cast("string"), col("b").cast("string")), 10000) < pBp)
       .persist()
     // same physical machine as [[triangleStats]]: deg persisted (two
-    // attaches), attaches hash-building the small deg side
+    // attaches), attaches broadcast-or-hash-building the small deg side
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
       .persist()
+    val degSide = degAttachSide(deg)
     val dir = und
-      .join(deg.select(col("node").as("a"), col("deg").as("da"))
-        .hint("shuffle_hash"), "a")
-      .join(deg.select(col("node").as("b"), col("deg").as("db"))
-        .hint("shuffle_hash"), "b")
+      .join(degSide(deg.select(col("node").as("a"), col("deg").as("da"))),
+        "a")
+      .join(degSide(deg.select(col("node").as("b"), col("deg").as("db"))),
+        "b")
       .select(
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")),

@@ -107,6 +107,24 @@ class LinkageSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("wedge fan-out broadcasts both sides under the session budget") {
+    import graft.operators.Influence
+    // under the session broadcast budget (32 B/edge against
+    // autoBroadcastJoinThreshold) BOTH fan-out joins broadcast their
+    // build side, so the O(m^1.5) wedge frame is generated map-side and
+    // probed in the same stage — no exchange carries it; results are
+    // pinned by the hand-graph triangleStats test which now takes this
+    // path. Over the budget (previous test, threshold −1) the
+    // shuffled-hash shape remains pinned.
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val dir = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val plan = Influence.wedgeTriangles(dir, und)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("triangleCountApprox: p=1 recovers the exact count; sampling deterministic") {
     import graft.operators.Influence
     // K5: C(5,3) = 10 triangles
